@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** General analytics over the TPC-H-ish star schema: scan → filter →
+  * project → join → aggregate → sort/limit shapes, written so Catalyst
+  * pushes filters/pruning to the parquet scan and AQE can pick broadcast
+  * joins for the dimension tables.
+  *
+  * Every double aggregate is rounded (2dp money, 4dp ratios) on BOTH sides
+  * so Spark/DuckDB float-sum ordering differences can't flip the hash
+  * compare, and every query has a total deterministic ORDER BY.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  val defs: Map[String, QueryDef] = Map(
+    // TPC-H Q1 shape: pushed-down date filter + grouped aggregate.
+    "q1_agg" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // TPC-H Q6 shape: highly selective conjunctive filter, scalar aggregate.
+    "q6_filter" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24
+          )
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_rows")
+          ),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)
+    ),
+
+    // TPC-H Q3 shape: fact-fact join + dimension filter + grouped top-k.
+    "q3_join_topk" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderpriority")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue")
+          )
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)
+    ),
+
+    // TPC-H Q5 shape: 6-way snowflake join, all dims broadcast-able.
+    "q5_snowflake_join" -> QueryDef(
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") =!= "EUROPE")
+        val joined = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        joined
+          .groupBy("n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_rows")
+          )
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE c_nationkey = s_nationkey AND r_name <> 'EUROPE'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+
+    // Window functions: per-customer order ranking (row_number + running sum).
+    "q_window_rank" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rank_in_cust", row_number().over(w))
+          .filter(col("rank_in_cust") <= 3)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"), col("rank_in_cust")
+          )
+          .orderBy("o_custkey", "rank_in_cust")
+          .limit(1000)
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             |  rank_in_cust
+             |FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey)
+             |      AS rank_in_cust
+             |  FROM orders)
+             |WHERE rank_in_cust <= 3
+             |ORDER BY o_custkey, rank_in_cust
+             |LIMIT 1000""".stripMargin)
+    ),
+
+    // Semi/anti-join shapes: customers with no orders in a window.
+    "q_antijoin" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        Tables.customer(s, d)
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_inactive"),
+            round(sum("c_acctbal"), 2).as("sum_bal")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_inactive,
+             |  round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey
+             |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // Grouping sets / rollup over two dims.
+    "q_rollup" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price")
+          )
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("sum_price")
+          )
+          .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)
+    ),
+
+    // Set op: distinct union + except over key spaces.
+    "q_setops" -> QueryDef(
+      (s, d) => {
+        val ck = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        val ok = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        ck.except(ok) // customers that never ordered
+          .union(ok.except(ck)) // order custkeys with no customer row
+          .agg(count(lit(1)).as("n_disjoint"))
+      },
+      Some("""SELECT count(*) AS n_disjoint FROM (
+             |  (SELECT c_custkey AS k FROM customer
+             |   EXCEPT SELECT o_custkey FROM orders)
+             |  UNION ALL
+             |  (SELECT o_custkey AS k FROM orders
+             |   EXCEPT SELECT c_custkey FROM customer))""".stripMargin)
+    )
+  )
+}

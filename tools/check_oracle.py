@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run graft.Verify output against
+DuckDB oracles and compare values. Usage:
+  python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+def rows_of(cur):
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(norm(r[i]) for i in order) for r in cur.fetchall()]
+    return [cols[i] for i in order], data
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = ok = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"  {name}: NO OUTPUT"); fails += 1; continue
+        spark_cols, spark_rows = rows_of(
+            con.execute(f"SELECT * FROM read_parquet({files!r})"))
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(spark_rows)} rows)"
+                  + (" EMPTY!" if not spark_rows else ""))
+            fails += 0 if spark_rows else 1
+            continue
+        try:
+            o_cols, o_rows = rows_of(con.execute(oracles[name]))
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        if spark_cols != o_cols:
+            print(f"  {name}: COLUMN MISMATCH spark={spark_cols} oracle={o_cols}")
+            fails += 1; continue
+        if spark_rows == o_rows:
+            print(f"  {name}: OK ({len(spark_rows)} rows)"); ok += 1
+        elif sorted(map(repr, spark_rows)) == sorted(map(repr, o_rows)):
+            print(f"  {name}: OK-unordered ({len(spark_rows)} rows) "
+                  f"— add matching ORDER BY"); ok += 1
+        else:
+            print(f"  {name}: VALUE MISMATCH rows {len(spark_rows)} vs {len(o_rows)}")
+            sset, oset = set(map(repr, spark_rows)), set(map(repr, o_rows))
+            for r in list(sset - oset)[:3]: print(f"    spark-only: {r[:200]}")
+            for r in list(oset - sset)[:3]: print(f"    oracle-only: {r[:200]}")
+            fails += 1
+    print(f"{ok} ok, {fails} failed")
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main()
