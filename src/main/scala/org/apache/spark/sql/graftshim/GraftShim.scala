@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to `private[sql]` Column↔Expression conversions, the
+  * supported pattern for third-party Catalyst expression libraries on
+  * Spark 4's connect-agnostic Column API.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
