@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sql.functions.{hashPrefixPredicate, hexLower}
+
+/** Reverse-lookup semantics as a batch DataFrame job (reference
+  * src/cli/query.rs:68-104 + src/storage/parquet.rs:476-570). The
+  * reference's hand-rolled physical plan (bloom short-circuit → row-group
+  * pruning → scan+filter+limit) is what Spark's parquet source does once
+  * the predicate is a binary range: bloom check on equality, min/max
+  * row-group pruning, early-terminating limit.
+  */
+object QueryJob {
+
+  final case class Params(
+      prefixHex: String,
+      algorithm: Option[String] = None,
+      limit: Int = 10
+  ) {
+    // P4: query input must hex-decode (reference src/cli/query.rs:69-70)
+    require(prefixHex.matches("(?i)[0-9a-f]*") && prefixHex.length % 2 == 0,
+      s"invalid hex hash prefix: $prefixHex")
+  }
+
+  def run(spark: SparkSession, db: String, p: Params): DataFrame = {
+    val base = spark.read.schema(BuildJob.schema).parquet(db)
+      .filter(hashPrefixPredicate(col("hash"), p.prefixHex.toLowerCase))
+    val filtered = p.algorithm match {
+      case Some(a) => base.filter(col("algorithm") === a) // P3
+      case None => base
+    }
+    filtered.limit(p.limit) // O2: early-terminating limit
+  }
+
+  /** R1: `preimage (algorithm, src1,src2)` plain format (query.rs:132-139). */
+  def formatPlain(rows: Seq[(String, String, Seq[String])]): String =
+    rows.map { case (pre, algo, srcs) => s"$pre ($algo, ${srcs.mkString(",")})" }
+      .mkString("\n")
+
+  /** R2: JSON format with hex-encoded hash (query.rs:141-163). */
+  def formatJson(rows: Seq[(String, String, String, Seq[String])]): String =
+    rows.map { case (hashHex, pre, algo, srcs) =>
+      val srcJson = srcs.map(s => "\"" + SidecarMeta.escape(s) + "\"").mkString("[", ",", "]")
+      s"""  {
+         |    "hash": "$hashHex",
+         |    "preimage": "${SidecarMeta.escape(pre)}",
+         |    "algorithm": "$algo",
+         |    "sources": $srcJson
+         |  }""".stripMargin
+    }.mkString("[\n", ",\n", "\n]")
+
+  /** Collect + render, the driver-side tail of the reference CLI. */
+  def render(spark: SparkSession, db: String, p: Params, format: String = "plain"): String = {
+    val df = run(spark, db, p)
+      .select(hexLower(col("hash")).as("hash"), col("preimage"), col("algorithm"), col("sources"))
+    val rows = df.collect()
+    val body = format match {
+      case "json" =>
+        formatJson(rows.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getSeq[String](3))))
+      case "table" =>
+        // R3: fixed-width table (comfy-table analog, query.rs:165-179)
+        val header = Seq("HASH", "PREIMAGE", "ALGORITHM", "SOURCES")
+        val data = rows.toSeq.map(r => Seq(r.getString(0), r.getString(1), r.getString(2),
+          r.getSeq[String](3).mkString(",")))
+        val widths = (header +: data).transpose.map(_.map(_.length).max)
+        (header +: data).map(row =>
+          row.lazyZip(widths).map((c, w) => c.padTo(w, ' ')).mkString("| ", " | ", " |")
+        ).mkString("\n")
+      case _ =>
+        formatPlain(rows.toSeq.map(r => (r.getString(1), r.getString(2), r.getSeq[String](3))))
+    }
+    // R6: result-count summary (query.rs:91-101)
+    val n = rows.length
+    s"$body${if (body.nonEmpty) "\n" else ""}Found $n result(s)"
+  }
+}

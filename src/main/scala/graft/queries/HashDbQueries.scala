@@ -1,5 +1,149 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** The reference's build/query/info semantics (SURVEY.md §2: F2, A1-A6, J1,
+  * P2-P3, O1-O2, H1/H3, F1) expressed over the driver-blessed corpus:
+  * 3-token shingles of `documents.text` act as the wordlist (FIXTURES.md §2
+  * — deterministic, no network). Algorithms are limited to md5/sha256 here
+  * because those are the two DuckDB can oracle; the other seven are pinned
+  * by known-answer ScalaTest vectors and exercised in rows-only queries.
+  */
+object DedupShared {
+  /** tokens → 3-token shingles, exploded; shared by dedup/minhash queries. */
+  def shingles(df: DataFrame, extra: Column*): DataFrame = {
+    val toks = split(col("text"), " ")
+    df.filter(size(toks) >= 3)
+      .select(
+        extra :+ explode(
+          transform(sequence(lit(0), size(toks) - 3), i =>
+            concat_ws(" ",
+              element_at(toks, i + 1),
+              element_at(toks, i + 2),
+              element_at(toks, i + 3)))
+        ).as("w"): _*
+      )
+  }
+
+  /** Matching DuckDB CTE (lateral unnest over generate_series). */
+  val shinglesSqlCte: String =
+    """toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+      |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |  WHERE len(t) >= 3)""".stripMargin
+}
+
 object HashDbQueries extends QueryGroup {
-  val defs: Map[String, QueryDef] = Map()
+  import DedupShared._
+
+  /** The build pipeline's record expansion (A1 dedup → F2 word×algo fan-out
+    * → O1 hash order), hex-encoded for the oracle.
+    */
+  private def hashdb(s: SparkSession, d: String): DataFrame = {
+    val words = shingles(Tables.documents(s, d)).select("w").distinct()
+    val perAlgo = Seq("md5" -> md5(col("w")), "sha256" -> sha2(col("w"), 256))
+    words.select(
+      explode(array(perAlgo.map { case (name, h) =>
+        struct(h.as("hash_hex"), col("w").as("preimage"), lit(name).as("algorithm"))
+      }: _*)).as("r")
+    ).select("r.hash_hex", "r.preimage", "r.algorithm")
+  }
+
+  private val hashdbSqlCte: String =
+    s"""WITH $shinglesSqlCte,
+       |words AS (SELECT DISTINCT w FROM sh),
+       |hashdb AS (
+       |  SELECT md5(w) AS hash_hex, w AS preimage, 'md5' AS algorithm FROM words
+       |  UNION ALL
+       |  SELECT sha256(w) AS hash_hex, w AS preimage, 'sha256' AS algorithm FROM words)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Build pipeline output, limited by hash order (also covers O1+O2).
+    "q_hashdb_build" -> QueryDef(
+      (s, d) =>
+        hashdb(s, d).orderBy("hash_hex", "algorithm").limit(500),
+      Some(s"""$hashdbSqlCte
+              |SELECT hash_hex, preimage, algorithm FROM hashdb
+              |ORDER BY hash_hex, algorithm LIMIT 500""".stripMargin)
+    ),
+
+    // A6: dry-run stats — total words, unique words, records = unique × #algos.
+    "q_hashdb_dryrun" -> QueryDef(
+      (s, d) =>
+        shingles(Tables.documents(s, d)).agg(
+          count(lit(1)).as("total_words"),
+          countDistinct(col("w")).as("unique_words"),
+          (countDistinct(col("w")) * 2).as("total_records")
+        ),
+      Some(s"""WITH $shinglesSqlCte
+              |SELECT count(*) AS total_words, count(DISTINCT w) AS unique_words,
+              |  count(DISTINCT w) * 2 AS total_records
+              |FROM sh""".stripMargin)
+    ),
+
+    // P2: hex prefix reverse lookup over the built db.
+    "q_hashdb_prefix" -> QueryDef(
+      (s, d) =>
+        hashdb(s, d)
+          .filter(col("hash_hex").startsWith("00"))
+          .orderBy("hash_hex", "algorithm"),
+      Some(s"""$hashdbSqlCte
+              |SELECT hash_hex, preimage, algorithm FROM hashdb
+              |WHERE starts_with(hash_hex, '00')
+              |ORDER BY hash_hex, algorithm""".stripMargin)
+    ),
+
+    // P2 full-length + P3: exact digest equality with an algorithm filter.
+    "q_hashdb_exact" -> QueryDef(
+      (s, d) =>
+        hashdb(s, d)
+          .filter(col("hash_hex") === md5(lit("slow hash batch")) && col("algorithm") === "md5")
+          .select("preimage", "algorithm"),
+      Some(s"""$hashdbSqlCte
+              |SELECT preimage, algorithm FROM hashdb
+              |WHERE hash_hex = md5('slow hash batch') AND algorithm = 'md5'""".stripMargin)
+    ),
+
+    // J1: append-merge provenance — per (word, algorithm) record, the
+    // set-union of contributing sources, deterministic (sorted, csv).
+    "q_hashdb_merge_sources" -> QueryDef(
+      (s, d) =>
+        shingles(Tables.documents(s, d), col("source"))
+          .groupBy("w")
+          .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+            countDistinct(col("source")).as("n_sources"))
+          .filter(col("n_sources") >= 5) // words present in ≥5 distinct sources
+          .select(md5(col("w")).as("hash_hex"), col("w").as("preimage"),
+            col("sources"), col("n_sources"))
+          .orderBy("hash_hex"),
+      Some(s"""WITH $shinglesSqlCte,
+              |merged AS (
+              |  SELECT w, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+              |    count(DISTINCT source) AS n_sources
+              |  FROM sh GROUP BY w HAVING count(DISTINCT source) >= 5)
+              |SELECT md5(w) AS hash_hex, w AS preimage, sources, n_sources
+              |FROM merged ORDER BY hash_hex""".stripMargin)
+    ),
+
+    // A3-A5: info stats — count, distinct algorithms, distinct sources.
+    "q_hashdb_stats" -> QueryDef(
+      (s, d) => {
+        val db = shingles(Tables.documents(s, d), col("source"))
+        db.agg(
+          count(lit(1)).as("total_records"),
+          lit("md5,sha256").as("algorithms"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources")
+        )
+      },
+      Some(s"""WITH $shinglesSqlCte
+              |SELECT count(*) AS total_records,
+              |  'md5,sha256' AS algorithms,
+              |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+              |FROM sh""".stripMargin)
+    )
+  )
 }
