@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all shuffle-aware:
+  *
+  *  - exact: hash-groupBy on a content key (one shuffle, map-side partial)
+  *  - MinHash+LSH: signature → banding → bucket equi-join, so candidate
+  *    generation is an equi-shuffle join on band signatures — never a
+  *    cross join. Verification (true Jaccard) runs only on candidates.
+  *  - SimHash: 64-bit signature as 16 hex digits; hamming-close pairs are
+  *    near-dups. Signature build is explode+groupBy (2 narrow shuffles).
+  *  - n-gram Jaccard: inverted-index candidate join on rare shingles.
+  *
+  * The hash family is lexicographic-min over md5(seed‖shingle) — engine-
+  * portable (any SQL engine with md5 reproduces it bit-for-bit), which is
+  * what lets the DuckDB oracle verify these distributed ops exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical content key. */
+  def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame = {
+    df.withColumn("_key", keyExpr)
+      .groupBy("_key")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** doc_id → exploded distinct n-token shingles (column `w`). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.filter(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(toks) - n), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+        )).as("w"))
+  }
+
+  /** Per-doc MinHash signature columns m0..m{k-1}:
+    * m_s = min over shingles of md5(s ‖ '|' ‖ shingle).
+    * One groupBy with k conditional-free min aggregates — a single shuffle,
+    * partial-aggregated map-side, so it scales to any corpus size.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0"), lit("|"), col("w")))).as("m0"),
+      (1 until k).map(s =>
+        min(md5(concat(lit(s.toString), lit("|"), col("w")))).as(s"m$s")): _*
+    )
+
+  /** LSH banding: rows-per-band consecutive signature components hashed to
+    * one band signature; docs sharing any band signature are candidates.
+    * Returns (i, j) with i < j, distinct.
+    */
+  def lshCandidates(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val banded = sigs.select(
+      col("doc_id") +: (0 until nBands).map { b =>
+        md5(concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+          .as(s"b$b")
+      }: _*)
+    (0 until nBands).map { b =>
+      val l = banded.select(col("doc_id").as("i"), col(s"b$b").as("_sig"))
+      val r = banded.select(col("doc_id").as("j"), col(s"b$b").as("_sig"))
+      l.join(r, "_sig").filter(col("i") < col("j")).select("i", "j")
+    }.reduce(_ union _).distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs only. */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("i"), col("w")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    common
+      .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline. */
+  def minhashLsh(
+      docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.8, shingleSize: Int = 3
+  ): DataFrame = {
+    val sh = shingles(docs, shingleSize)
+    val cands = lshCandidates(minhashSignatures(sh, k), k, rowsPerBand)
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 64-bit SimHash over shingle md5s, rendered as 16 hex digits
+    * (hex digit p is rebuilt from the sign of the per-bit +1/-1 vote sums).
+    */
+  def simhash(sh: DataFrame): DataFrame = {
+    val perPos = sh
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"), col("h"))
+      .withColumn("d", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
+      .groupBy("doc_id", "p")
+      .agg(
+        sum(when(expr("(d div 1) % 2") === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 4).map(kk =>
+          sum(when(expr(s"(d div ${1 << kk}) % 2") === 1, 1).otherwise(-1)).as(s"s$kk")): _*
+      )
+      .withColumn("digit",
+        (0 until 4).map(kk => when(col(s"s$kk") > 0, 1 << kk).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("ch", expr("substring('0123456789abcdef', digit + 1, 1)"))
+    perPos.groupBy("doc_id").agg(
+      concat((1 to 16).map(p => max(when(col("p") === p, col("ch")))): _*).as("simhash"))
+  }
+
+  /** Inverted-index candidates: pairs sharing a shingle that occurs in at
+    * most `maxDf` documents (rare-feature join — bounded fan-out, no cross
+    * product), verified with exact Jaccard.
+    */
+  def ngramJaccard(docs: DataFrame, maxDf: Int = 3, shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(docs, shingleSize)
+    val rare = sh.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val rareSh = sh.join(rare.select("w"), "w")
+    val cands = rareSh.select(col("doc_id").as("i"), col("w"))
+      .join(rareSh.select(col("doc_id").as("j"), col("w")), "w")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    verifyJaccard(cands, sh)
+  }
+}

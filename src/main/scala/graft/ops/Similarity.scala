@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Cosine is computed with explicit double casts and left-to-right
+  * accumulation (`aggregate` with a 0.0 seed) so any engine replaying the
+  * same expression is bitwise identical — required for oracle checks, and
+  * good hygiene for reproducible thresholds in production.
+  *
+  * Brute force is the correctness baseline; the scale path is
+  * random-hyperplane LSH bucketing, which turns top-k into an equi-join on
+  * bucket signatures (shuffle on signature, no cross join between buckets).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (s, x) => s + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for the given query rows.
+    * Joins queries × candidates (broadcast the queries — they're the small
+    * side), ranks per query. O(|Q|·N) work distributed over N's partitions.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_bp", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h of plane (t, p)
+    * is ±1 depending on a bit of md5("t:p:h") — portable and seedless
+    * (sign-random projections).
+    */
+  def hyperplaneSign(table: Int, p: Int, dim: Int): Seq[Int] =
+    (0 until dim).map { h =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$table:$p:$h".getBytes("UTF-8"))
+      if ((hex(0) & 1) == 1) 1 else -1
+    }
+
+  /** Random-hyperplane LSH bucket signature for one hash table: one bit
+    * per plane = sign of the ±1-weighted component sum.
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
+    concat((0 until nPlanes).map { p =>
+      val signs = hyperplaneSign(table, p, dim)
+      val proj = aggregate(
+        zip_with(vec, array(signs.map(lit(_)): _*),
+          (x, sgn) => x.cast("double") * sgn.cast("double")),
+        lit(0.0), (s, x) => s + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** ANN top-k via multi-table LSH (OR-amplification): each of `nTables`
+    * hash tables buckets vectors by `nPlanes` sign bits; candidates are
+    * the union over tables of same-bucket pairs (distinct), then ranked
+    * by exact cosine. Each table is an equi-join on its signature —
+    * shuffle-friendly, no cross join — and recall ≈ 1-(1-pᵇ)ᵀ tunes with
+    * (nPlanes, nTables) independently of corpus size.
+    */
+  def lshTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int, dim: Int,
+      nPlanes: Int = 8, nTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val candPairs = (0 until nTables).map { t =>
+      val qb = q.withColumn("_b", lshBucket(col("qv"), dim, nPlanes, t))
+        .select("query_id", "_b")
+      val cb = c.withColumn("_b", lshBucket(col("cv"), dim, nPlanes, t))
+        .select("cand_id", "_b")
+      qb.join(cb, "_b").filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id")
+    }.reduce(_ union _).distinct()
+    val scored = candPairs
+      .join(q, "query_id")
+      .join(c, "cand_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_bp", "rank")
+  }
+}

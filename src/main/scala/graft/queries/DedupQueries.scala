@@ -1,5 +1,164 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.util.Tables
+
+/** Deduplication operators over `documents`, each with an exact DuckDB
+  * oracle (the md5-based MinHash family is engine-portable by design).
+  * Jaccard values are emitted as floor(j*10000) basis points — floor of
+  * identical doubles is tie-free across engines, unlike round().
+  */
 object DedupQueries extends QueryGroup {
-  val defs: Map[String, QueryDef] = Map()
+
+  /** Shared DuckDB CTEs: distinct per-doc 3-shingles + per-doc counts. */
+  private val shCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shd AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+      |    FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |    WHERE len(t) >= 3)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)""".stripMargin
+
+  private val jaccardSql: String =
+    """common AS (
+      |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS c
+      |  FROM cand JOIN shd x ON x.doc_id = cand.i
+      |            JOIN shd y ON y.doc_id = cand.j AND y.w = x.w
+      |  GROUP BY x.doc_id, y.doc_id),
+      |jac AS (
+      |  SELECT i, j,
+      |    CAST(floor(c::DOUBLE / (ci.n + cj.n - c) * 10000) AS BIGINT) AS jaccard_bp
+      |  FROM common
+      |  JOIN cnt ci ON ci.doc_id = i
+      |  JOIN cnt cj ON cj.doc_id = j)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup on a 5-token prefix key: duplicate groups + survivor id.
+    "q_dedup_exact" -> QueryDef(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val key = md5(concat_ws(" ",
+          (1 to 5).map(i => element_at(toks, i)): _*))
+        Dedup.exact(Tables.documents(s, d), "doc_id", key)
+          .filter(col("n_copies") > 1)
+          .select(col("_key").as("content_key"), col("keep_id"), col("n_copies"))
+          .orderBy("content_key")
+      },
+      Some("""SELECT md5(array_to_string(t[1:5], ' ')) AS content_key,
+             |  min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |GROUP BY content_key HAVING count(*) > 1
+             |ORDER BY content_key""".stripMargin)
+    ),
+
+    // MinHash(k=8) + LSH(4 bands × 2 rows) candidates, exact-Jaccard verify.
+    "q_dedup_minhash_lsh" -> QueryDef(
+      (s, d) =>
+        Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.0)
+          .select(col("i"), col("j"),
+            floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+          .filter(col("jaccard_bp") >= 8000) // same bp cut both engines
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+              |mh AS (
+              |  SELECT doc_id,
+              |    min(md5('0' || '|' || w)) AS m0, min(md5('1' || '|' || w)) AS m1,
+              |    min(md5('2' || '|' || w)) AS m2, min(md5('3' || '|' || w)) AS m3,
+              |    min(md5('4' || '|' || w)) AS m4, min(md5('5' || '|' || w)) AS m5,
+              |    min(md5('6' || '|' || w)) AS m6, min(md5('7' || '|' || w)) AS m7
+              |  FROM shd GROUP BY doc_id),
+              |banded AS (
+              |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+              |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+              |  FROM mh),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+              |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+              |$jaccardSql
+              |SELECT i, j, jaccard_bp FROM jac
+              |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
+    ),
+
+    // Per-doc 64-bit SimHash fingerprint (16 hex digits).
+    "q_dedup_simhash" -> QueryDef(
+      (s, d) =>
+        Dedup.simhash(Dedup.shingles(Tables.documents(s, d)))
+          .orderBy("doc_id")
+          .limit(1000),
+      Some(s"""WITH $shCte,
+              |bits AS (
+              |  SELECT doc_id, p,
+              |    instr('0123456789abcdef', substring(md5(w), p, 1)) - 1 AS dgt
+              |  FROM shd, unnest(generate_series(1, 16)) AS g(p)),
+              |sums AS (
+              |  SELECT doc_id, p,
+              |    sum(CASE WHEN (dgt // 1) % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+              |    sum(CASE WHEN (dgt // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
+              |    sum(CASE WHEN (dgt // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
+              |    sum(CASE WHEN (dgt // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
+              |  FROM bits GROUP BY doc_id, p),
+              |digits AS (
+              |  SELECT doc_id, p,
+              |    substring('0123456789abcdef',
+              |      (CASE WHEN s0 > 0 THEN 1 ELSE 0 END) +
+              |      (CASE WHEN s1 > 0 THEN 2 ELSE 0 END) +
+              |      (CASE WHEN s2 > 0 THEN 4 ELSE 0 END) +
+              |      (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS ch
+              |  FROM sums)
+              |SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash
+              |FROM digits GROUP BY doc_id ORDER BY doc_id LIMIT 1000""".stripMargin)
+    ),
+
+    // Inverted-index (rare-shingle) candidates + exact Jaccard.
+    "q_dedup_ngram_jaccard" -> QueryDef(
+      (s, d) =>
+        Dedup.ngramJaccard(Tables.documents(s, d))
+          .select(col("i"), col("j"),
+            floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+          .filter(col("jaccard_bp") >= 5000)
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+              |rare AS (SELECT w FROM shd GROUP BY w HAVING count(*) <= 3),
+              |rs AS (SELECT shd.doc_id, shd.w FROM shd JOIN rare ON rare.w = shd.w),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |  FROM rs a JOIN rs b ON a.w = b.w AND a.doc_id < b.doc_id),
+              |$jaccardSql
+              |SELECT i, j, jaccard_bp FROM jac
+              |WHERE jaccard_bp >= 5000 ORDER BY i, j""".stripMargin)
+    ),
+
+    // Embedding-cosine near-dup pairs (threshold tuned to the corpus).
+    "q_dedup_embedding" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Similarity
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+        a.join(b, col("i") < col("j"))
+          .withColumn("cos_bp",
+            floor(Similarity.cosine(col("va"), col("vb")) * 10000).cast("long"))
+          .filter(col("cos_bp") >= 4000)
+          .select("i", "j", "cos_bp")
+          .orderBy("i", "j")
+      },
+      Some("""SELECT a.vec_id AS i, b.vec_id AS j,
+             |  CAST(floor(
+             |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+             |        x -> a.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE),
+             |      (s, v) -> s + v)
+             |    / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+             |          x -> a.embedding[x]::DOUBLE * a.embedding[x]::DOUBLE), (s, v) -> s + v))
+             |     * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+             |          x -> b.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE), (s, v) -> s + v)))
+             |    * 10000) AS BIGINT) AS cos_bp
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE cos_bp >= 4000
+             |ORDER BY i, j""".stripMargin)
+    )
+  )
 }

@@ -1,5 +1,113 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Event-stream semantics exercised as batch queries over `events` (the
+  * batch plans are exactly what Structured Streaming would run per
+  * micro-batch; the streaming wiring itself lives in graft.streaming and
+  * its spec). Timestamps are nanos in parquet — read as long + truncated
+  * to micros (Tables.events); all oracle outputs format time as strings so
+  * ns-vs-µs physical types can't skew the compare.
+  */
 object EventQueries extends QueryGroup {
-  val defs: Map[String, QueryDef] = Map()
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Tumbling 1-hour windows per event type (windowed aggregation).
+    "q_events_hourly_window" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("hour", "event_type")
+          .limit(2000),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             |  event_type,
+             |  count(*) AS n_events,
+             |  round(sum(value), 2) AS sum_value,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 2000""".stripMargin)
+    ),
+
+    // Sliding sessionization: a >30-minute gap starts a new session
+    // (lag window function + running conditional sum).
+    "q_events_sessions" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ns").isNull ||
+              col("ts_ns") - col("prev_ns") > 1800L * 1000000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+          .filter(col("user_id") < 300)
+          .orderBy("user_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |           IS NULL
+             |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |           > INTERVAL 30 MINUTE
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+             |FROM flagged WHERE user_id < 300
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // Stateful-dedup analog: first event per (user, type, minute) kept.
+    "q_events_dedup" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"),
+            date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("minute"))
+          .agg(min("event_id").as("first_event"), count(lit(1)).as("n_in_bucket"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_in_bucket") - 1).as("n_dropped")),
+      Some("""WITH buckets AS (
+             |  SELECT user_id, event_type,
+             |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+             |    min(event_id) AS first_event, count(*) AS n_in_bucket
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT count(*) AS n_kept, sum(n_in_bucket - 1) AS n_dropped
+             |FROM buckets""".stripMargin)
+    ),
+
+    // Late-data accounting: events arriving >N min after the max-so-far
+    // per user (the batch shape of a watermark drop decision).
+    "q_events_late" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .withColumn("max_so_far",
+            max(col("ts_ns")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("late",
+            when(col("max_so_far").isNotNull &&
+              col("max_so_far") - col("ts_ns") > 600L * 1000000000L, 1).otherwise(0))
+          .agg(sum("late").as("n_late"), count(lit(1)).as("n_total"))
+      },
+      Some("""WITH w AS (
+             |  SELECT ts,
+             |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS max_so_far
+             |  FROM events)
+             |SELECT coalesce(sum(CASE WHEN max_so_far IS NOT NULL
+             |    AND max_so_far - ts > INTERVAL 10 MINUTE THEN 1 ELSE 0 END), 0)
+             |    AS n_late,
+             |  count(*) AS n_total
+             |FROM w""".stripMargin)
+    )
+  )
 }

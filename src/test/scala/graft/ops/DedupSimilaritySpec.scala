@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs (recall=1 here)") {
+    val sh = Dedup.shingles(docs)
+    // brute force ground truth: all pairs with jaccard >= 0.8
+    val all = sh.select(col("doc_id").as("i"), col("w"))
+      .join(sh.select(col("doc_id").as("j"), col("w")), "w")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val truth = Dedup.verifyJaccard(all, sh)
+      .filter(col("jaccard") >= 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    assert(found == truth,
+      s"LSH missed ${truth -- found} / false ${found -- truth}")
+  }
+
+  test("simhash: near-dup pairs are far closer in bit-hamming than random pairs") {
+    val planted = Dedup.minhashLsh(docs).select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sig = Dedup.simhash(Dedup.shingles(docs)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bitHamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum
+    val dupDists = planted.map { case (i, j) => bitHamming(sig(i), sig(j)) }
+    val dupMean = dupDists.sum.toDouble / dupDists.length
+    val rnd = new scala.util.Random(7)
+    val ids = sig.keys.toArray
+    val rndDists = (1 to 200).flatMap { _ =>
+      val i = ids(rnd.nextInt(ids.length)); val j = ids(rnd.nextInt(ids.length))
+      if (i == j) None else Some(bitHamming(sig(i), sig(j)))
+    }
+    val rndMean = rndDists.sum.toDouble / rndDists.size
+    // random 64-bit signatures differ in ~32 bits; near-dups in far fewer
+    assert(dupMean + 8 < rndMean,
+      s"simhash separation too weak: dup=$dupMean rnd=$rndMean")
+    assert(dupDists.forall(_ <= 24), s"planted pair too distant: ${dupDists.toSeq}")
+  }
+
+  test("exact dedup keeps the lowest id per key") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (5L, "aaa"), (3L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", md5(col("text")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 3L), (2L, 1L))) // (keep_id, n_copies)
+  }
+
+  test("brute-force top-k: self excluded, scores sorted, k respected") {
+    val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 4)
+      .collect()
+    val byQuery = topk.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 4)
+      assert(rows.forall(r => r.getLong(1) != r.getLong(0))) // no self
+      val scores = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(scores.toSeq == scores.sortBy(-_).toSeq) // rank follows score
+    }
+  }
+
+  test("LSH top-k achieves usable recall vs brute force at much less work") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, k = 3, dim = 64, nPlanes = 4,
+        nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // per-table same-bucket odds for a true neighbor ≈ p⁴ with p=1-θ/π;
+    // 8 tables OR-amplify that to a usable recall
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(approx.nonEmpty)
+  }
+
+  test("cosine is 1.0 for identical vectors and symmetric") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val cos = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(math.abs(cos(1)) < 1e-12)
+  }
+}
