@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Blake3
+
+/** Multimodal (image/audio/video) columns as opaque binary payloads with
+  * typed metadata — the Spark plumbing a 100 TB media pipeline needs.
+  *
+  * Container layout (synthetic "GRFT" format, used by the specs since no
+  * media codecs ship in this environment):
+  *   bytes 0..3  magic "GRFT"
+  *   byte  4     modality code (1=image, 2=audio, 3=video)
+  *   bytes 5..8  width  (int32 BE)      bytes 9..12  height (int32 BE)
+  *   bytes 13..16 frame count (int32 BE), then the payload.
+  *
+  * Design split:
+  *  - header decode / frame slicing are PURE COLUMN FUNCTIONS
+  *    (substring-on-binary + conv(hex(..))) — codegen'd, no shuffle, so
+  *    metadata predicates (e.g. width > 512) push down before any
+  *    expensive decode touches payload bytes;
+  *  - the actual pixel/sample decode is an explicitly stubbed
+  *    `mapPartitions` boundary with the exact batch shape a real decoder
+  *    (or Arrow-batched Python UDF) would use — swap `decodeStub` for a
+  *    codec and nothing else changes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("modality", StringType, nullable = false)
+  ))
+
+  final val HeaderLen = 17
+
+  /** Synthesize a media table from any text corpus (test/bench fixture —
+    * the payload is the UTF-8 text, dimensions derived deterministically).
+    */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs.select(col("doc_id"), col("text")).rdd.map { r =>
+      val id = r.getLong(0)
+      val payload = r.getString(1).getBytes("UTF-8")
+      val code = (id % 3 + 1).toInt
+      val width = 16 + (id % 64).toInt
+      val height = 16 + (id % 48).toInt
+      val frames = if (code == 3) 4 + (id % 8).toInt else 1
+      val bb = java.nio.ByteBuffer.allocate(HeaderLen + payload.length)
+      bb.put("GRFT".getBytes("US-ASCII")).put(code.toByte)
+        .putInt(width).putInt(height).putInt(frames).put(payload)
+      Row(id, bb.array(), Seq("", "image", "audio", "video")(code))
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  private def beInt(media: org.apache.spark.sql.Column, off: Int) =
+    conv(hex(substring(media, off, 4)), 16, 10).cast("int")
+
+  /** Typed metadata extracted from the header — pure projection. */
+  def describe(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      decode(substring(media, 1, 4), "US-ASCII").as("magic"),
+      conv(hex(substring(media, 5, 1)), 16, 10).cast("int").as("format_code"),
+      beInt(media, 6).as("width"),
+      beInt(media, 10).as("height"),
+      beInt(media, 14).as("n_frames"),
+      (length(media) - HeaderLen).as("payload_bytes")
+    )
+
+  /** Video frame sampling: one row per sampled frame with its byte range —
+    * explode stays narrow; the (stubbed) decode then touches only sampled
+    * slices.
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int = 2): DataFrame = {
+    val meta = describe(col("media"))
+    media
+      .withColumn("n_frames", meta.getField("n_frames"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_frames") - 1),
+          f => f % everyNth === 0)))
+      .withColumn("frame_bytes",
+        (length(col("media")) - HeaderLen) / greatest(col("n_frames"), lit(1)))
+      .select(col("media_id"), col("frame_idx"),
+        (lit(HeaderLen + 1) + col("frame_idx") * col("frame_bytes")).as("byte_offset"),
+        col("frame_bytes"))
+  }
+
+  final case class MediaFeatures(
+      media_id: Long, modality: String, feature: Array[Float], checksum: String)
+
+  /** Batched feature extraction at the decode boundary.
+    *
+    * STUB: a real deployment decodes `payload` with a codec (e.g. a JNI
+    * imaging lib, or ship the bytes to an Arrow-batched Python UDF) and
+    * runs a vision/audio model. None of those ship in this environment, so
+    * the "decoder" is a deterministic fake: blake3(payload) → 4 floats.
+    * The Spark-side shape — per-partition iteration, schema, narrow
+    * plan — is the real thing and is what the spec pins.
+    */
+  def extractFeatures(media: DataFrame)(
+      decode: Array[Byte] => Array[Float] = decodeStub
+  ): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media", "modality").as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, modality) =>
+          val payload = bytes.drop(HeaderLen)
+          val feat = decode(payload)
+          MediaFeatures(id, modality, feat,
+            graft.core.Hashers.hex(Blake3.hash(payload)).take(16))
+        }
+      }
+  }
+
+  /** Deterministic stand-in for a real media decoder. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val h = Blake3.hash(payload)
+    Array.tabulate(4) { i =>
+      java.nio.ByteBuffer.wrap(h, i * 4, 4).getInt.toFloat / Int.MaxValue
+    }
+  }
+}

@@ -129,6 +129,24 @@ object HashDbQueries extends QueryGroup {
               |FROM merged ORDER BY hash_hex""".stripMargin)
     ),
 
+    // H1-H9 full registry through the codegen Digest expression (rows-only:
+    // DuckDB lacks keccak256/blake3/ripemd160/sha1/sha512; known-answer
+    // vectors pin these in HashersSpec/FunctionsSpec instead).
+    "q_hashdb_all_algos" -> QueryDef(
+      (s, d) => {
+        import graft.sql.functions.digestHex
+        val words = shingles(Tables.documents(s, d)).select("w").distinct().limit(200)
+        words.select(
+          explode(array(graft.core.Hashers.names.map { a =>
+            struct(lit(a).as("algorithm"), digestHex(a, col("w")).as("hash_hex"),
+              col("w").as("preimage"))
+          }: _*)).as("r"))
+          .select("r.algorithm", "r.hash_hex", "r.preimage")
+          .orderBy("algorithm", "hash_hex")
+      },
+      None
+    ),
+
     // A3-A5: info stats — count, distinct algorithms, distinct sources.
     "q_hashdb_stats" -> QueryDef(
       (s, d) => {

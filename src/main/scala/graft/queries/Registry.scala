@@ -23,7 +23,8 @@ object Registry {
     DedupQueries,
     TextQueries,
     SimilarityQueries,
-    EventQueries
+    EventQueries,
+    MultimodalQueries
   )
 
   lazy val all: Map[String, QueryDef] =

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(60)
+  private lazy val media = Multimodal.synthesize(docs).cache()
+
+  test("header decode round-trips the synthesis parameters (pure projection)") {
+    val decoded = media.select(col("media_id"), col("modality"),
+      Multimodal.describe(col("media")).as("m"))
+    val rows = decoded.select("media_id", "modality", "m.magic", "m.format_code",
+      "m.width", "m.height", "m.n_frames").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) == "GRFT")
+      assert(r.getInt(3) == (id % 3 + 1).toInt)
+      assert(r.getInt(4) == 16 + (id % 64).toInt)
+      assert(r.getInt(5) == 16 + (id % 48).toInt)
+      val expectFrames = if (r.getString(1) == "video") 4 + (id % 8).toInt else 1
+      assert(r.getInt(6) == expectFrames)
+    }
+    // metadata decode must not shuffle: plan has no Exchange
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("metadata predicates filter before payload decode") {
+    val wide = media.filter(Multimodal.describe(col("media")).getField("width") > 40)
+    val n = wide.count()
+    assert(n > 0 && n < media.count())
+  }
+
+  test("frame sampling explodes only video frames at the right offsets") {
+    val videos = media.filter(col("modality") === "video")
+    val frames = Multimodal.sampleFrames(videos, everyNth = 2).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val total = 4 + (id % 8).toInt
+      assert(fs.length == (total + 1) / 2) // every 2nd frame
+      assert(fs.map(_.getInt(1)).forall(_ % 2 == 0))
+    }
+  }
+
+  test("feature extraction: deterministic stub, stable schema, batch shape") {
+    val f1 = Multimodal.extractFeatures(media)().collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media)().collect().sortBy(_.media_id)
+    assert(f1.length == media.count())
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.checksum == b.checksum && a.feature.sameElements(b.feature)
+    })
+    assert(f1.forall(_.feature.length == 4))
+    assert(f1.forall(f => f.feature.forall(v => v >= -1.0f && v <= 1.0f)))
+    // pluggable decoder boundary: swapping the stub changes features only
+    val custom = Multimodal.extractFeatures(media)(p => Array(p.length.toFloat))
+      .collect().sortBy(_.media_id)
+    assert(custom.forall(_.feature.length == 1))
+    assert(f1.map(_.checksum).toSeq == custom.map(_.checksum).toSeq)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.pipeline.{BuildJob, InfoJob}
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming build: micro-batches upsert into the hash db (J1 as foreachBatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val db = s"$dir/db"
+
+    val input = MemoryStream[String]
+    val query = StreamingBuild.run(input.toDS(), db, s"$dir/ckpt",
+      BuildJob.Config(Seq("sha256"), sourceName = "stream"))
+    try {
+      input.addData("hello", "world", "")
+      query.processAllAvailable()
+      assert(InfoJob.run(spark, db).totalRecords == 2)
+
+      // second micro-batch: new word + duplicate (stateful dedup drops it)
+      input.addData("hello", "test")
+      query.processAllAvailable()
+      val rows = spark.read.parquet(db).select("preimage")
+        .collect().map(_.getString(0)).toSet
+      assert(rows == Set("hello", "world", "test"))
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling window over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingBuild.windowedEventCounts(events)
+
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:40:00"), "click", 2.0),
+        (t("2024-01-01 11:10:00"), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out.contains(("10:00", "click", 2L, 3.0)))
+      assert(out.contains(("11:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows group events by 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // session-window aggs don't support update mode; complete is fine here
+    val q = StreamingBuild.sessionCounts(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:00:00"), 1L, 1.0),
+        (t("2024-01-01 10:10:00"), 1L, 1.0), // same session (gap 10m)
+        (t("2024-01-01 12:00:00"), 1L, 1.0)) // new session (gap 110m)
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter(col("user_id") === 1).collect()
+      assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
