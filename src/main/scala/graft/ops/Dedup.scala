@@ -26,10 +26,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** doc_id → exploded distinct n-token shingles (column `w`). */
+  /** doc_id → exploded distinct n-token shingles (column `w`).
+    * Repartitions the (often single-file) doc scan first: the explode fans
+    * out ~50× into hash-heavy consumers, which would otherwise run in as
+    * few tasks as the scan has input splits.
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
-    docs.filter(size(toks) >= n)
+    docs.repartition()
+      .filter(size(toks) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(0), size(toks) - n), i =>
@@ -39,32 +44,49 @@ object Dedup {
 
   /** Per-doc MinHash signature columns m0..m{k-1}:
     * m_s = min over shingles of md5(s ‖ '|' ‖ shingle).
-    * One groupBy with k conditional-free min aggregates — a single shuffle,
-    * partial-aggregated map-side, so it scales to any corpus size.
+    *
+    * The k digests are computed once per DISTINCT shingle (vocabulary-sized
+    * work) and joined back to the doc×shingle pairs, instead of re-hashing
+    * every occurrence — at corpus scale occurrences ≫ vocabulary. Then one
+    * groupBy with k min aggregates (single shuffle, map-side partials).
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0"), lit("|"), col("w")))).as("m0"),
-      (1 until k).map(s =>
-        min(md5(concat(lit(s.toString), lit("|"), col("w")))).as(s"m$s")): _*
-    )
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val vocabHashes = sh.select("w").distinct().select(
+      col("w") +: (0 until k).map(s =>
+        md5(concat(lit(s.toString), lit("|"), col("w"))).as(s"h$s")): _*)
+    sh.join(vocabHashes, "w")
+      .groupBy("doc_id")
+      .agg(
+        min(col("h0")).as("m0"),
+        (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*
+      )
+  }
 
   /** LSH banding: rows-per-band consecutive signature components hashed to
     * one band signature; docs sharing any band signature are candidates.
     * Returns (i, j) with i < j, distinct.
+    *
+    * Bands are melted to (doc_id, band, sig) long format and self-joined
+    * ONCE on (band, sig) — a per-band join union would re-run the whole
+    * signature pipeline per band. The tiny melted table is persisted so
+    * the self-join's two sides don't recompute it either.
     */
   def lshCandidates(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    val banded = sigs.select(
-      col("doc_id") +: (0 until nBands).map { b =>
-        md5(concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
-          .as(s"b$b")
-      }: _*)
-    (0 until nBands).map { b =>
-      val l = banded.select(col("doc_id").as("i"), col(s"b$b").as("_sig"))
-      val r = banded.select(col("doc_id").as("j"), col(s"b$b").as("_sig"))
-      l.join(r, "_sig").filter(col("i") < col("j")).select("i", "j")
-    }.reduce(_ union _).distinct()
+    val melted = sigs.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    melted.select(col("doc_id").as("i"), col("band"), col("sig"))
+      .join(melted.select(col("doc_id").as("j"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs only. */
@@ -86,7 +108,10 @@ object Dedup {
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.8, shingleSize: Int = 3
   ): DataFrame = {
+    // the shingle set feeds signatures AND the verify joins (4 consumers);
+    // persist it instead of re-exploding the corpus each time
     val sh = shingles(docs, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashSignatures(sh, k), k, rowsPerBand)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -119,6 +144,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, maxDf: Int = 3, shingleSize: Int = 3): DataFrame = {
     val sh = shingles(docs, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val rareSh = sh.join(rare.select("w"), "w")
     val cands = rareSh.select(col("doc_id").as("i"), col("w"))

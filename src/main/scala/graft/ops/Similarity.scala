@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, x) => s + x)
+  /** Codegen kernel; same left-to-right double accumulation as the
+    * higher-order-function formulation but ~50× faster (see FloatVecDot).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.sql.expressions.FloatVecDot(
+      GraftShim.expression(a), GraftShim.expression(b)))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (s, x) => s + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -35,10 +38,13 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms once per vector (not per pair): 1 dot per pair instead of 3
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
     scored
@@ -83,8 +89,10 @@ object Similarity {
       nPlanes: Int = 8, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val candPairs = (0 until nTables).map { t =>
       val qb = q.withColumn("_b", lshBucket(col("qv"), dim, nPlanes, t))
         .select("query_id", "_b")
@@ -96,7 +104,7 @@ object Similarity {
     val scored = candPairs
       .join(q, "query_id")
       .join(c, "cand_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
     scored.withColumn("rank", row_number().over(w))

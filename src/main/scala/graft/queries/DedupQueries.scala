@@ -136,12 +136,18 @@ object DedupQueries extends QueryGroup {
     "q_dedup_embedding" -> QueryDef(
       (s, d) => {
         import graft.ops.Similarity
+        // norms precomputed per vector; the pair loop does one codegen dot
         val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+          .select(col("vec_id"), col("embedding"),
+            Similarity.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("i"), col("embedding").as("va"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"),
+          col("nrm").as("nb"))
         a.join(b, col("i") < col("j"))
           .withColumn("cos_bp",
-            floor(Similarity.cosine(col("va"), col("vb")) * 10000).cast("long"))
+            floor(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+              * 10000).cast("long"))
           .filter(col("cos_bp") >= 4000)
           .select("i", "j", "cos_bp")
           .orderBy("i", "j")

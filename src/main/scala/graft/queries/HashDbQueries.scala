@@ -12,10 +12,15 @@ import graft.util.Tables
   * by known-answer ScalaTest vectors and exercised in rows-only queries.
   */
 object DedupShared {
-  /** tokens → 3-token shingles, exploded; shared by dedup/minhash queries. */
+  /** tokens → 3-token shingles, exploded; shared by dedup/minhash queries.
+    * The documents scan is a single small file (one input partition), but
+    * the explode fans out ~50× and feeds md5-heavy stages — repartition
+    * first so that work spreads across the cluster instead of one task.
+    */
   def shingles(df: DataFrame, extra: Column*): DataFrame = {
     val toks = split(col("text"), " ")
-    df.filter(size(toks) >= 3)
+    df.repartition()
+      .filter(size(toks) >= 3)
       .select(
         extra :+ explode(
           transform(sequence(lit(0), size(toks) - 3), i =>
@@ -112,10 +117,13 @@ object HashDbQueries extends QueryGroup {
     // set-union of contributing sources, deterministic (sorted, csv).
     "q_hashdb_merge_sources" -> QueryDef(
       (s, d) =>
+        // n_sources derives from the collected set: countDistinct alongside
+        // collect_set would add an expand + second shuffle for nothing
         shingles(Tables.documents(s, d), col("source"))
           .groupBy("w")
-          .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
-            countDistinct(col("source")).as("n_sources"))
+          .agg(array_sort(collect_set(col("source"))).as("src_set"))
+          .select(col("w"), array_join(col("src_set"), ",").as("sources"),
+            size(col("src_set")).cast("long").as("n_sources"))
           .filter(col("n_sources") >= 5) // words present in ≥5 distinct sources
           .select(md5(col("w")).as("hash_hex"), col("w").as("preimage"),
             col("sources"), col("n_sources"))
