@@ -32,13 +32,16 @@ object Dedup {
     * few tasks as the scan has input splits.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
+    // tokens materialized as a column: a lambda closing over split(text)
+    // re-evaluates the split per element (HOFs are interpreted) — ~10×
+    val t = col("_toks")
     docs.repartition()
-      .filter(size(toks) >= n)
+      .withColumn("_toks", split(col("text"), " "))
+      .filter(size(t) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
-          transform(sequence(lit(0), size(toks) - n), i =>
-            concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+          transform(sequence(lit(0), size(t) - n), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
         )).as("w"))
   }
 

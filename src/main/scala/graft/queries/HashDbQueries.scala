@@ -13,21 +13,28 @@ import graft.util.Tables
   */
 object DedupShared {
   /** tokens → 3-token shingles, exploded; shared by dedup/minhash queries.
-    * The documents scan is a single small file (one input partition), but
-    * the explode fans out ~50× and feeds md5-heavy stages — repartition
-    * first so that work spreads across the cluster instead of one task.
+    *
+    * Two scale-critical details:
+    *  - the documents scan is a single small file (one input partition),
+    *    but the explode fans out ~50× into md5-heavy stages — repartition
+    *    first so that work spreads instead of running in one task;
+    *  - the token array is MATERIALIZED as a column before the transform
+    *    lambda: a lambda that closes over `split(text)` re-evaluates the
+    *    split per element (HOFs are interpreted), which measured ~10×
+    *    slower than referencing a bound attribute.
     */
   def shingles(df: DataFrame, extra: Column*): DataFrame = {
-    val toks = split(col("text"), " ")
+    val t = col("_toks")
     df.repartition()
-      .filter(size(toks) >= 3)
+      .withColumn("_toks", split(col("text"), " "))
+      .filter(size(t) >= 3)
       .select(
         extra :+ explode(
-          transform(sequence(lit(0), size(toks) - 3), i =>
+          transform(sequence(lit(0), size(t) - 3), i =>
             concat_ws(" ",
-              element_at(toks, i + 1),
-              element_at(toks, i + 2),
-              element_at(toks, i + 3)))
+              element_at(t, i + 1),
+              element_at(t, i + 2),
+              element_at(t, i + 3)))
         ).as("w"): _*
       )
   }

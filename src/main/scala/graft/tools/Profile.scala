@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: isolate per-stage costs of the shingle pipeline and any
+  * registered query (`runMain graft.tools.Profile [queryName ...]`).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"TIME $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    if (args.nonEmpty) {
+      args.foreach { q =>
+        time(s"$q cold")(noop(graft.queries.Registry.all(q).build(spark, sfDir)))
+        time(s"$q warm")(noop(graft.queries.Registry.all(q).build(spark, sfDir)))
+      }
+    } else {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      time("scan cold")(noop(base))
+      time("scan warm")(noop(base))
+      val toks = split(col("text"), " ")
+      val hof = base.filter(size(toks) >= 3)
+        .select(explode(transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3)))).as("w"))
+      time("shingle-HOF cold")(noop(hof))
+      time("shingle-HOF warm")(noop(hof))
+      val rep = base.repartition()
+      val hofRep = rep.filter(size(toks) >= 3)
+        .select(explode(transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3)))).as("w"))
+      time("shingle-HOF-repart cold")(noop(hofRep))
+      time("shingle-HOF-repart warm")(noop(hofRep))
+      val dw = hofRep.select("w").distinct()
+      time("distinct warm")(noop(dw))
+      time("md5x2 warm")(noop(dw.select(explode(array(md5(col("w")),
+        sha2(col("w"), 256))).as("h"))))
+      // tokens materialized once as a column — the lambda then references a
+      // bound attribute instead of re-evaluating split() per element
+      val mat = rep.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("t")) - 3), i =>
+            concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2), element_at(col("t"), i + 3)))).as("w"))
+      time("shingle-materialized cold")(noop(mat))
+      time("shingle-materialized warm")(noop(mat))
+      val dwm = mat.select("w").distinct()
+      time("distinct-mat warm")(noop(dwm))
+    }
+    spark.stop()
+  }
+}
