@@ -110,6 +110,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val sortedRead = spark.read.parquet(db).orderBy("hash")
       .select(graft.sql.functions.hexLower(col("hash"))).collect().map(_.getString(0))
     assert(sortedRead.toSeq == sortedRead.sorted.toSeq)
+
+    // bloom filter actually present on the hash column of each file
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns
+        val hashCol = (0 until cols.size).map(cols.get)
+          .find(_.getPath.toDotString == "hash").get
+        assert(hashCol.getBloomFilterOffset > 0,
+          s"no bloom filter on hash in ${f.getName}")
+        val preimageCol = (0 until cols.size).map(cols.get)
+          .find(_.getPath.toDotString == "preimage").get
+        assert(preimageCol.getBloomFilterOffset <= 0,
+          "bloom unexpectedly enabled beyond the hash column")
+      } finally reader.close()
+    }
   }
 
   test("query formats: plain, json, table with result summary (R1-R3, R6)") {
