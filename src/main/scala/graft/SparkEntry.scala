@@ -5,9 +5,12 @@ import graft.queries.Registry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core capability: the hash-database build pipeline
+    * (dedup → multi-algorithm digest expansion → hash-ordered output).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.all("q1_agg").build(spark, "/root/testdata/sf0.001")
+    Registry.all("q_hashdb_build").build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -70,10 +70,9 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     concat((0 until nPlanes).map { p =>
       val signs = hyperplaneSign(table, p, dim)
-      val proj = aggregate(
-        zip_with(vec, array(signs.map(lit(_)): _*),
-          (x, sgn) => x.cast("double") * sgn.cast("double")),
-        lit(0.0), (s, x) => s + x)
+      // codegen dot against a literal ±1 vector (interpreted zip_with
+      // lambdas here made bucketing the dominant cost of the ANN path)
+      val proj = dot(vec, array(signs.map(s => lit(s.toDouble)): _*))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

@@ -209,6 +209,42 @@ object AnalyticsQueries extends QueryGroup {
              |ORDER BY status, priority""".stripMargin)
     ),
 
+    // Scalar subquery: customers above the global average balance.
+    "q_scalar_subquery" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.agg(avg("c_acctbal").as("avg_bal"))
+        c.join(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_above"), round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_above,
+             |  round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // Semi-join: parts that were actually ordered, counted per brand.
+    "q_semijoin" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select("l_partkey")
+        Tables.part(s, d)
+          .join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            floor(avg("p_retailprice") * 100).cast("long").as("avg_price_cents"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_parts,
+             |  CAST(floor(avg(p_retailprice) * 100) AS BIGINT) AS avg_price_cents
+             |FROM part
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+
     // Set op: distinct union + except over key spaces.
     "q_setops" -> QueryDef(
       (s, d) => {

@@ -25,7 +25,12 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    if (args.nonEmpty) {
+    if (args.headOption.contains("--explain")) {
+      args.drop(1).foreach { q =>
+        println(s"==== $q ====")
+        graft.queries.Registry.all(q).build(spark, sfDir).explain("formatted")
+      }
+    } else if (args.nonEmpty) {
       args.foreach { q =>
         time(s"$q cold")(noop(graft.queries.Registry.all(q).build(spark, sfDir)))
         time(s"$q warm")(noop(graft.queries.Registry.all(q).build(spark, sfDir)))
