@@ -84,6 +84,24 @@ object EventQueries extends QueryGroup {
              |FROM buckets""".stripMargin)
     ),
 
+    // Stream-enrichment join: events × broadcast customer dimension.
+    "q_events_enrich_join" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        Tables.events(s, d)
+          .join(broadcast(c), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment, event_type
+             |ORDER BY c_mktsegment, event_type""".stripMargin)
+    ),
+
     // Late-data accounting: events arriving >N min after the max-so-far
     // per user (the batch shape of a watermark drop decision).
     "q_events_late" -> QueryDef(

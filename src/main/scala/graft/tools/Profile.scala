@@ -25,7 +25,22 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    if (args.headOption.contains("--explain")) {
+    if (args.headOption.contains("--build-bench")) {
+      // full BuildJob throughput: shingle corpus → 9-algo db on disk
+      // (zstd + bloom + range sort), the reference's `shaha build` analog
+      import spark.implicits._
+      val words = graft.queries.DedupShared
+        .shingles(spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select("w").as[String]
+      val out = java.nio.file.Files.createTempDirectory("graft-bb").toString + "/db"
+      val t0 = System.nanoTime()
+      val res = graft.pipeline.BuildJob.run(spark, words, out,
+        graft.pipeline.BuildJob.Config(graft.core.Hashers.names, numFiles = Some(8)))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val stats = graft.pipeline.InfoJob.run(spark, out)
+      println(f"TIME build-bench $secs%.3f records=${res.records} " +
+        f"recs_per_s=${res.records / secs}%.0f bytes=${stats.sizeBytes}")
+    } else if (args.headOption.contains("--explain")) {
       args.drop(1).foreach { q =>
         println(s"==== $q ====")
         graft.queries.Registry.all(q).build(spark, sfDir).explain("formatted")
