@@ -1,0 +1,55 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.core.Hashers
+import graft.sql.expressions.{Digest, FloatVecDot}
+
+/** SQL-surface registration of the engine's expressions, so plain
+  * `spark.sql` text can use them:
+  *
+  *   spark.sql("SELECT graft_keccak256(word) FROM words")
+  *   spark.sql("SELECT graft_vec_dot(a.embedding, b.embedding) FROM …")
+  *
+  * Enable per-session via
+  * `.config("spark.sql.extensions", "graft.sql.GraftExtensions")`, or on an
+  * existing session with `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[Digest].getName, null, name, usage, "", "", "",
+      "hash_funcs", "4.0.0", "", "built-in")
+
+  private[sql] val functions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Hashers.names.map { algo =>
+      val name = s"graft_$algo"
+      (FunctionIdentifier(name),
+        info(name, s"$name(expr) - $algo digest of a string/binary column as binary."),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly one argument")
+          Digest(children.head, algo)
+        })
+    } :+ {
+      val name = "graft_vec_dot"
+      (FunctionIdentifier(name),
+        info(name, s"$name(a, b) - double dot product of two numeric arrays."),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name takes exactly two arguments")
+          FloatVecDot(children.head, children(1))
+        })
+    }
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,45 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("SQL text can call the digest registry after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT lower(hex(graft_keccak256('hello'))) AS k,
+        |       lower(hex(graft_blake3('hello'))) AS b,
+        |       lower(hex(graft_hash160('hello'))) AS h160""".stripMargin).head()
+    assert(r.getString(0) ==
+      "1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8")
+    assert(r.getString(1) ==
+      "ea8f163db38682925e4491c5e58d4bb3506ef8c14eb78a86e908c5624a67200f")
+    assert(r.getString(2) == "b6a9c8c230722b7c748331a8b450f05566dc7d0f")
+  }
+
+  test("graft_vec_dot works over SQL arrays and matches the Column API") {
+    GraftExtensions.register(spark)
+    val sqlVal = spark.sql(
+      "SELECT graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .head().getDouble(0)
+    assert(sqlVal == 32.0)
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_vec_dot(array(1.0D))").head())
+    assert(err.getMessage.contains("exactly two"))
+  }
+
+  test("SQL queries over a built hash db through registered functions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ext-db").toString + "/db"
+    graft.pipeline.BuildJob.run(spark, Seq("password", "hello").toDS(), dir,
+      graft.pipeline.BuildJob.Config(Seq("blake3"), sourceName = "w"))
+    GraftExtensions.register(spark)
+    spark.read.parquet(dir).createOrReplaceTempView("hashdb")
+    val rows = spark.sql(
+      """SELECT preimage FROM hashdb
+        |WHERE hash = graft_blake3('password')""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("password"))
+  }
+}
