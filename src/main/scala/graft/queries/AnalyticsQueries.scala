@@ -209,6 +209,45 @@ object AnalyticsQueries extends QueryGroup {
              |ORDER BY status, priority""".stripMargin)
     ),
 
+    // TPC-H Q13 shape: distribution histogram (groupBy of a groupBy).
+    "q_histogram" -> QueryDef(
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        Tables.customer(s, d)
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+          .orderBy(desc("n_customers"), desc("n_orders"))
+      },
+      Some("""SELECT n_orders, count(*) AS n_customers FROM (
+             |  SELECT coalesce(cnt, 0) AS n_orders
+             |  FROM customer LEFT JOIN (
+             |    SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+             |  ) ON c_custkey = o_custkey)
+             |GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""".stripMargin)
+    ),
+
+    // TPC-H Q2 shape: min-per-group then join back (argmin pattern).
+    "q_min_join" -> QueryDef(
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val minPrice = p.groupBy("p_type")
+          .agg(min("p_retailprice").as("min_price"))
+        p.join(minPrice, Seq("p_type"))
+          .filter(col("p_retailprice") === col("min_price"))
+          .select(col("p_type"), col("p_partkey"),
+            floor(col("p_retailprice") * 100).cast("long").as("price_cents"))
+          .orderBy("p_type", "p_partkey")
+      },
+      Some("""SELECT p.p_type, p.p_partkey,
+             |  CAST(floor(p.p_retailprice * 100) AS BIGINT) AS price_cents
+             |FROM part p JOIN (
+             |  SELECT p_type, min(p_retailprice) AS mn FROM part GROUP BY p_type
+             |) m ON p.p_type = m.p_type AND p.p_retailprice = m.mn
+             |ORDER BY p.p_type, p.p_partkey""".stripMargin)
+    ),
+
     // Scalar subquery: customers above the global average balance.
     "q_scalar_subquery" -> QueryDef(
       (s, d) => {

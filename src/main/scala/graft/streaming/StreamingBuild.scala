@@ -19,19 +19,44 @@ import graft.pipeline.BuildJob
   */
 object StreamingBuild {
 
-  /** Continuous hash-database build from a stream of words. */
+  /** Continuous hash-database build from a stream of words. Dedup state is
+    * unbounded (whole-stream exact dedup) — fine for bounded vocabularies
+    * like wordlists; for firehose inputs use [[runWatermarked]].
+    */
   def run(
       words: Dataset[String],
       output: String,
       checkpoint: String,
       cfg: BuildJob.Config = BuildJob.Config()
   ): StreamingQuery =
-    words.toDF("w")
-      .filter(length(col("w")) > 0)
-      // stateful exact dedup across the whole stream (state store backed);
-      // at 100 TB/∞ retention you'd add a watermark + dropDuplicatesWithinWatermark
-      .dropDuplicates("w")
-      .writeStream
+    upsertStream(
+      words.toDF("w").filter(length(col("w")) > 0).dropDuplicates("w"),
+      output, checkpoint, cfg)
+
+  /** Watermarked variant for unbounded event-time streams: input carries
+    * (`ts` timestamp, `w` string); dedup state is bounded to the watermark
+    * window via dropDuplicatesWithinWatermark. Duplicates older than the
+    * watermark are still absorbed downstream — the append-merge (J1) is
+    * idempotent on (hash, algorithm).
+    */
+  def runWatermarked(
+      timedWords: DataFrame, // columns: ts timestamp, w string
+      output: String,
+      checkpoint: String,
+      cfg: BuildJob.Config = BuildJob.Config(),
+      delay: String = "10 minutes"
+  ): StreamingQuery =
+    upsertStream(
+      timedWords.filter(length(col("w")) > 0)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("w"),
+      output, checkpoint, cfg)
+
+  private def upsertStream(
+      deduped: DataFrame, output: String, checkpoint: String,
+      cfg: BuildJob.Config
+  ): StreamingQuery =
+    deduped.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

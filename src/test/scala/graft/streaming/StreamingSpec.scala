@@ -33,6 +33,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("watermarked streaming build: bounded dedup state, duplicates absorbed by merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-wm").toString
+    val db = s"$dir/db"
+    val input = MemoryStream[(Timestamp, String)]
+    val query = StreamingBuild.runWatermarked(
+      input.toDF().toDF("ts", "w"), db, s"$dir/ckpt",
+      BuildJob.Config(Seq("sha256"), sourceName = "wm-stream"))
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:00:00"), "hello"),
+        (t("2024-01-01 10:01:00"), "hello"), // in-window dup: dropped by state
+        (t("2024-01-01 10:02:00"), "world"))
+      query.processAllAvailable()
+      // far-later duplicate: beyond watermark state, but merge absorbs it
+      input.addData((t("2024-01-01 12:00:00"), "hello"),
+        (t("2024-01-01 12:01:00"), "fresh"))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(db).select("preimage")
+        .collect().map(_.getString(0)).toSet
+      assert(rows == Set("hello", "world", "fresh"))
+      assert(InfoJob.run(spark, db).totalRecords == 3)
+    } finally query.stop()
+  }
+
   test("watermarked tumbling window over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
