@@ -141,6 +141,50 @@ object Dedup {
       concat((1 to 16).map(p => max(when(col("p") === p, col("ch")))): _*).as("simhash"))
   }
 
+  /** Resolve near-dup pairs into duplicate clusters (connected components)
+    * and pick a survivor per cluster (min id). Iterative min-label
+    * propagation over the pair edges — each round is one shuffle join;
+    * rounds needed = graph diameter, which for dedup clusters (near-clique
+    * blobs of mutual near-dups) is tiny. `maxIter` bounds the worst case.
+    *
+    * Returns (doc_id, cluster_id) for every node that appears in a pair;
+    * docs absent from `pairs` are implicitly their own cluster.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"),
+          least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivor list: one kept doc per duplicate cluster (min id wins). */
+  def survivors(pairs: DataFrame): DataFrame =
+    duplicateClusters(pairs)
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+
   /** Inverted-index candidates: pairs sharing a shingle that occurs in at
     * most `maxDf` documents (rare-feature join — bounded fan-out, no cross
     * product), verified with exact Jaccard.

@@ -76,6 +76,66 @@ object Similarity {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** IVF coarse quantizer: deterministic centroids (the first `nCells`
+    * vectors by id — a stand-in for k-means that keeps results
+    * reproducible), collected to the driver and broadcast as literals so
+    * cell assignment is a narrow argmax projection over codegen dots.
+    */
+  def ivfCentroids(
+      vectors: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): Seq[Array[Float]] =
+    vectors.orderBy(idCol).limit(nCells).select(vecCol)
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+
+  /** Cell id = argmax over centroids of cos(vec, centroid). The vec's own
+    * norm is constant across centroids, so only centroid norms matter.
+    */
+  def ivfCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      struct((dot(vec, array(c.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
+        lit(i).as("cell"))
+    }
+    greatest(scored: _*).getField("cell")
+  }
+
+  /** IVF ANN top-k: candidates restricted to the query's `nProbe` closest
+    * cells. Index build is one narrow pass (cell assignment); search is an
+    * equi-join on cell — the standard coarse-quantizer trade: recall grows
+    * with nProbe, work is ~nProbe/nCells of brute force.
+    */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val centroids = ivfCentroids(candidates, nCells, idCol, vecCol)
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      ivfCell(col(vecCol), centroids).as("cell"))
+    // per-query ranked probe cells
+    val cellScores = centroids.zipWithIndex.map { case (cv, i) =>
+      val cNorm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      struct((dot(col("qv"), array(cv.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
+        lit(i).as("cell"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("probe", explode(slice(
+        sort_array(array(cellScores: _*), asc = false), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("probe.cell").as("cell"))
+    val scored = c.join(q, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_bp", "rank")
+  }
+
   /** ANN top-k via multi-table LSH (OR-amplification): each of `nTables`
     * hash tables buckets vectors by `nPlanes` sign bits; candidates are
     * the union over tables of same-bucket pairs (distinct), then ranked

@@ -132,6 +132,17 @@ object DedupQueries extends QueryGroup {
               |WHERE jaccard_bp >= 5000 ORDER BY i, j""".stripMargin)
     ),
 
+    // Near-dup pairs → connected components → survivor per cluster
+    // (rows-only: iterative label propagation; DedupSimilaritySpec pins
+    // the component semantics).
+    "q_dedup_clusters" -> QueryDef(
+      (s, d) => {
+        val pairs = Dedup.minhashLsh(Tables.documents(s, d)).select("i", "j")
+        Dedup.survivors(pairs).orderBy("cluster_id")
+      },
+      None
+    ),
+
     // Embedding-cosine near-dup pairs (threshold tuned to the corpus).
     "q_dedup_embedding" -> QueryDef(
       (s, d) => {

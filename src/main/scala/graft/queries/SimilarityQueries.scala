@@ -76,6 +76,18 @@ object SimilarityQueries extends QueryGroup {
       None
     ),
 
+    // IVF ANN: coarse-quantizer cells + nProbe search (rows-only: centroid
+    // literals live in Scala; recall vs brute force pinned in spec).
+    "q_sim_ivf_topk" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, k = 5,
+            nCells = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None
+    ),
+
     // Centroid stats per label — the IVF building block (coarse quantizer
     // assignment = argmin distance to centroid), oracle-checked.
     "q_sim_label_centroids" -> QueryDef(

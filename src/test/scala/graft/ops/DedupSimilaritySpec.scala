@@ -86,6 +86,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("duplicate clusters: connected components resolve chains, survivors kept") {
+    import spark.implicits._
+    // two chains (1-2-3, 7-8) and an isolated pair (20, 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (20L, 21L)).toDF("i", "j")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(7L) == 7L && clusters(8L) == 7L)
+    assert(clusters(20L) == 20L && clusters(21L) == 20L)
+    val surv = Dedup.survivors(pairs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(surv == Set((1L, 3L), (7L, 2L), (20L, 2L))) // (keep_id, size)
+  }
+
+  test("dedup end-to-end: minhash pairs → clusters → survivors on the corpus") {
+    val pairs = Dedup.minhashLsh(docs).select("i", "j")
+    val nPairs = pairs.count()
+    val surv = Dedup.survivors(pairs)
+    val stats = surv.agg(sum("cluster_size"), count(org.apache.spark.sql.functions.lit(1)))
+      .head()
+    val (clustered, nClusters) = (stats.getLong(0), stats.getLong(1))
+    assert(nClusters > 0 && clustered > nClusters)
+    // removing (clustered - nClusters) docs dedups the corpus
+    assert(clustered - nClusters <= nPairs)
+  }
+
+  test("IVF top-k: recall vs brute force with a fraction of the work") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 3, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // probing half the cells must not degenerate to brute force
+    assert(ivf.nonEmpty)
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
