@@ -151,9 +151,13 @@ object Dedup {
     * docs absent from `pairs` are implicitly their own cluster.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // persist the input FIRST: the union below references `pairs` twice,
+    // which would otherwise run its (possibly expensive candidate-
+    // generation) lineage twice in the same job
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // undirected edge list, both directions
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    val edges = p.select(col("i").as("a"), col("j").as("b"))
+      .union(p.select(col("j").as("a"), col("i").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
@@ -171,10 +175,14 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      val prev = labels
       labels = next
+      prev.unpersist(false) // superseded iteration's cache
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist(false)
+    p.unpersist(false)
     labels
   }
 
