@@ -163,15 +163,18 @@ object Dedup {
       .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
     var iter = 0
     var converged = false
+    def propagate(l: DataFrame): DataFrame = edges
+      .join(l.withColumnRenamed("doc_id", "b"), "b")
+      .groupBy(col("a").as("doc_id"))
+      .agg(min(col("cluster_id")).as("nbr_min"))
+      .join(l, "doc_id")
+      .select(col("doc_id"),
+        least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
     while (iter < maxIter && !converged) {
-      // each node adopts the min label among itself and its neighbors
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"),
-          least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
+      // two propagation rounds per convergence check: dedup clusters are
+      // near-cliques (diameter ≤ 2 is the norm), so checking every round
+      // just doubles the job count
+      val next = propagate(propagate(labels))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
@@ -179,7 +182,7 @@ object Dedup {
       labels = next
       prev.unpersist(false) // superseded iteration's cache
       converged = changed == 0
-      iter += 1
+      iter += 2
     }
     edges.unpersist(false)
     p.unpersist(false)

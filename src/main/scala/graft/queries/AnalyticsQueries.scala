@@ -26,7 +26,9 @@ object AnalyticsQueries extends QueryGroup {
             round(sum("l_extendedprice"), 2).as("sum_base_price"),
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
               .as("sum_disc_price"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
+            // floor-bp, not round(,4): integer-ratio averages can land on
+            // exact .5 ties where Spark HALF_UP and DuckDB disagree
+            floor(avg("l_quantity") * 10000).cast("long").as("avg_qty_bp"),
             count(lit(1)).as("count_order")
           )
           .orderBy("l_returnflag", "l_linestatus"),
@@ -34,7 +36,7 @@ object AnalyticsQueries extends QueryGroup {
              |  round(sum(l_quantity), 2) AS sum_qty,
              |  round(sum(l_extendedprice), 2) AS sum_base_price,
              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  CAST(floor(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_bp,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
