@@ -41,7 +41,14 @@ object BuildJob {
       force: Boolean = false,
       numFiles: Option[Int] = None,
       maxRecordsPerFile: Long = 5000000L,
-      bloomNdv: Long = 1000000L
+      bloomNdv: Long = 1000000L,
+      /** Hive-partition the output by `algorithm`: queries with an
+        * algorithm filter (P3) then skip whole directories before any IO
+        * (PartitionFilters), and each partition stays hash-clustered for
+        * range pruning within. The right layout when lookups usually pin
+        * the algorithm.
+        */
+      partitionByAlgorithm: Boolean = false
   ) {
     require(algorithms.nonEmpty, "at least one algorithm")
     algorithms.foreach(Hashers(_)) // fail fast, mirrors CLI value parser
@@ -104,10 +111,18 @@ object BuildJob {
     // K3: nothing in → no database out
     if (merged.isEmpty) return Result(written = false, records = 0L)
 
-    val sorted = cfg.numFiles match {
-      case Some(n) => merged.repartitionByRange(n, col("hash")).sortWithinPartitions("hash")
-      case None => merged.orderBy("hash") // O1: clusters files+row groups by hash
-    }
+    val sorted =
+      if (cfg.partitionByAlgorithm)
+        // cluster by (algorithm, hash) so each hive partition's files tile
+        // the hash space; the writer splits directories by algorithm
+        merged.repartitionByRange(
+            cfg.numFiles.getOrElse(spark.sparkContext.defaultParallelism),
+            col("algorithm"), col("hash"))
+          .sortWithinPartitions("algorithm", "hash")
+      else cfg.numFiles match {
+        case Some(n) => merged.repartitionByRange(n, col("hash")).sortWithinPartitions("hash")
+        case None => merged.orderBy("hash") // O1: clusters files+row groups by hash
+      }
 
     // Appends must fully materialize before overwriting their own input;
     // stage to a temp dir then swap.
@@ -133,8 +148,10 @@ object BuildJob {
     Result(written = true, records = stats.getLong(0))
   }
 
-  private def writer(df: DataFrame, cfg: Config) =
-    df.write
+  private def writer(df: DataFrame, cfg: Config) = {
+    val base = if (cfg.partitionByAlgorithm) df.write.partitionBy("algorithm")
+      else df.write
+    base
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd") // K1: reference uses ZSTD (parquet.rs:93-96)
       // native per-file bloom filters on `hash` replace the reference's
@@ -143,6 +160,7 @@ object BuildJob {
       .option("parquet.bloom.filter.enabled#hash", "true")
       .option("parquet.bloom.filter.expected.ndv#hash", cfg.bloomNdv.toString)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toString)
+  }
 
   private def swap(spark: SparkSession, stage: String, output: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -132,6 +132,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("algorithm-partitioned layout: directory pruning on algorithm filters") {
+    val db = tmp() + "/db"
+    BuildJob.run(spark, wordsDs((1 to 300).map(i => s"w$i"): _*), db,
+      BuildJob.Config(Seq("md5", "sha256", "blake3"), partitionByAlgorithm = true))
+    // hive-style directories per algorithm
+    val dirs = new java.io.File(db).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("algorithm=md5", "algorithm=sha256", "algorithm=blake3"))
+
+    val q = QueryJob.run(spark, db, QueryJob.Params("", Some("blake3"), 1000))
+    assert(q.count() == 300)
+    val plan = q.queryExecution.executedPlan.toString
+    // the algorithm predicate must prune partitions, not filter rows
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("algorithm"),
+      s"algorithm not in PartitionFilters:\n$plan")
+
+    // stats still correct over the partitioned layout
+    assert(InfoJob.run(spark, db).totalRecords == 900)
+  }
+
   test("query formats: plain, json, table with result summary (R1-R3, R6)") {
     val db = tmp() + "/db"
     BuildJob.run(spark, wordsDs("password"), db,
