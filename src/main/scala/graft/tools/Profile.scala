@@ -25,7 +25,32 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    if (args.headOption.contains("--build-bench")) {
+    if (args.headOption.contains("--build-bench-large")) {
+      // synthetic N-word build: exercises distinct + expansion + range sort
+      // + write well past the corpus sizes in testdata (spill-safety check)
+      val n = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      val words = spark.range(n)
+        .select(concat(lit("synthetic-word-"), col("id")).as("w"))
+        .as(org.apache.spark.sql.Encoders.STRING)
+      val out = java.nio.file.Files.createTempDirectory("graft-bbl").toString + "/db"
+      val t0 = System.nanoTime()
+      val res = graft.pipeline.BuildJob.run(spark, words, out,
+        graft.pipeline.BuildJob.Config(Seq("md5", "sha256"), numFiles = Some(32)))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val stats = graft.pipeline.InfoJob.run(spark, out)
+      println(f"TIME build-bench-large $secs%.3f records=${res.records} " +
+        f"recs_per_s=${res.records / secs}%.0f bytes=${stats.sizeBytes}")
+      // and an exact-lookup latency sample against the big db
+      val sample = spark.read.parquet(out).select(col("hash")).limit(20)
+        .collect().map(_.getAs[Array[Byte]](0))
+      val t1 = System.nanoTime()
+      sample.foreach { h =>
+        graft.pipeline.QueryJob.run(spark, out,
+          graft.pipeline.QueryJob.Params(graft.core.Hashers.hex(h))).count()
+      }
+      val qSecs = (System.nanoTime() - t1) / 1e9
+      println(f"TIME exact-lookup avg ${qSecs / sample.length * 1000}%.1f ms over ${sample.length} lookups")
+    } else if (args.headOption.contains("--build-bench")) {
       // full BuildJob throughput: shingle corpus → 9-algo db on disk
       // (zstd + bloom + range sort), the reference's `shaha build` analog
       import spark.implicits._
