@@ -119,12 +119,12 @@ object Dedup {
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** Per-doc 64-bit SimHash over shingle md5s, rendered as 16 hex digits
-    * (hex digit p is rebuilt from the sign of the per-bit +1/-1 vote sums).
+  /** One row per (doc, hex position 1..16): the rebuilt SimHash digit
+    * value `d` (0-15) and its hex char `ch`. Shared by the signature and
+    * pair-detection paths.
     */
-  def simhash(sh: DataFrame): DataFrame = {
-    val perPos = sh
-      .select(col("doc_id"), md5(col("w")).as("h"))
+  def simhashDigits(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), md5(col("w")).as("h"))
       .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"), col("h"))
       .withColumn("d", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
       .groupBy("doc_id", "p")
@@ -133,12 +133,53 @@ object Dedup {
         (1 until 4).map(kk =>
           sum(when(expr(s"(d div ${1 << kk}) % 2") === 1, 1).otherwise(-1)).as(s"s$kk")): _*
       )
-      .withColumn("digit",
+      .withColumn("d",
         (0 until 4).map(kk => when(col(s"s$kk") > 0, 1 << kk).otherwise(0))
           .reduce(_ + _))
-      .withColumn("ch", expr("substring('0123456789abcdef', digit + 1, 1)"))
-    perPos.groupBy("doc_id").agg(
-      concat((1 to 16).map(p => max(when(col("p") === p, col("ch")))): _*).as("simhash"))
+      .withColumn("ch", expr("substring('0123456789abcdef', d + 1, 1)"))
+      .select("doc_id", "p", "d", "ch")
+
+  /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature. */
+  def simhashWide(sh: DataFrame): DataFrame =
+    simhashDigits(sh).groupBy("doc_id").agg(
+      max(when(col("p") === 1, col("d"))).as("d1"),
+      ((2 to 16).map(p => max(when(col("p") === p, col("d"))).as(s"d$p")) :+
+        concat((1 to 16).map(p => max(when(col("p") === p, col("ch")))): _*)
+          .as("simhash")): _*
+    )
+
+  /** Per-doc 64-bit SimHash over shingle md5s, rendered as 16 hex digits
+    * (hex digit p is rebuilt from the sign of the per-bit +1/-1 vote sums).
+    */
+  def simhash(sh: DataFrame): DataFrame =
+    simhashWide(sh).select("doc_id", "simhash")
+
+  /** SimHash near-dup pairs: candidates from 8 LSH bands of 2 hex digits
+    * (8 bits) — docs within `maxHamming` bits collide in ≥1 band with high
+    * probability — verified by exact bit-hamming over the 16 digits.
+    * Same equi-join-only shape as MinHash banding.
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val wide = simhashWide(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val melted = wide.select(col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", col(s"d${2 * b + 1}"), col(s"d${2 * b + 2}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cands = melted.select(col("doc_id").as("i"), col("band"), col("key"))
+      .join(melted.select(col("doc_id").as("j"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val hamming = (1 to 16).map(p =>
+      expr(s"bit_count(ai.d$p ^ bj.d$p)")).reduce(_ + _)
+    cands
+      .join(wide.as("ai"), col("i") === col("ai.doc_id"))
+      .join(wide.as("bj"), col("j") === col("bj.doc_id"))
+      .select(col("i"), col("j"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Resolve near-dup pairs into duplicate clusters (connected components)

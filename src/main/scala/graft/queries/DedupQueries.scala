@@ -113,6 +113,55 @@ object DedupQueries extends QueryGroup {
               |FROM digits GROUP BY doc_id ORDER BY doc_id LIMIT 1000""".stripMargin)
     ),
 
+    // SimHash near-dup pairs: 8×2-hex-digit LSH bands → exact bit-hamming.
+    "q_dedup_simhash_pairs" -> QueryDef(
+      (s, d) =>
+        Dedup.simhashPairs(Dedup.shingles(Tables.documents(s, d)))
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+              |bits AS (
+              |  SELECT doc_id, p,
+              |    instr('0123456789abcdef', substring(md5(w), p, 1)) - 1 AS dgt
+              |  FROM shd, unnest(generate_series(1, 16)) AS g(p)),
+              |sums AS (
+              |  SELECT doc_id, p,
+              |    sum(CASE WHEN (dgt // 1) % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+              |    sum(CASE WHEN (dgt // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
+              |    sum(CASE WHEN (dgt // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
+              |    sum(CASE WHEN (dgt // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
+              |  FROM bits GROUP BY doc_id, p),
+              |digs AS (
+              |  SELECT doc_id, p,
+              |    (CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+              |    + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+              |    + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END)
+              |    + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) AS d
+              |  FROM sums),
+              |wide AS (
+              |  SELECT doc_id,
+              |    ${(1 to 16).map(p => s"max(CASE WHEN p = $p THEN d END) AS d$p")
+                     .mkString(",\n    ")}
+              |  FROM digs GROUP BY doc_id),
+              |melted AS (
+              |  SELECT doc_id, b.band,
+              |    CASE b.band
+              |      ${(0 until 8).map(b =>
+                       s"WHEN $b THEN d${2 * b + 1}::VARCHAR || ':' || d${2 * b + 2}::VARCHAR")
+                       .mkString("\n      ")}
+              |    END AS key
+              |  FROM wide, (SELECT unnest(generate_series(0, 7)) AS band) b),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |  FROM melted a JOIN melted b
+              |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+              |SELECT i, j,
+              |  ${(1 to 16).map(p => s"bit_count(xor(ai.d$p::BIGINT, bj.d$p::BIGINT))")
+                   .mkString(" + ")} AS hamming
+              |FROM cand JOIN wide ai ON ai.doc_id = i JOIN wide bj ON bj.doc_id = j
+              |WHERE hamming <= 12
+              |ORDER BY i, j""".stripMargin),
+    ),
+
     // Inverted-index (rare-shingle) candidates + exact Jaccard.
     "q_dedup_ngram_jaccard" -> QueryDef(
       (s, d) =>
