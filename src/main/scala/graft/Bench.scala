@@ -28,6 +28,9 @@ object Bench {
     catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query cache isolation: leaked persists from one query otherwise
+      // evict/churn the next's and make timings unstable run-to-run
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {

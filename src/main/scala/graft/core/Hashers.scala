@@ -21,8 +21,15 @@ object Hashers {
   sealed class Jdk private[Hashers] (
       val name: String, algo: String, val digestLength: Int
   ) extends Hasher {
-    def hash(input: Array[Byte]): Array[Byte] =
-      MessageDigest.getInstance(algo).digest(input)
+    // one MessageDigest per thread, reset between calls — getInstance per
+    // row costs more than short digests themselves in the build hot loop
+    @transient private lazy val local: ThreadLocal[MessageDigest] =
+      ThreadLocal.withInitial(() => MessageDigest.getInstance(algo))
+    def hash(input: Array[Byte]): Array[Byte] = {
+      val md = local.get()
+      md.reset()
+      md.digest(input)
+    }
   }
 
   object Md5 extends Jdk("md5", "MD5", 16)
