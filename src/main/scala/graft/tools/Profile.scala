@@ -25,7 +25,20 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    if (args.headOption.contains("--build-bench-large")) {
+    if (args.headOption.contains("--minhash-profile")) {
+      import graft.ops.Dedup
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sh = Dedup.shingles(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("1-shingles-materialize")(sh.count(): Unit)
+      val sigs = Dedup.minhashSignatures(sh, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("2-signatures")(sigs.count(): Unit)
+      val cands = Dedup.lshCandidates(sigs, 8, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("3-candidates")(cands.count(): Unit)
+      time("4-verify")(noop(Dedup.verifyJaccard(cands, sh)))
+    } else if (args.headOption.contains("--build-bench-large")) {
       // synthetic N-word build: exercises distinct + expansion + range sort
       // + write well past the corpus sizes in testdata (spill-safety check)
       val n = args.lift(1).map(_.toLong).getOrElse(5000000L)
