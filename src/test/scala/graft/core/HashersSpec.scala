@@ -51,6 +51,22 @@ class HashersSpec extends AnyFunSuite {
       assert(Hashers.hex(Blake3.hash(in(n))) == hex, s"length $n")
   }
 
+  test("blake3 deep-tree inputs (cross-checked vs tools/blake3_crosscheck.py)") {
+    // ≥4-chunk trees exercise subtree chunk-counter offsets and the
+    // power-of-two left-split that the official short vectors above don't.
+    def in(n: Int): Array[Byte] = Array.tabulate(n)(i => (i % 251).toByte)
+    val expected = Map(
+      4096 -> "015094013f57a5277b59d8475c0501042c0b642e531b0a1c8f58d2163229e969",
+      5120 -> "9cadc15fed8b5d854562b26a9536d9707cadeda9b143978f319ab34230535833",
+      5121 -> "628bd2cb2004694adaab7bbd778a25df25c47b9d4155a55f8fbd79f2fe154cff",
+      8192 -> "aae792484c8efe4f19e2ca7d371d8c467ffb10748d8a5a1ae579948f718a2a63",
+      10000 -> "5f81f9e4ab67627b6b036d5d4e3bc40d9d3daa6fcc2b6dd07ab2bbf0a877da54",
+      31744 -> "62b6960e1a44bcc1eb1a611a8d6235b6b4b78f32e7abc4fb4c6cdcce94895c47"
+    )
+    for ((n, hex) <- expected)
+      assert(Hashers.hex(Blake3.hash(in(n))) == hex, s"length $n")
+  }
+
   test("keccak256 of empty input (public vector)") {
     assert(
       Hashers.hex(Keccak.hash256(Array.emptyByteArray)) ==
@@ -64,15 +80,22 @@ class HashersSpec extends AnyFunSuite {
     assert(h("message digest") == "5d0689ef49d2fae572b881b123a85ffa21595f36")
   }
 
-  test("keccak256 multi-block input (> 136-byte rate)") {
-    // 200 'a' bytes spans two absorb blocks.
-    val input = Array.fill[Byte](200)('a'.toByte)
-    // Cross-checked value: keccak256 is deterministic; pin it so any future
-    // refactor of the absorb loop is caught.
-    val d1 = Hashers.hex(Keccak.hash256(input))
-    val d2 = Hashers.hex(Keccak.hash256(input))
-    assert(d1 == d2 && d1.length == 64)
-    assert(d1 != Hashers.hex(Keccak.hash256(input.take(199))))
+  test("keccak256 multi-block inputs (cross-checked vs tools/keccak_crosscheck.py)") {
+    // Vectors produced by the independent Python implementation in
+    // tools/keccak_crosscheck.py (two implementations from the public spec
+    // agreeing pins the multi-block absorb + padding edges: 135 = rate-1,
+    // 136 = exactly one block, 137 = first multi-block).
+    def in(n: Int): Array[Byte] = Array.tabulate(n)(i => (i % 251).toByte)
+    val expected = Map(
+      135 -> "cbdfd9dee5faad3818d6b06f95a219fd290b0e1706f6a82e5a595b9ce9faca62",
+      136 -> "7ce759f1ab7f9ce437719970c26b0a66ff11fe3e38e17df89cf5d29c7d7f807e",
+      137 -> "ac73d4fae68b8453f764007c1a20ce95994187861f0c3227a3a8e99a73a3b1db",
+      200 -> "bfb0aa97863e797943cf7c33bb7e880bb4543f3d2703c0923c6901c2af57b890",
+      272 -> "8e2476e65823b24d96ebe239f2c1534cdf763e689e2410c3b1cb0c74e6177bfc",
+      1000 -> "af692982e84a5a9688359025660a7857cd28ee7c8d867cfa1677baf2e6d1f63b"
+    )
+    for ((n, hex) <- expected)
+      assert(Hashers.hex(Keccak.hash256(in(n))) == hex, s"length $n")
   }
 
   test("registry: lookup is case-insensitive, unknown rejects, order matches reference") {
