@@ -286,6 +286,28 @@ object AnalyticsQueries extends QueryGroup {
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     ),
 
+    // Exact percentiles (the approximate variants are spec'd with
+    // tolerance in ApproxAggSpec — sketches can't equality-match oracles).
+    "q_percentiles" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            floor(expr("percentile(l_extendedprice, 0.5)") * 100).cast("long")
+              .as("p50_cents"),
+            floor(expr("percentile(l_extendedprice, 0.95)") * 100).cast("long")
+              .as("p95_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
+             |    AS p50_cents,
+             |  CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT)
+             |    AS p95_cents,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // Set op: distinct union + except over key spaces.
     "q_setops" -> QueryDef(
       (s, d) => {
