@@ -12,7 +12,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 6)
+        return v  # exact: assume the driver compares values bit-for-bit
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
