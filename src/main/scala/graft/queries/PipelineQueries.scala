@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.util.Tables
+
+/** The end-to-end training-data curation pipeline — every stage is one of
+  * the engine's operators, chained the way a real corpus build would run:
+  *
+  *   quality filter → language filter → exact dedup (5-token prefix key)
+  *   → MinHash-LSH near-dedup (pairwise-dominance removal: the higher id
+  *     of every verified near-dup pair is dropped)
+  *   → surviving-corpus stats.
+  *
+  * Fully value-checked against DuckDB replaying the identical stages.
+  */
+object PipelineQueries extends QueryGroup {
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_pipeline_curate" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // stage 1+2: quality + language gates (cheap, narrow — run first)
+        val gated = docs
+          .withColumn("quality_bp",
+            floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"))
+          .filter(col("quality_bp") >= 4000 && col("lang") === "en")
+        // stage 3: exact dedup on the 5-token prefix key, keep min doc_id
+        val toks = split(col("text"), " ")
+        val keyed = gated.withColumn("content_key",
+          md5(concat_ws(" ", (1 to 5).map(i => element_at(toks, i)): _*)))
+        val keepExact = keyed
+          .groupBy("content_key").agg(min("doc_id").as("doc_id"))
+          .join(keyed, Seq("content_key", "doc_id"))
+        // stage 4: near-dedup — drop the higher id of each verified pair
+        val dupJ = Dedup.minhashLsh(docs).select(col("j").as("doc_id")).distinct()
+        val survivors = keepExact.join(dupJ, Seq("doc_id"), "left_anti")
+        // stage 5: surviving-corpus stats
+        survivors.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+          floor(avg(col("quality_bp"))).cast("long").as("avg_quality_bp"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+      },
+      Some(s"""WITH toksrc AS (
+              |  SELECT doc_id, lang, text,
+              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+              |    string_split(text, ' ') AS rawtoks,
+              |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+              |  FROM documents),
+              |gated AS (
+              |  SELECT doc_id, text, toks, rawtoks,
+              |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+              |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+              |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000) AS BIGINT)
+              |      AS quality_bp
+              |  FROM toksrc
+              |  WHERE lang = 'en'),
+              |q AS (SELECT * FROM gated WHERE quality_bp >= 4000),
+              |keyed AS (
+              |  SELECT *, md5(array_to_string(rawtoks[1:5], ' ')) AS content_key
+              |  FROM q),
+              |keep_exact AS (
+              |  SELECT k.* FROM keyed k
+              |  JOIN (SELECT content_key, min(doc_id) AS doc_id
+              |        FROM keyed GROUP BY content_key) m
+              |    ON k.content_key = m.content_key AND k.doc_id = m.doc_id),
+              |${PipelineQueries.minhashPairsCte},
+              |dupj AS (SELECT DISTINCT j AS doc_id FROM pairs),
+              |survivors AS (
+              |  SELECT * FROM keep_exact
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM dupj))
+              |SELECT count(*) AS n_docs,
+              |  sum(len(toks)) AS n_tokens,
+              |  CAST(floor(avg(quality_bp)) AS BIGINT) AS avg_quality_bp,
+              |  min(doc_id) AS first_doc,
+              |  max(doc_id) AS last_doc
+              |FROM survivors""".stripMargin)
+    )
+  )
+
+  /** The MinHash-LSH near-dup pair CTE, identical to q_dedup_minhash_lsh's
+    * oracle (threshold 0.8, k=8, 4×2 bands), ending in `pairs(i, j)`.
+    */
+  private def minhashPairsCte: String =
+    """mtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shd AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+      |    FROM mtoks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |    WHERE len(t) >= 3)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |mh AS (
+      |  SELECT doc_id,
+      |    min(md5('0' || '|' || w)) AS m0, min(md5('1' || '|' || w)) AS m1,
+      |    min(md5('2' || '|' || w)) AS m2, min(md5('3' || '|' || w)) AS m3,
+      |    min(md5('4' || '|' || w)) AS m4, min(md5('5' || '|' || w)) AS m5,
+      |    min(md5('6' || '|' || w)) AS m6, min(md5('7' || '|' || w)) AS m7
+      |  FROM shd GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+      |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+      |  FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+      |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+      |common AS (
+      |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS c
+      |  FROM cand JOIN shd x ON x.doc_id = cand.i
+      |            JOIN shd y ON y.doc_id = cand.j AND y.w = x.w
+      |  GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (
+      |  SELECT i, j FROM common
+      |  JOIN cnt ci ON ci.doc_id = i
+      |  JOIN cnt cj ON cj.doc_id = j
+      |  WHERE c::DOUBLE / (ci.n + cj.n - c) >= 0.8)""".stripMargin
+}

@@ -24,7 +24,8 @@ object Registry {
     TextQueries,
     SimilarityQueries,
     EventQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    PipelineQueries
   )
 
   lazy val all: Map[String, QueryDef] =
