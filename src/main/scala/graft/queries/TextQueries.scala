@@ -101,6 +101,28 @@ object TextQueries extends QueryGroup {
              |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin)
     ),
 
+    // Deterministic stratified sampling for corpus balancing: per-language
+    // systematic samples keyed on a content hash (not rand(), so any engine
+    // reproduces the exact sample — the property a rerunnable 100 TB
+    // pipeline needs anyway).
+    "q_text_sample_stratified" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // keep ~1/4 of en (majority class), all of the rest: equalizes mix
+        val bucket = pmod(conv(substring(md5(col("text")), 1, 6), 16, 10)
+          .cast("long"), lit(4))
+        docs.filter(col("lang") =!= "en" || bucket === 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars
+             |FROM documents
+             |WHERE lang <> 'en'
+             |   OR CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 4 = 0
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     "q_text_bpe_tokens" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
