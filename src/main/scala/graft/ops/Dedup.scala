@@ -53,10 +53,21 @@ object Dedup {
     * every occurrence — at corpus scale occurrences ≫ vocabulary. Then one
     * groupBy with k min aggregates (single shuffle, map-side partials).
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    minhashSignaturesWith(sh, k, portable = true)
+
+  /** `portable = true` → md5-derived hash family (any engine replays it —
+    * what the DuckDB oracle checks). `portable = false` → xxhash64 with
+    * seed = permutation index: whole-stage-codegen, no string building,
+    * ~an order of magnitude cheaper per shingle — the production default
+    * when cross-engine replay isn't required. Same LSH semantics.
+    */
+  def minhashSignaturesWith(sh: DataFrame, k: Int, portable: Boolean): DataFrame = {
+    def family(s: Int): Column =
+      if (portable) md5(concat(lit(s.toString), lit("|"), col("w")))
+      else xxhash64(lit(s), col("w")) // numeric min; banding concat coerces
     val vocabHashes = sh.select("w").distinct().select(
-      col("w") +: (0 until k).map(s =>
-        md5(concat(lit(s.toString), lit("|"), col("w"))).as(s"h$s")): _*)
+      col("w") +: (0 until k).map(s => family(s).as(s"h$s")): _*)
     sh.join(vocabHashes, "w")
       .groupBy("doc_id")
       .agg(
@@ -109,13 +120,14 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline. */
   def minhashLsh(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.8, shingleSize: Int = 3
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      portable: Boolean = true
   ): DataFrame = {
     // the shingle set feeds signatures AND the verify joins (4 consumers);
     // persist it instead of re-exploding the corpus each time
     val sh = shingles(docs, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignatures(sh, k), k, rowsPerBand)
+    val cands = lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 

@@ -123,6 +123,28 @@ object TextQueries extends QueryGroup {
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // Dataset mixing: weighted replication (epoch-style upsampling of
+    // minority strata) — explode over a per-row weight, no shuffle.
+    "q_text_corpus_mix" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val weight = when(col("lang") === "en", 1).otherwise(3)
+        docs
+          .withColumn("epoch", explode(sequence(lit(1), weight)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_mixed"),
+            countDistinct(col("doc_id")).as("n_unique"),
+            sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_mixed,
+             |  count(DISTINCT doc_id) AS n_unique, sum(n_chars) AS chars
+             |FROM documents,
+             |  unnest(generate_series(1, CASE WHEN lang = 'en' THEN 1 ELSE 3 END))
+             |    AS g(epoch)
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     "q_text_bpe_tokens" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

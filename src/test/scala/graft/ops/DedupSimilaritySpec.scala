@@ -26,6 +26,16 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"LSH missed ${truth -- found} / false ${found -- truth}")
   }
 
+  test("fast (xxhash64) minhash family finds the same verified pairs as portable md5") {
+    val portable = Dedup.minhashLsh(docs).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.minhashLsh(docs, portable = false).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // signatures differ but exact-Jaccard verification makes the final
+    // pair sets agree (LSH candidate recall is high for >=0.8 pairs)
+    assert(fast == portable, s"fast-only ${fast -- portable} / md5-only ${portable -- fast}")
+  }
+
   test("simhash: near-dup pairs are far closer in bit-hamming than random pairs") {
     val planted = Dedup.minhashLsh(docs).select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
