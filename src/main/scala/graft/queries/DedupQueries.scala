@@ -186,7 +186,9 @@ object DedupQueries extends QueryGroup {
     // the component semantics).
     "q_dedup_clusters" -> QueryDef(
       (s, d) => {
-        val pairs = Dedup.minhashLsh(Tables.documents(s, d)).select("i", "j")
+        // rows-only query → free to use the fast xxhash64 minhash family
+        val pairs = Dedup.minhashLsh(Tables.documents(s, d), portable = false)
+          .select("i", "j")
         Dedup.survivors(pairs).orderBy("cluster_id")
       },
       None
