@@ -94,7 +94,7 @@ object Similarity {
   def ivfCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-      struct((dot(vec, array(c.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
+      struct((dot(vec, array(c.toSeq.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
         lit(i).as("cell"))
     }
     greatest(scored: _*).getField("cell")
@@ -117,7 +117,7 @@ object Similarity {
     // per-query ranked probe cells
     val cellScores = centroids.zipWithIndex.map { case (cv, i) =>
       val cNorm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-      struct((dot(col("qv"), array(cv.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
+      struct((dot(col("qv"), array(cv.toSeq.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
         lit(i).as("cell"))
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

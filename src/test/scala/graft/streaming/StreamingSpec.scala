@@ -85,6 +85,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch-stream parity: file-streamed events produce the batch window counts") {
+    import spark.implicits._
+    // stage the real events parquet in its own dir (file streams scan dirs)
+    val dir = Files.createTempDirectory("graft-evstream")
+    Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = StreamingBuild.windowedEventCounts(streamed, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ev_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("ev_parity")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.queries.Registry.all("q_events_hourly_window")
+        .build(spark, sf())
+        .select(col("hour"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.toSet diff batch.toSet}")
+    } finally q.stop()
+  }
+
   test("session windows group events by 30-minute gaps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
