@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Distributed-correctness property: query results must be identical
+  * regardless of shuffle parallelism — the invariance that lets the same
+  * plan run on local[4] and a 1000-executor cluster. Exercised on the
+  * queries with the most shuffle stages.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite with SparkTestBase {
+
+  private val probes = Seq(
+    "q_dedup_minhash_lsh", "q_hashdb_merge_sources", "q_events_sessions",
+    "q5_snowflake_join", "q_sim_topk_bruteforce")
+
+  private def results(name: String): Seq[String] =
+    Registry.all(name).build(spark, sf()).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("results are invariant under shuffle partition count (1, 7, 32)") {
+    val original = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val runs = Seq("1", "7", "32").map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        n -> probes.map(q => q -> results(q)).toMap
+      }
+      val baseline = runs.head._2
+      runs.tail.foreach { case (n, byQuery) =>
+        probes.foreach { q =>
+          assert(byQuery(q) == baseline(q),
+            s"$q differs between partitions=1 and partitions=$n")
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", original)
+  }
+}

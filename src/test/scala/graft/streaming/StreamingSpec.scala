@@ -59,6 +59,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming build recovers dedup state from the checkpoint on restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val db = s"$dir/db"
+
+    val in = MemoryStream[String]
+    val q1 = StreamingBuild.run(in.toDS(), db, s"$dir/ckpt",
+      BuildJob.Config(Seq("sha256"), sourceName = "s"))
+    try {
+      in.addData("hello", "world")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint (same source identity): the state
+    // store must remember "hello" across the restart
+    in.addData("hello", "fresh") // dup across restart + a new word
+    val q2 = StreamingBuild.run(in.toDS(), db, s"$dir/ckpt",
+      BuildJob.Config(Seq("sha256"), sourceName = "s"))
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(db).select("preimage")
+        .collect().map(_.getString(0)).toSet
+      assert(rows == Set("hello", "world", "fresh"))
+      assert(InfoJob.run(spark, db).totalRecords == 3)
+    } finally q2.stop()
+  }
+
   test("watermarked tumbling window over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
