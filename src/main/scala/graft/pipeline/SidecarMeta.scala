@@ -50,14 +50,20 @@ object SidecarMeta {
 
   def read(spark: SparkSession, dir: String): Option[SidecarMeta] = {
     val path = new Path(dir, FileName)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      val json =
-        try new String(in.readAllBytes(), UTF_8)
-        finally in.close()
-      parse(json)
+    // any read failure (missing, checksum mismatch, truncated write) means
+    // "no catalog" — callers fall back to the aggregate scan, never fail
+    try {
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val json =
+          try new String(in.readAllBytes(), UTF_8)
+          finally in.close()
+        parse(json)
+      }
+    } catch {
+      case _: java.io.IOException => None
     }
   }
 

@@ -168,6 +168,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(miss == "Found 0 result(s)")
   }
 
+  test("info falls back to a full scan when the sidecar is missing or corrupt") {
+    val db = tmp() + "/db"
+    BuildJob.run(spark, wordsDs("alpha", "beta"), db,
+      BuildJob.Config(Seq("md5", "sha256"), sourceName = "w"))
+    val withSidecar = InfoJob.run(spark, db)
+
+    // corrupt sidecar → parse yields None → aggregate fallback
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(db, SidecarMeta.FileName), "not json at all {")
+    val corrupt = InfoJob.run(spark, db)
+    assert(corrupt.totalRecords == withSidecar.totalRecords)
+    assert(corrupt.algorithms == withSidecar.algorithms)
+
+    // missing sidecar → same fallback
+    java.nio.file.Files.delete(java.nio.file.Paths.get(db, SidecarMeta.FileName))
+    val missing = InfoJob.run(spark, db)
+    assert(missing.totalRecords == 4 && missing.sources == Seq("w"))
+  }
+
+  test("sidecar metadata JSON round-trips including escapes") {
+    val meta = SidecarMeta(7, Seq("md5"), Seq("""a"b""", "c\\d"), Seq("ff00"))
+    assert(SidecarMeta.parse(meta.toJson) == Some(meta))
+    assert(SidecarMeta.parse("""{"broken":""") == None)
+    assert(SidecarMeta.parse("""{"total_records":0,"algorithms":[],"sources":[],"source_hashes":[]}""")
+      == Some(SidecarMeta(0, Nil, Nil, Nil)))
+  }
+
   test("file source: parse grammar, stem naming, content hash (S1/S2/F6/S11)") {
     val f = Files.createTempFile("words", ".txt")
     Files.writeString(f, "alpha\n\nbeta\n")
