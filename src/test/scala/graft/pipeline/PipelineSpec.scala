@@ -187,6 +187,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(missing.totalRecords == 4 && missing.sources == Seq("w"))
   }
 
+  test("typed Dataset[HashRecord] view round-trips the canonical schema") {
+    val db = tmp() + "/db"
+    BuildJob.run(spark, wordsDs("hello"), db,
+      BuildJob.Config(Seq("sha256", "blake3"), sourceName = "w"))
+    val ds = graft.core.HashRecord.read(spark, db)
+    val byAlgo = ds.collect().map(r => r.algorithm -> r).toMap
+    assert(byAlgo.keySet == Set("sha256", "blake3"))
+    assert(byAlgo("sha256").hashHex ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(byAlgo("blake3").preimage == "hello")
+    assert(byAlgo("blake3").sources == Seq("w"))
+    // typed transforms compose with the Dataset API
+    import spark.implicits._
+    assert(ds.filter(_.algorithm == "blake3").map(_.hashHex).head() ==
+      "ea8f163db38682925e4491c5e58d4bb3506ef8c14eb78a86e908c5624a67200f")
+  }
+
   test("sidecar metadata JSON round-trips including escapes") {
     val meta = SidecarMeta(7, Seq("md5"), Seq("""a"b""", "c\\d"), Seq("ff00"))
     assert(SidecarMeta.parse(meta.toJson) == Some(meta))
