@@ -64,8 +64,10 @@ object SimilarityQueries extends QueryGroup {
               |ORDER BY cand_id""".stripMargin)
     ),
 
-    // Scale path: LSH-bucketed ANN (rows-only — hyperplanes live in Scala;
-    // recall vs brute force is asserted in SimilaritySpec).
+    // Scale path: multi-table LSH ANN, fully value-checked — the ±1
+    // hyperplanes derive from md5("t:p:h") bit parity, so DuckDB rebuilds
+    // the same 6 tables × 6 planes, buckets, candidates, and exact-cosine
+    // ranks (left-to-right double accumulation throughout).
     "q_sim_lsh_topk" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -73,11 +75,60 @@ object SimilarityQueries extends QueryGroup {
             nPlanes = 6, nTables = 6)
           .orderBy(col("query_id"), col("rank"))
       },
-      None
+      Some("""WITH grid AS (
+             |  SELECT t.t, p.p FROM
+             |    (SELECT unnest(generate_series(0, 5)) AS t) t,
+             |    (SELECT unnest(generate_series(0, 5)) AS p) p),
+             |proj AS (
+             |  SELECT e.vec_id, g.t, g.p,
+             |    list_reduce(list_transform(generate_series(1, 64),
+             |      h -> e.embedding[h]::DOUBLE *
+             |        (CASE WHEN (instr('0123456789abcdef',
+             |            substring(md5(g.t::VARCHAR || ':' || g.p::VARCHAR || ':'
+             |                          || (h - 1)::VARCHAR), 2, 1)) - 1) % 2 = 1
+             |          THEN 1.0 ELSE -1.0 END)),
+             |      (s, v) -> s + v) AS s
+             |  FROM embeddings e, grid g),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+             |      AS b
+             |  FROM proj GROUP BY vec_id, t),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+             |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.b = c.b
+             |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+             |norms AS (
+             |  SELECT vec_id, sqrt(list_reduce(list_transform(
+             |      generate_series(1, len(embedding)),
+             |      x -> embedding[x]::DOUBLE * embedding[x]::DOUBLE), (s, v) -> s + v))
+             |    AS nrm
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT cand.query_id, cand.cand_id,
+             |    CAST(floor(
+             |      list_reduce(list_transform(generate_series(1, len(q.embedding)),
+             |          x -> q.embedding[x]::DOUBLE * t2.embedding[x]::DOUBLE),
+             |        (s, v) -> s + v)
+             |      / (nq.nrm * nt.nrm) * 10000) AS BIGINT) AS cos_bp
+             |  FROM cand
+             |  JOIN embeddings q ON q.vec_id = cand.query_id
+             |  JOIN embeddings t2 ON t2.vec_id = cand.cand_id
+             |  JOIN norms nq ON nq.vec_id = cand.query_id
+             |  JOIN norms nt ON nt.vec_id = cand.cand_id),
+             |ranked AS (
+             |  SELECT query_id, cand_id, cos_bp,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_bp DESC, cand_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, cand_id, cos_bp, rank FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
-    // IVF ANN: coarse-quantizer cells + nProbe search (rows-only: centroid
-    // literals live in Scala; recall vs brute force pinned in spec).
+    // IVF ANN: coarse-quantizer cells + nProbe search, fully value-checked —
+    // the centroids are the first 16 vectors by id, so DuckDB replays the
+    // entire index: cell assignment (argmax dot/|c|, ties to higher cell),
+    // probe ranking, candidate join, exact-cosine top-k.
     "q_sim_ivf_topk" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -85,7 +136,54 @@ object SimilarityQueries extends QueryGroup {
             nCells = 16, nProbe = 4)
           .orderBy("query_id", "rank")
       },
-      None
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS cell, embedding AS cv
+             |  FROM embeddings ORDER BY vec_id LIMIT 16),
+             |cellscore AS (
+             |  SELECT e.vec_id, c.cell,
+             |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |        x -> e.embedding[x]::DOUBLE * c.cv[x]::DOUBLE), (s, v) -> s + v)
+             |      / sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)),
+             |        x -> c.cv[x]::DOUBLE * c.cv[x]::DOUBLE), (s, v) -> s + v)) AS s
+             |  FROM embeddings e, cents c),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY vec_id
+             |                         ORDER BY s DESC, cell DESC) AS rn
+             |    FROM cellscore) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS query_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY vec_id
+             |                         ORDER BY s DESC, cell DESC) AS rn
+             |    FROM cellscore WHERE vec_id < 50) WHERE rn <= 4),
+             |norms AS (
+             |  SELECT vec_id, sqrt(list_reduce(list_transform(
+             |      generate_series(1, len(embedding)),
+             |      x -> embedding[x]::DOUBLE * embedding[x]::DOUBLE), (s, v) -> s + v))
+             |    AS nrm
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id AS cand_id,
+             |    CAST(floor(
+             |      list_reduce(list_transform(generate_series(1, len(q.embedding)),
+             |          x -> q.embedding[x]::DOUBLE * t.embedding[x]::DOUBLE),
+             |        (s, v) -> s + v)
+             |      / (nq.nrm * nt.nrm) * 10000) AS BIGINT) AS cos_bp
+             |  FROM probes p
+             |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN embeddings q ON q.vec_id = p.query_id
+             |  JOIN embeddings t ON t.vec_id = a.vec_id
+             |  JOIN norms nq ON nq.vec_id = p.query_id
+             |  JOIN norms nt ON nt.vec_id = a.vec_id),
+             |ranked AS (
+             |  SELECT query_id, cand_id, cos_bp,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_bp DESC, cand_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, cand_id, cos_bp, rank FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
     // Centroid stats per label — the IVF building block (coarse quantizer
