@@ -102,6 +102,40 @@ object EventQueries extends QueryGroup {
              |ORDER BY c_mktsegment, event_type""".stripMargin)
     ),
 
+    // As-of join: attribute each purchase to the user's most recent click
+    // (point-in-time semantics). The Spark side is the union+window
+    // composition (graft.ops.AsOf); the oracle is DuckDB's NATIVE ASOF
+    // JOIN — an independent implementation of the same semantics.
+    "q_events_asof_attribution" -> QueryDef(
+      (s, d) => {
+        import graft.ops.AsOf
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_ns") // dedupe simultaneous clicks: max id
+          .agg(max("event_id").as("click_event"))
+          .withColumn("click_ts_ns", col("ts_ns"))
+        AsOf.join(purchases, clicks, "user_id", "ts_ns")
+          .select(col("event_id"), col("user_id"),
+            col("asof.click_event").as("click_event"),
+            expr("(ts_ns - asof.click_ts_ns) div 1000000000").as("gap_s"))
+          .orderBy("event_id")
+          .limit(5000)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns, max(event_id) AS click_event
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, c.click_event,
+             |  (p.ts_ns - c.ts_ns) // 1000000000 AS gap_s
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns
+             |ORDER BY p.event_id LIMIT 5000""".stripMargin)
+    ),
+
     // Late-data accounting: events arriving >N min after the max-so-far
     // per user (the batch shape of a watermark drop decision).
     "q_events_late" -> QueryDef(
