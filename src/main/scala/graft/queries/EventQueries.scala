@@ -136,6 +136,39 @@ object EventQueries extends QueryGroup {
              |ORDER BY p.event_id LIMIT 5000""".stripMargin)
     ),
 
+    // Range join: clicks within the 10 minutes before each purchase —
+    // bucketized equi-join formulation vs DuckDB's plain range predicate.
+    "q_events_range_join" -> QueryDef(
+      (s, d) => {
+        import graft.ops.RangeJoin
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (col("ts_ns") - lit(600L * 1000000000L)).as("lo"),
+            col("ts_ns").as("hi"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts_ns"))
+        RangeJoin.intervalJoin(clicks, purchases,
+            "user_id", "ts_ns", "lo", "hi", bucketWidth = 600L * 1000000000L)
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_clicks_before"),
+            max("click_id").as("latest_click"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS hi,
+             |    epoch_ns(ts) - 600000000000 AS lo
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS ts_ns
+             |  FROM events WHERE event_type = 'click')
+             |SELECT purchase_id, count(*) AS n_clicks_before,
+             |  max(click_id) AS latest_click
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND c.ts_ns >= p.lo AND c.ts_ns <= p.hi
+             |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)
+    ),
+
     // Late-data accounting: events arriving >N min after the max-so-far
     // per user (the batch shape of a watermark drop decision).
     "q_events_late" -> QueryDef(
