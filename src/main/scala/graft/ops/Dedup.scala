@@ -131,34 +131,43 @@ object Dedup {
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** One row per (doc, hex position 1..16): the rebuilt SimHash digit
-    * value `d` (0-15) and its hex char `ch`. Shared by the signature and
-    * pair-detection paths.
+  /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature.
+    *
+    * Single-pass bit-vote formulation: the first 16 hex chars of md5(w)
+    * are parsed ONCE per (doc, shingle) into two 32-bit halves, and the
+    * 64 per-bit +1/-1 vote sums are computed as 64 `sum(when(...))`
+    * aggregates in ONE groupBy(doc_id) — no ×16 row explode, one shuffle
+    * with map-side partials, all codegen long arithmetic. (The previous
+    * per-hex-digit explode formulation was the bench's single biggest
+    * cost — 65 s combined at sf0.1.) Digit p's bit kk is 1 iff more
+    * shingle hashes set it than clear it; sum==0 ties resolve to 0,
+    * identical to the exploded formulation the oracle replays.
     */
-  def simhashDigits(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"), col("h"))
-      .withColumn("d", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
-      .groupBy("doc_id", "p")
-      .agg(
-        sum(when(expr("(d div 1) % 2") === 1, 1).otherwise(-1)).as("s0"),
-        (1 until 4).map(kk =>
-          sum(when(expr(s"(d div ${1 << kk}) % 2") === 1, 1).otherwise(-1)).as(s"s$kk")): _*
-      )
-      .withColumn("d",
-        (0 until 4).map(kk => when(col(s"s$kk") > 0, 1 << kk).otherwise(0))
-          .reduce(_ + _))
-      .withColumn("ch", expr("substring('0123456789abcdef', d + 1, 1)"))
-      .select("doc_id", "p", "d", "ch")
-
-  /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature. */
-  def simhashWide(sh: DataFrame): DataFrame =
-    simhashDigits(sh).groupBy("doc_id").agg(
-      max(when(col("p") === 1, col("d"))).as("d1"),
-      ((2 to 16).map(p => max(when(col("p") === p, col("d"))).as(s"d$p")) :+
-        concat((1 to 16).map(p => max(when(col("p") === p, col("ch")))): _*)
-          .as("simhash")): _*
-    )
+  def simhashWide(sh: DataFrame): DataFrame = {
+    val hashed = sh
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      // 8 hex chars fit a long exactly; conv() returns a decimal string
+      .withColumn("_hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    // hex position p (1 = most significant), bit kk (0 = digit's LSB):
+    // bit index inside the containing 32-bit half
+    def vote(p: Int, kk: Int): Column = {
+      val (half, bit) =
+        if (p <= 8) (col("_hi"), 4 * (8 - p) + kk) else (col("_lo"), 4 * (16 - p) + kk)
+      sum(when(shiftright(half, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v${p}_$kk")
+    }
+    val aggs = for { p <- 1 to 16; kk <- 0 until 4 } yield vote(p, kk)
+    val voted = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val digits = (1 to 16).map { p =>
+      (0 until 4).map(kk => when(col(s"v${p}_$kk") > 0, 1 << kk).otherwise(0))
+        .reduce(_ + _).as(s"d$p")
+    }
+    voted.select(col("doc_id") +: digits: _*)
+      .withColumn("simhash",
+        concat((1 to 16).map(p =>
+          expr(s"substring('0123456789abcdef', d$p + 1, 1)")): _*))
+  }
 
   /** Per-doc 64-bit SimHash over shingle md5s, rendered as 16 hex digits
     * (hex digit p is rebuilt from the sign of the per-bit +1/-1 vote sums).

@@ -56,8 +56,12 @@ object TextAnalysis {
       .cast("double") / size(toks)
   }
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  /** Language ID from a PRE-MATERIALIZED token array column. `toks` must be
+    * a bound attribute (`.withColumn("_toks", tokens(col("text")))`), not an
+    * inline expression: HOF lambdas re-evaluate their closed-over input per
+    * element when interpreted (the Dedup.shingles trap — 10× on this query).
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val densities = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       lang -> size(filter(toks, t => ms.map(m => t === m).reduce(_ || _)))
         .cast("double") / size(toks)
@@ -68,6 +72,11 @@ object TextAnalysis {
     val top = greatest(best: _*)
     when(top.getField("d") >= 0.01, top.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Convenience single-column form — only for one-off expressions; bulk
+    * paths should materialize tokens and use [[langIdFromTokens]].
+    */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** 64-bit-ish polynomial content fingerprint over characters
     * (acc*31 + codepoint, mod 1e9+7) — the batch analog of a rolling hash,

@@ -150,7 +150,7 @@ object AnalyticsQueries extends QueryGroup {
           .limit(1000)
       },
       Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
-             |  rank_in_cust
+             |  CAST(rank_in_cust AS INTEGER) AS rank_in_cust
              |FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_custkey

@@ -155,8 +155,8 @@ object DedupQueries extends QueryGroup {
               |  FROM melted a JOIN melted b
               |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
               |SELECT i, j,
-              |  ${(1 to 16).map(p => s"bit_count(xor(ai.d$p::BIGINT, bj.d$p::BIGINT))")
-                   .mkString(" + ")} AS hamming
+              |  CAST(${(1 to 16).map(p => s"bit_count(xor(ai.d$p::BIGINT, bj.d$p::BIGINT))")
+                   .mkString(" + ")} AS BIGINT) AS hamming
               |FROM cand JOIN wide ai ON ai.doc_id = i JOIN wide bj ON bj.doc_id = j
               |WHERE hamming <= 12
               |ORDER BY i, j""".stripMargin),

@@ -60,7 +60,8 @@ object EventQueries extends QueryGroup {
              |           > INTERVAL 30 MINUTE
              |    THEN 1 ELSE 0 END AS new_session
              |  FROM events)
-             |SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(new_session) AS BIGINT) AS n_sessions
              |FROM flagged WHERE user_id < 300
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
@@ -80,7 +81,8 @@ object EventQueries extends QueryGroup {
              |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
              |    min(event_id) AS first_event, count(*) AS n_in_bucket
              |  FROM events GROUP BY 1, 2, 3)
-             |SELECT count(*) AS n_kept, sum(n_in_bucket - 1) AS n_dropped
+             |SELECT count(*) AS n_kept,
+             |  CAST(sum(n_in_bucket - 1) AS BIGINT) AS n_dropped
              |FROM buckets""".stripMargin)
     ),
 
@@ -188,9 +190,9 @@ object EventQueries extends QueryGroup {
              |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              |      AS max_so_far
              |  FROM events)
-             |SELECT coalesce(sum(CASE WHEN max_so_far IS NOT NULL
+             |SELECT CAST(coalesce(sum(CASE WHEN max_so_far IS NOT NULL
              |    AND max_so_far - ts > INTERVAL 10 MINUTE THEN 1 ELSE 0 END), 0)
-             |    AS n_late,
+             |    AS BIGINT) AS n_late,
              |  count(*) AS n_total
              |FROM w""".stripMargin)
     )

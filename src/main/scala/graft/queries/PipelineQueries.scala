@@ -72,7 +72,7 @@ object PipelineQueries extends QueryGroup {
               |  SELECT * FROM keep_exact
               |  WHERE doc_id NOT IN (SELECT doc_id FROM dupj))
               |SELECT count(*) AS n_docs,
-              |  sum(len(toks)) AS n_tokens,
+              |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
               |  CAST(floor(avg(quality_bp)) AS BIGINT) AS avg_quality_bp,
               |  min(doc_id) AS first_doc,
               |  max(doc_id) AS last_doc

@@ -37,10 +37,12 @@ object SimilarityQueries extends QueryGroup {
               |ranked AS (
               |  SELECT query_id, cand_id, cos_bp,
               |    row_number() OVER (PARTITION BY query_id
-              |                       ORDER BY cos_bp DESC, cand_id) AS rank
+              |                       ORDER BY cos_bp DESC, cand_id)
+              |      AS rank_raw
               |  FROM scored)
-              |SELECT query_id, cand_id, cos_bp, rank FROM ranked
-              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+              |SELECT query_id, cand_id, cos_bp,
+              |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
+              |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
     // Range search: all vectors within cosine ≥ 0.35 of query vec_id=0.
@@ -119,10 +121,12 @@ object SimilarityQueries extends QueryGroup {
              |ranked AS (
              |  SELECT query_id, cand_id, cos_bp,
              |    row_number() OVER (PARTITION BY query_id
-             |                       ORDER BY cos_bp DESC, cand_id) AS rank
+             |                       ORDER BY cos_bp DESC, cand_id)
+              |      AS rank_raw
              |  FROM scored)
-             |SELECT query_id, cand_id, cos_bp, rank FROM ranked
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+             |SELECT query_id, cand_id, cos_bp,
+             |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
+             |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
     // IVF ANN: coarse-quantizer cells + nProbe search, fully value-checked —
@@ -180,10 +184,12 @@ object SimilarityQueries extends QueryGroup {
              |ranked AS (
              |  SELECT query_id, cand_id, cos_bp,
              |    row_number() OVER (PARTITION BY query_id
-             |                       ORDER BY cos_bp DESC, cand_id) AS rank
+             |                       ORDER BY cos_bp DESC, cand_id)
+              |      AS rank_raw
              |  FROM scored)
-             |SELECT query_id, cand_id, cos_bp, rank FROM ranked
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+             |SELECT query_id, cand_id, cos_bp,
+             |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
+             |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
     // Centroid stats per label — the IVF building block (coarse quantizer

@@ -25,8 +25,8 @@ object TextQueries extends QueryGroup {
           .orderBy("doc_id")
           .limit(2000),
       Some("""SELECT doc_id,
-             |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-             |  length(text) AS n_chars_computed,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS n_tokens,
+             |  CAST(length(text) AS INTEGER) AS n_chars_computed,
              |  round(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))::DOUBLE
              |    / len(list_filter(string_split(text, ' '), t -> t <> '')), 4) AS distinct_ratio,
              |  round(length(replace(text, ' ', ''))::DOUBLE
@@ -62,8 +62,10 @@ object TextQueries extends QueryGroup {
     "q_text_langid" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
+          // tokens bound to a real column first — see langIdFromTokens doc
+          .withColumn("_toks", tokens(col("text")))
           .select(col("doc_id"), col("lang").as("labeled"),
-            langId(col("text")).as("predicted"))
+            langIdFromTokens(col("_toks")).as("predicted"))
           .groupBy("labeled", "predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy("labeled", "predicted"),
@@ -116,7 +118,8 @@ object TextQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars"))
           .orderBy("lang")
       },
-      Some("""SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars
+      Some("""SELECT lang, count(*) AS n_sampled,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents
              |WHERE lang <> 'en'
              |   OR CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 4 = 0
@@ -138,7 +141,8 @@ object TextQueries extends QueryGroup {
           .orderBy("lang")
       },
       Some("""SELECT lang, count(*) AS n_mixed,
-             |  count(DISTINCT doc_id) AS n_unique, sum(n_chars) AS chars
+             |  count(DISTINCT doc_id) AS n_unique,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents,
              |  unnest(generate_series(1, CASE WHEN lang = 'en' THEN 1 ELSE 3 END))
              |    AS g(epoch)
@@ -154,8 +158,8 @@ object TextQueries extends QueryGroup {
             count(lit(1)).as("n_docs")
           ),
       Some("""SELECT
-             |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
-             |  sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_ws_tokens,
+             |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+             |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
              |  count(*) AS n_docs
              |FROM documents""".stripMargin)
     )

@@ -27,6 +27,13 @@ def rows_of(cur):
     data = [tuple(norm(r[i]) for i in order) for r in cur.fetchall()]
     return [cols[i] for i in order], data
 
+def types_of(con, sql):
+    """name -> DuckDB type string, via DESCRIBE. The driver's hash compare is
+    TYPE-sensitive (HUGEINT vs BIGINT broke 7 queries in round 1), so the
+    local gate must be too."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -57,6 +64,13 @@ def main():
             print(f"  {name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
         if spark_cols != o_cols:
             print(f"  {name}: COLUMN MISMATCH spark={spark_cols} oracle={o_cols}")
+            fails += 1; continue
+        s_types = types_of(con, f"SELECT * FROM read_parquet({files!r})")
+        o_types = types_of(con, oracles[name])
+        bad = {c: (s_types.get(c), o_types.get(c))
+               for c in s_types if s_types.get(c) != o_types.get(c)}
+        if bad:
+            print(f"  {name}: TYPE MISMATCH {bad} — cast the oracle")
             fails += 1; continue
         if spark_rows == o_rows:
             print(f"  {name}: OK ({len(spark_rows)} rows)"); ok += 1
