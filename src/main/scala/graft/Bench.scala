@@ -42,8 +42,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt decorates stdout with an "[info] " prefix, which broke the
+    // driver's JSON parse in round 1 (BENCH_r01 parsed:null) — also write
+    // the line to a file so it survives any log framing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

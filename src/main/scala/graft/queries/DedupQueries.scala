@@ -195,25 +195,14 @@ object DedupQueries extends QueryGroup {
     ),
 
     // Embedding-cosine near-dup pairs (threshold tuned to the corpus).
+    // Exact baseline: blocked equi-join self-pairing (shuffle hash join on
+    // vec_id % 8 — no BroadcastNestedLoopJoin), same rows as the naive
+    // all-pairs formulation the oracle states declaratively.
     "q_dedup_embedding" -> QueryDef(
-      (s, d) => {
-        import graft.ops.Similarity
-        // norms precomputed per vector; the pair loop does one codegen dot
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            Similarity.norm(col("embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("i"), col("embedding").as("va"),
-          col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"),
-          col("nrm").as("nb"))
-        a.join(b, col("i") < col("j"))
-          .withColumn("cos_bp",
-            floor(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-              * 10000).cast("long"))
-          .filter(col("cos_bp") >= 4000)
-          .select("i", "j", "cos_bp")
-          .orderBy("i", "j")
-      },
+      (s, d) =>
+        graft.ops.Similarity.exactNearDupPairs(
+            Tables.embeddings(s, d), thresholdBp = 4000)
+          .orderBy("i", "j"),
       Some("""SELECT a.vec_id AS i, b.vec_id AS j,
              |  CAST(floor(
              |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
@@ -225,6 +214,56 @@ object DedupQueries extends QueryGroup {
              |          x -> b.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE), (s, v) -> s + v)))
              |    * 10000) AS BIGINT) AS cos_bp
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE cos_bp >= 4000
+             |ORDER BY i, j""".stripMargin)
+    ),
+
+    // Corpus-scale variant: LSH-bucketed candidates (equi-join on md5
+    // hyperplane bucket signatures, 12 tables × 4 planes) + exact-cosine
+    // verify. DuckDB replays the identical index, so the compare is exact;
+    // recall vs the exact baseline is measured in DedupSimilaritySpec.
+    "q_dedup_embedding_lsh" -> QueryDef(
+      (s, d) =>
+        graft.ops.Similarity.lshNearDupPairs(
+            Tables.embeddings(s, d), dim = 64, thresholdBp = 4000,
+            nPlanes = 4, nTables = 12)
+          .orderBy("i", "j"),
+      Some("""WITH grid AS (
+             |  SELECT t.t, p.p FROM
+             |    (SELECT unnest(generate_series(0, 11)) AS t) t,
+             |    (SELECT unnest(generate_series(0, 3)) AS p) p),
+             |proj AS (
+             |  SELECT e.vec_id, g.t, g.p,
+             |    list_reduce(list_transform(generate_series(1, 64),
+             |      h -> e.embedding[h]::DOUBLE *
+             |        (CASE WHEN (instr('0123456789abcdef',
+             |            substring(md5(g.t::VARCHAR || ':' || g.p::VARCHAR || ':'
+             |                          || (h - 1)::VARCHAR), 2, 1)) - 1) % 2 = 1
+             |          THEN 1.0 ELSE -1.0 END)),
+             |      (s, v) -> s + v) AS s
+             |  FROM embeddings e, grid g),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+             |      AS b
+             |  FROM proj GROUP BY vec_id, t),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+             |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.b = b.b
+             |  WHERE a.vec_id < b.vec_id)
+             |SELECT cand.i, cand.j,
+             |  CAST(floor(
+             |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+             |        x -> a.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE),
+             |      (s, v) -> s + v)
+             |    / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+             |          x -> a.embedding[x]::DOUBLE * a.embedding[x]::DOUBLE), (s, v) -> s + v))
+             |     * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+             |          x -> b.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE), (s, v) -> s + v)))
+             |    * 10000) AS BIGINT) AS cos_bp
+             |FROM cand
+             |JOIN embeddings a ON a.vec_id = cand.i
+             |JOIN embeddings b ON b.vec_id = cand.j
              |WHERE cos_bp >= 4000
              |ORDER BY i, j""".stripMargin)
     )

@@ -134,6 +134,47 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.nonEmpty)
   }
 
+  test("exact near-dup pairs: blocked equi-join matches the naive all-pairs set") {
+    val naive = {
+      val e = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("cos_bp",
+          floor(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000)
+            .cast("long"))
+        .filter(col("cos_bp") >= 4000)
+        .select("i", "j", "cos_bp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val blocked = Similarity.exactNearDupPairs(emb, thresholdBp = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty)
+    assert(blocked == naive,
+      s"missing ${naive -- blocked} / extra ${blocked -- naive}")
+    // the whole point of the reformulation: no nested-loop join in the plan
+    val plan = Similarity.exactNearDupPairs(emb, thresholdBp = 4000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("LSH near-dup pairs: subset of exact with usable recall at a weak threshold") {
+    val exact = Similarity.exactNearDupPairs(emb, thresholdBp = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, dim = 64, thresholdBp = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-cosine verification makes every reported pair a true pair
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    // this corpus's planted pairs sit barely above cos 0.4 — adversarially
+    // weak for sign-LSH (per-plane agreement ~0.63); 12 tables x 4 planes
+    // still reach high recall (at a realistic 0.85+ threshold this config
+    // is effectively lossless)
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
