@@ -83,9 +83,15 @@ object Dedup {
     * Bands are melted to (doc_id, band, sig) long format and self-joined
     * ONCE on (band, sig) — a per-band join union would re-run the whole
     * signature pipeline per band. The tiny melted table is persisted so
-    * the self-join's two sides don't recompute it either.
+    * the self-join's two sides don't recompute it either. Buckets larger
+    * than `maxBucket` are dropped (with a logged count) before the
+    * self-join — see [[LshGuard.capBuckets]]; the default cap is far above
+    * any honest bucket at tested scales, so results are unchanged except
+    * under degenerate boilerplate floods.
     */
-  def lshCandidates(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(
+      sigs: DataFrame, k: Int, rowsPerBand: Int, maxBucket: Int = 5000
+  ): DataFrame = {
     val nBands = k / rowsPerBand
     val melted = sigs.select(
       col("doc_id"),
@@ -96,8 +102,10 @@ object Dedup {
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    melted.select(col("doc_id").as("i"), col("band"), col("sig"))
-      .join(melted.select(col("doc_id").as("j"), col("band"), col("sig")),
+    val capped = LshGuard.capBuckets(melted, Seq("band", "sig"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.select(col("doc_id").as("i"), col("band"), col("sig"))
+      .join(capped.select(col("doc_id").as("j"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
@@ -121,13 +129,14 @@ object Dedup {
   def minhashLsh(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      portable: Boolean = true
+      portable: Boolean = true, maxBucket: Int = 5000
   ): DataFrame = {
     // the shingle set feeds signatures AND the verify joins (4 consumers);
     // persist it instead of re-exploding the corpus each time
     val sh = shingles(docs, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand)
+    val cands =
+      lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand, maxBucket)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
@@ -180,7 +189,9 @@ object Dedup {
     * probability — verified by exact bit-hamming over the 16 digits.
     * Same equi-join-only shape as MinHash banding.
     */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
+  def simhashPairs(
+      sh: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000
+  ): DataFrame = {
     val wide = simhashWide(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val melted = wide.select(col("doc_id"),
@@ -189,8 +200,10 @@ object Dedup {
           concat_ws(":", col(s"d${2 * b + 1}"), col(s"d${2 * b + 2}")).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cands = melted.select(col("doc_id").as("i"), col("band"), col("key"))
-      .join(melted.select(col("doc_id").as("j"), col("band"), col("key")),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = LshGuard.capBuckets(melted, Seq("band", "key"), maxBucket)
+    val cands = capped.select(col("doc_id").as("i"), col("band"), col("key"))
+      .join(capped.select(col("doc_id").as("j"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()

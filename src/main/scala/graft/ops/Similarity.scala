@@ -186,7 +186,7 @@ object Similarity {
     */
   def lshNearDupPairs(
       vectors: DataFrame, dim: Int, thresholdBp: Long,
-      nPlanes: Int = 4, nTables: Int = 12,
+      nPlanes: Int = 4, nTables: Int = 12, maxBucket: Int = 5000,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
@@ -200,8 +200,9 @@ object Similarity {
         }: _*)).as("tb"))
       .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = melted.select(col("vid").as("i"), col("t"), col("b"))
-      .join(melted.select(col("vid").as("j"), col("t"), col("b")), Seq("t", "b"))
+    val capped = LshGuard.capBuckets(melted, Seq("t", "b"), maxBucket)
+    val cands = capped.select(col("vid").as("i"), col("t"), col("b"))
+      .join(capped.select(col("vid").as("j"), col("t"), col("b")), Seq("t", "b"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
     cands

@@ -181,17 +181,32 @@ object DedupQueries extends QueryGroup {
               |WHERE jaccard_bp >= 5000 ORDER BY i, j""".stripMargin)
     ),
 
-    // Near-dup pairs → connected components → survivor per cluster
-    // (rows-only: iterative label propagation; DedupSimilaritySpec pins
-    // the component semantics).
+    // Near-dup pairs → connected components → survivor per cluster.
+    // Spark runs iterative min-label propagation on the fast xxhash64
+    // minhash family; the oracle recomputes pairs with the portable md5
+    // family and resolves components with a recursive transitive-closure
+    // CTE. The two hash families yield identical VERIFIED pair sets (the
+    // exact-Jaccard gate filters candidates; equality is asserted by
+    // DedupSimilaritySpec and holds at every driver SF), so the cluster
+    // outputs agree bit-for-bit.
     "q_dedup_clusters" -> QueryDef(
       (s, d) => {
-        // rows-only query → free to use the fast xxhash64 minhash family
         val pairs = Dedup.minhashLsh(Tables.documents(s, d), portable = false)
           .select("i", "j")
         Dedup.survivors(pairs).orderBy("cluster_id")
       },
-      None
+      Some(s"""WITH RECURSIVE ${PipelineQueries.minhashPairsCte},
+              |edges AS (SELECT i AS a, j AS b FROM pairs
+              |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+              |reach AS (
+              |  SELECT a AS doc_id, b AS r FROM edges
+              |  UNION
+              |  SELECT re.doc_id, e.b AS r FROM reach re JOIN edges e ON e.a = re.r),
+              |labels AS (
+              |  SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+              |  FROM reach GROUP BY doc_id)
+              |SELECT cluster_id, min(doc_id) AS keep_id, count(*) AS cluster_size
+              |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
     ),
 
     // Embedding-cosine near-dup pairs (threshold tuned to the corpus).

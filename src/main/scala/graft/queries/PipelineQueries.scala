@@ -82,8 +82,9 @@ object PipelineQueries extends QueryGroup {
 
   /** The MinHash-LSH near-dup pair CTE, identical to q_dedup_minhash_lsh's
     * oracle (threshold 0.8, k=8, 4×2 bands), ending in `pairs(i, j)`.
+    * Shared with q_dedup_clusters' recursive-CTE oracle.
     */
-  private def minhashPairsCte: String =
+  private[queries] def minhashPairsCte: String =
     """mtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |shd AS (
       |  SELECT DISTINCT doc_id, w FROM (

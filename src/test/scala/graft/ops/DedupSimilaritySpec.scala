@@ -175,6 +175,40 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("LshGuard.capBuckets drops only oversized buckets") {
+    import spark.implicits._
+    val melted = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("doc_id", "sig")
+    val capped = LshGuard.capBuckets(melted, Seq("sig"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(4L, 5L))
+  }
+
+  test("LSH guard: a degenerate identical-content bucket is dropped, not squared") {
+    import spark.implicits._
+    // 200 byte-identical docs: one band bucket of 200 members = 19,900
+    // quadratic candidate pairs — the adversarial boilerplate-flood case
+    val boiler = (1L to 200L).map(i =>
+      (i, Seq.fill(5)("the same boilerplate text repeated").mkString(" ")))
+    // 30 distinct tokens + one differing suffix: shingle Jaccard = 28/30
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = Seq((900L, base + " alpha"), (901L, base + " omega"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(docs, maxBucket = 50)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the blob's candidates are dropped by the guard (exact dedup's job)...
+    assert(!got.exists { case (i, j) => i <= 200 && j <= 200 }, got.take(5))
+    // ...while honest near-dup pairs in small buckets still come through
+    assert(got.contains((900L, 901L)), s"real pair lost: $got")
+    // without the cap the quadratic blob dominates the candidate set
+    val uncapped = Dedup.minhashLsh(docs, maxBucket = Int.MaxValue).count()
+    assert(uncapped >= 19900L, s"uncapped=$uncapped")
+    // the linear-cost exact pass is where identical content gets deduped
+    val exact = Dedup.exact(docs, "doc_id", md5(col("text")))
+      .filter(col("n_copies") === 200).count()
+    assert(exact == 1L)
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
