@@ -24,7 +24,9 @@ object InfoJob {
     if (!fs.exists(path)) return Stats(0L, Seq.empty, Seq.empty, 0L)
     val size = fs.getContentSummary(path).getLength
 
-    SidecarMeta.read(spark, db) match {
+    // catalog precedence: our sidecar, then a reference-produced file's
+    // shaha:* footer KV (FooterMeta), then the full aggregate scan
+    SidecarMeta.read(spark, db).orElse(FooterMeta.read(spark, db)) match {
       case Some(m) => Stats(m.totalRecords, m.algorithms, m.sources, size)
       case None => // fallback full aggregate (A3, A4, A5)
         val row = spark.read.parquet(db).agg(

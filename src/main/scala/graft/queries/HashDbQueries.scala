@@ -162,21 +162,29 @@ object HashDbQueries extends QueryGroup {
       None
     ),
 
-    // A3-A5: info stats — count, distinct algorithms, distinct sources.
+    // A3-A5: info stats — record count and algorithm list from the BUILT
+    // database rows (not hardcoded), source list from the ingest stream.
     "q_hashdb_stats" -> QueryDef(
       (s, d) => {
-        val db = shingles(Tables.documents(s, d), col("source"))
-        db.agg(
+        val dbStats = hashdb(s, d).agg(
           count(lit(1)).as("total_records"),
-          lit("md5,sha256").as("algorithms"),
-          array_join(array_sort(collect_set(col("source"))), ",").as("sources")
-        )
+          array_join(array_sort(collect_set(col("algorithm"))), ",")
+            .as("algorithms"))
+        val srcStats = shingles(Tables.documents(s, d), col("source")).agg(
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+        dbStats.crossJoin(srcStats) // two 1-row aggregates
       },
-      Some(s"""WITH $shinglesSqlCte
-              |SELECT count(*) AS total_records,
-              |  'md5,sha256' AS algorithms,
-              |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources
-              |FROM sh""".stripMargin)
+      Some(s"""$hashdbSqlCte,
+              |dbstats AS (
+              |  SELECT count(*) AS total_records,
+              |    string_agg(DISTINCT algorithm, ',' ORDER BY algorithm)
+              |      AS algorithms
+              |  FROM hashdb),
+              |srcstats AS (
+              |  SELECT string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+              |  FROM sh)
+              |SELECT total_records, algorithms, sources
+              |FROM dbstats, srcstats""".stripMargin)
     )
   )
 }

@@ -4,11 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 import graft.util.Tables
 
-/** Similarity search over `embeddings` (array<float>, 64-dim).
-  * Brute-force top-k is oracle-checked exactly (identical double
-  * arithmetic both engines, floor-bp scores); the LSH path is the scale
-  * variant — candidates only within a bucket — and is rows-only since the
-  * hyperplane constants live in Scala.
+/** Similarity search over `embeddings` (array<float>, 64-dim). Every
+  * query here is value-checked bit-exactly against DuckDB (identical
+  * left-to-right double arithmetic, floor-bp scores); the LSH and IVF
+  * oracles replay the full index — md5-parity hyperplanes / first-N
+  * centroids are engine-portable by construction.
   */
 object SimilarityQueries extends QueryGroup {
 

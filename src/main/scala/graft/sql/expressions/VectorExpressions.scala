@@ -19,6 +19,20 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_vec_dot"
 
+  /** A null ELEMENT (containsNull arrays — parquet list elements are
+    * nullable by default) yields a null result rather than a silently
+    * wrong product: ArrayData.getFloat on a null slot returns an
+    * undefined value.
+    */
+  override def nullable: Boolean = super.nullable || elementsNullable
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -45,6 +59,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -60,10 +75,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // per-element null guard only when the static type says elements can
+      // be null — the common containsNull=false case keeps the tight loop
+      val guard =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
          |}
          |${ev.value} = $s;

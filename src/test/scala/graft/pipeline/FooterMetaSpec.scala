@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageTypeParser
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import scala.jdk.CollectionConverters._
+
+/** Footer-KV compat: a parquet file carrying the reference engine's
+  * `shaha:*` footer metadata (reference src/storage/parquet.rs:20-26) is
+  * readable without scanning data, and InfoJob prefers it over the scan.
+  * The fixture is generated with parquet-hadoop's example writer — the
+  * same footer KV mechanism the reference's ArrowWriter uses.
+  */
+class FooterMetaSpec extends AnyFunSuite with SparkTestBase {
+
+  private val schema = MessageTypeParser.parseMessageType(
+    """message hashrec {
+      |  required binary hash;
+      |  required binary preimage (STRING);
+      |  required binary algorithm (STRING);
+      |}""".stripMargin)
+
+  /** Writes a reference-style file: rows + shaha:* footer KV. */
+  private def writeFixture(dir: java.io.File, name: String,
+      meta: Map[String, String], nRows: Int): Unit = {
+    val w = ExampleParquetWriter.builder(new Path(s"$dir/$name"))
+      .withType(schema)
+      .withExtraMetaData(meta.asJava)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    (0 until nRows).foreach { i =>
+      w.write(f.newGroup()
+        .append("hash", Binary.fromConstantByteArray(Array[Byte](i.toByte)))
+        .append("preimage", s"word$i")
+        .append("algorithm", "md5"))
+    }
+    w.close()
+    // the example writer leaves a .crc next to the file; harmless
+  }
+
+  test("reads shaha:* footer metadata without touching data") {
+    val dir = Files.createTempDirectory("footer").toFile
+    writeFixture(dir, "db.parquet", Map(
+      "shaha:total_records" -> "42",
+      "shaha:algorithms" -> "md5,sha256",
+      "shaha:sources" -> "rockyou.txt,common.txt",
+      "shaha:source_hashes" -> """["abc\"123","def456"]""",
+      "shaha:bloom_items" -> "42" // present but ignored
+    ), nRows = 3)
+    val m = FooterMeta.read(spark, s"$dir/db.parquet").get
+    // footer says 42 even though the file has 3 rows — proves the fast
+    // path served metadata, not a scan
+    assert(m.totalRecords == 42L)
+    assert(m.algorithms == Seq("md5", "sha256"))
+    assert(m.sources == Seq("common.txt", "rockyou.txt"))
+    assert(m.sourceHashes == Seq("abc\"123", "def456"))
+  }
+
+  test("directory form merges per-file footers; InfoJob takes the fast path") {
+    val dir = Files.createTempDirectory("footerdir").toFile
+    writeFixture(dir, "part-0.parquet", Map(
+      "shaha:total_records" -> "10",
+      "shaha:algorithms" -> "md5",
+      "shaha:sources" -> "a.txt"), nRows = 2)
+    writeFixture(dir, "part-1.parquet", Map(
+      "shaha:total_records" -> "5",
+      "shaha:algorithms" -> "sha256,md5",
+      "shaha:sources" -> "b.txt"), nRows = 2)
+    val m = FooterMeta.read(spark, dir.toString).get
+    assert(m.totalRecords == 15L)
+    assert(m.algorithms == Seq("md5", "sha256"))
+    assert(m.sources == Seq("a.txt", "b.txt"))
+    // InfoJob: no sidecar here, so stats must come from the footers
+    // (total 15, not the 4 physical rows)
+    val stats = InfoJob.run(spark, dir.toString)
+    assert(stats.totalRecords == 15L)
+    assert(stats.algorithms == Seq("md5", "sha256"))
+  }
+
+  test("files without shaha keys yield None (fallback to scan)") {
+    val dir = Files.createTempDirectory("nofooter").toFile
+    writeFixture(dir, "plain.parquet", Map("other:key" -> "1"), nRows = 2)
+    assert(FooterMeta.read(spark, dir.toString).isEmpty)
+    assert(FooterMeta.read(spark, s"$dir/missing").isEmpty)
+    // (InfoJob's aggregate-scan fallback on catalog-less data is covered
+    // by PipelineSpec against a full-schema database)
+  }
+
+  test("a sidecar catalog wins over footer metadata") {
+    val dir = Files.createTempDirectory("precedence").toFile
+    writeFixture(dir, "db.parquet", Map(
+      "shaha:total_records" -> "42",
+      "shaha:algorithms" -> "md5"), nRows = 1)
+    SidecarMeta.write(spark, dir.toString,
+      SidecarMeta(7L, Seq("sha512"), Seq("s.txt"), Seq.empty))
+    val stats = InfoJob.run(spark, dir.toString)
+    assert(stats.totalRecords == 7L)
+    assert(stats.algorithms == Seq("sha512"))
+  }
+}

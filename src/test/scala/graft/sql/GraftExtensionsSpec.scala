@@ -29,6 +29,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage.contains("exactly two"))
   }
 
+  test("graft_vec_dot returns null, not a wrong product, on null elements") {
+    GraftExtensions.register(spark)
+    // array(1.0D, NULL) has containsNull=true → per-element guard active,
+    // both in the interpreted path and in codegen
+    val r = spark.sql(
+      """SELECT graft_vec_dot(array(1.0D, CAST(NULL AS DOUBLE)),
+        |                     array(2.0D, 3.0D)) AS d,
+        |       graft_vec_dot(array(1.0D, 2.0D),
+        |                     array(2.0D, CAST(NULL AS DOUBLE))) AS e""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // null-free values inside a nullable-element array still compute
+    val ok = spark.sql(
+      """SELECT graft_vec_dot(array(1.0D, CAST(2.0D AS DOUBLE)),
+        |  CASE WHEN rand() >= 0 THEN array(3.0D, 4.0D) END)""".stripMargin)
+      .head().getDouble(0)
+    assert(ok == 11.0)
+  }
+
   test("SQL queries over a built hash db through registered functions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ext-db").toString + "/db"
