@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of re-logging it
+// with an "[info] " prefix: graft.Bench's one-line JSON contract must
+// appear bare on stdout for the driver's parser (BENCH_r01/r02 recorded
+// parsed:null because of the sbt log framing).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,9 +101,9 @@ object Dedup {
             .as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = LshGuard.capBuckets(melted, Seq("band", "sig"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meltedP = graft.util.AutoUnpersist.persistScoped(melted)
+    val capped = graft.util.AutoUnpersist.persistScoped(
+      LshGuard.capBuckets(meltedP, Seq("band", "sig"), maxBucket))
     capped.select(col("doc_id").as("i"), col("band"), col("sig"))
       .join(capped.select(col("doc_id").as("j"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -132,9 +132,9 @@ object Dedup {
       portable: Boolean = true, maxBucket: Int = 5000
   ): DataFrame = {
     // the shingle set feeds signatures AND the verify joins (4 consumers);
-    // persist it instead of re-exploding the corpus each time
-    val sh = shingles(docs, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist it instead of re-exploding the corpus each time (released
+    // after the consuming action — see AutoUnpersist)
+    val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
     val cands =
       lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand, maxBucket)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
@@ -192,15 +192,14 @@ object Dedup {
   def simhashPairs(
       sh: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000
   ): DataFrame = {
-    val wide = simhashWide(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val melted = wide.select(col("doc_id"),
-      explode(array((0 until 8).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", col(s"d${2 * b + 1}"), col(s"d${2 * b + 2}")).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wide = graft.util.AutoUnpersist.persistScoped(simhashWide(sh))
+    val melted = graft.util.AutoUnpersist.persistScoped(
+      wide.select(col("doc_id"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", col(s"d${2 * b + 1}"), col(s"d${2 * b + 2}")).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key")))
     val capped = LshGuard.capBuckets(melted, Seq("band", "key"), maxBucket)
     val cands = capped.select(col("doc_id").as("i"), col("band"), col("key"))
       .join(capped.select(col("doc_id").as("j"), col("band"), col("key")),
@@ -248,17 +247,21 @@ object Dedup {
     while (iter < maxIter && !converged) {
       // two propagation rounds per convergence check: dedup clusters are
       // near-cliques (diameter ≤ 2 is the norm), so checking every round
-      // just doubles the job count
-      val next = propagate(propagate(labels))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // just doubles the job count. The eager localCheckpoint both
+      // materializes the round AND truncates the logical plan — without it
+      // the lineage doubles per round and Catalyst/AQE re-analyze the whole
+      // growing tree on every convergence check (the r2 bench's heaviest
+      // cost). Checkpoint blocks are reclaimed by the ContextCleaner when
+      // superseded frames go out of scope; the label frame is one row per
+      // paired doc — tiny relative to the edge data.
+      val next = propagate(propagate(labels)).localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      val prev = labels
       labels = next
-      prev.unpersist(false) // superseded iteration's cache
       converged = changed == 0
       iter += 2
     }
+    // the returned frame is checkpointed — it no longer depends on these
     edges.unpersist(false)
     p.unpersist(false)
     labels
@@ -276,8 +279,7 @@ object Dedup {
     * product), verified with exact Jaccard.
     */
   def ngramJaccard(docs: DataFrame, maxDf: Int = 3, shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(docs, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
     val rare = sh.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val rareSh = sh.join(rare.select("w"), "w")
     val cands = rareSh.select(col("doc_id").as("i"), col("w"))

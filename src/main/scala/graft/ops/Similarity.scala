@@ -189,17 +189,17 @@ object Similarity {
       nPlanes: Int = 4, nTables: Int = 12, maxBucket: Int = 5000,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
-        norm(col(vecCol)).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = graft.util.AutoUnpersist.persistScoped(
+      vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm")))
     // one row per (vector, table): bucket signature — melted long format,
     // one self-join total instead of one per table
-    val melted = v.select(col("vid"),
+    val melted = graft.util.AutoUnpersist.persistScoped(
+      v.select(col("vid"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("t"), lshBucket(col("vec"), dim, nPlanes, t).as("b"))
         }: _*)).as("tb"))
-      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b")))
     val capped = LshGuard.capBuckets(melted, Seq("t", "b"), maxBucket)
     val cands = capped.select(col("vid").as("i"), col("t"), col("b"))
       .join(capped.select(col("vid").as("j"), col("t"), col("b")), Seq("t", "b"))

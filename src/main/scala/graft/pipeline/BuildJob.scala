@@ -137,14 +137,19 @@ object BuildJob {
       collect_set(col("algorithm")).as("algos"),
       array_sort(array_distinct(flatten(collect_set(col("sources"))))).as("srcs")
     ).head()
-    SidecarMeta.write(spark, output, SidecarMeta(
+    val meta = SidecarMeta(
       totalRecords = stats.getLong(0),
       algorithms = stats.getSeq[String](1).sorted,
       sources = stats.getSeq[String](2),
       sourceHashes =
         (existingMeta.filter(_ => cfg.append).map(_.sourceHashes).getOrElse(Seq.empty) ++
           contentHash.toSeq).distinct
-    ))
+    )
+    SidecarMeta.write(spark, output, meta)
+    // K2 write side: stamp the same catalog into each file's footer so the
+    // reference CLI's metadata fast path (parquet.rs:152-202) reads graft
+    // output directly, sidecar or no sidecar
+    FooterMeta.write(spark, output, meta)
     Result(written = true, records = stats.getLong(0))
   }
 

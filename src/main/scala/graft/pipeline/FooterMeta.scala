@@ -1,18 +1,21 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.Path
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.format.{KeyValue, Util}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
-/** Compatibility reader for the reference engine's Parquet footer
-  * key/value catalog (`shaha:*` keys — reference src/storage/parquet.rs:20-26,
-  * written at parquet.rs:426-474, read back at parquet.rs:152-202). A
-  * database produced by the reference carries its record count, algorithm
-  * and source lists inside each file's footer; without this reader a stats
-  * call on such a file would fall back to a full scan.
+/** Compatibility layer for the reference engine's Parquet footer key/value
+  * catalog (`shaha:*` keys — reference src/storage/parquet.rs:20-26,
+  * written at parquet.rs:426-474, read back at parquet.rs:152-202).
   *
+  * READ: a database produced by the reference carries its record count,
+  * algorithm and source lists inside each file's footer; without this
+  * reader a stats call on such a file would fall back to a full scan.
   * Multi-file datasets merge per-file entries: counts summed, name sets
   * unioned (the reference writes a single file; Spark output is many).
   * The serialized sip-keyed bloom (`shaha:bloom_*`, parquet.rs:444-461) is
@@ -20,31 +23,38 @@ import scala.jdk.CollectionConverters._
   * column bloom filters and hash range predicates, which the scan applies
   * automatically.
   *
-  * Footer reads happen driver-side, one small ranged read per file — fine
-  * for a stats call even on large datasets; the data pages are never
-  * touched.
+  * WRITE: Spark's public Parquet writer can't append custom footer KVs, so
+  * after a build this rewrites each file's footer in place — parse the
+  * thrift `FileMetaData`, append the `shaha:*` entries, serialize, splice
+  * (data pages, bloom filters and column-index offsets are untouched:
+  * only the trailing footer + length + magic are replaced, via a
+  * filesystem-API copy so checksum files stay consistent). The reference
+  * CLI's metadata fast path (parquet.rs:152-202) then reads graft output
+  * directly. Each file records ITS OWN row count (the read side sums),
+  * with the dataset-wide algorithm/source lists — same merge semantics in
+  * both directions.
+  *
+  * Footer reads/rewrites happen driver-side, one small ranged read (plus,
+  * for writes, one streaming copy) per file, fanned out on the JVM's
+  * common pool — fine for a build-finalize or stats call; data pages are
+  * never decoded.
   */
 object FooterMeta {
   private val KeyTotal = "shaha:total_records"
   private val KeyAlgorithms = "shaha:algorithms"
   private val KeySources = "shaha:sources"
   private val KeySourceHashes = "shaha:source_hashes"
+  private val Magic = "PAR1".getBytes("US-ASCII")
 
   /** Stats from `shaha:*` footer metadata of a parquet file or a directory
-    * of parquet files; None when absent/unreadable (callers fall back).
+    * of parquet files (recursive — hive-partitioned layouts included);
+    * None when absent/unreadable (callers fall back).
     */
   def read(spark: SparkSession, db: String): Option[SidecarMeta] = try {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(db)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return None
-    val files =
-      if (!fs.getFileStatus(root).isDirectory) Seq(root)
-      else fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
-        val n = p.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }
-    val metas = files.flatMap { p =>
+    val metas = inParallel(parquetFiles(fs, root)) { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala
@@ -58,7 +68,7 @@ object FooterMeta {
             kv.get(KeySourceHashes).toSeq.flatMap(parseJsonArray))
         }
       } finally reader.close()
-    }
+    }.flatten
     if (metas.isEmpty) None
     else Some(SidecarMeta(
       metas.map(_.totalRecords).sum,
@@ -66,6 +76,114 @@ object FooterMeta {
       metas.flatMap(_.sources).distinct.sorted,
       metas.flatMap(_.sourceHashes).distinct.sorted))
   } catch { case _: Exception => None }
+
+  /** Stamp `shaha:*` footer metadata onto every parquet file under `db`.
+    * Per-file `total_records` is the file's own row count (taken from the
+    * footer being rewritten), so [[read]]'s summing merge reproduces the
+    * dataset total and the reference CLI sees correct stats on any single
+    * file it is pointed at.
+    */
+  def write(spark: SparkSession, db: String, meta: SidecarMeta): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(db)
+    val fs = root.getFileSystem(conf)
+    inParallel(parquetFiles(fs, root))(p => appendFooterKv(fs, p, meta))
+  }
+
+  private def parquetFiles(fs: FileSystem, root: Path): Seq[Path] = {
+    if (!fs.exists(root)) return Seq.empty
+    if (!fs.getFileStatus(root).isDirectory) return Seq(root)
+    val it = fs.listFiles(root, true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        buf += s.getPath
+    }
+    buf.result()
+  }
+
+  /** Driver-side per-file footer work, fanned out on the common pool:
+    * thousands of files stop being a sequential metadata crawl.
+    */
+  private def inParallel[T](files: Seq[Path])(f: Path => T): Seq[T] = {
+    val tasks = files.map(p =>
+      java.util.concurrent.CompletableFuture.supplyAsync(() => f(p)))
+    tasks.map(_.join())
+  }
+
+  /** Splice `shaha:*` entries into one file's footer. The new file is
+    * byte-identical up to the footer; offsets inside the footer stay valid
+    * because no data moves.
+    */
+  private def appendFooterKv(fs: FileSystem, p: Path, meta: SidecarMeta): Unit = {
+    val len = fs.getFileStatus(p).getLen
+    require(len > 12, s"$p: too small to be a parquet file")
+    val in = fs.open(p)
+    val (footerStart, fmd) =
+      try {
+        in.seek(len - 8)
+        val tail = new Array[Byte](8)
+        in.readFully(tail)
+        require(java.util.Arrays.equals(tail.drop(4), Magic),
+          s"$p: missing PAR1 magic (encrypted or not parquet)")
+        val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+          ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+        val start = len - 8L - footerLen
+        require(start >= 4, s"$p: implausible footer length $footerLen")
+        in.seek(start)
+        val buf = new Array[Byte](footerLen)
+        in.readFully(buf)
+        (start, Util.readFileMetaData(new ByteArrayInputStream(buf)))
+      } finally in.close()
+
+    // replace any stale shaha:* entries, then append the fresh ones in the
+    // reference's formats (decimal / comma-joined / JSON string array)
+    val kept = Option(fmd.getKey_value_metadata).map(_.asScala.toSeq)
+      .getOrElse(Seq.empty).filterNot(_.getKey.startsWith("shaha:"))
+    def kv(k: String, v: String) = { val e = new KeyValue(k); e.setValue(v); e }
+    val fresh = Seq(
+      kv(KeyTotal, fmd.getNum_rows.toString),
+      kv(KeyAlgorithms, meta.algorithms.mkString(",")),
+      kv(KeySources, meta.sources.mkString(","))
+    ) ++ (if (meta.sourceHashes.nonEmpty)
+      Seq(kv(KeySourceHashes, meta.sourceHashes
+        .map(s => "\"" + SidecarMeta.escape(s) + "\"")
+        .mkString("[", ",", "]")))
+    else Seq.empty)
+    fmd.setKey_value_metadata((kept ++ fresh).asJava)
+
+    val out = new ByteArrayOutputStream()
+    Util.writeFileMetaData(fmd, out)
+    val footer = out.toByteArray
+
+    // copy data prefix + new footer to a sibling, then swap — going through
+    // the FileSystem API keeps ChecksumFileSystem .crc sidecars consistent
+    // (an in-place RandomAccessFile edit would poison local reads)
+    val tmp = new Path(p.getParent, s".${p.getName}.footer.tmp")
+    val src = fs.open(p)
+    val dst = fs.create(tmp, true)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var remaining = footerStart
+      while (remaining > 0) {
+        val n = src.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        require(n > 0, s"$p: truncated read at ${footerStart - remaining}")
+        dst.write(buf, 0, n)
+        remaining -= n
+      }
+      dst.write(footer)
+      dst.write(Array[Byte](
+        (footer.length & 0xff).toByte, ((footer.length >> 8) & 0xff).toByte,
+        ((footer.length >> 16) & 0xff).toByte,
+        ((footer.length >> 24) & 0xff).toByte))
+      dst.write(Magic)
+    } finally { src.close(); dst.close() }
+    if (!fs.delete(p, false) || !fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to swap rewritten footer into $p")
+  }
 
   /** The reference serializes source_hashes as a JSON string array
     * (parquet.rs:464-471); same minimal parser as the sidecar's.

@@ -54,9 +54,16 @@ object HashDbQueries extends QueryGroup {
   /** The build pipeline's record expansion (A1 dedup → F2 word×algo fan-out
     * → O1 hash order), hex-encoded for the oracle.
     */
+  /** The algorithms the build queries apply (md5/sha256: the two DuckDB can
+    * oracle); stats derive counts and the algorithm list from this — the
+    * list actually applied — not from a second scan of the built rows.
+    */
+  private val buildAlgos: Seq[(String, Column => Column)] =
+    Seq("md5" -> (w => md5(w)), "sha256" -> (w => sha2(w, 256)))
+
   private def hashdb(s: SparkSession, d: String): DataFrame = {
     val words = shingles(Tables.documents(s, d)).select("w").distinct()
-    val perAlgo = Seq("md5" -> md5(col("w")), "sha256" -> sha2(col("w"), 256))
+    val perAlgo = buildAlgos.map { case (n, f) => n -> f(col("w")) }
     words.select(
       explode(array(perAlgo.map { case (name, h) =>
         struct(h.as("hash_hex"), col("w").as("preimage"), lit(name).as("algorithm"))
@@ -162,18 +169,21 @@ object HashDbQueries extends QueryGroup {
       None
     ),
 
-    // A3-A5: info stats — record count and algorithm list from the BUILT
-    // database rows (not hardcoded), source list from the ingest stream.
+    // A3-A5: info stats — records, algorithms, sources, all from ONE shingle
+    // pass: total_records = distinct words × #algorithms (each word fans out
+    // to exactly one record per algorithm — the identity q_hashdb_dryrun
+    // already relies on), algorithms is the applied list itself, sources a
+    // collect_set over the same frame. A previous formulation ran the full
+    // build pipeline AND a second shingle scan, then crossJoined the two
+    // 1-row aggregates — its duplicated giant plan cost ~13 s of
+    // whole-stage-codegen compilation per session (driver bench r2).
     "q_hashdb_stats" -> QueryDef(
-      (s, d) => {
-        val dbStats = hashdb(s, d).agg(
-          count(lit(1)).as("total_records"),
-          array_join(array_sort(collect_set(col("algorithm"))), ",")
-            .as("algorithms"))
-        val srcStats = shingles(Tables.documents(s, d), col("source")).agg(
-          array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
-        dbStats.crossJoin(srcStats) // two 1-row aggregates
-      },
+      (s, d) =>
+        shingles(Tables.documents(s, d), col("source")).agg(
+          (countDistinct(col("w")) * buildAlgos.size).as("total_records"),
+          lit(buildAlgos.map(_._1).sorted.mkString(",")).as("algorithms"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources")
+        ),
       Some(s"""$hashdbSqlCte,
               |dbstats AS (
               |  SELECT count(*) AS total_records,

@@ -209,6 +209,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(exact == 1L)
   }
 
+  test("LSH pipelines launch no Spark jobs at construction time") {
+    // the r2 guard ran an eager count() per capBuckets call, materializing
+    // the whole signature pipeline in an extra job before the real query —
+    // constructing the DataFrame must schedule nothing
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dedup.minhashLsh(docs)
+      Similarity.lshNearDupPairs(emb, dim = 64, thresholdBp = 4000)
+      Dedup.simhashPairs(Dedup.shingles(docs))
+      Thread.sleep(2000) // listener bus is async; give a spurious job time to surface
+      assert(jobs.get() == 0,
+        s"${jobs.get()} Spark job(s) ran during DataFrame construction")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("cosine is 1.0 for identical vectors and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),

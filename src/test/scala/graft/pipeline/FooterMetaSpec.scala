@@ -91,6 +91,32 @@ class FooterMetaSpec extends AnyFunSuite with SparkTestBase {
     // by PipelineSpec against a full-schema database)
   }
 
+  test("a graft-built database round-trips through the footer alone (write side)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("builtfooter").toFile + "/db"
+    val words = (1 to 40).map(i => s"word$i").toDS()
+    val res = BuildJob.run(spark, words, out,
+      BuildJob.Config(algorithms = Seq("md5", "sha256"), sourceName = "unit.txt"),
+      contentHash = Some("deadbeef"))
+    assert(res.written && res.records == 80L)
+    // remove the sidecar: the reference CLI never reads it — its metadata
+    // fast path (parquet.rs:152-202) must find everything in the footers
+    val sidecar = new java.io.File(out, SidecarMeta.FileName)
+    assert(sidecar.delete(), "sidecar should have existed")
+    val m = FooterMeta.read(spark, out).get
+    assert(m.totalRecords == 80L) // per-file counts sum to the dataset total
+    assert(m.algorithms == Seq("md5", "sha256"))
+    assert(m.sources == Seq("unit.txt"))
+    assert(m.sourceHashes == Seq("deadbeef"))
+    // the rewrite must not have corrupted the data or its ordering
+    val back = spark.read.parquet(out)
+    assert(back.count() == 80L)
+    assert(back.select("preimage").distinct().count() == 40L)
+    // InfoJob now serves stats from footers, no sidecar needed
+    val stats = InfoJob.run(spark, out)
+    assert(stats.totalRecords == 80L)
+  }
+
   test("a sidecar catalog wins over footer metadata") {
     val dir = Files.createTempDirectory("precedence").toFile
     writeFixture(dir, "db.parquet", Map(
