@@ -76,25 +76,75 @@ object Similarity {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  /** IVF coarse quantizer: deterministic centroids (the first `nCells`
-    * vectors by id — a stand-in for k-means that keeps results
-    * reproducible), collected to the driver and broadcast as literals so
-    * cell assignment is a narrow argmax projection over codegen dots.
+  /** IVF seed centroids: the first `nCells` vectors by id — deterministic,
+    * collected to the driver and broadcast as literals so cell assignment
+    * is a narrow argmax projection over codegen dots.
     */
   def ivfCentroids(
       vectors: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"
-  ): Seq[Array[Float]] =
+  ): Seq[Array[Double]] =
     vectors.orderBy(idCol).limit(nCells).select(vecCol)
-      .collect().map(_.getSeq[Float](0).toArray).toSeq
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble)).toSeq
+
+  /** `iters` Lloyd rounds of k-means refinement over the deterministic
+    * first-N seed. Each round is two DataFrame aggregations: (1) assign
+    * every vector to its argmax-cosine cell (same tie rule as [[ivfCell]]),
+    * (2) per (cell, dimension), the member mean — computed as an ORDERED
+    * left-to-right fold over members sorted by id, so any engine replaying
+    * the same fold (DuckDB `list_reduce(list(x ORDER BY id))`) reproduces
+    * the centroids bit-for-bit; a plain `sum()` is order-nondeterministic
+    * across partitions, which would make assignment argmaxes — discrete
+    * decisions — engine-dependent. Cells that lose all members keep their
+    * previous centroid. Only the 16×64-double centroid table ever reaches
+    * the driver; member lists stay distributed.
+    *
+    * At corpus scale swap the fold for `sum()/count()` (codegen, no
+    * collect_list) when cross-engine bit-parity isn't required — same
+    * trade as the md5-vs-xxhash64 MinHash families.
+    */
+  def kmeansCentroids(
+      vectors: DataFrame, nCells: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): Seq[Array[Double]] = {
+    var cents = ivfCentroids(vectors, nCells, idCol, vecCol)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters) {
+      val means = vectors
+        .select(col(idCol).as("_id"),
+          ivfCell(col(vecCol), cents).as("_cell"),
+          posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+        .groupBy("_cell", "_dim")
+        .agg(
+          sort_array(collect_list(struct(col("_id"), col("_v").cast("double").as("_v"))))
+            .as("_arr"),
+          count(lit(1)).as("_n"))
+        .select(col("_cell"), col("_dim"),
+          (aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x.getField("_v"))
+            / col("_n")).as("_m"))
+        .collect()
+      val next = cents.zipWithIndex.map { case (old, _) => old.clone() }
+      val touched = Array.fill(nCells)(false)
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        next(cell)(r.getInt(1)) = r.getDouble(2)
+        touched(cell) = true
+      }
+      // a cell with no members keeps its previous centroid (`next` starts
+      // as a copy, so untouched cells already do); recorded for clarity
+      require(touched.length == nCells && dim >= 0)
+      cents = next.toSeq
+    }
+    cents
+  }
 
   /** Cell id = argmax over centroids of cos(vec, centroid). The vec's own
     * norm is constant across centroids, so only centroid norms matter.
     */
-  def ivfCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
+  def ivfCell(vec: Column, centroids: Seq[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cNorm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-      struct((dot(vec, array(c.toSeq.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(vec, array(c.toSeq.map(lit): _*)) / cNorm).as("s"),
         lit(i).as("cell"))
     }
     greatest(scored: _*).getField("cell")
@@ -107,17 +157,17 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val centroids = ivfCentroids(candidates, nCells, idCol, vecCol)
+    val centroids = kmeansCentroids(candidates, nCells, lloydIters, idCol, vecCol)
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
       ivfCell(col(vecCol), centroids).as("cell"))
     // per-query ranked probe cells
     val cellScores = centroids.zipWithIndex.map { case (cv, i) =>
-      val cNorm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-      struct((dot(col("qv"), array(cv.toSeq.map(x => lit(x.toDouble)): _*)) / cNorm).as("s"),
+      val cNorm = math.sqrt(cv.map(x => x * x).sum)
+      struct((dot(col("qv"), array(cv.toSeq.map(lit): _*)) / cNorm).as("s"),
         lit(i).as("cell"))
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

@@ -10,8 +10,9 @@ import graft.util.Tables
   * UTF-8 bytes, so DuckDB recomputes the expected metadata independently
   * from `documents` — which value-checks the whole synthesize → binary
   * header → describe() round trip, not just our own readback. The feature
-  * query stays rows-only (its checksum is blake3, which DuckDB lacks;
-  * MultimodalSpec pins those semantics).
+  * query is oracled on every non-blake3 column (DuckDB lacks blake3; the
+  * checksum/feature VALUES are pinned by MultimodalSpec's known-answer
+  * vectors instead).
   */
 object MultimodalQueries extends QueryGroup {
 
@@ -48,17 +49,41 @@ object MultimodalQueries extends QueryGroup {
              |FROM m GROUP BY 1 ORDER BY modality""".stripMargin)
     ),
 
-    // Frame sampling + stubbed feature extraction over sampled media.
+    // Stubbed feature extraction through the batched mapPartitions decode
+    // boundary, now oracled: the compared projection carries everything
+    // DuckDB can recompute — header dimensions, payload size, and the
+    // SHAPE of the extracted features (dim 4, 16-hex checksum) — while the
+    // blake3-derived values themselves stay out of the projection (DuckDB
+    // lacks blake3; MultimodalSpec pins them with known-answer vectors).
+    // The decode still runs for every row: feature_dim/checksum_len are
+    // computed FROM the mapPartitions output, which no optimizer can
+    // prune through the deserialization boundary.
     "q_multimodal_features" -> QueryDef(
       (s, d) => {
-        val media = Multimodal.synthesize(Tables.documents(s, d).limit(200))
-        Multimodal.extractFeatures(media)()
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 200))
+        val feats = Multimodal.extractFeatures(media)()
           .toDF()
-          .select(col("media_id"), col("modality"), col("checksum"),
-            element_at(col("feature"), 1).as("f0"))
-          .orderBy("media_id")
+          .select(col("media_id"), col("modality"),
+            size(col("feature")).as("feature_dim"),
+            length(col("checksum")).as("checksum_len"))
+        val meta = media.select(col("media_id"),
+            Multimodal.describe(col("media")).as("m"))
+          .select(col("media_id"), col("m.width").as("width"),
+            col("m.n_frames").as("n_frames"),
+            col("m.payload_bytes").as("payload_bytes"))
+        feats.join(meta, "media_id").orderBy("media_id")
       },
-      None
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+             |    ELSE 'video' END AS modality,
+             |  CAST(4 AS INTEGER) AS feature_dim,
+             |  CAST(16 AS INTEGER) AS checksum_len,
+             |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+             |  CAST(CASE WHEN doc_id % 3 + 1 = 3 THEN 4 + doc_id % 8 ELSE 1 END
+             |    AS INTEGER) AS n_frames,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+             |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin)
     )
   )
 }

@@ -12,6 +12,56 @@ import graft.util.Tables
   */
 object SimilarityQueries extends QueryGroup {
 
+  /** Lloyd rounds for the oracled IVF query (seed = first 16 by vec_id). */
+  private val IvfLloydIters = 3
+
+  /** CTE chain replaying [[Similarity.kmeansCentroids]] in DuckDB:
+    * `cents0` (first-16 seed, cast to double) and, per round k,
+    * `score{k}` (cos against cents{k}), `asg{k}` (argmax cell, ties to the
+    * higher cell), `newc{k}` (per cell×dim ordered-fold mean), and
+    * `cents{k+1}` (new centroids; member-less cells keep the old one).
+    * Ends with `score{iters}` — assignment/probes against the final
+    * centroids.
+    */
+  private def kmeansCentsCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """cents0 AS (
+             |  SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+             |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16))""".stripMargin
+    def score(k: Int): String =
+      s"""score$k AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+         |        x -> e.embedding[x]::DOUBLE * c.cv[x]), (s, v) -> s + v)
+         |      / sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)),
+         |        x -> c.cv[x] * c.cv[x]), (s, v) -> s + v)) AS s
+         |  FROM embeddings e, cents$k c)""".stripMargin
+    for (k <- 0 until iters) {
+      sb ++= ",\n" + score(k) + ",\n"
+      sb ++=
+        s"""asg$k AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY s DESC, cell DESC) AS rn
+           |    FROM score$k) WHERE rn = 1),
+           |newc$k AS (
+           |  SELECT a.cell, d.dim,
+           |    list_reduce(list(e.embedding[d.dim]::DOUBLE ORDER BY e.vec_id),
+           |      (s, v) -> s + v) / count(*) AS m
+           |  FROM asg$k a JOIN embeddings e ON e.vec_id = a.vec_id,
+           |       (SELECT unnest(generate_series(1, 64)) AS dim) d
+           |  GROUP BY a.cell, d.dim),
+           |cents${k + 1} AS (
+           |  SELECT cell, list(m ORDER BY dim) AS cv FROM newc$k GROUP BY cell
+           |  UNION ALL
+           |  SELECT cell, cv FROM cents$k
+           |  WHERE cell NOT IN (SELECT cell FROM newc$k))""".stripMargin
+    }
+    sb ++= ",\n" + score(iters)
+    sb.toString
+  }
+
   private val cosineSql: String =
     """list_reduce(list_transform(generate_series(1, len(q.embedding)),
       |      x -> q.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)
@@ -129,39 +179,33 @@ object SimilarityQueries extends QueryGroup {
              |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
-    // IVF ANN: coarse-quantizer cells + nProbe search, fully value-checked —
-    // the centroids are the first 16 vectors by id, so DuckDB replays the
-    // entire index: cell assignment (argmax dot/|c|, ties to higher cell),
-    // probe ranking, candidate join, exact-cosine top-k.
+    // IVF ANN: coarse-quantizer cells + nProbe search, fully value-checked.
+    // The index is now a real (if deterministic) k-means: first-16 seed +
+    // 3 Lloyd rounds, each centroid mean computed as an ORDERED
+    // left-to-right fold over members sorted by vec_id — so DuckDB replays
+    // the ENTIRE training loop bit-for-bit (list_reduce over
+    // list(ORDER BY)), then the same assignment (argmax dot/|c|, ties to
+    // higher cell), probe ranking, candidate join, exact-cosine top-k.
     "q_sim_ivf_topk" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, k = 5,
-            nCells = 16, nProbe = 4)
+            nCells = 16, nProbe = 4, lloydIters = IvfLloydIters)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH cents AS (
-             |  SELECT vec_id AS cell, embedding AS cv
-             |  FROM embeddings ORDER BY vec_id LIMIT 16),
-             |cellscore AS (
-             |  SELECT e.vec_id, c.cell,
-             |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
-             |        x -> e.embedding[x]::DOUBLE * c.cv[x]::DOUBLE), (s, v) -> s + v)
-             |      / sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)),
-             |        x -> c.cv[x]::DOUBLE * c.cv[x]::DOUBLE), (s, v) -> s + v)) AS s
-             |  FROM embeddings e, cents c),
+      Some(s"""WITH ${kmeansCentsCtes(IvfLloydIters)},
              |assigned AS (
              |  SELECT vec_id, cell FROM (
              |    SELECT vec_id, cell,
              |      row_number() OVER (PARTITION BY vec_id
              |                         ORDER BY s DESC, cell DESC) AS rn
-             |    FROM cellscore) WHERE rn = 1),
+             |    FROM score$IvfLloydIters) WHERE rn = 1),
              |probes AS (
              |  SELECT vec_id AS query_id, cell FROM (
              |    SELECT vec_id, cell,
              |      row_number() OVER (PARTITION BY vec_id
              |                         ORDER BY s DESC, cell DESC) AS rn
-             |    FROM cellscore WHERE vec_id < 50) WHERE rn <= 4),
+             |    FROM score$IvfLloydIters WHERE vec_id < 50) WHERE rn <= 4),
              |norms AS (
              |  SELECT vec_id, sqrt(list_reduce(list_transform(
              |      generate_series(1, len(embedding)),

@@ -134,6 +134,57 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.nonEmpty)
   }
 
+  test("k-means-refined IVF centroids do not lose recall vs the raw seed") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(iters: Int): Double = {
+      val got = Similarity.ivfTopK(q, emb, k = 3, nCells = 8, nProbe = 2,
+          lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val seed = recallAt(0)
+    val refined = recallAt(3)
+    // Lloyd rounds move centroids toward true density modes; with a tight
+    // probe budget (2 of 8 cells) that must help, never hurt
+    assert(refined >= seed, s"k-means recall $refined < seed recall $seed")
+    assert(refined >= 0.5, s"refined recall $refined too low")
+    info(f"IVF recall@nProbe=2: seed=$seed%.3f kmeans(3)=$refined%.3f")
+  }
+
+  test("k-means centroids are the exact ordered-fold member means") {
+    val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 1)
+    val seed = Similarity.ivfCentroids(emb, 8)
+    // recompute iteration 1 naively on the driver from collected data
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * c(i); i += 1 }
+      dot / math.sqrt(c.map(x => x * x).sum)
+    }
+    val members = rows.groupBy { case (_, v) =>
+      // argmax with ties to the HIGHER cell — mirror struct-greatest
+      seed.zipWithIndex.map { case (c, i) => (cos(v, c), i) }.max._2
+    }
+    val expected = seed.indices.map { cell =>
+      members.get(cell) match {
+        case None => seed(cell)
+        case Some(ms) =>
+          val dim = ms.head._2.length
+          Array.tabulate(dim) { d =>
+            // ordered fold by vec_id, left to right, 0.0 seed — the spec
+            // of the portable centroid family
+            ms.foldLeft(0.0) { case (s, (_, v)) => s + v(d).toDouble } / ms.length
+          }
+      }
+    }
+    cents.zip(expected).zipWithIndex.foreach { case ((got, want), cell) =>
+      assert(got.sameElements(want), s"cell $cell centroid mismatch")
+    }
+  }
+
   test("exact near-dup pairs: blocked equi-join matches the naive all-pairs set") {
     val naive = {
       val e = emb.select(col("vec_id"), col("embedding"),
