@@ -225,11 +225,16 @@ object Dedup {
     * docs absent from `pairs` are implicitly their own cluster.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // persist the input FIRST: the union below references `pairs` twice,
-    // which would otherwise run its (possibly expensive candidate-
-    // generation) lineage twice in the same job
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // undirected edge list, both directions
+    // materialize the (possibly expensive candidate-generation) pair
+    // pipeline ONCE, eagerly, before anything references it twice: a lazy
+    // persist is populated DURING the first job, so the union's two
+    // branches — racing in concurrent stages — would each recompute the
+    // full lineage instead of hitting the cache. An eager localCheckpoint
+    // also truncates the plan, so every iteration below re-analyzes a
+    // two-column leaf rather than the whole LSH pipeline.
+    val p = pairs.localCheckpoint(true)
+    // undirected edge list, both directions (cheap: two scans of the
+    // checkpointed blocks), cached across propagation rounds
     val edges = p.select(col("i").as("a"), col("j").as("b"))
       .union(p.select(col("j").as("a"), col("i").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -261,9 +266,9 @@ object Dedup {
       converged = changed == 0
       iter += 2
     }
-    // the returned frame is checkpointed — it no longer depends on these
+    // the returned frame is checkpointed — it no longer depends on this
+    // (p's checkpoint blocks are reclaimed by the ContextCleaner on GC)
     edges.unpersist(false)
-    p.unpersist(false)
     labels
   }
 

@@ -293,11 +293,14 @@ object AnalyticsQueries extends QueryGroup {
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            floor(expr("percentile(l_extendedprice, 0.5)") * 100).cast("long")
-              .as("p50_cents"),
-            floor(expr("percentile(l_extendedprice, 0.95)") * 100).cast("long")
-              .as("p95_cents"),
+            // ONE exact-percentile buffer serving both quantiles — two
+            // separate percentile() aggs each collect every value per group
+            expr("percentile(l_extendedprice, array(0.5, 0.95))").as("_p"),
             count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            floor(element_at(col("_p"), 1) * 100).cast("long").as("p50_cents"),
+            floor(element_at(col("_p"), 2) * 100).cast("long").as("p95_cents"),
+            col("n"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
