@@ -27,15 +27,17 @@ object Dedup {
   }
 
   /** doc_id → exploded distinct n-token shingles (column `w`).
-    * Repartitions the (often single-file) doc scan first: the explode fans
-    * out ~50× into hash-heavy consumers, which would otherwise run in as
-    * few tasks as the scan has input splits.
+    * Fans the doc scan out first when it has fewer splits than the
+    * cluster has slots (a single-file fixture would otherwise run the
+    * ~50× explode into hash-heavy consumers in one task); an
+    * already-parallel corpus scan skips the shuffle — see
+    * [[graft.util.Partitioning.fanOut]].
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     // tokens materialized as a column: a lambda closing over split(text)
     // re-evaluates the split per element (HOFs are interpreted) — ~10×
     val t = col("_toks")
-    docs.repartition()
+    graft.util.Partitioning.fanOut(docs)
       .withColumn("_toks", split(col("text"), " "))
       .filter(size(t) >= n)
       .select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Blake3
@@ -27,6 +27,9 @@ import graft.core.Blake3
   */
 object Multimodal {
 
+  /** Canonical media-table shape produced by [[synthesize]] and expected
+    * by [[describe]]/[[extractFeatures]].
+    */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media", BinaryType, nullable = false),
@@ -37,22 +40,25 @@ object Multimodal {
 
   /** Synthesize a media table from any text corpus (test/bench fixture —
     * the payload is the UTF-8 text, dimensions derived deterministically).
+    * Pure column projection: header ints are rendered big-endian via
+    * `unhex(lpad(hex(n)))`, so container assembly is codegen'd,
+    * distributed, and shuffle-free at any corpus size.
     */
   def synthesize(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val out = docs.select(col("doc_id"), col("text")).rdd.map { r =>
-      val id = r.getLong(0)
-      val payload = r.getString(1).getBytes("UTF-8")
-      val code = (id % 3 + 1).toInt
-      val width = 16 + (id % 64).toInt
-      val height = 16 + (id % 48).toInt
-      val frames = if (code == 3) 4 + (id % 8).toInt else 1
-      val bb = java.nio.ByteBuffer.allocate(HeaderLen + payload.length)
-      bb.put("GRFT".getBytes("US-ASCII")).put(code.toByte)
-        .putInt(width).putInt(height).putInt(frames).put(payload)
-      Row(id, bb.array(), Seq("", "image", "audio", "video")(code))
-    }
-    spark.createDataFrame(out, mediaSchema)
+    def beInt(n: Column): Column = unhex(lpad(hex(n), 8, "0"))
+    val code = col("doc_id") % 3 + 1
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(
+        lit("GRFT".getBytes("US-ASCII")),
+        unhex(lpad(hex(code), 2, "0")),
+        beInt(lit(16) + col("doc_id") % 64),
+        beInt(lit(16) + col("doc_id") % 48),
+        beInt(when(code === 3, lit(4) + col("doc_id") % 8).otherwise(1)),
+        encode(col("text"), "UTF-8")
+      ).as("media"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        code.cast("int")).as("modality"))
   }
 
   private def beInt(media: org.apache.spark.sql.Column, off: Int) =

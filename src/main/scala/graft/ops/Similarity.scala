@@ -108,33 +108,49 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): Seq[Array[Double]] = {
     var cents = ivfCentroids(vectors, nCells, idCol, vecCol)
-    val dim = cents.headOption.map(_.length).getOrElse(0)
-    for (_ <- 0 until iters) {
-      val means = vectors
-        .select(col(idCol).as("_id"),
-          ivfCell(col(vecCol), cents).as("_cell"),
-          posexplode(col(vecCol)).as(Seq("_dim", "_v")))
-        .groupBy("_cell", "_dim")
-        .agg(
-          sort_array(collect_list(struct(col("_id"), col("_v").cast("double").as("_v"))))
-            .as("_arr"),
-          count(lit(1)).as("_n"))
-        .select(col("_cell"), col("_dim"),
-          (aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x.getField("_v"))
-            / col("_n")).as("_m"))
-        .collect()
-      val next = cents.zipWithIndex.map { case (old, _) => old.clone() }
-      val touched = Array.fill(nCells)(false)
-      means.foreach { r =>
-        val cell = r.getInt(0)
-        next(cell)(r.getInt(1)) = r.getDouble(2)
-        touched(cell) = true
+    if (iters == 0) return cents
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        // centroids ride a broadcast DataFrame, NOT literal arrays baked
+        // into the plan: an [[ivfCell]]-style literal argmax generates new
+        // source per iteration (the literals change), so every round would
+        // pay whole-stage-codegen compilation of a 16×64-literal plan;
+        // the join form compiles once and is then a codegen-cache hit.
+        // The score arithmetic is identical (FloatVecDot left-to-right,
+        // driver-computed centroid norm), so assignments are bit-equal.
+        val centDf = broadcast(cents.zipWithIndex.map { case (c, i) =>
+          (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+        }.toDF("_cell", "_cv", "_cn"))
+        // argmax via max(struct(s, cell)): max score, ties to the higher
+        // cell — the exact comparison greatest(struct...) performs
+        val assigned = v.crossJoin(centDf)
+          .withColumn("_s", dot(col("_vec"), col("_cv")) / col("_cn"))
+          .groupBy("_id")
+          .agg(max(struct(col("_s"), col("_cell"))).as("_best"))
+          .select(col("_id"), col("_best._cell").as("_cell"))
+        val means = v.join(assigned, "_id")
+          .select(col("_id"), col("_cell"),
+            posexplode(col("_vec")).as(Seq("_dim", "_v")))
+          .groupBy("_cell", "_dim")
+          .agg(
+            sort_array(collect_list(struct(col("_id"), col("_v").cast("double").as("_v"))))
+              .as("_arr"),
+            count(lit(1)).as("_n"))
+          .select(col("_cell"), col("_dim"),
+            (aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x.getField("_v"))
+              / col("_n")).as("_m"))
+          .collect()
+        // a cell with no members keeps its previous centroid (`next`
+        // starts as a copy, so untouched cells already do)
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
       }
-      // a cell with no members keeps its previous centroid (`next` starts
-      // as a copy, so untouched cells already do); recorded for clarity
-      require(touched.length == nCells && dim >= 0)
-      cents = next.toSeq
-    }
+    } finally v.unpersist(false)
     cents
   }
 
@@ -161,21 +177,34 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
     val centroids = kmeansCentroids(candidates, nCells, lloydIters, idCol, vecCol)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    // same broadcast-DataFrame form as the training loop (stable codegen —
+    // a literal argmax would recompile a 16×64-literal plan per run);
+    // identical arithmetic and tie rules, so cells are bit-equal
+    val centDf = broadcast(centroids.zipWithIndex.map { case (cv, i) =>
+      (i, cv.toSeq, math.sqrt(cv.map(x => x * x).sum))
+    }.toDF("cell", "_cv", "_cn"))
+    // candidate cell = argmax via max(struct): max score, ties to the
+    // higher cell; cv/cn ride the struct (cell is unique per group, so
+    // the trailing fields never participate in the comparison)
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
-      ivfCell(col(vecCol), centroids).as("cell"))
-    // per-query ranked probe cells
-    val cellScores = centroids.zipWithIndex.map { case (cv, i) =>
-      val cNorm = math.sqrt(cv.map(x => x * x).sum)
-      struct((dot(col("qv"), array(cv.toSeq.map(lit): _*)) / cNorm).as("s"),
-        lit(i).as("cell"))
-    }
+        norm(col(vecCol)).as("cn"))
+      .crossJoin(centDf)
+      .withColumn("_s", dot(col("cv"), col("_cv")) / col("_cn"))
+      .groupBy("cand_id")
+      .agg(max(struct(col("_s"), col("cell"), col("cv"), col("cn"))).as("_b"))
+      .select(col("cand_id"), col("_b.cell").as("cell"),
+        col("_b.cv").as("cv"), col("_b.cn").as("cn"))
+    // per-query ranked probe cells: top nProbe by (score, cell) desc
+    val probeW = Window.partitionBy("query_id").orderBy(desc("_s"), desc("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
-      .withColumn("probe", explode(slice(
-        sort_array(array(cellScores: _*), asc = false), 1, nProbe)))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("probe.cell").as("cell"))
+      .crossJoin(centDf)
+      .withColumn("_s", dot(col("qv"), col("_cv")) / col("_cn"))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val scored = c.join(q, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -16,8 +16,9 @@ object DedupShared {
     *
     * Two scale-critical details:
     *  - the documents scan is a single small file (one input partition),
-    *    but the explode fans out ~50× into md5-heavy stages — repartition
-    *    first so that work spreads instead of running in one task;
+    *    but the explode fans out ~50× into md5-heavy stages — fan out
+    *    first (conditionally: an already-parallel corpus scan skips the
+    *    shuffle, see [[graft.util.Partitioning.fanOut]]);
     *  - the token array is MATERIALIZED as a column before the transform
     *    lambda: a lambda that closes over `split(text)` re-evaluates the
     *    split per element (HOFs are interpreted), which measured ~10×
@@ -25,7 +26,7 @@ object DedupShared {
     */
   def shingles(df: DataFrame, extra: Column*): DataFrame = {
     val t = col("_toks")
-    df.repartition()
+    graft.util.Partitioning.fanOut(df)
       .withColumn("_toks", split(col("text"), " "))
       .filter(size(t) >= 3)
       .select(

@@ -25,7 +25,18 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    if (args.headOption.contains("--minhash-profile")) {
+    if (args.headOption.contains("--ivf-profile")) {
+      import graft.ops.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      time("0-seed")(Similarity.ivfCentroids(emb, 16): Unit)
+      time("1-train-iter1")(Similarity.kmeansCentroids(emb, 16, 1): Unit)
+      time("2-train-iter3")(Similarity.kmeansCentroids(emb, 16, 3): Unit)
+      val q = emb.filter(col("vec_id") < 50)
+      time("3-search-only")(noop(Similarity.ivfTopK(q, emb, k = 5,
+        nCells = 16, nProbe = 4, lloydIters = 0)))
+      time("4-full")(noop(Similarity.ivfTopK(q, emb, k = 5,
+        nCells = 16, nProbe = 4, lloydIters = 3)))
+    } else if (args.headOption.contains("--minhash-profile")) {
       import graft.ops.Dedup
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val sh = Dedup.shingles(docs)

@@ -117,6 +117,24 @@ class FooterMetaSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.totalRecords == 80L)
   }
 
+  test("footer write reaches files inside hive-partitioned layouts") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("builtfooterpart").toFile + "/db"
+    val words = (1 to 30).map(i => s"pword$i").toDS()
+    val res = BuildJob.run(spark, words, out,
+      BuildJob.Config(algorithms = Seq("md5", "sha256"),
+        sourceName = "part.txt", partitionByAlgorithm = true))
+    assert(res.written && res.records == 60L)
+    assert(new java.io.File(out, SidecarMeta.FileName).delete())
+    // files live under algorithm=md5/ and algorithm=sha256/ — the footer
+    // stamp (and read) must walk the tree
+    val m = FooterMeta.read(spark, out).get
+    assert(m.totalRecords == 60L)
+    assert(m.algorithms == Seq("md5", "sha256"))
+    assert(m.sources == Seq("part.txt"))
+    assert(spark.read.parquet(out).count() == 60L)
+  }
+
   test("a sidecar catalog wins over footer metadata") {
     val dir = Files.createTempDirectory("precedence").toFile
     writeFixture(dir, "db.parquet", Map(
