@@ -158,31 +158,51 @@ object FooterMeta {
     val out = new ByteArrayOutputStream()
     Util.writeFileMetaData(fmd, out)
     val footer = out.toByteArray
+    val lenLe = Array[Byte](
+      (footer.length & 0xff).toByte, ((footer.length >> 8) & 0xff).toByte,
+      ((footer.length >> 16) & 0xff).toByte,
+      ((footer.length >> 24) & 0xff).toByte)
 
-    // copy data prefix + new footer to a sibling, then swap — going through
-    // the FileSystem API keeps ChecksumFileSystem .crc sidecars consistent
-    // (an in-place RandomAccessFile edit would poison local reads)
-    val tmp = new Path(p.getParent, s".${p.getName}.footer.tmp")
-    val src = fs.open(p)
-    val dst = fs.create(tmp, true)
-    try {
-      val buf = new Array[Byte](1 << 20)
-      var remaining = footerStart
-      while (remaining > 0) {
-        val n = src.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
-        require(n > 0, s"$p: truncated read at ${footerStart - remaining}")
-        dst.write(buf, 0, n)
-        remaining -= n
-      }
-      dst.write(footer)
-      dst.write(Array[Byte](
-        (footer.length & 0xff).toByte, ((footer.length >> 8) & 0xff).toByte,
-        ((footer.length >> 16) & 0xff).toByte,
-        ((footer.length >> 24) & 0xff).toByte))
-      dst.write(Magic)
-    } finally { src.close(); dst.close() }
-    if (!fs.delete(p, false) || !fs.rename(tmp, p))
-      throw new java.io.IOException(s"failed to swap rewritten footer into $p")
+    if (fs.getUri.getScheme == "file") {
+      // local fast path: splice the footer in place — O(footer), not
+      // O(file). At build scale the alternative (re-copying every data
+      // page to swap a footer) doubles write IO for nothing.
+      val raf = new java.io.RandomAccessFile(new java.io.File(p.toUri.getPath), "rw")
+      try {
+        raf.seek(footerStart)
+        raf.write(footer)
+        raf.write(lenLe)
+        raf.write(Magic)
+        raf.setLength(footerStart + footer.length + 8L)
+      } finally raf.close()
+      // the edit invalidates Hadoop's checksum sidecar (".name.crc");
+      // drop it so LocalFileSystem readers don't fail verification
+      val crc = new Path(p.getParent, s".${p.getName}.crc")
+      try if (fs.exists(crc)) { fs.delete(crc, false); () }
+      catch { case _: java.io.IOException => }
+    } else {
+      // remote path (s3a etc.): no in-place writes — copy data prefix +
+      // new footer to a sibling, then swap (object stores re-upload the
+      // object on any mutation anyway)
+      val tmp = new Path(p.getParent, s".${p.getName}.footer.tmp")
+      val src = fs.open(p)
+      val dst = fs.create(tmp, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var remaining = footerStart
+        while (remaining > 0) {
+          val n = src.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, s"$p: truncated read at ${footerStart - remaining}")
+          dst.write(buf, 0, n)
+          remaining -= n
+        }
+        dst.write(footer)
+        dst.write(lenLe)
+        dst.write(Magic)
+      } finally { src.close(); dst.close() }
+      if (!fs.delete(p, false) || !fs.rename(tmp, p))
+        throw new java.io.IOException(s"failed to swap rewritten footer into $p")
+    }
   }
 
   /** The reference serializes source_hashes as a JSON string array
