@@ -37,6 +37,40 @@ object EventQueries extends QueryGroup {
              |GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 2000""".stripMargin)
     ),
 
+    // Custom-state sessionization through flatMapGroupsWithState (the
+    // typed GroupState path — batch mode of graft.streaming.Sessionize):
+    // one row per (user, session) with µs bounds and event count, oracled
+    // against DuckDB's window-function formulation. The per-session float
+    // sum is deliberately NOT in the compared projection (per-engine
+    // summation order); SessionizeSpec pins it.
+    "q_events_flatmap_sessions" -> QueryDef(
+      (s, d) =>
+        graft.streaming.Sessionize
+          .batchSessions(Tables.events(s, d), 1800L * 1000000L)
+          .toDF()
+          .filter(col("user_id") < 200)
+          .select("user_id", "session_start_us", "session_end_us", "n_events")
+          .orderBy("user_id", "session_start_us"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS ts_us,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id,
+             |  min(ts_us) AS session_start_us,
+             |  max(ts_us) AS session_end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM sess WHERE user_id < 200
+             |GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin)
+    ),
+
     // Sliding sessionization: a >30-minute gap starts a new session
     // (lag window function + running conditional sum).
     "q_events_sessions" -> QueryDef(

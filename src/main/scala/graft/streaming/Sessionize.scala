@@ -96,13 +96,17 @@ object Sessionize {
     }
   }
 
-  /** Batch convenience over the events table (`ts_ns` nanos → micros). */
+  /** Batch convenience over the events table (`ts_ns` nanos → micros).
+    * Nanos must be divided with INTEGER division (`DIV`): `/` promotes the
+    * ~1.7e18 nano value to double, which exceeds 2^53 mantissa precision
+    * and wobbles the resulting microsecond by ±1.
+    */
   def batchSessions(events: DataFrame, gapUs: Long): Dataset[Summary] = {
     val spark = events.sparkSession
     import spark.implicits._
     sessionSummaries(
       events.select(col("user_id"),
-        timestamp_micros((col("ts_ns") / 1000L).cast("long")).as("ts"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
         col("value").cast("double").as("value")).as[Event],
       gapUs, trailing = true)
   }

@@ -24,8 +24,8 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sid")
       .agg(
-        (min("ts_ns") / 1000L).cast("long").as("session_start_us"),
-        (max("ts_ns") / 1000L).cast("long").as("session_end_us"),
+        expr("min(ts_ns) DIV 1000").as("session_start_us"),
+        expr("max(ts_ns) DIV 1000").as("session_end_us"),
         count(lit(1)).as("n_events"))
       .select("user_id", "session_start_us", "session_end_us", "n_events")
       .collect()
