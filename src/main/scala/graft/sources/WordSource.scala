@@ -105,11 +105,14 @@ object UrlSource {
 }
 
 /** S5/S8: aspell dictionary dump via subprocess (reference
-  * src/source/aspell.rs:15-64, 72-106).
+  * src/source/aspell.rs:15-64, 72-106). The executable resolves through
+  * the `graft.aspell.cmd` system property (default `aspell`) so deploys
+  * can pin a path — and so the subprocess protocol is testable against a
+  * stub binary where aspell isn't installed (SourcesLiveSpec).
   */
 final case class AspellSource(lang: String) extends WordSource {
   @transient private lazy val dump: String =
-    scala.sys.process.Process(Seq("aspell", "-d", lang, "dump", "master")).!!
+    scala.sys.process.Process(Seq(AspellSource.cmd, "-d", lang, "dump", "master")).!!
 
   def name: String = s"aspell-$lang"
   def words(spark: SparkSession): Dataset[String] =
@@ -118,10 +121,14 @@ final case class AspellSource(lang: String) extends WordSource {
 }
 
 object AspellSource {
+  private[sources] def cmd: String =
+    sys.props.getOrElse("graft.aspell.cmd", "aspell")
   def isAvailable: Boolean =
-    scala.sys.process.Process(Seq("aspell", "version")).!(scala.sys.process.ProcessLogger(_ => ())) == 0
+    try scala.sys.process.Process(Seq(cmd, "version"))
+      .!(scala.sys.process.ProcessLogger(_ => ())) == 0
+    catch { case _: java.io.IOException => false }
   def listLanguages(): Seq[String] =
-    scala.sys.process.Process(Seq("aspell", "dicts")).!!.linesIterator.toSeq.distinct.sorted
+    scala.sys.process.Process(Seq(cmd, "dicts")).!!.linesIterator.toSeq.distinct.sorted
 }
 
 /** S6/S7: seclists corpus under a git-cloned cache (reference
@@ -144,10 +151,16 @@ final case class SecListsSource(relPath: String) extends WordSource {
 
 object SecListsSource {
   import scala.jdk.CollectionConverters._
-  private val Repo = "https://github.com/danielmiessler/SecLists.git"
+  /** Upstream remote; `graft.seclists.repo` overrides (mirrors, and the
+    * spec's local `file://` fixture remote — the clone/pull protocol is
+    * identical either way).
+    */
+  private def repo: String = sys.props.getOrElse("graft.seclists.repo",
+    "https://github.com/danielmiessler/SecLists.git")
   def cacheDir: String =
-    sys.env.getOrElse("GRAFT_SECLISTS_DIR",
-      s"${sys.props("user.home")}/.cache/graft/seclists")
+    sys.props.get("graft.seclists.dir")
+      .orElse(sys.env.get("GRAFT_SECLISTS_DIR"))
+      .getOrElse(s"${sys.props("user.home")}/.cache/graft/seclists")
 
   /** `pull`: shallow clone or ff-only update (reference seclists.rs:86-123). */
   def pull(): Unit = {
@@ -157,7 +170,7 @@ object SecListsSource {
       Process(Seq("git", "-C", cacheDir, "pull", "--ff-only")).!!
     else {
       Files.createDirectories(dir.getParent)
-      Process(Seq("git", "clone", "--depth", "1", Repo, cacheDir)).!!
+      Process(Seq("git", "clone", "--depth", "1", repo, cacheDir)).!!
     }
   }
 
