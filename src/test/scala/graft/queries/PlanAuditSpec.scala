@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Plan-shape regression gate over the ENTIRE query battery: the scale
+  * properties BASELINE.md claims are encoded here so a future edit that
+  * quietly plans a cross join fails CI, not a 100 TB run.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Queries whose BroadcastNestedLoopJoin is the intended shape: a
+    * broadcast singleton / tiny-table pattern (scalar subquery, one query
+    * row against the corpus, the brute-force baseline, the 16-row
+    * centroid table). Everything else must plan equi-joins.
+    */
+  private val bnljAllowed = Set(
+    "q_scalar_subquery", "q_sim_range_search", "q_sim_topk_bruteforce",
+    "q_sim_ivf_topk")
+
+  test("no query plans a CartesianProduct; BNLJ only where intended") {
+    val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q.build(spark, sf()).queryExecution.executedPlan.toString
+      val bad = Seq(
+        Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed(name))(s"$name: unexpected BroadcastNestedLoopJoin")
+      ).flatten
+      bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
