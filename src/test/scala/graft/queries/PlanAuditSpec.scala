@@ -30,4 +30,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("analytics predicates reach the parquet scan (pushdown + pruning)") {
+    def scanLine(name: String): String = {
+      val plan = Registry.all(name).build(spark, sf())
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.find(_.contains("PushedFilters"))
+        .getOrElse(fail(s"$name: no FileScan with PushedFilters in plan"))
+    }
+    val q6 = scanLine("q6_filter")
+    // the date/range predicates must be IN the scan, not a post-filter
+    assert(q6.contains("PushedFilters: [IsNotNull"), q6)
+    assert(q6.contains("GreaterThanOrEqual") || q6.contains("LessThan"), q6)
+    // and column pruning: only the needed columns are read
+    assert(!q6.contains("l_orderkey"), q6)
+    val q1 = scanLine("q1_agg")
+    assert(q1.contains("LessThan"), q1)
+  }
 }
