@@ -36,6 +36,19 @@ object Profile {
         nCells = 16, nProbe = 4, lloydIters = 0)))
       time("4-full")(noop(Similarity.ivfTopK(q, emb, k = 5,
         nCells = 16, nProbe = 4, lloydIters = 3)))
+    } else if (args.headOption.contains("--minhash-scale")) {
+      // corpus-growth curve for the LSH near-dedup path: m disjoint copies
+      // (every token suffixed per copy, so vocabularies don't collide and
+      // the workload is honestly m×; cross-copy pairs are impossible)
+      import graft.ops.Dedup
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      Seq(1, 2, 5, 10).foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        time(s"minhash-scale-x$m")(noop(Dedup.minhashLsh(docs)))
+      }
     } else if (args.headOption.contains("--minhash-profile")) {
       import graft.ops.Dedup
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
