@@ -32,11 +32,29 @@ object AutoUnpersist {
     java.util.Collections.newSetFromMap(
       new ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
+  private val nextScope = new java.util.concurrent.atomic.AtomicLong()
+
   /** Persist `df` (MEMORY_AND_DISK) and release it after the first query
     * that consumes it completes. Returns the persisted frame.
+    *
+    * The frame is tagged with a uniquely-named no-op `observe` INSIDE the
+    * persisted plan, which makes its cache entry canonically unique. Two
+    * concurrent pipelines over the same input would otherwise share one
+    * cache entry by canonical-plan match, and the sweep for whichever
+    * query finishes first unpersists that entry while the other query is
+    * mid-scan — which under concurrency produced intermittently EMPTY
+    * scan results (observed on the minhash/ngram pair sharing the shingle
+    * frame; ConcurrentStressSpec reproduces it in-JVM without the tag).
+    * With the tag, an entry is only ever consumed by the query built on
+    * the very frame that registered it, so its release strictly follows
+    * its only consumer's completion.
     */
-  def persistScoped(df: DataFrame): DataFrame =
-    register(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def persistScoped(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val tagged = df.observe(s"graft_scope_${nextScope.incrementAndGet()}",
+      count(lit(1)).as("rows"))
+    register(tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Release the already-persisted `df` after the first query that
     * consumes it completes (success or failure).

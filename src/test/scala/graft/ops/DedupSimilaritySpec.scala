@@ -265,12 +265,19 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the whole signature pipeline in an extra job before the real query —
     // constructing the DataFrame must schedule nothing
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val group = "lsh-construction-audit"
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    // count only jobs carrying THIS thread's job group: stray async jobs
+    // from neighboring tests on the shared session must not flake this
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
     }
-    spark.sparkContext.addSparkListener(l)
+    sc.addSparkListener(l)
+    sc.setJobGroup(group, "construction must schedule nothing")
     try {
       Dedup.minhashLsh(docs)
       Similarity.lshNearDupPairs(emb, dim = 64, thresholdBp = 4000)
@@ -278,7 +285,10 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       Thread.sleep(2000) // listener bus is async; give a spurious job time to surface
       assert(jobs.get() == 0,
         s"${jobs.get()} Spark job(s) ran during DataFrame construction")
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(l)
+    }
   }
 
   test("cosine is 1.0 for identical vectors and symmetric") {
