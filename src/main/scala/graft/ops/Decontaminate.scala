@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: remove training documents that collide with
+  * an evaluation set on long n-grams — the standard contamination test
+  * (a shared long n-gram is strong evidence the benchmark text leaked
+  * into the corpus).
+  *
+  * Shape: both sides shingle to distinct per-doc n-grams; the collision
+  * join is an equi-join on the n-gram (never a cross product), and the
+  * benchmark side — eval suites are tiny next to a training corpus — is
+  * broadcast-sized by construction. Per (doc, benchmark) collision counts
+  * come from one groupBy with map-side partials. At 100 TB the corpus
+  * side streams; only the benchmark shingle set is materialized.
+  *
+  * `n` defaults to 5 here because the synthetic corpus documents are
+  * ~50 tokens; production decontamination typically uses 8-13-token
+  * n-grams for the same mechanics.
+  */
+object Decontaminate {
+
+  /** (doc_id, benchmark_id, n_hits): distinct shared n-grams per
+    * contaminated (corpus doc, benchmark doc) pair, hits ≥ `minHits`.
+    */
+  def contaminationPairs(
+      docs: DataFrame, benchmarks: DataFrame,
+      n: Int = 5, minHits: Long = 1L
+  ): DataFrame = {
+    val corpusSh = Dedup.shingles(docs, n)
+    val benchSh = Dedup.shingles(benchmarks, n)
+      .withColumnRenamed("doc_id", "benchmark_id")
+    corpusSh.join(benchSh, "w")
+      .groupBy("doc_id", "benchmark_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** The corpus minus every document contaminated by any benchmark —
+    * anti-join on the flagged ids.
+    */
+  def clean(
+      docs: DataFrame, benchmarks: DataFrame,
+      n: Int = 5, minHits: Long = 1L
+  ): DataFrame = {
+    val flagged = contaminationPairs(docs, benchmarks, n, minHits)
+      .select("doc_id").distinct()
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+}

@@ -36,6 +36,34 @@ object DedupQueries extends QueryGroup {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Benchmark decontamination: corpus docs (id ≥ 50) colliding with the
+    // "evaluation set" (id < 50) on ≥2 distinct 5-gram shingles. The
+    // collision join is an equi-join on the n-gram with the tiny benchmark
+    // side broadcastable — the 100 TB-safe shape for contamination sweeps.
+    "q_decontaminate" -> QueryDef(
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        graft.ops.Decontaminate.contaminationPairs(
+            all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50),
+            n = 5, minHits = 2L)
+          .orderBy("doc_id", "benchmark_id")
+      },
+      Some("""WITH toks5 AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh5 AS (
+             |  SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+             |        || t[i+3] || ' ' || t[i+4] AS w
+             |    FROM toks5, unnest(generate_series(1, len(t) - 4)) AS g(i)
+             |    WHERE len(t) >= 5))
+             |SELECT c.doc_id, b.doc_id AS benchmark_id,
+             |  CAST(count(*) AS BIGINT) AS n_hits
+             |FROM sh5 c JOIN sh5 b ON c.w = b.w
+             |WHERE c.doc_id >= 50 AND b.doc_id < 50
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY c.doc_id, benchmark_id""".stripMargin)
+    ),
+
     // Exact dedup on a 5-token prefix key: duplicate groups + survivor id.
     "q_dedup_exact" -> QueryDef(
       (s, d) => {
