@@ -328,4 +328,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos_bp", "rank")
   }
+
+  /** Symmetric int8 scalar quantization per vector — the memory-shrink
+    * step an IVF/PQ-style index takes before an ANN sweep (4× smaller
+    * than float32, SIMD-friendly dot products downstream).
+    *
+    * scale = 127/max|x| (0 for the zero vector), codes = ⌊x·scale⌋, and
+    * the per-vector reconstruction MSE quantifies the quality loss. All
+    * double arithmetic with left-to-right folds, so any engine replays
+    * it bit-exactly. Narrow projection — no shuffle, scales linearly;
+    * summary scalars (sum/min/max of codes) are emitted rather than the
+    * code array itself so downstream compare layers never deal in
+    * array-typed columns.
+    */
+  def quantizeInt8(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val v = col("_v")
+    emb
+      .withColumn("_v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("_maxabs", array_max(transform(v, x => abs(x))))
+      .withColumn("scale",
+        when(col("_maxabs") > 0, lit(127.0) / col("_maxabs")).otherwise(lit(0.0)))
+      .withColumn("codes", transform(v, x => floor(x * col("scale")).cast("int")))
+      .withColumn("_recon",
+        transform(col("codes"), c =>
+          when(col("scale") > 0, c.cast("double") / col("scale")).otherwise(lit(0.0))))
+      .withColumn("mse",
+        aggregate(zip_with(v, col("_recon"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) / size(v))
+      .select(col(idCol), col("scale"), col("mse"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+  }
 }

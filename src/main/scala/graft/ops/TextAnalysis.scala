@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token stats,
@@ -77,6 +78,72 @@ object TextAnalysis {
     * paths should materialize tokens and use [[langIdFromTokens]].
     */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** (doc_id, gram, c): per-document n-gram occurrence counts, NOT
+    * deduplicated (unlike [[Dedup.shingles]], which distincts per doc —
+    * repetition analysis needs the multiplicities).
+    */
+  def ngramCounts(docs: DataFrame, n: Int): DataFrame = {
+    val t = col("_toks")
+    graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .filter(size(t) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(t) - n), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+          .as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Gopher-style within-document repetition metrics on n-grams:
+    * `dup_frac` = fraction of n-gram occurrences that are repeats of an
+    * n-gram already seen in the doc; `top_frac` = fraction taken by the
+    * single most frequent n-gram. Boilerplate- and loop-generated text
+    * scores high on both; the standard cut drops docs above a threshold.
+    *
+    * Two hash aggregations with map-side partials (doc×gram, then doc) —
+    * no joins, no skew risk beyond a single pathological document, which
+    * partial aggregation absorbs. Scales linearly.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame =
+    ngramCounts(docs, n)
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .as("dup_frac"),
+        (col("top_c").cast("double") / col("n_ngrams")).as("top_frac"))
+
+  /** Per-document coverage by the corpus's `k` most frequent tokens
+    * (ties broken lexicographically, so the top list is deterministic
+    * and engine-replayable). High coverage = low-information text.
+    *
+    * The token-frequency aggregate is vocabulary-sized, orders of
+    * magnitude smaller than the corpus; the k-row top list is broadcast
+    * back, so the per-doc pass is one map-side-combined aggregation over
+    * the token stream — no corpus-sized shuffle beyond the groupBy.
+    * The row_number window runs on the aggregated vocabulary, not the
+    * corpus (single-partition, but over vocab-count rows only).
+    */
+  def topTokenCoverage(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .filter(col("rn") <= k)
+      .select(col("tok"), lit(1).as("_hit"))
+    toks.join(broadcast(top), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_top"))
+      .withColumn("coverage",
+        col("n_top").cast("double") / col("n_tokens"))
+  }
 
   /** 64-bit-ish polynomial content fingerprint over characters
     * (acc*31 + codepoint, mod 1e9+7) — the batch analog of a rolling hash,

@@ -72,6 +72,37 @@ object SimilarityQueries extends QueryGroup {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Symmetric int8 scalar quantization (the PQ-style memory-shrink
+    // step): per-vector scale, reconstruction MSE, code summary scalars.
+    // Pure projection — both engines fold left-to-right in double.
+    "q_sim_quantize" -> QueryDef(
+      (s, d) =>
+        Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id"),
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM q),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+             |  FROM m),
+             |c AS (
+             |  SELECT vec_id, v, scale,
+             |    list_transform(v, x -> CAST(floor(x * scale) AS INTEGER)) AS codes
+             |  FROM s)
+             |SELECT vec_id, scale,
+             |  list_reduce(list_transform(generate_series(1, len(v)),
+             |      i -> (v[i] - (CASE WHEN scale > 0 THEN codes[i]::DOUBLE / scale ELSE 0.0 END))
+             |         * (v[i] - (CASE WHEN scale > 0 THEN codes[i]::DOUBLE / scale ELSE 0.0 END))),
+             |    (a, b) -> a + b) / len(v) AS mse,
+             |  CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS code_sum,
+             |  list_min(codes) AS code_min,
+             |  list_max(codes) AS code_max
+             |FROM c ORDER BY vec_id""".stripMargin)
+    ),
+
     // Exact k-NN: top-5 cosine neighbors for the first 10 vectors.
     "q_sim_topk_bruteforce" -> QueryDef(
       (s, d) => {

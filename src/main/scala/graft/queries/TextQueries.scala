@@ -12,6 +12,92 @@ object TextQueries extends QueryGroup {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Gopher-style within-doc repetition: duplicate-2-gram fraction and
+    // top-2-gram share. Two map-side-combined aggregations, no joins.
+    "q_text_repetition" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.repetition(Tables.documents(s, d), n = 2)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+             |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+             |  WHERE len(t) >= 2),
+             |gc AS (
+             |  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  1.0 - (count(*)::DOUBLE / CAST(sum(c) AS BIGINT)) AS dup_frac,
+             |  max(c)::DOUBLE / CAST(sum(c) AS BIGINT) AS top_frac
+             |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Per-doc coverage by the corpus's 10 most frequent tokens
+    // (deterministic ties: count desc, token asc). Vocabulary-sized
+    // aggregate + broadcast top list; one corpus-stream aggregation.
+    "q_text_top_tokens" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.topTokenCoverage(Tables.documents(s, d), k = 10)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |top AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+             |    FROM toks GROUP BY tok) WHERE rn <= 10)
+             |SELECT t.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN top.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+             |  CAST(sum(CASE WHEN top.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             |    / count(*) AS coverage
+             |FROM toks t LEFT JOIN top ON t.tok = top.tok
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // PII scrub: the corpus is clean, so deterministic synthetic PII is
+    // appended per doc (same SQL on both sides) and the detect+redact
+    // chain must agree engine-to-engine — patterns live in the Java∩RE2
+    // regex subset.
+    "q_text_pii" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."),
+            (col("doc_id") % 200).cast("string"),
+            lit(".7 or +1-555-"),
+            (lit(100) + col("doc_id") % 900).cast("string"),
+            lit("-1234")).as("aug"))
+        aug.select(col("doc_id"),
+            TextClean.countEmails(col("aug")).as("n_emails"),
+            TextClean.countIpv4(col("aug")).as("n_ips"),
+            TextClean.countPhones(col("aug")).as("n_phones"),
+            TextClean.redactPii(col("aug")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id::VARCHAR || '@example.com via 10.0.'
+             |      || (doc_id % 200)::VARCHAR || '.7 or +1-555-'
+             |      || (100 + doc_id % 900)::VARCHAR || '-1234' AS aug
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(aug, '(\d{1,3}\.){3}\d{1,3}')) AS INTEGER) AS n_ips,
+             |  CAST(len(regexp_extract_all(aug, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}(-\d{3,4})?')) AS INTEGER) AS n_phones,
+             |  regexp_replace(regexp_replace(regexp_replace(aug,
+             |    '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}(-\d{3,4})?', '<PHONE>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g') AS redacted
+             |FROM aug ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_text_stats" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Behavioral specs for the repetition / top-token-coverage / PII /
+  * quantization operators; the battery oracles check engine-exactness,
+  * these check the semantics on hand-built fixtures.
+  */
+class TextOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("repetition: alternating boilerplate scores high, unique text zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),      // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "v w x y z"),        // all distinct
+      (3L, "q")                 // under n → excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, n = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((5L, 2L, 1.0 - 2.0 / 5.0, 3.0 / 5.0)))
+    assert(out(2L) == ((4L, 4L, 0.0, 0.25)))
+    assert(!out.contains(3L))
+  }
+
+  test("top-token coverage: frequent tokens counted, ties broken by token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y"),  // x dominates corpus
+      (2L, "x z z w")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTokenCoverage(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // counts: x=4, z=2, y=1, w=1 → top-2 = {x, z}
+    assert(out(1L) == ((4L, 3L, 0.75)))  // x x x in top, y not
+    assert(out(2L) == ((4L, 3L, 0.75)))  // x z z in top, w not
+  }
+
+  test("PII redaction replaces all three classes and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org then 192.168.0.1 and +44-207-946-0958 done"),
+      (2L, "nothing personal here at all"),
+      (3L, "two mails x@y.io and z@w.co plus 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextClean.countEmails(col("text")).as("e"),
+        TextClean.countIpv4(col("text")).as("i"),
+        TextClean.countPhones(col("text")).as("p"),
+        TextClean.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail <EMAIL> then <IP> and <PHONE> done")
+    assert(out(2L) == ((0, 0, 0, "nothing personal here at all")))
+    assert(out(3L)._4 == "two mails <EMAIL> and <EMAIL> plus <IP>")
+  }
+
+  test("int8 quantization: codes bounded, reconstruction tight, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 2.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    val (scale, mse, _, cmin, cmax) = out(1L)
+    assert(scale == 127.0 / 2.0)
+    assert(cmax <= 127 && cmin >= -128)
+    assert(mse < 1e-4, s"reconstruction mse too large: $mse")
+    assert(out(2L) == ((0.0, 0.0, 0L, 0, 0)))
+  }
+}
