@@ -145,6 +145,59 @@ object TextAnalysis {
         col("n_top").cast("double") / col("n_tokens"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of `size` tokens advancing by `size - overlap` — the
+    * standard preprocessing step before embedding or training-sequence
+    * construction. Pure projection (explode of a per-row computed array):
+    * no shuffle, scales linearly.
+    *
+    * Chunk starts are 0, step, 2·step … < n_tokens; the final chunk may
+    * be shorter than `size`.
+    */
+  def chunk(docs: DataFrame, size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val t = col("_toks")
+    graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .filter(size_(t) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size_(t) - 1, lit(step)),
+          s => concat_ws(" ", slice(t, s + 1, lit(size))))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_chunk_tokens", size_(split(col("chunk"), " ")))
+  }
+
+  // functions.size shadowed by the Int parameter name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Sequence packing: assign documents to fixed-capacity token bins by
+    * the running token count, independently per `source` partition — the
+    * batch formulation of training-sequence packing. A document lands in
+    * the bin where its first token falls in the source's contiguous
+    * token stream (deterministic: doc_id order).
+    *
+    * The cumulative sum is a window per source — each source's stream
+    * packs in parallel; a global single-stream pack would serialize the
+    * corpus and is exactly what NOT to do at 100 TB. Emits per-doc bin
+    * assignment; aggregate downstream for bin fill stats.
+    */
+  def pack(docs: DataFrame, binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive, got $binTokens")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // DIV: exact integer division (long / long promotes to double and
+        // wobbles past 2^53 — the ts_ns lesson)
+        expr(s"(_cum - n_tokens) DIV $binTokens").as("bin_id"))
+  }
+
   /** 64-bit-ish polynomial content fingerprint over characters
     * (acc*31 + codepoint, mod 1e9+7) — the batch analog of a rolling hash,
     * reproducible in any engine.

@@ -12,6 +12,41 @@ object TextQueries extends QueryGroup {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Context-window chunking: 16-token windows advancing by 12 (4-token
+    // overlap) — pure explode projection, no shuffle.
+    "q_text_chunks" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.chunk(Tables.documents(s, d), size = 16, overlap = 4)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents
+             |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0)
+             |SELECT doc_id, CAST(s // 12 AS INTEGER) AS chunk_id,
+             |  array_to_string(t[s+1 : s+16], ' ') AS chunk,
+             |  CAST(len(t[s+1 : s+16]) AS INTEGER) AS n_chunk_tokens
+             |FROM toks, unnest(generate_series(0, len(t) - 1, 12)) AS g(s)
+             |ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
+    // Sequence packing: 512-token bins filled in doc_id order per source
+    // (per-source parallelism — a single global stream would serialize
+    // the corpus at scale).
+    "q_text_pack" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.pack(Tables.documents(s, d), binTokens = 512L)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_tokens,
+             |  CAST(cum - n_tokens AS BIGINT) // 512 AS bin_id
+             |FROM (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+             |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Gopher-style within-doc repetition: duplicate-2-gram fraction and
     // top-2-gram share. Two map-side-combined aggregations, no joins.
     "q_text_repetition" -> QueryDef(

@@ -59,6 +59,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L)._4 == "two mails <EMAIL> and <EMAIL> plus <IP>")
   }
 
+  test("chunking: windows advance by size-overlap, tail kept, reconstruction") {
+    import spark.implicits._
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, size = 4, overlap = 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6", 1)))
+    // every token position is covered by at least one chunk
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert(covered == (0 to 6).map(i => s"t$i").toSet)
+  }
+
+  test("packing: bins fill per source in doc order, straddlers go by first token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("a " * 9).trim, "s1"),  // 9 tokens → bin 0 (cum-before 0)
+      (2L, ("b " * 4).trim, "s1"),  // 4 tokens → bin 0 (cum-before 9)
+      (3L, ("c " * 5).trim, "s1"),  // 5 tokens → bin 1 (cum-before 13)
+      (4L, ("d " * 30).trim, "s2")  // other source packs independently → bin 0
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.pack(docs, binTokens = 10L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((9L, 0L)))
+    assert(out(2L) == ((4L, 0L)))
+    assert(out(3L) == ((5L, 1L)))
+    assert(out(4L) == ((30L, 0L)))
+  }
+
   test("quantized top-k tracks exact brute-force ranking closely") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
