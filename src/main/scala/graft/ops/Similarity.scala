@@ -329,6 +329,65 @@ object Similarity {
       .select("query_id", "cand_id", "cos_bp", "rank")
   }
 
+  /** Namespace for the random-projection table in [[hyperplaneSign]]'s
+    * md5("t:p:h") family — outside the 0..nTables-1 ids the LSH paths use.
+    */
+  private val RpTable = 99
+
+  /** Johnson-Lindenstrauss sign projection to `rDim` dimensions: component
+    * d is the codegen dot of the vector against the deterministic ±1
+    * pattern md5("99:d:h") — the same engine-portable family as the LSH
+    * hyperplanes, so a SQL oracle rebuilds the identical reduced vectors.
+    */
+  def rpVec(vec: Column, dim: Int, rDim: Int): Column =
+    array((0 until rDim).map { d =>
+      val signs = hyperplaneSign(RpTable, d, dim)
+      dot(vec, array(signs.map(s => lit(s.toDouble)): _*))
+    }: _*)
+
+  /** ANN top-k via random-projection prefilter + exact rerank: score every
+    * pair in the `rDim`-dimensional sign-projected space (rDim/dim of the
+    * full dot cost — 4× less arithmetic and memory traffic at 64→16),
+    * keep the top `overfetch`·k candidates per query, then rank only those
+    * by exact full-dimension cosine.
+    *
+    * The JL lemma bounds the angle distortion, so reduced-space rank is a
+    * faithful prefilter; unlike bucketed LSH there is no recall cliff from
+    * hard bucket boundaries — the candidate set is always exactly
+    * overfetch·k per query. Work is still O(|Q|·N) but on rDim-wide
+    * vectors; the exact pass touches overfetch·k rows per query. The same
+    * broadcast-queries join shape as [[bruteForceTopK]], so the plan stays
+    * a codegen broadcast join at any corpus size.
+    */
+  def rpTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int, dim: Int,
+      rDim: Int = 32, overfetch: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      rpVec(col(vecCol), dim, rDim).as("qr"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      rpVec(col(vecCol), dim, rDim).as("cr"))
+    // reduced-space cosine: same left-to-right double fold as the full dot
+    val rcos = dot(col("qr"), col("cr")) /
+      (sqrt(dot(col("qr"), col("qr"))) * sqrt(dot(col("cr"), col("cr"))))
+    val pre = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("_rcos_bp", floor(rcos * 10000).cast("long"))
+    val preW = Window.partitionBy("query_id").orderBy(desc("_rcos_bp"), col("cand_id"))
+    val kept = pre.withColumn("_prn", row_number().over(preW))
+      .filter(col("_prn") <= k * overfetch)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
+    kept
+      .withColumn("cos_bp",
+        floor(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos_bp", "rank")
+  }
+
   /** Symmetric int8 scalar quantization per vector — the memory-shrink
     * step an IVF/PQ-style index takes before an ANN sweep (4× smaller
     * than float32, SIMD-friendly dot products downstream).

@@ -47,4 +47,58 @@ object Sketches {
     distinctSketch(df, of, groupBy, lgK)
       .withColumn("approx_distinct", estimate(col("sketch")))
       .drop("sketch")
+
+  /** Count-min row/bucket for `value` in sketch row `row`: the first six
+    * hex digits of md5("cms:row:value") mod `width`. md5-derived like the
+    * LSH hyperplane family, so a second engine rebuilds the identical
+    * sketch (DuckDB replays the digit arithmetic in the oracle SQL).
+    */
+  def cmsBucket(value: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms:$row:"), value)), 1, 6), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-min sketch of `of`'s frequencies: `depth`×`width` counters as a
+    * (row, bucket, cnt) table — at most depth·width rows regardless of
+    * corpus size. Each row is an independent hash; the estimate for a value
+    * is the MIN over rows of its bucket's counter (always ≥ the true count;
+    * error ≤ 2N/width with prob 1-2^-depth).
+    *
+    * Like the HLL sketches above, CMS tables MERGE by summing counters
+    * bucket-wise ([[mergeCountMin]]) — per-shard sketches roll up into a
+    * corpus sketch without re-scanning raw data, which is what makes
+    * frequency accounting (stopword lists, heavy-hitter token tracking)
+    * incremental at 100 TB. The build is one groupBy over depth×N rows
+    * with map-side partials; the probe side joins against a table small
+    * enough to broadcast.
+    */
+  def countMinSketch(
+      df: DataFrame, of: Column, depth: Int = 4, width: Int = 1024
+  ): DataFrame =
+    df.select(
+        posexplode(array((0 until depth).map(r =>
+          cmsBucket(of, r, width)): _*)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sum per-shard CMS tables counter-wise into one sketch. */
+  def mergeCountMin(sketches: DataFrame): DataFrame =
+    sketches.groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of each probe value against a CMS table:
+    * min over the `depth` rows of the matching bucket's counter (0 if the
+    * bucket is empty). `probes` must expose `valueCol`; the sketch is tiny
+    * (≤ depth×width rows) and broadcast.
+    */
+  def cmsEstimate(
+      probes: DataFrame, sketch: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024
+  ): DataFrame = {
+    val melted = probes.select(col("*"),
+      posexplode(array((0 until depth).map(r =>
+        cmsBucket(col(valueCol), r, width)): _*)).as(Seq("row", "bucket")))
+    melted
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(probes.columns.map(col).toSeq: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+  }
 }

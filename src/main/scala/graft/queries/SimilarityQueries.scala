@@ -247,6 +247,77 @@ object SimilarityQueries extends QueryGroup {
              |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // Random-projection ANN: JL sign-projection 64→16 dims (the same
+    // md5-parity family as the LSH hyperplanes, table id 99), rank ALL
+    // pairs in the cheap reduced space, keep 4·k candidates per query,
+    // rerank those by exact cosine. No bucket-boundary recall cliff —
+    // the candidate count per query is fixed by construction. DuckDB
+    // replays projection, prefilter and rerank bit-for-bit.
+    "q_sim_rp_topk" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.rpTopK(e.filter(col("vec_id") < 50), e, k = 5, dim = 64,
+            rDim = 16, overfetch = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH rproj AS (
+              |  SELECT e.vec_id, d.d,
+              |    list_reduce(list_transform(generate_series(1, 64),
+              |      h -> e.embedding[h]::DOUBLE *
+              |        (CASE WHEN (instr('0123456789abcdef',
+              |            substring(md5('99:' || d.d::VARCHAR || ':'
+              |                          || (h - 1)::VARCHAR), 2, 1)) - 1) % 2 = 1
+              |          THEN 1.0 ELSE -1.0 END)),
+              |      (s, v) -> s + v) AS r
+              |  FROM embeddings e, (SELECT unnest(generate_series(0, 15)) AS d) d),
+              |rvecs AS (
+              |  SELECT vec_id, list(r ORDER BY d) AS rv FROM rproj GROUP BY vec_id),
+              |rscore AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    CAST(floor(
+              |      list_reduce(list_transform(generate_series(1, 16),
+              |          i -> q.rv[i] * c.rv[i]), (s, v) -> s + v)
+              |      / (sqrt(list_reduce(list_transform(generate_series(1, 16),
+              |            i -> q.rv[i] * q.rv[i]), (s, v) -> s + v))
+              |       * sqrt(list_reduce(list_transform(generate_series(1, 16),
+              |            i -> c.rv[i] * c.rv[i]), (s, v) -> s + v)))
+              |      * 10000) AS BIGINT) AS rcos_bp
+              |  FROM rvecs q JOIN rvecs c
+              |    ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+              |kept AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT query_id, cand_id,
+              |      row_number() OVER (PARTITION BY query_id
+              |                         ORDER BY rcos_bp DESC, cand_id) AS prn
+              |    FROM rscore) WHERE prn <= 20),
+              |norms AS (
+              |  SELECT vec_id, sqrt(list_reduce(list_transform(
+              |      generate_series(1, len(embedding)),
+              |      x -> embedding[x]::DOUBLE * embedding[x]::DOUBLE), (s, v) -> s + v))
+              |    AS nrm
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT k.query_id, k.cand_id,
+              |    CAST(floor(
+              |      list_reduce(list_transform(generate_series(1, len(q.embedding)),
+              |          x -> q.embedding[x]::DOUBLE * t2.embedding[x]::DOUBLE),
+              |        (s, v) -> s + v)
+              |      / (nq.nrm * nt.nrm) * 10000) AS BIGINT) AS cos_bp
+              |  FROM kept k
+              |  JOIN embeddings q ON q.vec_id = k.query_id
+              |  JOIN embeddings t2 ON t2.vec_id = k.cand_id
+              |  JOIN norms nq ON nq.vec_id = k.query_id
+              |  JOIN norms nt ON nt.vec_id = k.cand_id),
+              |ranked AS (
+              |  SELECT query_id, cand_id, cos_bp,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_bp DESC, cand_id) AS rank_raw
+              |  FROM scored)
+              |SELECT query_id, cand_id, cos_bp,
+              |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
+              |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+
     // IVF ANN: coarse-quantizer cells + nProbe search, fully value-checked.
     // The index is now a real (if deterministic) k-means: first-16 seed +
     // 3 Lloyd rounds, each centroid mean computed as an ORDERED

@@ -270,6 +270,78 @@ object TextQueries extends QueryGroup {
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // Count-min sketch frequency estimation: build a 4×1024-counter CMS
+    // over the token stream (a mergeable table ≤4096 rows at ANY corpus
+    // size — the frequency twin of the HLL distinct sketches), then probe
+    // it with the exact top-20 tokens. cms_n ≥ exact_n always; with this
+    // vocab ≪ width they collide rarely, and any collision replays
+    // identically in the oracle (md5-derived buckets on both engines).
+    "q_text_cms_topk" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Sketches
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+        val sketch = Sketches.countMinSketch(toks, col("tok"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .withColumn("_rn", row_number().over(
+            Window.orderBy(desc("exact_n"), col("tok"))))
+          .filter(col("_rn") <= 20).drop("_rn")
+        Sketches.cmsEstimate(top, sketch, "tok").orderBy("tok")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              |  FROM documents),
+              |sketch AS (
+              |  SELECT r, ${cmsBucketSql("tok", "r")} AS bucket, count(*) AS cnt
+              |  FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) rows
+              |  GROUP BY 1, 2),
+              |top AS (
+              |  SELECT tok, exact_n FROM (
+              |    SELECT tok, count(*) AS exact_n,
+              |      row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+              |    FROM toks GROUP BY tok) WHERE rn <= 20),
+              |probe AS (
+              |  SELECT t.tok, t.exact_n, rows.r,
+              |    ${cmsBucketSql("t.tok", "rows.r")} AS bucket
+              |  FROM top t, (SELECT unnest(generate_series(0, 3)) AS r) rows)
+              |SELECT p.tok, p.exact_n,
+              |  CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_n
+              |FROM probe p LEFT JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+              |GROUP BY p.tok, p.exact_n ORDER BY p.tok""".stripMargin)
+    ),
+
+    // Deterministic train/val/test assignment: md5(doc_id) bucket mod 10 →
+    // 8/1/1 split. Hash-keyed, so membership is stable under corpus
+    // growth/reordering — the property a training pipeline needs so that
+    // yesterday's val docs don't leak into today's train set. Narrow
+    // projection + 3-group aggregate.
+    "q_text_split" -> QueryDef(
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"), lit(10L))
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("split")
+      },
+      Some(s"""WITH assigned AS (
+              |  SELECT *,
+              |    CASE WHEN ${hex4Sql("md5(doc_id::VARCHAR)")} % 10 < 8 THEN 'train'
+              |         WHEN ${hex4Sql("md5(doc_id::VARCHAR)")} % 10 = 8 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT split, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              |  count(DISTINCT source) AS n_sources
+              |FROM assigned GROUP BY split ORDER BY split""".stripMargin)
+    ),
+
     "q_text_bpe_tokens" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
@@ -285,6 +357,27 @@ object TextQueries extends QueryGroup {
              |FROM documents""".stripMargin)
     )
   )
+
+  /** Decimal value of hex digit `i` (1-based) of md5 expression `h`. */
+  private def hexDigitSql(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+
+  /** Value of the first 4 hex digits of md5 expression `h` — DuckDB replay
+    * of Spark's `conv(substring(md5(x), 1, 4), 16, 10)`.
+    */
+  private def hex4Sql(h: String): String =
+    s"(${hexDigitSql(h, 1)} * 4096 + ${hexDigitSql(h, 2)} * 256 + " +
+      s"${hexDigitSql(h, 3)} * 16 + ${hexDigitSql(h, 4)})"
+
+  /** DuckDB replay of [[graft.ops.Sketches.cmsBucket]]: first 6 hex digits
+    * of md5("cms:row:tok") mod 1024.
+    */
+  private def cmsBucketSql(tok: String, row: String): String = {
+    val h = s"md5('cms:' || $row || ':' || $tok)"
+    s"((${hexDigitSql(h, 1)} * 1048576 + ${hexDigitSql(h, 2)} * 65536 + " +
+      s"${hexDigitSql(h, 3)} * 4096 + ${hexDigitSql(h, 4)} * 256 + " +
+      s"${hexDigitSql(h, 5)} * 16 + ${hexDigitSql(h, 6)}) % 1024)"
+  }
 
   /** CASE-resolution note: the `greatest` tie-break order must match Spark's
     * `greatest(struct(d, lang))` which compares (density, lang) pairs — on a

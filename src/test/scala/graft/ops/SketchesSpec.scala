@@ -49,4 +49,35 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(direct - exact) <= exact * 0.08,
       s"direct $direct vs exact $exact")
   }
+
+  test("count-min estimates are one-sided and exact on a collision-free vocab") {
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val sketch = Sketches.countMinSketch(toks, col("tok"))
+    // sketch is bounded: at most depth×width counters, total mass = depth×N
+    assert(sketch.count() <= 4 * 1024)
+    val n = toks.count()
+    val mass = sketch.groupBy("row").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1))
+    assert(mass.length == 4 && mass.forall(_ == n))
+    val est = Sketches.cmsEstimate(exact, sketch, "tok").collect()
+    est.foreach { r =>
+      val (ex, cms) = (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"))
+      assert(cms >= ex, s"${r.get(0)}: cms $cms < exact $ex (CMS never underestimates)")
+    }
+    // this corpus's vocab ≪ width, so collisions are rare: the estimates
+    // must be exact for the overwhelming majority
+    val exactHits = est.count(r => r.getAs[Long]("cms_n") == r.getAs[Long]("exact_n"))
+    assert(exactHits >= est.length * 0.9, s"$exactHits/${est.length} exact")
+  }
+
+  test("count-min merge: per-source sketches sum to the corpus sketch exactly") {
+    val toks = docs.select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val shards = toks.select("source").distinct().collect().map(_.getString(0))
+      .map(src => Sketches.countMinSketch(toks.filter(col("source") === src), col("tok")))
+    val merged = Sketches.mergeCountMin(shards.reduce(_ union _))
+    val direct = Sketches.countMinSketch(toks, col("tok"))
+    // CMS merge is exact counter addition — bit-equal tables, unlike HLL
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+  }
 }
