@@ -144,6 +144,67 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attach to in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingBuild.viewClickJoin(
+      views.toDF().toDF("view_user", "view_id", "view_ts"),
+      clicks.toDF().toDF("click_user", "click_id", "click_ts"))
+    val q = joined.writeStream.format("memory").queryName("vc_join")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      views.addData((1L, 100L, t("2024-01-01 10:00:00")),
+        (2L, 101L, t("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, 200L, t("2024-01-01 10:05:00")), // in window → match
+        (1L, 201L, t("2024-01-01 10:20:00")), // past 10 min → no match
+        (2L, 202L, t("2024-01-01 09:55:00"))) // before the view → no match
+      q.processAllAvailable()
+      val out = spark.table("vc_join")
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
+  test("batch-stream parity: file-streamed view-click join equals the batch join") {
+    // two readStreams over the real events parquet — a genuine
+    // stream-stream join, compared to the same function on batch frames
+    val dir = Files.createTempDirectory("graft-vcstream")
+    Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    def sides(ev: org.apache.spark.sql.DataFrame) = {
+      val t = ev.withColumn("tts",
+        timestamp_micros(expr("ts div 1000")))
+      (t.filter(col("event_type") === "view")
+          .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+            col("tts").as("view_ts")),
+        t.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+            col("tts").as("click_ts")))
+    }
+    val (sv, sc) = sides(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = StreamingBuild.viewClickJoin(sv, sc)
+      .writeStream.format("memory").queryName("vc_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("vc_parity").select("view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (bv, bc) = sides(spark.read.parquet(dir.toString))
+      val batch = StreamingBuild.viewClickJoin(bv, bc)
+        .select("view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch && batch.nonEmpty,
+        s"stream/batch divergence: ${(stream diff batch) ++ (batch diff stream)}")
+    } finally q.stop()
+  }
+
   test("session windows group events by 30-minute gaps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
