@@ -71,6 +71,37 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(exactHits >= est.length * 0.9, s"$exactHits/${est.length} exact")
   }
 
+  test("streaming count-min accumulation equals the batch sketch exactly") {
+    // the incremental-accounting contract: per-micro-batch sketches merged
+    // into a running table must equal sketching the whole stream at once
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    var acc = Seq.empty[(Int, Long, Long)].toDF("row", "bucket", "cnt")
+    val q = input.toDF().toDF("tok").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc = Sketches.mergeCountMin(
+          acc.union(Sketches.countMinSketch(batch, col("tok"))))
+          .localCheckpoint(true) // truncate lineage across batches
+        ()
+      }.start()
+    try {
+      input.addData("alpha", "beta", "alpha")
+      q.processAllAvailable()
+      input.addData("beta", "gamma", "alpha")
+      q.processAllAvailable()
+    } finally q.stop()
+    val direct = Sketches.countMinSketch(
+      Seq("alpha", "beta", "alpha", "beta", "gamma", "alpha").toDF("tok"),
+      col("tok"))
+    assert(acc.except(direct).isEmpty && direct.except(acc).isEmpty)
+    val est = Sketches.cmsEstimate(
+      Seq("alpha", "beta", "gamma", "absent").toDF("tok"), acc, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 3 && est("beta") >= 2 && est("gamma") >= 1)
+    assert(est("absent") == 0) // empty buckets floor the min at zero
+  }
+
   test("count-min merge: per-source sketches sum to the corpus sketch exactly") {
     val toks = docs.select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val shards = toks.select("source").distinct().collect().map(_.getString(0))
