@@ -91,11 +91,12 @@ object Dedup {
     * any honest bucket at tested scales, so results are unchanged except
     * under degenerate boilerplate floods.
     */
-  def lshCandidates(
-      sigs: DataFrame, k: Int, rowsPerBand: Int, maxBucket: Int = 5000
-  ): DataFrame = {
+  /** Signature table → (doc_id, band, sig) long format: `rowsPerBand`
+    * consecutive components hashed to one band signature per row.
+    */
+  private def bandMelt(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    val melted = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
@@ -103,6 +104,12 @@ object Dedup {
             .as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def lshCandidates(
+      sigs: DataFrame, k: Int, rowsPerBand: Int, maxBucket: Int = 5000
+  ): DataFrame = {
+    val melted = bandMelt(sigs, k, rowsPerBand)
     val meltedP = graft.util.AutoUnpersist.persistScoped(melted)
     val capped = graft.util.AutoUnpersist.persistScoped(
       LshGuard.capBuckets(meltedP, Seq("band", "sig"), maxBucket))
@@ -140,6 +147,56 @@ object Dedup {
     val cands =
       lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand, maxBucket)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dedup: a NEW shard against a stored signature index
+    * — the daily-pipeline shape, where yesterday's corpus was already
+    * deduped and today's arrivals must be checked against it without
+    * re-running history×history.
+    *
+    * `historySigs` is the persisted artifact (doc_id, m0..m{k-1} — what
+    * [[minhashSignatures]] emits and a production pipeline stores
+    * alongside the corpus). Only the new shard is shingled and signed;
+    * history contributes its stored signatures to the banding join, and
+    * candidate pairs keep only those touching ≥1 new doc. Verification
+    * (true Jaccard) re-shingles JUST the history docs that appear in a
+    * candidate pair — a semi-join against the candidate ids, not a
+    * history re-scan. Work scales with |new| × bucket occupancy + the
+    * candidate set, never with |history|².
+    *
+    * Equivalence contract (asserted in the spec and the DuckDB oracle):
+    * the result is exactly the full-corpus [[minhashLsh]] restricted to
+    * pairs with at least one new endpoint.
+    */
+  def incrementalMinhash(
+      newDocs: DataFrame, historyDocs: DataFrame, historySigs: DataFrame,
+      k: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      shingleSize: Int = 3, portable: Boolean = true, maxBucket: Int = 5000
+  ): DataFrame = {
+    val shNew = graft.util.AutoUnpersist.persistScoped(
+      shingles(newDocs, shingleSize))
+    val melted = graft.util.AutoUnpersist.persistScoped(
+      bandMelt(minhashSignaturesWith(shNew, k, portable), k, rowsPerBand)
+        .withColumn("_new", lit(true))
+        .unionByName(bandMelt(historySigs, k, rowsPerBand)
+          .withColumn("_new", lit(false))))
+    // the guard sees the union, so degenerate buckets are capped exactly
+    // as a full run over the same corpus would cap them
+    val capped = graft.util.AutoUnpersist.persistScoped(
+      LshGuard.capBuckets(melted, Seq("band", "sig"), maxBucket))
+    val cands = capped
+      .select(col("doc_id").as("i"), col("_new").as("_ni"),
+        col("band"), col("sig"))
+      .join(capped.select(col("doc_id").as("j"), col("_new").as("_nj"),
+        col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("i") < col("j") && (col("_ni") || col("_nj")))
+      .select("i", "j").distinct()
+    val candIds = cands
+      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    val shHist = shingles(
+      historyDocs.join(candIds, Seq("doc_id"), "left_semi"), shingleSize)
+    verifyJaccard(cands, shNew.unionByName(shHist))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature.

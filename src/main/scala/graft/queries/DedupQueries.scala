@@ -111,6 +111,45 @@ object DedupQueries extends QueryGroup {
               |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
     ),
 
+    // Incremental near-dedup: docs with doc_id % 5 = 0 are "today's
+    // shard"; the rest are history contributing only their STORED
+    // signatures (minhashSignatures output) to the banding join. The
+    // contract — full-run pairs restricted to those touching a new doc —
+    // is exactly what the oracle expresses as a WHERE over the full chain.
+    "q_dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val histSigs = Dedup.minhashSignatures(Dedup.shingles(hist), 8)
+        Dedup.incrementalMinhash(fresh, hist, histSigs, threshold = 0.0)
+          .select(col("i"), col("j"),
+            floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+          .filter(col("jaccard_bp") >= 8000)
+          .orderBy("i", "j")
+      },
+      Some(s"""WITH $shCte,
+              |mh AS (
+              |  SELECT doc_id,
+              |    min(md5('0' || '|' || w)) AS m0, min(md5('1' || '|' || w)) AS m1,
+              |    min(md5('2' || '|' || w)) AS m2, min(md5('3' || '|' || w)) AS m3,
+              |    min(md5('4' || '|' || w)) AS m4, min(md5('5' || '|' || w)) AS m5,
+              |    min(md5('6' || '|' || w)) AS m6, min(md5('7' || '|' || w)) AS m7
+              |  FROM shd GROUP BY doc_id),
+              |banded AS (
+              |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+              |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+              |  FROM mh),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+              |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+              |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+              |$jaccardSql
+              |SELECT i, j, jaccard_bp FROM jac
+              |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
+    ),
+
     // Per-doc 64-bit SimHash fingerprint (16 hex digits).
     "q_dedup_simhash" -> QueryDef(
       (s, d) =>

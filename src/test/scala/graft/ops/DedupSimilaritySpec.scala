@@ -96,6 +96,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("incremental minhash: new shard vs stored index equals the full run restricted") {
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val histSigs = Dedup.minhashSignatures(Dedup.shingles(hist), 8)
+    val inc = Dedup.incrementalMinhash(fresh, hist, histSigs, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRestricted = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (i, j) => i % 5 == 0 || j % 5 == 0 }.toSet
+    assert(inc == fullRestricted, s"diff: ${(inc diff fullRestricted) ++ (fullRestricted diff inc)}")
+    // and no history-only pair sneaks in: every pair touches the shard
+    assert(inc.forall { case (i, j) => i % 5 == 0 || j % 5 == 0 })
+    assert(inc.nonEmpty)
+  }
+
   test("random-projection top-k: usable recall vs brute force from 2x-cheaper scoring") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
