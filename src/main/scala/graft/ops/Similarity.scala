@@ -64,15 +64,43 @@ object Similarity {
       if ((hex(0) & 1) == 1) 1 else -1
     }
 
+  /** One batched projection of `vec` against a constant row-major sign
+    * matrix — a single codegen expression regardless of row count (N
+    * separate literal-array dots made Catalyst analyze + compile an
+    * N×dim-literal plan: ~7 s one-time cost at 48 projections).
+    */
+  def matVec(vec: Column, flat: Array[Double], rows: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.sql.expressions.FloatMatVec(
+      GraftShim.expression(vec), flat, rows))
+  }
+
+  /** Flat row-major ±1 matrix for tables `tables` × planes 0..nPlanes-1. */
+  private def signMatrix(tables: Seq[Int], nPlanes: Int, dim: Int): Array[Double] =
+    tables.flatMap(t => (0 until nPlanes).flatMap(p =>
+      hyperplaneSign(t, p, dim).map(_.toDouble))).toArray
+
+  /** All `nTables` bucket signatures at once from ONE matrix projection:
+    * element t of the result is table t's nPlanes-bit signature string.
+    * `proj` must be the materialized [[matVec]] column for the same
+    * (tables × planes) matrix — passed as a bound column so the matvec
+    * runs once per row, not once per bit.
+    */
+  private def bucketsFromProj(proj: Column, nTables: Int, nPlanes: Int): Column =
+    array((0 until nTables).map { t =>
+      concat((0 until nPlanes).map { p =>
+        when(element_at(proj, t * nPlanes + p + 1) >= 0, lit("1"))
+          .otherwise(lit("0"))
+      }: _*)
+    }: _*)
+
   /** Random-hyperplane LSH bucket signature for one hash table: one bit
     * per plane = sign of the ±1-weighted component sum.
     */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     concat((0 until nPlanes).map { p =>
-      val signs = hyperplaneSign(table, p, dim)
-      // codegen dot against a literal ±1 vector (interpreted zip_with
-      // lambdas here made bucketing the dominant cost of the ANN path)
-      val proj = dot(vec, array(signs.map(s => lit(s.toDouble)): _*))
+      val proj = element_at(
+        matVec(vec, signMatrix(Seq(table), nPlanes, dim), nPlanes), p + 1)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
@@ -272,13 +300,16 @@ object Similarity {
       vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm")))
     // one row per (vector, table): bucket signature — melted long format,
-    // one self-join total instead of one per table
+    // one self-join total instead of one per table. All nTables×nPlanes
+    // projections come from ONE materialized matVec column (48 separate
+    // literal-array dots cost ~7 s of plan analysis + codegen per session)
     val melted = graft.util.AutoUnpersist.persistScoped(
-      v.select(col("vid"),
-        explode(array((0 until nTables).map { t =>
-          struct(lit(t).as("t"), lshBucket(col("vec"), dim, nPlanes, t).as("b"))
-        }: _*)).as("tb"))
-      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b")))
+      v.withColumn("_proj",
+          matVec(col("vec"), signMatrix(0 until nTables, nPlanes, dim),
+            nTables * nPlanes))
+        .select(col("vid"),
+          posexplode(bucketsFromProj(col("_proj"), nTables, nPlanes))
+            .as(Seq("t", "b"))))
     val capped = LshGuard.capBuckets(melted, Seq("t", "b"), maxBucket)
     val cands = capped.select(col("vid").as("i"), col("t"), col("b"))
       .join(capped.select(col("vid").as("j"), col("t"), col("b")), Seq("t", "b"))
@@ -310,14 +341,20 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val candPairs = (0 until nTables).map { t =>
-      val qb = q.withColumn("_b", lshBucket(col("qv"), dim, nPlanes, t))
-        .select("query_id", "_b")
-      val cb = c.withColumn("_b", lshBucket(col("cv"), dim, nPlanes, t))
-        .select("cand_id", "_b")
-      qb.join(cb, "_b").filter(col("query_id") =!= col("cand_id"))
-        .select("query_id", "cand_id")
-    }.reduce(_ union _).distinct()
+    // melted (id, table, bucket) from ONE matVec projection per side and
+    // ONE equi-join on (table, bucket) — the per-table join union both
+    // re-scanned the inputs per table and compiled nTables×nPlanes
+    // literal-dot expressions
+    val flat = signMatrix(0 until nTables, nPlanes, dim)
+    def meltBuckets(side: DataFrame, vcol: String, id: String) =
+      side.withColumn("_proj", matVec(col(vcol), flat, nTables * nPlanes))
+        .select(col(id),
+          posexplode(bucketsFromProj(col("_proj"), nTables, nPlanes))
+            .as(Seq("_t", "_b")))
+    val candPairs = meltBuckets(q, "qv", "query_id")
+      .join(meltBuckets(c, "cv", "cand_id"), Seq("_t", "_b"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
     val scored = candPairs
       .join(q, "query_id")
       .join(c, "cand_id")
@@ -340,10 +377,10 @@ object Similarity {
     * hyperplanes, so a SQL oracle rebuilds the identical reduced vectors.
     */
   def rpVec(vec: Column, dim: Int, rDim: Int): Column =
-    array((0 until rDim).map { d =>
-      val signs = hyperplaneSign(RpTable, d, dim)
-      dot(vec, array(signs.map(s => lit(s.toDouble)): _*))
-    }: _*)
+    matVec(vec,
+      (0 until rDim).flatMap(d =>
+        hyperplaneSign(RpTable, d, dim).map(_.toDouble)).toArray,
+      rDim)
 
   /** ANN top-k via random-projection prefilter + exact rerank: score every
     * pair in the `rDim`-dimensional sign-projected space (rDim/dim of the

@@ -97,3 +97,102 @@ case class FloatVecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): FloatVecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen matrix-vector product: `rows` dot products of the input vector
+  * against a CONSTANT row-major matrix, in one expression — each row
+  * accumulated left-to-right in double exactly like [[FloatVecDot]].
+  *
+  * This exists for plan-size reasons, not arithmetic ones: the LSH/RP
+  * paths need dozens of projections per vector, and phrasing them as N
+  * separate literal-array dot expressions makes Catalyst analyze and
+  * whole-stage-codegen compile an N×dim-literal plan — measured ~7 s of
+  * one-time cost for the 48-projection embedding-LSH pipeline. One
+  * matrix expression keeps the plan a single constant-reference node:
+  * same results, constant-size generated source.
+  */
+case class FloatMatVec(child: Expression, matrix: Array[Double], rows: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dim: Int = if (rows == 0) 0 else matrix.length / rows
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_mat_vec"
+
+  /** Null ELEMENTS (containsNull arrays) null the whole result, exactly
+    * like [[FloatVecDot]].
+    */
+  override def nullable: Boolean = super.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _)
+        if rows > 0 && matrix.length == rows * dim =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double> input and a rows-divisible " +
+            s"matrix, got $t with ${matrix.length} weights / $rows rows")
+    }
+
+  private def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val isFloat = childIsFloat
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * matrix(r * dim + i)
+        i += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    val m = ctx.addReferenceObj("matrix", matrix, "double[]")
+    val nullable = child.dataType.asInstanceOf[ArrayType].containsNull
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val guard =
+        if (nullable)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $out = new double[$rows];
+         |for (int $r = 0; $r < $rows && !${ev.isNull}; $r++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $guard
+         |    $s += (double) $v.$get($i) * $m[$r * $dim + $i];
+         |  }
+         |  $out[$r] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatMatVec =
+    copy(child = newChild)
+}

@@ -35,6 +35,35 @@ class ExpressionPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("FloatMatVec equals row-by-row FloatVecDot bit-exactly on random matrices") {
+    import spark.implicits._
+    val dim = 64
+    val rows = 48
+    val flat = Array.fill(rows * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val vecs = Seq.fill(100)(Array.fill(dim)((rnd.nextGaussian() * 5).toFloat))
+    val got = vecs.toDF("v")
+      .select(graft.ops.Similarity.matVec(col("v"), flat, rows).as("p"))
+      .as[Seq[Double]].collect()
+    vecs.zip(got).zipWithIndex.foreach { case ((v, p), c) =>
+      assert(p.length == rows)
+      (0 until rows).foreach { r =>
+        var ref = 0.0
+        var k = 0
+        while (k < dim) { ref += v(k).toDouble * flat(r * dim + k); k += 1 }
+        assert(java.lang.Double.doubleToLongBits(ref) ==
+          java.lang.Double.doubleToLongBits(p(r)), s"case $c row $r")
+      }
+    }
+    // null element → null result (same contract as FloatVecDot)
+    import org.apache.spark.sql.types._
+    val nullableDf = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Seq(1.0f, null, 3.0f))),
+      StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = true)))))
+    assert(nullableDf
+      .select(graft.ops.Similarity.matVec(col("v"), Array.fill(6)(1.0), 2))
+      .collect().head.isNullAt(0))
+  }
+
   test("codegen digestHex equals the pure-Scala registry on random strings") {
     import graft.sql.functions.digestHex
     import spark.implicits._
