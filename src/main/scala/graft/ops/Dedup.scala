@@ -173,17 +173,27 @@ object Dedup {
       k: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       shingleSize: Int = 3, portable: Boolean = true, maxBucket: Int = 5000
   ): DataFrame = {
-    val shNew = graft.util.AutoUnpersist.persistScoped(
-      shingles(newDocs, shingleSize))
-    val melted = graft.util.AutoUnpersist.persistScoped(
+    // shard shingles feed the signature pipeline AND the verify union; a
+    // scoped persist would be released by the first eager checkpoint
+    // below (checkpointing IS a consuming action), so materialize them
+    // the same way — the shard is the small side by definition
+    val shNew = shingles(newDocs, shingleSize).localCheckpoint(true)
+    // melted/capped are referenced from FOUR plan branches below (both
+    // candidate sides, the new-bucket list, the history semi-join); a lazy
+    // persist in one multi-branch query races concurrent stages into
+    // recomputing the whole signature pipeline per branch (measured ~2×
+    // wall). Like duplicateClusters, this op is multi-phase by nature:
+    // eagerly checkpoint the tiny (docs × bands)-row band table once and
+    // fan out from the materialized copy.
+    val melted =
       bandMelt(minhashSignaturesWith(shNew, k, portable), k, rowsPerBand)
         .withColumn("_new", lit(true))
         .unionByName(bandMelt(historySigs, k, rowsPerBand)
-          .withColumn("_new", lit(false))))
+          .withColumn("_new", lit(false)))
     // the guard sees the union, so degenerate buckets are capped exactly
     // as a full run over the same corpus would cap them
-    val capped = graft.util.AutoUnpersist.persistScoped(
-      LshGuard.capBuckets(melted, Seq("band", "sig"), maxBucket))
+    val capped = LshGuard.capBuckets(melted.localCheckpoint(true),
+      Seq("band", "sig"), maxBucket).localCheckpoint(true)
     val cands = capped
       .select(col("doc_id").as("i"), col("_new").as("_ni"),
         col("band"), col("sig"))
@@ -191,12 +201,23 @@ object Dedup {
         col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("i") < col("j") && (col("_ni") || col("_nj")))
       .select("i", "j").distinct()
-    val candIds = cands
-      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    // history docs needing re-shingling for the verify = exactly those
+    // sharing a capped bucket with a new doc — read straight off the
+    // persisted melted table instead of back through the candidate join
+    // (which would put `cands` in two plan branches and run the banding
+    // self-join twice)
+    val newBuckets = capped.filter(col("_new"))
+      .select("band", "sig").distinct()
+    val candHistIds = capped.filter(!col("_new"))
+      .join(newBuckets, Seq("band", "sig"))
+      .select("doc_id").distinct()
     val shHist = shingles(
-      historyDocs.join(candIds, Seq("doc_id"), "left_semi"), shingleSize)
-    verifyJaccard(cands, shNew.unionByName(shHist))
-      .filter(col("jaccard") >= threshold)
+      historyDocs.join(candHistIds, Seq("doc_id"), "left_semi"), shingleSize)
+    // the verify reads the combined shingle frame three times (counts +
+    // the i/j joins) — same multi-branch race as above, so materialize it
+    // once too; only shard + candidate-history shingles, not the corpus
+    val shAll = shNew.unionByName(shHist).localCheckpoint(true)
+    verifyJaccard(cands, shAll).filter(col("jaccard") >= threshold)
   }
 
   /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature.

@@ -121,7 +121,12 @@ object DedupQueries extends QueryGroup {
         val docs = Tables.documents(s, d)
         val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
         val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        val histSigs = Dedup.minhashSignatures(Dedup.shingles(hist), 8)
+        // the fixture builds the "stored" index inline; persist its
+        // shingles — the signature builder reads them twice (vocab
+        // distinct + the join back), which is a double corpus explode
+        // unpersisted
+        val histSigs = Dedup.minhashSignatures(
+          graft.util.AutoUnpersist.persistScoped(Dedup.shingles(hist)), 8)
         Dedup.incrementalMinhash(fresh, hist, histSigs, threshold = 0.0)
           .select(col("i"), col("j"),
             floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
