@@ -111,6 +111,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("batched incremental dedup replays the full corpus run exactly") {
+    // the streaming shape: docs arrive in batches, each batch runs
+    // incrementally against the accumulated signature index, new sigs
+    // append to the index. Every near-dup pair is "new-touching" in the
+    // batch where its LATER doc arrives, so the union of per-batch
+    // results must equal the one-shot full run — no pair lost, none
+    // duplicated across batches.
+    val batches = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    var seen = spark.emptyDataFrame
+    var histSigs: Option[org.apache.spark.sql.DataFrame] = None
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    batches.foreach { b =>
+      val bSigs = Dedup.minhashSignatures(Dedup.shingles(b), 8)
+        .localCheckpoint(true)
+      histSigs match {
+        case None => // first batch: only within-batch pairs exist
+          got ++= Dedup.minhashLsh(b, threshold = 0.8)
+            .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+          seen = b
+        case Some(hs) =>
+          got ++= Dedup.incrementalMinhash(b, seen, hs, threshold = 0.8)
+            .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+          seen = seen.unionByName(b)
+      }
+      histSigs = Some(histSigs.map(_.unionByName(bSigs)).getOrElse(bSigs))
+    }
+    val full = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == full,
+      s"diff: ${(got.toSet diff full) ++ (full diff got.toSet)}")
+    assert(full.nonEmpty)
+  }
+
   test("random-projection top-k: usable recall vs brute force from 2x-cheaper scoring") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
