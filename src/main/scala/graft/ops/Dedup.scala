@@ -120,7 +120,16 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
-  /** Exact Jaccard over shingle sets for given candidate pairs only. */
+  /** Exact Jaccard over shingle sets for given candidate pairs only.
+    *
+    * The (j, w) join's right side is the whole (persisted) shingle frame;
+    * a tempting refinement is semi-joining it down to candidate-involved
+    * docs first, but that puts `cands` in two plan branches and the lazy
+    * scoped caches upstream race into re-running the candidate pipeline —
+    * measured 2× WORSE at sf0.1. At corpus scale, callers that hold a
+    * materialized candidate table (e.g. [[incrementalMinhash]], which
+    * checkpoints its phases) can pre-filter `sh` themselves.
+    */
   def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
