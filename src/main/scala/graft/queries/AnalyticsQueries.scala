@@ -211,6 +211,54 @@ object AnalyticsQueries extends QueryGroup {
              |ORDER BY status, priority""".stripMargin)
     ),
 
+    // CUBE: all 2^2 grouping combinations in one pass (rollup's superset —
+    // map-side partial aggregation expands each row into its grouping
+    // sets, one shuffle total).
+    "q_cube" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price")
+          )
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("sum_price")
+          )
+          .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)
+    ),
+
+    // Pivot: event types to columns, one row per user decile — the
+    // wide-format report shape. Spark's pivot with an EXPLICIT value list
+    // is a single groupBy with conditional aggregates (no extra pass to
+    // discover values, which at scale would be a full distinct scan).
+    "q_pivot" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+          .groupBy("user_bucket")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_bucket"),
+      Some("""SELECT user_id % 10 AS user_bucket,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
+             |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin)
+    ),
+
     // TPC-H Q13 shape: distribution histogram (groupBy of a groupBy).
     "q_histogram" -> QueryDef(
       (s, d) => {
