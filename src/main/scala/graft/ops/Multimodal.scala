@@ -93,6 +93,33 @@ object Multimodal {
         col("frame_bytes"))
   }
 
+  /** Stubbed columnar "resize" to (newW, newH): the header is rewritten
+    * and a proportional prefix of the payload kept — a deterministic
+    * stand-in for a real pixel resampler (which would slot into the
+    * [[extractFeatures]] decode boundary instead). Everything here is
+    * pure column functions over binary — codegen'd, shuffle-free, and
+    * crucially BEFORE any decode: a pipeline that resizes then extracts
+    * only ever decodes the downsampled bytes. The output container is
+    * valid GRFT, so [[describe]]/[[sampleFrames]] compose downstream.
+    */
+  def resizeStub(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    def beIntLit(n: Int): Column = unhex(lpad(hex(lit(n)), 8, "0"))
+    val w = beInt(col("media"), 6)
+    val h = beInt(col("media"), 10)
+    val plen = (length(col("media")) - HeaderLen).cast("long")
+    val newLen = greatest(lit(1L),
+      floor(plen * lit(newW.toLong * newH) / (w.cast("long") * h)).cast("long"))
+    media
+      .withColumn("_nl", newLen)
+      .withColumn("media",
+        concat(
+          substring(col("media"), 1, 5), // magic + modality byte
+          beIntLit(newW), beIntLit(newH),
+          substring(col("media"), 14, 4), // frame count, unchanged
+          expr(s"substring(media, ${HeaderLen + 1}, _nl)")))
+      .drop("_nl")
+  }
+
   final case class MediaFeatures(
       media_id: Long, modality: String, feature: Array[Float], checksum: String)
 

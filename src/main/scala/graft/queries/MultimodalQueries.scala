@@ -84,6 +84,50 @@ object MultimodalQueries extends QueryGroup {
              |    AS INTEGER) AS n_frames,
              |  CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
              |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin)
+    ),
+
+    // Columnar stub resize to 8×8: header dims rewritten, payload cut to
+    // the area ratio. Fully value-oracled INCLUDING the resized payload
+    // bytes: DuckDB recomputes the expected prefix from `documents` and
+    // both engines fingerprint it as md5(hex(payload)) — which checks the
+    // binary surgery byte-for-byte, not just the bookkeeping.
+    "q_multimodal_resize" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 300))
+        Multimodal.resizeStub(media, 8, 8)
+          .select(col("media_id"), Multimodal.describe(col("media")).as("m"),
+            // lower(): Spark hex() emits A-F, DuckDB's blob hex a-f
+            md5(lower(hex(expr(s"substring(media, ${Multimodal.HeaderLen + 1}, " +
+              s"length(media))")))).as("payload_md5"))
+          .select(col("media_id"), col("m.width").as("width"),
+            col("m.height").as("height"),
+            col("m.n_frames").as("n_frames"),
+            col("m.payload_bytes").as("payload_bytes"),
+            col("payload_md5"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    16 + (doc_id % 64) AS w, 16 + (doc_id % 48) AS h,
+             |    CASE WHEN doc_id % 3 + 1 = 3 THEN 4 + (doc_id % 8) ELSE 1 END
+             |      AS n_frames,
+             |    encode(text) AS payload
+             |  FROM documents WHERE doc_id < 300),
+             |r AS (
+             |  SELECT doc_id, n_frames,
+             |    greatest(1, CAST(floor(
+             |      octet_length(payload)::BIGINT * 64 / (w::BIGINT * h)
+             |    ) AS BIGINT)) AS new_len,
+             |    payload
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             |  CAST(n_frames AS INTEGER) AS n_frames,
+             |  CAST(new_len AS INTEGER) AS payload_bytes,
+             |  md5(substring(lower(hex(payload)), 1, CAST(2 * new_len AS INTEGER)))
+             |    AS payload_md5
+             |FROM r ORDER BY media_id""".stripMargin)
     )
   )
 }

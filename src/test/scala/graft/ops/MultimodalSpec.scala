@@ -61,4 +61,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(custom.forall(_.feature.length == 1))
     assert(f1.map(_.checksum).toSeq == custom.map(_.checksum).toSeq)
   }
+
+  test("resize emits valid containers that compose with describe and frames") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val media = Multimodal.synthesize(docs)
+    val resized = Multimodal.resizeStub(media, 8, 8)
+    val m = resized.select(col("media_id"),
+        Multimodal.describe(col("media")).as("m"), length(col("media")).as("len"))
+      .select("media_id", "m.magic", "m.width", "m.height", "m.n_frames",
+        "m.payload_bytes", "len")
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getAs[String]("magic") == "GRFT")
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
+      // payload really shrank to the area ratio (original dims >= 16x16)
+      assert(r.getAs[Int]("payload_bytes") ==
+        r.getAs[Int]("len") - Multimodal.HeaderLen)
+    }
+    val origBytes = media.select(sum(length(col("media")))).head().getLong(0)
+    val newBytes = resized.select(sum(length(col("media")))).head().getLong(0)
+    assert(newBytes < origBytes / 3, s"$newBytes vs $origBytes")
+    // frame sampling still works on the resized container
+    assert(Multimodal.sampleFrames(resized).count() > 0)
+  }
 }
