@@ -38,4 +38,16 @@ object TextClean {
     val p2 = regexp_replace(p1, EmailRe, "<EMAIL>")
     regexp_replace(p2, Ipv4Re, "<IP>")
   }
+
+  /** Pre-tokenization normalization: lowercase, control characters out,
+    * whitespace runs collapsed, edges trimmed — the canonical form fed to
+    * exact dedup and tokenizers so that byte-level noise (tabs, CRs,
+    * doubled spaces, case) doesn't split otherwise-identical documents.
+    * All regexes live in the Java∩RE2 subset (like the PII patterns), so
+    * any engine replays the chain identically; pure codegen projection.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
+      " {2,}", " "))
 }

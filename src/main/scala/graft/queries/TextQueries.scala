@@ -342,6 +342,36 @@ object TextQueries extends QueryGroup {
               |FROM assigned GROUP BY split ORDER BY split""".stripMargin)
     ),
 
+    // Pre-tokenization normalization: the corpus is already clean, so
+    // deterministic byte-level noise (case, tabs, CR/LF, doubled spaces,
+    // a control char) is injected identically on both engines and the
+    // normalized output is value-checked verbatim plus by md5.
+    "q_text_normalize" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val noisy = concat(lit("  MiXeD\t"), col("text"),
+          lit("\r\n xx  YY "), (col("doc_id") % 7).cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextClean.normalize(noisy).as("norm"))
+          .select(col("doc_id"), col("norm"),
+            length(col("norm")).as("n_chars"), md5(col("norm")).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH noisy AS (
+             |  SELECT doc_id,
+             |    '  MiXeD' || chr(9) || text || chr(13) || chr(10)
+             |      || ' xx  YY ' || (doc_id % 7) AS s
+             |  FROM documents),
+             |norm AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(lower(s),
+             |      '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS norm
+             |  FROM noisy)
+             |SELECT doc_id, norm, CAST(length(norm) AS INTEGER) AS n_chars,
+             |  md5(norm) AS norm_md5
+             |FROM norm ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_text_bpe_tokens" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

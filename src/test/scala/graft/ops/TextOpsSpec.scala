@@ -119,4 +119,25 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(mse < 1e-4, s"reconstruction mse too large: $mse")
     assert(out(2L) == ((0.0, 0.0, 0L, 0, 0)))
   }
+
+  test("normalize: canonical form is idempotent and collapses byte noise") {
+    import spark.implicits._
+    val cases = Seq(
+      "  Hello\t WORLD \r\n",
+      "a\u0001b", // control char inside a token becomes a separator
+      "already clean",
+      "   ", // whitespace-only collapses to empty
+      "MiXeD   CaSe\n\nruns")
+    val out = cases.toDF("s")
+      .select(TextClean.normalize(col("s")).as("n1"))
+      .withColumn("n2", TextClean.normalize(col("n1")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (n1, n2) => assert(n1 == n2, s"not idempotent: '$n1'") }
+    val norms = out.map(_._1)
+    assert(norms(0) == "hello world")
+    assert(norms(1) == "a b")
+    assert(norms(2) == "already clean")
+    assert(norms(3) == "")
+    assert(norms(4) == "mixed case runs")
+  }
 }
