@@ -111,6 +111,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("the signature index survives a parquet round-trip (stored-index contract)") {
+    // incrementalMinhash's production premise is that yesterday's
+    // signatures are a PERSISTED artifact; prove the store/reload path:
+    // identical results from an index that went through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.minhashSignatures(Dedup.shingles(hist), 8)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    val reloaded = spark.read.parquet(s"$dir/sigs")
+    val viaStore = Dedup.incrementalMinhash(fresh, hist, reloaded, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.incrementalMinhash(fresh, hist,
+        Dedup.minhashSignatures(Dedup.shingles(hist), 8), threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == inline && viaStore.nonEmpty)
+  }
+
   test("batched incremental dedup replays the full corpus run exactly") {
     // the streaming shape: docs arrive in batches, each batch runs
     // incrementally against the accumulated signature index, new sigs
