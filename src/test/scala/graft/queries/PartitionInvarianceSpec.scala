@@ -12,7 +12,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkTestBase {
 
   private val probes = Seq(
     "q_dedup_minhash_lsh", "q_hashdb_merge_sources", "q_events_sessions",
-    "q5_snowflake_join", "q_sim_topk_bruteforce")
+    "q5_snowflake_join", "q_sim_topk_bruteforce",
+    // round-3 additions with their own shuffle/checkpoint structure
+    "q_dedup_incremental", "q_text_cms_topk", "q_sim_rp_topk")
 
   private def results(name: String): Seq[String] =
     Registry.all(name).build(spark, sf()).collect()
