@@ -289,7 +289,8 @@ object Dedup {
             concat_ws(":", col(s"d${2 * b + 1}"), col(s"d${2 * b + 2}")).as("key"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key")))
-    val capped = LshGuard.capBuckets(melted, Seq("band", "key"), maxBucket)
+    val capped = graft.util.AutoUnpersist.persistScoped(
+      LshGuard.capBuckets(melted, Seq("band", "key"), maxBucket))
     val cands = capped.select(col("doc_id").as("i"), col("band"), col("key"))
       .join(capped.select(col("doc_id").as("j"), col("band"), col("key")),
         Seq("band", "key"))
