@@ -229,6 +229,34 @@ object EventQueries extends QueryGroup {
              |    AS BIGINT) AS n_late,
              |  count(*) AS n_total
              |FROM w""".stripMargin)
+    ),
+
+    // Behavioral training sequences: each user's full event-type history
+    // in event-time order, as the token stream a sequence model consumes.
+    // The ordered concatenation is a sort_array(collect_list(struct)) —
+    // one shuffle keyed by user, deterministic ties on (ts, event_id) —
+    // and the md5 fingerprint value-checks the exact ordering engine-to-
+    // engine, not just the counts.
+    "q_events_user_sequences" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_join(
+              transform(
+                sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+                  col("event_type")))),
+                e => e.getField("event_type")),
+              ",").as("seq"))
+          .select(col("user_id"), col("n_events"),
+            length(col("seq")).as("seq_len"), md5(col("seq")).as("seq_md5"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(length(string_agg(event_type, ','
+             |    ORDER BY epoch_ns(ts), event_id)) AS INTEGER) AS seq_len,
+             |  md5(string_agg(event_type, ',' ORDER BY epoch_ns(ts), event_id))
+             |    AS seq_md5
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     )
   )
 }

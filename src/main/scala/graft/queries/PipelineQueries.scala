@@ -77,7 +77,78 @@ object PipelineQueries extends QueryGroup {
               |  min(doc_id) AS first_doc,
               |  max(doc_id) AS last_doc
               |FROM survivors""".stripMargin)
-    )
+    ),
+
+    "q_corpus_report" -> corpusReport
+  )
+
+  /** One-row corpus health report — the dashboard numbers a pipeline
+    * operator checks before shipping a crawl: volume, vocabulary,
+    * duplication, language mix, quality. Each metric is a map-side-
+    * combinable aggregate over ONE corpus pass (the dup-group count rides
+    * a sub-aggregate on the same scan), so the report costs a scan, not
+    * a query per metric.
+    */
+  private def corpusReport = QueryDef(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val keyed = docs
+        .withColumn("content_key",
+          md5(concat_ws(" ", (1 to 5).map(i => element_at(toks, i)): _*)))
+        .withColumn("quality_bp",
+          floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"))
+      val dupGroups = keyed.groupBy("content_key")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(col("n") - 1).as("n_redundant_docs"))
+      val langs = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(concat_ws(":", col("lang"), col("n")).as("lc"))
+        .agg(array_join(array_sort(collect_list(col("lc"))), ",").as("langs"))
+      val vocab = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct("tok").as("vocab_size"))
+      val stats = keyed.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+        floor(avg(col("quality_bp"))).cast("long").as("avg_quality_bp"))
+      stats.crossJoin(vocab).crossJoin(dupGroups).crossJoin(langs)
+        .select("n_docs", "n_tokens", "vocab_size", "n_dup_groups",
+          "n_redundant_docs", "avg_quality_bp", "langs")
+    },
+    Some("""WITH toksrc AS (
+           |  SELECT doc_id, lang, text,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+           |    string_split(text, ' ') AS rawtoks,
+           |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+           |  FROM documents),
+           |keyed AS (
+           |  SELECT doc_id,
+           |    md5(array_to_string(rawtoks[1:5], ' ')) AS content_key,
+           |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+           |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+           |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000) AS BIGINT)
+           |      AS quality_bp,
+           |    len(toks) AS n_toks
+           |  FROM toksrc),
+           |dg AS (
+           |  SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_dup_groups,
+           |    CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_redundant_docs
+           |  FROM (SELECT content_key, count(*) AS n FROM keyed GROUP BY 1)),
+           |vocab AS (
+           |  SELECT count(DISTINCT tok) AS vocab_size FROM (
+           |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |    FROM documents)),
+           |langs AS (
+           |  SELECT string_agg(lc, ',' ORDER BY lc) AS langs FROM (
+           |    SELECT lang || ':' || count(*) AS lc FROM documents GROUP BY lang)),
+           |stats AS (
+           |  SELECT count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |    CAST(floor(avg(quality_bp)) AS BIGINT) AS avg_quality_bp
+           |  FROM keyed)
+           |SELECT n_docs, n_tokens, vocab_size, n_dup_groups,
+           |  n_redundant_docs, avg_quality_bp, langs
+           |FROM stats, vocab, dg, langs""".stripMargin)
   )
 
   /** The MinHash-LSH near-dup pair CTE, identical to q_dedup_minhash_lsh's
