@@ -86,4 +86,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // frame sampling still works on the resized container
     assert(Multimodal.sampleFrames(resized).count() > 0)
   }
+
+  test("malformed containers degrade to nulls, not exceptions or garbage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "GRFT".getBytes("US-ASCII")), // header truncated after magic
+      (2L, Array[Byte]()), // empty
+      (3L, "XX".getBytes("US-ASCII"))) // not even a magic
+      .toDF("media_id", "media")
+    val out = rows.select(col("media_id"), Multimodal.describe(col("media")).as("m"))
+      .select("media_id", "m.magic", "m.width", "m.payload_bytes")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getInt(3))).toMap
+    // a 4-byte file still reads its magic; dims are null (no bytes), and
+    // payload_bytes goes negative-of-header — callers filter on
+    // magic = 'GRFT' AND width IS NOT NULL before trusting a row
+    assert(out(1L)._1.contains("GRFT") && out(1L)._2.isEmpty)
+    assert(out(2L)._2.isEmpty)
+    assert(out(3L)._1.exists(_ != "GRFT"))
+  }
+
+  test("resize to larger dimensions clamps at the existing payload") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.synthesize(docs)
+    val orig = media.select(col("media_id"),
+        (length(col("media")) - Multimodal.HeaderLen).as("pb")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 128x128 exceeds every synthesized (w,h) ≤ 79x63 → ratio > 1
+    val up = Multimodal.resizeStub(media, 128, 128)
+      .select(col("media_id"), Multimodal.describe(col("media")).as("m"))
+      .select("media_id", "m.width", "m.payload_bytes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    up.foreach { case (id, w, pb) =>
+      assert(w == 128)
+      assert(pb == orig(id), s"media $id: upscale must keep the full payload")
+    }
+  }
 }
