@@ -18,7 +18,8 @@ import graft.sql.expressions.{Digest, FloatVecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftExtensions.functions.foreach(ext.injectFunction)
+    (GraftExtensions.functions ++ GraftExtensions.textFunctions)
+      .foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -47,9 +48,44 @@ object GraftExtensions {
         })
     }
 
+  /** Text-cleaning ops surfaced as SQL functions. Built from raw Catalyst
+    * expression classes (Lower/StringTrim/RegExpReplace) because a
+    * function builder must return a REAL expression tree — the Column API
+    * produces unresolved ColumnNodes that never pass through the
+    * analyzer's node converter on this path. The regex constants are the
+    * same ones the Column API uses, so both surfaces stay in lockstep
+    * (asserted in GraftExtensionsSpec).
+    */
+  private[sql] val textFunctions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+    def one(name: String, usage: String)(f: Expression => Expression) =
+      (FunctionIdentifier(name), info(name, usage),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly one argument")
+          f(children.head)
+        })
+    Seq(
+      one("graft_normalize",
+        "graft_normalize(text) - canonical lowercase/whitespace-collapsed form.") { e =>
+        StringTrim(RegExpReplace(
+          RegExpReplace(Lower(e), Literal("[\\x00-\\x1f\\x7f]"), Literal(" ")),
+          Literal(" {2,}"), Literal(" ")))
+      },
+      one("graft_redact_pii",
+        "graft_redact_pii(text) - emails/IPv4/phones replaced by placeholders.") { e =>
+        import graft.ops.TextClean.{EmailRe, Ipv4Re, PhoneRe}
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(e, Literal(PhoneRe), Literal("<PHONE>")),
+            Literal(EmailRe), Literal("<EMAIL>")),
+          Literal(Ipv4Re), Literal("<IP>"))
+      })
+  }
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (id, inf, builder) =>
+    (functions ++ textFunctions).foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
 }

@@ -29,6 +29,26 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage.contains("exactly two"))
   }
 
+  test("text ops are callable from SQL and agree with the Column API") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_normalize(concat('  MiXeD', char(9), ' text ')) AS n,
+        |  graft_redact_pii('mail me x@y.io from 10.0.0.1 now') AS p""".stripMargin)
+      .head()
+    assert(r.getString(0) == "mixed text")
+    assert(r.getString(1) == "mail me <EMAIL> from <IP> now")
+    // lockstep with the Column API implementations on the same inputs
+    val viaCols = Seq(("  MiXeD\t text ", "mail me x@y.io from 10.0.0.1 now"))
+      .toDF("a", "b")
+      .select(graft.ops.TextClean.normalize(col("a")),
+        graft.ops.TextClean.redactPii(col("b")))
+      .head()
+    assert(viaCols.getString(0) == r.getString(0))
+    assert(viaCols.getString(1) == r.getString(1))
+  }
+
   test("graft_vec_dot returns null, not a wrong product, on null elements") {
     GraftExtensions.register(spark)
     // array(1.0D, NULL) has containsNull=true → per-element guard active,
