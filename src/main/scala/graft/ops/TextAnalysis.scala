@@ -210,4 +210,77 @@ object TextAnalysis {
       (acc, c) => (acc * 31L + c) % 1000000007L
     )
   }
+
+  /** BPE vocabulary training as distributed aggregations.
+    *
+    * The classic corpus-side tokenizer-training loop: start from the
+    * word-frequency table with words split into character symbols; each
+    * round counts adjacent symbol pairs (weighted by word frequency, one
+    * map-side-combined aggregation over the vocabulary — NOT the corpus),
+    * picks the most frequent pair (ties: lexicographically smallest), and
+    * merges it everywhere. Returns the merge table (step, left, right,
+    * merged, pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is touched ONCE (word-frequency groupBy);
+    * every round after that works on the vocabulary table, which is
+    * orders of magnitude smaller and `localCheckpoint`ed per round to
+    * keep lineage flat. Only the single best (pair, count) row reaches
+    * the driver per round.
+    *
+    * Merge semantics: symbols live space-separated with sentinel spaces
+    * at both ends; a round applies TWO sentinel-bounded `replace` passes,
+    * so pairs that become adjacent because their left neighbour merged in
+    * the same pass are caught (canonical greedy BPE for runs up to
+    * length 4; longer same-pair runs defer to the next round — a
+    * deterministic, engine-replayable approximation, and the identical
+    * `replace` left-to-right non-overlapping semantics is what lets a
+    * SQL engine replay training bit-for-bit).
+    *
+    * Symbols must not contain spaces (true for whitespace tokenization by
+    * construction).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // word-frequency table, symbolized: "abc" -> "a b c"
+    var words = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("w"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val s = col("_s")
+      val best = words
+        .withColumn("_s", split(col("w"), " "))
+        .filter(size(s) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(s) - 2), i =>
+            concat_ws(" ", element_at(s, i + 1), element_at(s, i + 2)))
+        ).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pair, n) = (best(0).getString(0), best(0).getLong(1))
+        val Array(l, r) = pair.split(" ", 2)
+        val merged = l + r
+        merges += ((step, l, r, merged, n))
+        // literal (non-regex) replace — same left-to-right non-overlapping
+        // semantics as SQL replace(), which is what the oracle replays
+        def once(c: Column): Column = {
+          import org.apache.spark.sql.graftshim.GraftShim
+          GraftShim.column(
+            org.apache.spark.sql.catalyst.expressions.StringReplace(
+              GraftShim.expression(c),
+              GraftShim.expression(lit(" " + pair + " ")),
+              GraftShim.expression(lit(" " + merged + " "))))
+        }
+        words = words
+          .withColumn("w", trim(once(once(concat(lit(" "), col("w"), lit(" "))))))
+          .localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("step", "left", "right", "merged", "pair_count")
+  }
 }

@@ -372,6 +372,18 @@ object TextQueries extends QueryGroup {
              |FROM norm ORDER BY doc_id""".stripMargin)
     ),
 
+    // BPE tokenizer training: 8 merge rounds as distributed aggregations
+    // over the word-frequency table, with DuckDB replaying the ENTIRE
+    // training loop — symbolization, weighted pair counts, tie-breaks,
+    // and the sentinel-bounded merge rewrites — bit-for-bit (the same
+    // whole-loop-oracle pattern as the k-means IVF query).
+    "q_text_bpe_train" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.bpeTrain(Tables.documents(s, d), nMerges = 8)
+          .orderBy("step"),
+      Some(bpeTrainSql(8))
+    ),
+
     "q_text_bpe_tokens" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
@@ -387,6 +399,49 @@ object TextQueries extends QueryGroup {
              |FROM documents""".stripMargin)
     )
   )
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]: per round k,
+    * `p{k}` (freq-weighted adjacent-pair counts over the symbolized
+    * vocabulary), `b{k}` (best pair: max count, lexicographically smallest
+    * on ties), `w{k}` (vocabulary after two sentinel-bounded literal
+    * replaces — identical left-to-right non-overlapping semantics in both
+    * engines). Final SELECT unions the merge table.
+    */
+  private def bpeTrainSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+             |  SELECT trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS w,
+             |    count(*) AS freq
+             |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+             |          x -> x <> '')) AS tok FROM documents)
+             |  GROUP BY 1)""".stripMargin
+    for (k <- 1 to nMerges) {
+      val prev = s"w${k - 1}"
+      sb ++= s""",
+               |p$k AS MATERIALIZED (
+               |  SELECT s[i] || ' ' || s[i+1] AS pair,
+               |    CAST(sum(freq) AS BIGINT) AS n
+               |  FROM (SELECT string_split(w, ' ') AS s, freq FROM $prev),
+               |       unnest(generate_series(1, len(s) - 1)) AS g(i)
+               |  WHERE len(s) >= 2 GROUP BY 1),
+               |b$k AS MATERIALIZED (
+               |  SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+               |w$k AS MATERIALIZED (
+               |  SELECT trim(replace(replace(' ' || w || ' ',
+               |      ' ' || (SELECT pair FROM b$k) || ' ',
+               |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' '),
+               |      ' ' || (SELECT pair FROM b$k) || ' ',
+               |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS w,
+               |    freq
+               |  FROM $prev)""".stripMargin
+    }
+    sb ++= "\n" + (1 to nMerges).map { k =>
+      s"""SELECT $k AS step, string_split(pair, ' ')[1] AS "left",
+         |  string_split(pair, ' ')[2] AS "right",
+         |  replace(pair, ' ', '') AS merged, n AS pair_count FROM b$k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
 
   /** Decimal value of hex digit `i` (1-based) of md5 expression `h`. */
   private def hexDigitSql(h: String, i: Int): String =

@@ -120,6 +120,22 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((0.0, 0.0, 0L, 0, 0)))
   }
 
+  test("BPE training: most frequent pair merges first, ties break lexicographically") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab cd"), (2L, "aaab cd cd")).toDF("doc_id", "text")
+    // word freqs: aaab=3, cd=3 → symbolized "a a a b"(3), "c d"(3)
+    // round 1 pairs: (a,a)=6, (a,b)=3, (c,d)=3 → merge (a,a), greedy-left
+    //   leaves "aa a b" (the overlapping second (a,a) defers)
+    // round 2: (aa,a)=3, (a,b)=3, (c,d)=3 → tie → "a b" smallest → "aa ab"
+    // round 3: (aa,ab)=3, (c,d)=3 → "aa ab" < "c d" → "aaab"
+    val m = TextAnalysis.bpeTrain(docs, 3).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(m(0) == ((1, "a", "a", "aa", 6L)))
+    assert(m(1) == ((2, "a", "b", "ab", 3L)))
+    assert(m(2) == ((3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("normalize: canonical form is idempotent and collapses byte noise") {
     import spark.implicits._
     val cases = Seq(
