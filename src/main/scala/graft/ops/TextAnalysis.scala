@@ -211,6 +211,106 @@ object TextAnalysis {
     )
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per
+    * document, score = tf × (N / df) with raw inverse document frequency
+    * (no log — the ranking is identical and the arithmetic stays one
+    * exact integer product plus one IEEE division, so any SQL engine
+    * replays it bit-for-bit; a log-scaled idf differs across libm
+    * implementations in the last ulp).
+    *
+    * Scale shape: term frequencies are one doc×term aggregation with
+    * map-side partials; document frequencies aggregate THAT result down
+    * to vocabulary size (orders of magnitude smaller than the corpus);
+    * the df table joins back on the term key — an equi-join Spark
+    * shuffles on `tok`, or broadcasts when the vocabulary fits. The
+    * per-doc top-k window partitions by doc_id (corpus-parallel, never
+    * a global sort). Ties are deterministic: score desc, term asc.
+    */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df_, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** N-gram LM coverage scoring — the engine-replayable core of a
+    * CCNet-style language-model quality filter: how much of a document's
+    * n-gram mass is "known" to a model trained on the corpus itself
+    * (corpus frequency ≥ `minCount`). Low coverage = improbable text
+    * under the corpus LM (gibberish, OCR noise, wrong language); the
+    * standard pipeline drops or down-weights low scorers. A true
+    * perplexity would multiply probabilities through `log` — whose last-
+    * ulp behavior differs per libm — so the score is kept as exact
+    * integer mass ratios that any engine reproduces bit-for-bit.
+    *
+    * Scale shape: per-doc n-gram counts (one corpus aggregation with
+    * map-side partials), an n-gram-vocabulary-sized model table
+    * aggregated from it, and one equi-join back on the gram key.
+    * Nothing touches the driver; the model table IS the trained model,
+    * reusable across scoring runs.
+    */
+  def lmCoverage(docs: DataFrame, n: Int = 2, minCount: Long = 3L): DataFrame = {
+    val grams = ngramCounts(docs, n)
+    val model = grams.groupBy("gram")
+      .agg(sum(col("c")).as("corpus_c"))
+      .filter(col("corpus_c") >= minCount)
+      .select(col("gram"), lit(1).as("_known"))
+    grams.join(model, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_ngrams"),
+        sum(when(col("_known").isNotNull, col("c")).otherwise(0L))
+          .as("n_known"))
+      .withColumn("known_frac",
+        col("n_known").cast("double") / col("n_ngrams"))
+  }
+
+  /** Weighted systematic sampling: pick ~`n` documents per `source`
+    * stratum with probability proportional to `weightCol` (an integer
+    * column), deterministically. Each stratum lays its documents on a
+    * cumulative-weight line in doc_id order; a document is selected iff
+    * its weight span crosses a multiple of (stratum total / n) — the
+    * classic systematic PPS design, reduced to exact integer arithmetic
+    * (`floor(cum·n / W)` transitions) that a SQL oracle replays
+    * bit-for-bit. Heavier documents are proportionally likelier to
+    * straddle a boundary; documents heavier than one stride are always
+    * selected (count 1 — no multiplicity).
+    *
+    * Scale shape: one cumulative-sum window per source stratum — strata
+    * sample in parallel and a 100 TB corpus has many sources; the
+    * stratum totals are a broadcast-sized aggregate joined back on
+    * `source`. No global ordering anywhere.
+    */
+  def weightedSample(docs: DataFrame, n: Int, weightCol: String = "n_chars"): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.groupBy("source")
+      .agg(sum(col(weightCol)).as("_total"))
+    docs
+      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .join(broadcast(totals), "source")
+      // selected iff floor(cum*n/W) > floor((cum-w)*n/W): the span
+      // (cum-w, cum] contains a stride boundary. Exact BIGINT products —
+      // cum ≤ stratum weight, so cum·n stays far under 2^63 for any
+      // realistic stratum (overflow needs cum·n > 9e18).
+      .filter(expr(s"(_cum * $n) DIV _total") >
+        expr(s"((_cum - $weightCol) * $n) DIV _total"))
+      .select(col("doc_id"), col("source"), col(weightCol).as("weight"),
+        col("_cum").as("cum_weight"))
+  }
+
   /** BPE vocabulary training as distributed aggregations.
     *
     * The classic corpus-side tokenizer-training loop: start from the

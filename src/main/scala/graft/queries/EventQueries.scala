@@ -257,6 +257,104 @@ object EventQueries extends QueryGroup {
              |  md5(string_agg(event_type, ',' ORDER BY epoch_ns(ts), event_id))
              |    AS seq_md5
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // Funnel analysis: view → click (strictly after the first view) →
+    // purchase (strictly after that click), first-touch per user. Three
+    // per-user conditional minimums chained through equi-joins on
+    // user_id — every join co-partitions on the same key, so at scale
+    // the three stages reuse one shuffle partitioning; counts only
+    // (exact integers) in the compared output.
+    "q_events_funnel" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_ns").as("view_ns"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts_ns") > col("view_ns"))
+          .groupBy("user_id").agg(min("ts_ns").as("click_ns"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts_ns") > col("click_ns"))
+          .groupBy("user_id").agg(min("ts_ns").as("purchase_ns"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_view"),
+            count(col("click_ns")).as("n_view_click"),
+            count(col("purchase_ns")).as("n_view_click_purchase"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(epoch_ns(ts)) AS view_ns
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(epoch_ns(e.ts)) AS click_ns
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.view_ns
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(epoch_ns(e.ts)) AS purchase_ns
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.click_ns
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_view,
+             |  count(c.click_ns) AS n_view_click,
+             |  count(p.purchase_ns) AS n_view_click_purchase
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |  LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)
+    ),
+
+    // Trailing 1-hour rolling aggregates per user (RANGE frame over the
+    // nanosecond event-time axis): event count and max value in the
+    // window ending at each event. RANGE frames resolve peer rows by
+    // value, so duplicate timestamps aggregate identically in any
+    // engine; max is order-independent-exact on doubles (no float-sum
+    // nondeterminism in the compared projection).
+    "q_events_rolling" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ns")
+          .rangeBetween(-3600L * 1000000000L, 0)
+        Tables.events(s, d)
+          .filter(col("user_id") < 40)
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("max_value_1h", max(col("value")).over(w))
+          .select("event_id", "user_id", "n_1h", "max_value_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w AS n_1h,
+             |  max(value) OVER w AS max_value_1h
+             |FROM events WHERE user_id < 40
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
+    ),
+
+    // Semi-structured props: extract the JSON payload's integer field
+    // with get_json_object (codegen'd Jackson path eval — no UDF) and
+    // aggregate it per event type. The JSON parse happens inside the
+    // scan projection, so column pruning still reaches parquet.
+    "q_events_json" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k"),
+            countDistinct(col("k")).as("n_distinct_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(k) AS n_with_k,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  count(DISTINCT k) AS n_distinct_k
+             |FROM (SELECT event_type,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

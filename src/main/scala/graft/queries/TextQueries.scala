@@ -397,6 +397,89 @@ object TextQueries extends QueryGroup {
              |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
              |  count(*) AS n_docs
              |FROM documents""".stripMargin)
+    ),
+
+    // TF-IDF keyword extraction: top-3 terms per document, score =
+    // tf × N / df (raw idf — same ranking as log-idf, but exact integer
+    // product + one IEEE division, so the oracle replays it bit-for-bit;
+    // log's last-ulp behavior is libm-specific).
+    "q_text_tfidf" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.tfidf(
+            Tables.documents(s, d).filter(col("doc_id") < 100), k = 3)
+          .orderBy("doc_id", "rank"),
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |  FROM docs),
+             |tf AS (
+             |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (
+             |  SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM docs),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER w AS INTEGER) AS rank,
+             |  tok AS term, tf, df, score
+             |FROM scored
+             |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, tok)
+             |QUALIFY row_number() OVER w <= 3
+             |ORDER BY doc_id, rank""".stripMargin)
+    ),
+
+    // Bigram-LM coverage scoring (CCNet-style quality filter core): the
+    // corpus's bigram table IS the trained model; each doc scores by the
+    // fraction of its bigram mass with corpus frequency >= 3. Exact
+    // integer mass ratios instead of log-perplexity — engine-replayable.
+    "q_text_lm_coverage" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.lmCoverage(Tables.documents(s, d), n = 2,
+            minCount = 3L)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, count(*) AS c
+             |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+             |  WHERE len(t) >= 2 GROUP BY 1, 2),
+             |model AS (
+             |  SELECT gram FROM grams GROUP BY gram
+             |  HAVING sum(c) >= 3)
+             |SELECT g.doc_id,
+             |  CAST(sum(g.c) AS BIGINT) AS n_ngrams,
+             |  CAST(sum(CASE WHEN m.gram IS NOT NULL THEN g.c ELSE 0 END)
+             |    AS BIGINT) AS n_known,
+             |  CAST(sum(CASE WHEN m.gram IS NOT NULL THEN g.c ELSE 0 END)
+             |    AS BIGINT)::DOUBLE / CAST(sum(g.c) AS BIGINT) AS known_frac
+             |FROM grams g LEFT JOIN model m ON g.gram = m.gram
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Weighted systematic sampling: ~10 docs per source stratum, selection
+    // probability proportional to n_chars, fully deterministic (a doc is
+    // picked iff its cumulative-weight span crosses a stride boundary —
+    // exact BIGINT arithmetic both engines replay identically).
+    "q_text_sample_weighted" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.weightedSample(Tables.documents(s, d), n = 10)
+          .orderBy("doc_id"),
+      Some("""WITH cum AS (
+             |  SELECT doc_id, source, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_w,
+             |    sum(n_chars) OVER (PARTITION BY source) AS total_w
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars AS weight,
+             |  CAST(cum_w AS BIGINT) AS cum_weight
+             |FROM cum
+             |WHERE (cum_w * 10) // total_w > ((cum_w - n_chars) * 10) // total_w
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 

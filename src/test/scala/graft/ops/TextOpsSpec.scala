@@ -156,4 +156,64 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(norms(3) == "")
     assert(norms(4) == "mixed case runs")
   }
+
+  test("tfidf: rare-but-frequent-in-doc terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the quark quark quark"), // quark: tf=3, df=1; the: tf=2, df=3
+      (2L, "the lepton"),
+      (3L, "the boson boson")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // doc 1: quark score 3·3/1 = 9 beats the 2·3/3 = 2
+    assert(out((1L, 1)) == (("quark", 3L, 1L, 9.0)))
+    assert(out((1L, 2)) == (("the", 2L, 3L, 2.0)))
+    // doc 3: boson 2·3/1 = 6 beats the 1·3/3 = 1
+    assert(out((3L, 1))._1 == "boson")
+    // ties break alphabetically: doc 2 has lepton (1·3/1=3) then the (1)
+    assert(out((2L, 1))._1 == "lepton" && out((2L, 2))._1 == "the")
+  }
+
+  test("lmCoverage: common bigrams count as known mass, rare ones don't") {
+    import spark.implicits._
+    // "a b" appears 3× corpus-wide (docs 1,1,2) → known at minCount=3;
+    // every other bigram appears once
+    val docs = Seq(
+      (1L, "a b c a b"),  // bigrams: ab bc ca ab → 4 mass, ab known (2)
+      (2L, "a b"),        // ab → 1 mass, known
+      (3L, "x y")         // xy → 1 mass, unknown
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCoverage(docs, n = 2, minCount = 3L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
+  test("weightedSample: ~n per stratum, heavy docs always selected") {
+    import spark.implicits._
+    val docs = (0L until 100L).map { i =>
+      // one giant doc per stratum dominates half the stratum's weight
+      val w = if (i % 50 == 0) 5000L else 50L
+      (i, s"s${i / 50}", w)
+    }.toDF("doc_id", "source", "n_chars")
+    val picked = TextAnalysis.weightedSample(docs, n = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val bySource = picked.groupBy(_._2).view.mapValues(_.size).toMap
+    // systematic PPS: exactly n boundary crossings per stratum when no
+    // doc exceeds one stride... the giant doc spans ~5 strides but is
+    // selected once, so totals land in [n/2, n]
+    assert(bySource.keySet == Set("s0", "s1"))
+    bySource.values.foreach(c => assert(c >= 5 && c <= 10, s"got $bySource"))
+    // the giant docs (weight > stride) must be selected
+    assert(picked.map(_._1).contains(0L) && picked.map(_._1).contains(50L))
+    // determinism: same input → same selection
+    val again = TextAnalysis.weightedSample(docs, n = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again == picked)
+  }
 }

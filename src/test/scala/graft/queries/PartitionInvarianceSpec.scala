@@ -14,7 +14,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkTestBase {
     "q_dedup_minhash_lsh", "q_hashdb_merge_sources", "q_events_sessions",
     "q5_snowflake_join", "q_sim_topk_bruteforce",
     // round-3 additions with their own shuffle/checkpoint structure
-    "q_dedup_incremental", "q_text_cms_topk", "q_sim_rp_topk")
+    "q_dedup_incremental", "q_text_cms_topk", "q_sim_rp_topk",
+    // multi-join funnel and vocabulary-join tf-idf
+    "q_events_funnel", "q_text_tfidf")
 
   private def results(name: String): Seq[String] =
     Registry.all(name).build(spark, sf()).collect()
