@@ -84,6 +84,67 @@ object Sketches {
   def mergeCountMin(sketches: DataFrame): DataFrame =
     sketches.groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
 
+  /** Equi-width histogram sketch of a numeric column over a fixed
+    * [lo, hi) domain: `bins` counters as a (bin, cnt) table — at most
+    * `bins` rows regardless of corpus size, one groupBy with map-side
+    * partials to build. Out-of-domain values clamp into the edge bins.
+    *
+    * The third mergeable-sketch family next to HLL (distincts) and CMS
+    * (frequencies): histogram tables MERGE by bucket-wise sum
+    * ([[mergeHistograms]]), so per-shard/per-day histograms roll up
+    * into corpus quantile estimates without re-scanning raw data — the
+    * alternative to an exact percentile's full sort at 100 TB. Unlike
+    * t-digest/KLL the bin layout is deterministic arithmetic, which is
+    * what lets a SQL oracle rebuild the identical sketch bit-for-bit.
+    */
+  def histogramSketch(
+      df: DataFrame, of: Column, lo: Double, hi: Double, bins: Int
+  ): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    df.select(
+        least(lit(bins - 1), greatest(lit(0),
+          floor((of - lit(lo)) / lit(width)).cast("int"))).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum per-shard histogram tables bucket-wise into one sketch. */
+  def mergeHistograms(sketches: DataFrame): DataFrame =
+    sketches.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+
+  /** Estimate quantiles from a histogram sketch: for each q, find the
+    * bin containing rank ⌈q·N⌉ on the cumulative counts and linearly
+    * interpolate inside it. The sketch is bins-sized (broadcast); the
+    * cumulative window runs over ≤ `bins` rows, never the data. Error
+    * is bounded by one bin width — tune `bins` to the tolerance.
+    */
+  def histogramQuantiles(
+      sketch: DataFrame, qs: Seq[Double], lo: Double, hi: Double, bins: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    qs.toDF("q")
+      .join(broadcast(cum),
+        col("cum") >= greatest(lit(1L), ceil(col("q") * col("n"))) &&
+        col("cum_before") < greatest(lit(1L), ceil(col("q") * col("n"))))
+      .groupBy("q")
+      .agg(min(struct(col("bin"), col("cnt"), col("cum_before"), col("n")))
+        .as("b"))
+      .select(col("q"),
+        (lit(lo) + lit(width) * (col("b.bin") +
+          (greatest(lit(1L), ceil(col("q") * col("b.n"))) - col("b.cum_before"))
+            .cast("double") / col("b.cnt"))).as("estimate"))
+  }
+
   /** Point-estimate the frequency of each probe value against a CMS table:
     * min over the `depth` rows of the matching bucket's counter (0 if the
     * bucket is empty). `probes` must expose `valueCol`; the sketch is tiny

@@ -355,6 +355,49 @@ object EventQueries extends QueryGroup {
              |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |  FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Mergeable histogram-quantile sketch: two half-corpus shards are
+    // sketched independently, merged bucket-wise, and quantiles are
+    // interpolated from the 64-bin cumulative counts — the full
+    // shard → merge → estimate lifecycle in one oracled query (DuckDB
+    // rebuilds the identical sketch from the whole corpus, which also
+    // proves merge(shards) == sketch(whole)). Bounded error (one bin
+    // width) instead of q_percentiles' exact full sort.
+    "q_events_quantile_sketch" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = Tables.events(s, d)
+        val a = Sketches.histogramSketch(
+          ev.filter(col("event_id") % 2 === 0), col("value"), 0.0, 640.0, 64)
+        val b = Sketches.histogramSketch(
+          ev.filter(col("event_id") % 2 =!= 0), col("value"), 0.0, 640.0, 64)
+        val sketch = Sketches.mergeHistograms(a.unionByName(b))
+        Sketches.histogramQuantiles(sketch, Seq(0.5, 0.9, 0.99), 0.0, 640.0, 64)
+          .orderBy("q")
+      },
+      Some("""WITH h AS (
+             |  SELECT least(63, greatest(0,
+             |      CAST(floor((value - 0.0) / 10.0) AS INTEGER))) AS bin,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |c AS (
+             |  SELECT bin, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+             |      - cnt AS BIGINT) AS cum_before,
+             |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+             |  FROM h),
+             |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+             |SELECT q,
+             |  0.0 + 10.0 * (bin +
+             |    CAST(greatest(1, CAST(ceil(q * n) AS BIGINT)) - cum_before
+             |      AS DOUBLE) / cnt) AS estimate
+             |FROM qs JOIN c
+             |  ON cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+             |  AND cum_before < greatest(1, CAST(ceil(q * n) AS BIGINT))
+             |ORDER BY q""".stripMargin)
     )
   )
 }

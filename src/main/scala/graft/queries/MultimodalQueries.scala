@@ -128,6 +128,35 @@ object MultimodalQueries extends QueryGroup {
              |  md5(substring(lower(hex(payload)), 1, CAST(2 * new_len AS INTEGER)))
              |    AS payload_md5
              |FROM r ORDER BY media_id""".stripMargin)
+    ),
+
+    // Video frame sampling: every 2nd frame's byte range from the header
+    // arithmetic alone — the narrow explode that lets a (stubbed) decoder
+    // touch only sampled slices. DuckDB recomputes offsets independently
+    // from `documents` (frame count and payload length are deterministic
+    // functions of doc_id), value-checking the slicing math end-to-end.
+    "q_multimodal_frames" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 300))
+          .filter(col("modality") === "video")
+        Multimodal.sampleFrames(media, everyNth = 2)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id,
+             |    4 + (doc_id % 8) AS n_frames,
+             |    octet_length(encode(text)) AS payload_bytes
+             |  FROM documents
+             |  WHERE doc_id < 300 AND doc_id % 3 + 1 = 3)
+             |SELECT doc_id AS media_id,
+             |  CAST(f AS INTEGER) AS frame_idx,
+             |  18 + f * (payload_bytes / CAST(greatest(n_frames, 1) AS DOUBLE))
+             |    AS byte_offset,
+             |  payload_bytes / CAST(greatest(n_frames, 1) AS DOUBLE)
+             |    AS frame_bytes
+             |FROM v, unnest(generate_series(0, n_frames - 1, 2)) AS g(f)
+             |ORDER BY media_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -111,4 +111,32 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     // CMS merge is exact counter addition — bit-equal tables, unlike HLL
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
   }
+
+  test("histogram quantiles: within one bin width of exact, merge is exact") {
+    import spark.implicits._
+    val vals = docs.select(col("n_chars").cast("double").as("v"))
+    val (lo, hi, bins) = (0.0, 600.0, 60)
+    val direct = Sketches.histogramSketch(vals, col("v"), lo, hi, bins)
+    // shard by parity, merge — must equal the direct sketch bit-for-bit
+    val shards = Seq(0, 1).map(p =>
+      Sketches.histogramSketch(
+        docs.filter(col("doc_id") % 2 === p)
+          .select(col("n_chars").cast("double").as("v")),
+        col("v"), lo, hi, bins))
+    val merged = Sketches.mergeHistograms(shards.reduce(_ unionByName _))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val est = Sketches.histogramQuantiles(direct, qs, lo, hi, bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = docs.stat.approxQuantile("n_chars", qs.toArray, 0.0)
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= (hi - lo) / bins + 1e-9,
+        s"q=$q: est ${est(q)} vs exact $ex")
+    }
+    // out-of-domain values clamp into edge bins instead of vanishing
+    val clamped = Sketches.histogramSketch(
+      Seq(-5.0, 1e9).toDF("v"), col("v"), lo, hi, bins)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(clamped == Map(0 -> 1L, (bins - 1) -> 1L))
+  }
 }

@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_scalar_subquery", "q_sim_range_search", "q_sim_topk_bruteforce",
     "q_sim_ivf_topk", "q_sim_quantized_topk", "q_sim_rp_topk",
     "q_corpus_report", // crossJoin of four 1-row aggregates
-    "q_text_tfidf") // 1-row corpus-size aggregate × vocab-sized tf table
+    "q_text_tfidf", // 1-row corpus-size aggregate × vocab-sized tf table
+    "q_events_quantile_sketch") // 3 quantile rows × ≤64-bin sketch table
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
