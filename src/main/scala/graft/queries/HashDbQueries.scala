@@ -128,6 +128,29 @@ object HashDbQueries extends QueryGroup {
               |WHERE hash_hex = md5('slow hash batch') AND algorithm = 'md5'""".stripMargin)
     ),
 
+    // Bulk reverse lookup: a probe TABLE of hashes joined against the db —
+    // the Spark-scale generalization of the reference's one-hash query
+    // loop (a driver loop of point lookups would pay the per-job floor per
+    // hash; one broadcast equi-join answers the whole batch in a single
+    // pass, with the bloom/min-max pruning still applying per file).
+    "q_hashdb_batch_lookup" -> QueryDef(
+      (s, d) => {
+        val probes = shingles(Tables.documents(s, d).filter(col("doc_id") < 5))
+          .select(md5(col("w")).as("hash_hex")).distinct()
+        hashdb(s, d)
+          .join(broadcast(probes), Seq("hash_hex"))
+          .filter(col("algorithm") === "md5")
+          .select("hash_hex", "preimage", "algorithm")
+          .orderBy("hash_hex")
+      },
+      Some(s"""$hashdbSqlCte,
+              |probes AS (
+              |  SELECT DISTINCT md5(w) AS hash_hex FROM sh WHERE doc_id < 5)
+              |SELECT h.hash_hex, h.preimage, h.algorithm
+              |FROM hashdb h JOIN probes p ON h.hash_hex = p.hash_hex
+              |WHERE h.algorithm = 'md5' ORDER BY h.hash_hex""".stripMargin)
+    ),
+
     // J1: append-merge provenance — per (word, algorithm) record, the
     // set-union of contributing sources, deterministic (sorted, csv).
     "q_hashdb_merge_sources" -> QueryDef(

@@ -461,6 +461,19 @@ object TextQueries extends QueryGroup {
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // TextRank keyword centrality: 4 PageRank iterations over the
+    // word-adjacency graph, with DuckDB replaying the ENTIRE power
+    // iteration bit-for-bit — the per-vertex contribution sums fold in
+    // pinned source-vertex order on both engines (aggregate(sort_array)
+    // vs list_reduce(list ORDER BY)), the same whole-loop-oracle pattern
+    // as k-means IVF and BPE training.
+    "q_text_textrank" -> QueryDef(
+      (s, d) =>
+        graft.ops.Graph.textRank(Tables.documents(s, d), iters = 4)
+          .orderBy(desc("r"), asc("tok")).limit(30),
+      Some(textRankSql(4))
+    ),
+
     // Weighted systematic sampling: ~10 docs per source stratum, selection
     // probability proportional to n_chars, fully deterministic (a doc is
     // picked iff its cumulative-weight span crosses a stride boundary —
@@ -523,6 +536,47 @@ object TextQueries extends QueryGroup {
          |  string_split(pair, ' ')[2] AS "right",
          |  replace(pair, ' ', '') AS merged, n AS pair_count FROM b$k""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.ops.Graph.textRank]]: the word-adjacency
+    * graph (both-direction bigram counts), then `iters` unrolled PageRank
+    * rounds. Each round's contribution sum is an ordered left-fold
+    * (`list_reduce(list(c ORDER BY u))`) — bit-equal to Spark's
+    * `aggregate(sort_array(collect_list))` since fold(0.0, [c1..cn]) and
+    * fold-from-first agree exactly (0.0 + c1 == c1 in IEEE).
+    */
+  private def textRankSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+             |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT t[i] AS a, t[i+1] AS b
+             |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+             |  WHERE len(t) >= 2),
+             |edges AS MATERIALIZED (
+             |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+             |    SELECT a AS u, b AS v FROM g
+             |    UNION ALL SELECT b AS u, a AS v FROM g)
+             |  WHERE u <> v
+             |  GROUP BY u, v),
+             |outw AS MATERIALIZED (
+             |  SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY u),
+             |r0 AS MATERIALIZED (
+             |  SELECT DISTINCT u AS tok, 1.0::DOUBLE AS r FROM edges)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+               |r$k AS MATERIALIZED (
+               |  SELECT e.v AS tok,
+               |    (1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * list_reduce(
+               |      list(r.r * e.w / o.wu ORDER BY e.u), (a, b) -> a + b) AS r
+               |  FROM edges e
+               |  JOIN r${k - 1} r ON e.u = r.tok
+               |  JOIN outw o ON e.u = o.u
+               |  GROUP BY e.v)""".stripMargin
+    }
+    sb ++= s"\nSELECT tok, r FROM r$iters ORDER BY r DESC, tok LIMIT 30"
     sb.toString
   }
 
