@@ -70,14 +70,18 @@ object Graph {
     * lets pure repetition impersonate centrality.
     */
   def textRank(docs: DataFrame, iters: Int = 4, damping: Double = 0.85): DataFrame = {
+    // aggregate to corpus level BEFORE mirroring: the undirected doubling
+    // then only touches the vocabulary-sized pair table, not the per-doc
+    // gram stream
     val pairs = TextAnalysis.ngramCounts(docs, 2)
-      .select(split(col("gram"), " ").as("uv"), col("c"))
+      .groupBy("gram").agg(sum(col("c")).as("w"))
+      .select(split(col("gram"), " ").as("uv"), col("w"))
       .select(element_at(col("uv"), 1).as("a"),
-        element_at(col("uv"), 2).as("b"), col("c"))
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"), col("c"))
-      .unionByName(pairs.select(col("b").as("u"), col("a").as("v"), col("c")))
-      .filter(col("u") =!= col("v"))
-      .groupBy("u", "v").agg(sum(col("c")).as("w"))
+        element_at(col("uv"), 2).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
     pageRank(edges, iters, damping)
   }
 }

@@ -357,6 +357,54 @@ object EventQueries extends QueryGroup {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // Robust outlier detection: median/MAD per event type, outlier =
+    // |v - med| > 3·MAD. Values are lifted to integer cents first, so
+    // every intermediate (midpoint-interpolated medians, absolute
+    // deviations, the 3·MAD threshold) is an exact dyadic rational —
+    // bit-identical in any engine, no rounding slack needed. Two grouped
+    // exact-percentile passes plus one counting pass, all keyed on
+    // event_type with the 5-row stats frames broadcast back.
+    "q_events_outliers" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("vc"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(vc, 0.5)").as("med"), count(lit(1)).as("n"))
+        val adev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("vc") - col("med")))
+        val mad = adev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        adev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(min(col("n")).as("n"),
+            min(col("med")).as("med_cents"),
+            min(col("mad")).as("mad_cents"),
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events),
+             |s AS (
+             |  SELECT event_type, quantile_cont(vc, 0.5) AS med,
+             |    count(*) AS n
+             |  FROM e GROUP BY 1),
+             |a AS (
+             |  SELECT e.event_type, vc, med, n, abs(vc - med) AS adev
+             |  FROM e JOIN s USING (event_type)),
+             |m AS (
+             |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |  FROM a GROUP BY 1)
+             |SELECT a.event_type, min(n) AS n,
+             |  min(med) AS med_cents, min(mad) AS mad_cents,
+             |  CAST(sum(CASE WHEN adev > 3.0::DOUBLE * mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM a JOIN m USING (event_type)
+             |GROUP BY a.event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // Mergeable histogram-quantile sketch: two half-corpus shards are
     // sketched independently, merged bucket-wise, and quantiles are
     // interpolated from the 64-bin cumulative counts — the full

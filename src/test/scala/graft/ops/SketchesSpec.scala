@@ -112,6 +112,30 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
   }
 
+  test("streaming histogram accumulation equals the batch sketch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    var acc = Seq.empty[(Int, Long)].toDF("bin", "cnt")
+    val q = input.toDF().toDF("v").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc = Sketches.mergeHistograms(
+          acc.union(Sketches.histogramSketch(batch, col("v"), 0.0, 100.0, 10)))
+          .localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      input.addData(5.0, 15.0, 15.5)
+      q.processAllAvailable()
+      input.addData(95.0, 200.0, -3.0) // incl. out-of-domain clamps
+      q.processAllAvailable()
+    } finally q.stop()
+    val direct = Sketches.histogramSketch(
+      Seq(5.0, 15.0, 15.5, 95.0, 200.0, -3.0).toDF("v"),
+      col("v"), 0.0, 100.0, 10)
+    assert(acc.except(direct).isEmpty && direct.except(acc).isEmpty)
+  }
+
   test("histogram quantiles: within one bin width of exact, merge is exact") {
     import spark.implicits._
     val vals = docs.select(col("n_chars").cast("double").as("v"))
