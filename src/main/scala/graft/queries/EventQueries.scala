@@ -357,6 +357,40 @@ object EventQueries extends QueryGroup {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // Cohort retention: users cohorted by first-seen day; for each cohort
+    // and day offset (0..7), how many came back. Two user-keyed
+    // aggregations plus one equi-join — all integer/date arithmetic.
+    "q_events_retention" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+        val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+        ev.distinct()
+          .join(first, "user_id")
+          .withColumn("day_offset", datediff(col("d"), col("cohort")))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort", "day_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort")
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+            col("day_offset"), col("cohort_size"), col("n_active"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+             |s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, d FROM e)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+             |  CAST(a.d - f.cohort AS INTEGER) AS day_offset,
+             |  s.cohort_size,
+             |  CAST(count(*) AS BIGINT) AS n_active
+             |FROM a JOIN f USING (user_id) JOIN s USING (cohort)
+             |WHERE a.d - f.cohort <= 7
+             |GROUP BY 1, 2, 3 ORDER BY cohort_day, day_offset""".stripMargin)
+    ),
+
     // Robust outlier detection: median/MAD per event type, outlier =
     // |v - med| > 3·MAD. Values are lifted to integer cents first, so
     // every intermediate (midpoint-interpolated medians, absolute
