@@ -148,6 +148,49 @@ object Multimodal {
       }
   }
 
+  final case class FrameFeatures(
+      media_id: Long, frame_idx: Int, n_bytes: Int,
+      feature: Array[Float], checksum: String)
+
+  /** Per-frame feature extraction: sample every `everyNth` frame, slice
+    * its bytes, and push each slice through the batched decode boundary —
+    * the full media pipeline (header → frame ranges → decode) composed.
+    *
+    * Frame ranges use exact integer tiling (frame i spans payload bytes
+    * [⌊i·P/n⌋, ⌊(i+1)·P/n⌋)): tiles cover the payload with no gaps or
+    * rounding drift, all arithmetic stays in BIGINT, and any engine
+    * reproduces the byte ranges bit-for-bit. ([[sampleFrames]] keeps the
+    * fixed-stride double form — it mirrors a seek-by-duration access
+    * pattern; this is the exact-split form a frame decoder wants.)
+    * The slice is a codegen substring on binary — only sampled bytes
+    * cross the decode boundary.
+    */
+  def frameFeatures(media: DataFrame, everyNth: Int = 2)(
+      decode: Array[Byte] => Array[Float] = decodeStub
+  ): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val meta = describe(col("media"))
+    media
+      .withColumn("n_frames", meta.getField("n_frames").cast("long"))
+      .withColumn("p_len", (length(col("media")) - HeaderLen).cast("long"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0L), col("n_frames") - 1),
+          f => f % everyNth === 0)))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"""substring(media,
+                 CAST($HeaderLen + 1 + (frame_idx * p_len) DIV n_frames AS INT),
+                 CAST(((frame_idx + 1) * p_len) DIV n_frames
+                      - (frame_idx * p_len) DIV n_frames AS INT))""").as("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, idx, bytes) =>
+          FrameFeatures(id, idx, bytes.length, decode(bytes),
+            graft.core.Hashers.hex(Blake3.hash(bytes)).take(16))
+        }
+      }
+  }
+
   /** Deterministic stand-in for a real media decoder. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val h = Blake3.hash(payload)

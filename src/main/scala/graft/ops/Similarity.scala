@@ -53,6 +53,35 @@ object Similarity {
       .select("query_id", "cand_id", "cos_bp", "rank")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the `k` most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually teach a metric model something (random
+    * negatives are trivially separable). Same distributed shape as
+    * [[bruteForceTopK]]: anchors broadcast, corpus streamed, one codegen
+    * dot per pair, per-anchor top-k window. At corpus scale the same
+    * label-aware mining composes with the LSH/IVF candidate generators —
+    * this is the exact formulation those approximate paths are measured
+    * against.
+    */
+  def hardNegatives(
+      anchors: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), col(labelCol).as("c_label"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "q_label", "cand_id", "c_label", "cos_bp", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component h of plane (t, p)
     * is ±1 depending on a bit of md5("t:p:h") — portable and seedless
     * (sign-random projections).

@@ -157,6 +157,39 @@ object MultimodalQueries extends QueryGroup {
              |    AS frame_bytes
              |FROM v, unnest(generate_series(0, n_frames - 1, 2)) AS g(f)
              |ORDER BY media_id, frame_idx""".stripMargin)
+    ),
+
+    // Frame slices through the decode boundary: every 2nd frame of each
+    // video is byte-tiled (exact integer split), sliced, and decoded
+    // (stub). DuckDB recomputes the tile sizes and the shape of the
+    // extracted features independently; the blake3-derived VALUES stay
+    // out of the projection (MultimodalSpec pins those).
+    "q_multimodal_frame_features" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 150))
+          .filter(col("modality") === "video")
+        Multimodal.frameFeatures(media, everyNth = 2)()
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+            size(col("feature")).as("feature_dim"),
+            length(col("checksum")).as("checksum_len"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id,
+             |    CAST(4 + (doc_id % 8) AS BIGINT) AS n_frames,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS p_len
+             |  FROM documents
+             |  WHERE doc_id < 150 AND doc_id % 3 + 1 = 3)
+             |SELECT doc_id AS media_id,
+             |  CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(((f + 1) * p_len) // n_frames - (f * p_len) // n_frames
+             |    AS INTEGER) AS n_bytes,
+             |  CAST(4 AS INTEGER) AS feature_dim,
+             |  CAST(16 AS INTEGER) AS checksum_len
+             |FROM v, unnest(generate_series(0, n_frames - 1, 2)) AS g(f)
+             |ORDER BY media_id, frame_idx""".stripMargin)
     )
   )
 }

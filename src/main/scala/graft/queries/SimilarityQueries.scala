@@ -163,6 +163,31 @@ object SimilarityQueries extends QueryGroup {
               |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // Hard-negative mining: per anchor, the 3 most-similar vectors with a
+    // different label — the contrastive-training pairs a metric model
+    // needs. Broadcast anchors × streamed corpus, label-mismatch join.
+    "q_sim_hard_negatives" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.hardNegatives(e.filter(col("vec_id") < 20), e, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT q.vec_id AS query_id, q.label AS q_label,
+              |    c.vec_id AS cand_id, c.label AS c_label,
+              |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
+              |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+              |  WHERE q.vec_id < 20),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY cos_bp DESC, cand_id)
+              |    AS rank_raw
+              |  FROM scored)
+              |SELECT query_id, q_label, cand_id, c_label, cos_bp,
+              |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
+              |WHERE rank_raw <= 3 ORDER BY query_id, rank""".stripMargin)
+    ),
+
     // Range search: all vectors within cosine ≥ 0.35 of query vec_id=0.
     "q_sim_range_search" -> QueryDef(
       (s, d) => {

@@ -393,4 +393,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cos(0) - 1.0) < 1e-12)
     assert(math.abs(cos(1)) < 1e-12)
   }
+
+  test("hard negatives: never the anchor's label, and exactly the " +
+      "label-filtered brute-force ranking") {
+    val anchors = emb.filter(col("vec_id") < 10)
+    val got = Similarity.hardNegatives(anchors, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, ql, _, cl, _, _) =>
+      assert(ql != cl, "a hard negative must carry a different label")
+    }
+    // independent formulation: full brute-force top list (self excluded),
+    // drop same-label rows, re-rank — must agree pair-for-pair
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bf = Similarity.bruteForceTopK(anchors, emb, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = bf.toSeq
+      .filter { case (q, c, _) => labels(q) != labels(c) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, c, bp) => (-bp, c) }.take(5).zipWithIndex
+          .map { case ((_, c, bp), i) => (q, labels(q), c, labels(c), bp, i + 1) }
+      }.toSet
+    assert(got.toSet == expected)
+  }
 }

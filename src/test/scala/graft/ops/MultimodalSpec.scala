@@ -125,4 +125,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(pb == orig(id), s"media $id: upscale must keep the full payload")
     }
   }
+
+  test("frame features: integer tiling covers the payload exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((2L, "abcdefghij"), (5L, "xyz"), (8L, "0123456789abcdef"))
+      .toDF("doc_id", "text") // doc_id % 3 == 2 → video, n_frames = 4+id%8
+    val media = Multimodal.synthesize(docs)
+    // everyNth=1: ALL frames — tiles must partition the payload exactly
+    val all = Multimodal.frameFeatures(media, everyNth = 1)().collect()
+    val byMedia = all.groupBy(_.media_id)
+    val payloadLen = Map(2L -> 10, 5L -> 3, 8L -> 16)
+    val nFrames = Map(2L -> 6, 5L -> 9, 8L -> 4) // 4 + doc_id % 8
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.length == nFrames(id), s"media $id frame count")
+      assert(fs.map(_.n_bytes).sum == payloadLen(id),
+        s"media $id: tiles must sum to the payload")
+      assert(fs.forall(_.n_bytes >= 0))
+      // deterministic stub features: 4 floats + 16-hex checksum per frame
+      assert(fs.forall(f => f.feature.length == 4 && f.checksum.length == 16))
+    }
+    // a known tile: doc 2, payload "abcdefghij" (10 bytes, 6 frames) —
+    // frame 0 spans [0, ⌊10/6⌋) = 1 byte = "a"
+    val f0 = all.find(f => f.media_id == 2L && f.frame_idx == 0).get
+    assert(f0.n_bytes == 1)
+    assert(f0.checksum == graft.core.Hashers.hex(
+      graft.core.Blake3.hash("a".getBytes("UTF-8"))).take(16))
+    // everyNth=2 keeps exactly the even frames
+    val sampled = Multimodal.frameFeatures(media, everyNth = 2)().collect()
+    assert(sampled.filter(_.media_id == 2L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2, 4))
+  }
 }

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_sim_ivf_topk", "q_sim_quantized_topk", "q_sim_rp_topk",
     "q_corpus_report", // crossJoin of four 1-row aggregates
     "q_text_tfidf", // 1-row corpus-size aggregate × vocab-sized tf table
-    "q_events_quantile_sketch") // 3 quantile rows × ≤64-bin sketch table
+    "q_events_quantile_sketch", // 3 quantile rows × ≤64-bin sketch table
+    "q_sim_hard_negatives") // broadcast anchors × corpus, label-mismatch
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
