@@ -49,6 +49,20 @@ object Profile {
         }.reduce(_ unionByName _)
         time(s"minhash-scale-x$m")(noop(Dedup.minhashLsh(docs)))
       }
+    } else if (args.headOption.contains("--graph-scale")) {
+      // TextRank growth curve: m corpus copies SHARING one vocabulary
+      // (same tokens, same graph) — the claim under test is that the
+      // iteration cost is vocabulary-bound: corpus m× bigger means the
+      // one-shot bigram aggregation grows, the 4 power iterations don't.
+      import graft.ops.Graph
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      Seq(1, 2, 5, 10).foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("text"))
+        }.reduce(_ unionByName _)
+        time(s"graph-scale-x$m")(noop(Graph.textRank(docs, iters = 4)))
+      }
     } else if (args.headOption.contains("--minhash-profile")) {
       import graft.ops.Dedup
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
