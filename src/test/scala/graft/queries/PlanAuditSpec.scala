@@ -51,4 +51,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val q1 = scanLine("q1_agg")
     assert(q1.contains("LessThan"), q1)
   }
+
+  test("JSON extraction and tf-idf keep column pruning intact") {
+    def readSchema(name: String): String = {
+      val plan = Registry.all(name).build(spark, sf())
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    }
+    // get_json_object runs inside the projection — the scan must read
+    // only (event_type, props), not the whole event row
+    val j = readSchema("q_events_json")
+    assert(j.contains("props") && !j.contains("value"), j)
+    // tf-idf touches only (doc_id, text)
+    val t = readSchema("q_text_tfidf")
+    assert(t.contains("text") && !t.contains("lang") && !t.contains("source"), t)
+  }
 }
