@@ -369,6 +369,27 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("cluster_size"))
 
+  /** Score-based survivor policy: per duplicate cluster, keep the member
+    * with the highest `scoreCol` (ties: lowest id) — the production
+    * policy when a quality signal exists (min-id keeps whichever crawl
+    * shard arrived first; this keeps the best copy). One equi-join of
+    * the cluster labels against the scored corpus plus one argmax
+    * aggregation (max over a (score, -id) struct — no window over the
+    * corpus).
+    */
+  def survivorsBy(
+      pairs: DataFrame, scored: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"
+  ): DataFrame =
+    duplicateClusters(pairs)
+      .join(scored.select(col(idCol).as("doc_id"), col(scoreCol).as("_s")),
+        "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("_s").as("s"), (-col("doc_id")).as("negid"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("b.negid")).as("keep_id"),
+        col("b.s").as("keep_score"), col("cluster_size"))
+
   /** Inverted-index candidates: pairs sharing a shingle that occurs in at
     * most `maxDf` documents (rare-feature join — bounded fan-out, no cross
     * product), verified with exact Jaccard.

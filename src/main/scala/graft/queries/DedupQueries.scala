@@ -281,6 +281,48 @@ object DedupQueries extends QueryGroup {
               |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
     ),
 
+    // Score-based survivor policy: keep the highest-quality member of
+    // each duplicate cluster (ties: lowest id) instead of the min-id —
+    // the production policy when a quality signal exists. Quality is the
+    // integer-basis-points score the curation pipeline uses.
+    "q_dedup_survivors_quality" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLsh(docs, portable = false).select("i", "j")
+        val scored = docs.select(col("doc_id"),
+          floor(graft.ops.TextAnalysis.qualityScore(col("text")) * 10000)
+            .cast("long").as("quality_bp"))
+        Dedup.survivorsBy(pairs, scored, "quality_bp").orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE ${PipelineQueries.minhashPairsCte},
+              |edges AS (SELECT i AS a, j AS b FROM pairs
+              |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+              |reach AS (
+              |  SELECT a AS doc_id, b AS r FROM edges
+              |  UNION
+              |  SELECT re.doc_id, e.b AS r FROM reach re JOIN edges e ON e.a = re.r),
+              |labels AS (
+              |  SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+              |  FROM reach GROUP BY doc_id),
+              |scored AS (
+              |  SELECT doc_id,
+              |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+              |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+              |      + least((length(replace(text, ' ', ''))::DOUBLE / len(toks))
+              |          / 8.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality_bp
+              |  FROM (SELECT doc_id, text,
+              |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              |        FROM documents)),
+              |members AS (
+              |  SELECT l.cluster_id, l.doc_id, s.quality_bp
+              |  FROM labels l JOIN scored s USING (doc_id))
+              |SELECT cluster_id,
+              |  first(doc_id ORDER BY quality_bp DESC, doc_id) AS keep_id,
+              |  first(quality_bp ORDER BY quality_bp DESC, doc_id) AS keep_score,
+              |  count(*) AS cluster_size
+              |FROM members GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+    ),
+
     // Embedding-cosine near-dup pairs (threshold tuned to the corpus).
     // Exact baseline: blocked equi-join self-pairing (shuffle hash join on
     // vec_id % 8 — no BroadcastNestedLoopJoin), same rows as the naive

@@ -394,6 +394,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cos(1)) < 1e-12)
   }
 
+  test("survivorsBy keeps the highest-scored member, ties to lowest id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (9L, 4L))
+      .toDF("doc_id", "quality")
+    val out = Dedup.survivorsBy(pairs, scored, "quality").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // cluster {1,2,3}: 2 and 3 tie at 9 → keep 2 (lowest id among best)
+    assert(out(1L) == ((2L, 9L, 3L)))
+    // cluster {7,9}: 9 wins on score despite the higher id
+    assert(out(7L) == ((9L, 4L, 2L)))
+  }
+
   test("hard negatives: never the anchor's label, and exactly the " +
       "label-filtered brute-force ranking") {
     val anchors = emb.filter(col("vec_id") < 10)
