@@ -143,6 +143,45 @@ object Dedup {
         (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
   }
 
+  /** Containment detection: C(A→B) = |A∩B| / |A| — the asymmetric
+    * measure that catches a short document contained in a long one
+    * (quotes, boilerplate wrappers, excerpt pages), which symmetric
+    * Jaccard dilutes below any usable threshold. Candidates come from
+    * the rare-shingle inverted index (a contained doc SHARES its rare
+    * shingles with its container by definition, so the index recalls
+    * these pairs); each candidate is verified with exact set counts —
+    * the same one-aggregation-plus-two-count-joins shape as
+    * [[verifyJaccard]], emitting containment in BOTH directions plus
+    * jaccard for contrast. All ratios are exact integer divisions.
+    */
+  def containment(
+      docs: DataFrame, threshold: Double = 0.9, maxDf: Int = 3,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
+    val rare = sh.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val rareSh = sh.join(rare.select("w"), "w")
+    val cands = rareSh.select(col("doc_id").as("i"), col("w"))
+      .join(rareSh.select(col("doc_id").as("j"), col("w")), "w")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("i"), col("w")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    common
+      .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"), col("c"), col("ni"), col("nj"),
+        (col("c").cast("double") / col("ni")).as("containment_i"),
+        (col("c").cast("double") / col("nj")).as("containment_j"),
+        (col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+          .as("jaccard"))
+      .filter(col("containment_i") >= threshold ||
+        col("containment_j") >= threshold)
+  }
+
   /** Full MinHash-LSH near-dup pipeline. */
   def minhashLsh(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,

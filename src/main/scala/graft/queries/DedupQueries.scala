@@ -253,6 +253,41 @@ object DedupQueries extends QueryGroup {
               |WHERE jaccard_bp >= 5000 ORDER BY i, j""".stripMargin)
     ),
 
+    // Asymmetric containment: |A∩B| / |A| catches a short doc contained
+    // in a long one, which symmetric Jaccard dilutes. Candidates from
+    // the rare-shingle inverted index; exact-count verification; both
+    // directions emitted (basis points — exact integer ratios).
+    "q_dedup_containment" -> QueryDef(
+      (s, d) =>
+        Dedup.containment(Tables.documents(s, d), threshold = 0.9)
+          .select(col("i"), col("j"), col("c"), col("ni"), col("nj"),
+            floor(col("containment_i") * 10000).cast("long").as("ci_bp"),
+            floor(col("containment_j") * 10000).cast("long").as("cj_bp"))
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+              |rare AS (SELECT w FROM shd GROUP BY w HAVING count(*) <= 3),
+              |rs AS (SELECT shd.doc_id, shd.w FROM shd JOIN rare ON rare.w = shd.w),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |  FROM rs a JOIN rs b ON a.w = b.w AND a.doc_id < b.doc_id),
+              |common AS (
+              |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS c
+              |  FROM cand JOIN shd x ON x.doc_id = cand.i
+              |            JOIN shd y ON y.doc_id = cand.j AND y.w = x.w
+              |  GROUP BY x.doc_id, y.doc_id),
+              |scored AS (
+              |  SELECT common.i, common.j, c, ci.n AS ni, cj.n AS nj,
+              |    c::DOUBLE / ci.n AS ci_c, c::DOUBLE / cj.n AS cj_c
+              |  FROM common
+              |  JOIN cnt ci ON ci.doc_id = common.i
+              |  JOIN cnt cj ON cj.doc_id = common.j)
+              |SELECT i, j, c, ni, nj,
+              |  CAST(floor(ci_c * 10000) AS BIGINT) AS ci_bp,
+              |  CAST(floor(cj_c * 10000) AS BIGINT) AS cj_bp
+              |FROM scored WHERE ci_c >= 0.9 OR cj_c >= 0.9
+              |ORDER BY i, j""".stripMargin)
+    ),
+
     // Near-dup pairs → connected components → survivor per cluster.
     // Spark runs iterative min-label propagation on the fast xxhash64
     // minhash family; the oracle recomputes pairs with the portable md5

@@ -394,6 +394,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cos(1)) < 1e-12)
   }
 
+  test("containment flags doc-in-doc pairs that Jaccard misses") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta" // a prefix excerpt
+    val other = "one two three four five six seven"
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containment(docs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    // the excerpt is fully contained: C(short→long) = 1.0, but the
+    // symmetric jaccard is far below any dedup threshold
+    assert(out.keySet == Set((1L, 2L)))
+    val (ci, cj, jac) = out((1L, 2L))
+    assert(cj == 1.0, s"containment of the shorter side must be 1.0, got $cj")
+    assert(ci < 0.3 && jac < 0.3, s"jaccard must stay low: ci=$ci jac=$jac")
+  }
+
   test("survivorsBy keeps the highest-scored member, ties to lowest id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
