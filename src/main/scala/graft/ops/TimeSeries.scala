@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turn an irregular event stream into a
+  * fixed-step grid per key — the standard feature-engineering shape
+  * (models consume aligned windows, not raw event times).
+  *
+  * Scale shape: one per-(key, bucket) aggregation picks each bucket's
+  * last observation (an argmax over a (ts, id, value) struct — exact,
+  * no window over raw events); the grid explode is per key and sized by
+  * the key's own time span; the forward fill is one window per key over
+  * GRID rows (span/step per key), never over the raw event stream. Keys
+  * resample independently — embarrassingly parallel at any corpus size.
+  * The dense grid is the product the consumer asked for; its size is
+  * span/step per key by definition, not a blowup.
+  */
+object TimeSeries {
+
+  /** Per `idCol`, a regular `stepNs` grid from each key's first to last
+    * observed bucket, with `valueCol` forward-filled from the bucket's
+    * last observation (ties on timestamp broken by `tieCol` — pass a
+    * unique event id for determinism). Emits (id, bucket_start_ns,
+    * value, is_gap): `is_gap` marks carried-forward rows.
+    */
+  def resample(
+      df: DataFrame, idCol: String, tsNsCol: String, valueCol: String,
+      tieCol: String, stepNs: Long
+  ): DataFrame = {
+    require(stepNs > 0, s"stepNs must be positive, got $stepNs")
+    val bucketed = df.select(col(idCol), col(tsNsCol), col(tieCol),
+        col(valueCol), expr(s"$tsNsCol DIV $stepNs").as("_b"))
+      .groupBy(col(idCol), col("_b"))
+      // last observation in the bucket: max by (ts, tie) — exact struct max
+      .agg(max(struct(col(tsNsCol), col(tieCol), col(valueCol).as("v")))
+        .getField("v").as("_obs"))
+    val spans = bucketed.groupBy(idCol)
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+    val grid = spans.select(col(idCol),
+      explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val w = Window.partitionBy(idCol).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(idCol, "_b"), "left")
+      .withColumn("_filled", last(col("_obs"), ignoreNulls = true).over(w))
+      .select(col(idCol), (col("_b") * stepNs).as("bucket_start_ns"),
+        col("_filled").as(valueCol),
+        col("_obs").isNull.as("is_gap"))
+  }
+}

@@ -357,6 +357,43 @@ object EventQueries extends QueryGroup {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // Time-series resampling: each user's irregular event stream onto a
+    // regular 1-hour grid, value forward-filled from the bucket's last
+    // observation (ties on (ts, event_id) — deterministic), gaps
+    // flagged. The fill copies exact doubles; no float arithmetic.
+    "q_events_resample" -> QueryDef(
+      (s, d) =>
+        graft.ops.TimeSeries.resample(
+            Tables.events(s, d).filter(col("user_id") < 10),
+            "user_id", "ts_ns", "value", "event_id",
+            stepNs = 3600L * 1000000000L)
+          .orderBy("user_id", "bucket_start_ns"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
+             |    epoch_ns(ts) // 3600000000000 AS b
+             |  FROM events WHERE user_id < 10),
+             |obs AS (
+             |  SELECT user_id, b, value
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, b
+             |          ORDER BY ts_ns DESC, event_id DESC) AS rn FROM e)
+             |  WHERE rn = 1),
+             |spans AS (
+             |  SELECT user_id, min(b) AS b0, max(b) AS b1
+             |  FROM e GROUP BY user_id),
+             |grid AS (
+             |  SELECT user_id, g.b FROM spans,
+             |    unnest(generate_series(b0, b1)) AS g(b))
+             |SELECT grid.user_id,
+             |  CAST(grid.b * 3600000000000 AS BIGINT) AS bucket_start_ns,
+             |  last_value(obs.value IGNORE NULLS) OVER (
+             |    PARTITION BY grid.user_id ORDER BY grid.b
+             |    ROWS UNBOUNDED PRECEDING) AS value,
+             |  obs.value IS NULL AS is_gap
+             |FROM grid LEFT JOIN obs
+             |  ON grid.user_id = obs.user_id AND grid.b = obs.b
+             |ORDER BY grid.user_id, bucket_start_ns""".stripMargin)
+    ),
+
     // Cohort retention: users cohorted by first-seen day; for each cohort
     // and day offset (0..7), how many came back. Two user-keyed
     // aggregations plus one equi-join — all integer/date arithmetic.

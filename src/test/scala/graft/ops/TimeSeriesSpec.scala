@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("resample: regular grid, last-in-bucket wins, gaps forward-fill") {
+    import spark.implicits._
+    // user 1: obs in buckets 0 and 3 (step 10): grid 0..3, buckets 1-2 gap
+    // user 2: two obs in the SAME bucket — later ts wins; same ts → higher id
+    val events = Seq(
+      (1L, 5L, 100L, 5.0), (1L, 31L, 101L, 9.0),
+      (2L, 3L, 200L, 1.0), (2L, 7L, 201L, 2.0), // later ts wins bucket 0
+      (2L, 7L, 202L, 3.0)                       // same ts, higher id wins
+    ).toDF("user_id", "ts_ns", "event_id", "value")
+    val out = TimeSeries.resample(events, "user_id", "ts_ns", "value",
+        "event_id", stepNs = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out((1L, 0L)) == ((5.0, false)))
+    assert(out((1L, 10L)) == ((5.0, true)))  // carried forward, flagged
+    assert(out((1L, 20L)) == ((5.0, true)))
+    assert(out((1L, 30L)) == ((9.0, false)))
+    assert(out((2L, 0L)) == ((3.0, false))) // ts tie broken by event_id
+    assert(out.size == 5) // user 2 spans a single bucket
+  }
+}
