@@ -108,6 +108,15 @@ class ObjectStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(SidecarMeta.read(spark, out).get.sourceHashes.toSet == Set("h1", "h2"))
       assert(spark.read.schema(BuildJob.schema).parquet(out)
         .filter(col("preimage") === "delta").count() == 2)
+
+      // compaction's stage-and-rename + catalog re-stamp also run on the
+      // foreign scheme (the append left a fragmented multi-file db)
+      val before = FooterMeta.read(spark, out).get
+      val comp = Compact.run(spark, out, targetBytes = 512L << 20, cfg = cfg)
+      assert(comp.records == 8 && comp.filesAfter <= comp.filesBefore)
+      assert(FooterMeta.read(spark, out).get.totalRecords == 8)
+      assert(SidecarMeta.read(spark, out).get.sourceHashes.toSet ==
+        before.sourceHashes.toSet)
     }
   }
 
