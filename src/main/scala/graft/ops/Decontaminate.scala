@@ -37,6 +37,27 @@ object Decontaminate {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Span-level contamination report: for each shared n-gram, WHERE it
+    * sits in the corpus document (1-based char offset of the first
+    * occurrence, plus span length) — the output a surgical-excision
+    * pipeline consumes when dropping whole documents is too blunt
+    * (e.g. a long page quoting one benchmark item). Same equi-join
+    * shape as [[contaminationPairs]] plus one join back to the corpus
+    * text on doc_id; the offset probe is a codegen `instr` projection.
+    */
+  def contaminationSpans(
+      docs: DataFrame, benchmarks: DataFrame, n: Int = 5
+  ): DataFrame = {
+    val corpusSh = Dedup.shingles(docs, n)
+    val benchSh = Dedup.shingles(benchmarks, n)
+      .withColumnRenamed("doc_id", "benchmark_id")
+    corpusSh.join(benchSh, "w")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("benchmark_id"), col("w").as("ngram"),
+        instr(col("text"), col("w")).as("char_offset"),
+        length(col("w")).as("span_len"))
+  }
+
   /** The corpus minus every document contaminated by any benchmark —
     * anti-join on the flagged ids.
     */

@@ -64,6 +64,35 @@ object DedupQueries extends QueryGroup {
              |ORDER BY c.doc_id, benchmark_id""".stripMargin)
     ),
 
+    // Span-level contamination: where each shared 5-gram sits in the
+    // corpus document (first-occurrence char offset + length) — the
+    // report a surgical-excision pass consumes instead of dropping the
+    // whole document.
+    "q_decontaminate_spans" -> QueryDef(
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        graft.ops.Decontaminate.contaminationSpans(
+            all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50),
+            n = 5)
+          .orderBy("doc_id", "benchmark_id", "ngram")
+      },
+      Some("""WITH toks5 AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+             |sh5 AS (
+             |  SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+             |        || t[i+3] || ' ' || t[i+4] AS w
+             |    FROM toks5, unnest(generate_series(1, len(t) - 4)) AS g(i)
+             |    WHERE len(t) >= 5))
+             |SELECT c.doc_id, b.doc_id AS benchmark_id, c.w AS ngram,
+             |  CAST(strpos(d.text, c.w) AS INTEGER) AS char_offset,
+             |  CAST(length(c.w) AS INTEGER) AS span_len
+             |FROM sh5 c JOIN sh5 b ON c.w = b.w
+             |JOIN toks5 d ON d.doc_id = c.doc_id
+             |WHERE c.doc_id >= 50 AND b.doc_id < 50
+             |ORDER BY c.doc_id, benchmark_id, ngram""".stripMargin)
+    ),
+
     // Exact dedup on a 5-token prefix key: duplicate groups + survivor id.
     "q_dedup_exact" -> QueryDef(
       (s, d) => {

@@ -16,7 +16,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkTestBase {
     // round-3 additions with their own shuffle/checkpoint structure
     "q_dedup_incremental", "q_text_cms_topk", "q_sim_rp_topk",
     // multi-join funnel and vocabulary-join tf-idf
-    "q_events_funnel", "q_text_tfidf")
+    "q_events_funnel", "q_text_tfidf",
+    // checkpointed iteration, grid+ffill window, inverted-index verify
+    "q_text_textrank", "q_events_resample", "q_dedup_containment")
 
   private def results(name: String): Seq[String] =
     Registry.all(name).build(spark, sf()).collect()
