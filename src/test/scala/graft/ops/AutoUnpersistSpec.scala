@@ -50,4 +50,14 @@ class AutoUnpersistSpec extends AnyFunSuite with SparkTestBase with Eventually {
     assert(Dedup.ngramJaccard(docs).count() >= 0)
     assertCacheDrains()
   }
+
+  test("containment and quality survivors release their scoped caches") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    assert(Dedup.containment(docs).count() >= 0)
+    val scored = docs.select(col("doc_id"), col("n_chars").as("q"))
+    assert(Dedup.survivorsBy(Seq((1L, 2L)).toDF("i", "j"), scored, "q")
+      .count() == 1)
+    assertCacheDrains()
+  }
 }
