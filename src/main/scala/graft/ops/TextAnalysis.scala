@@ -211,6 +211,27 @@ object TextAnalysis {
     )
   }
 
+  /** Simpson diversity of the token distribution: 1 − Σ pᵢ² where pᵢ is
+    * token i's frequency share. Distinct-token RATIO counts each type
+    * once; this weights by mass, so "a a a a b" scores low diversity
+    * even though half its types are unique — the signal that flags
+    * keyword-stuffed or loop-generated text that sneaks past type
+    * counts. Σ c² stays integer (one aggregation) and the final value is
+    * one exact division: 1 − Σc²/n² — engine-replayable bit-for-bit,
+    * unlike a Shannon entropy whose `log` is libm-specific.
+    */
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n"), col("sum_c2"),
+        (lit(1.0) - col("sum_c2").cast("double") / (col("n") * col("n")))
+          .as("diversity"))
+
   /** TF-IDF keyword extraction: the `k` highest-scoring terms per
     * document, score = tf × (N / df) with raw inverse document frequency
     * (no log — the ranking is identical and the arithmetic stays one

@@ -399,6 +399,28 @@ object TextQueries extends QueryGroup {
              |FROM documents""".stripMargin)
     ),
 
+    // Simpson diversity: frequency-mass token diversity 1 - sum(p_i^2) —
+    // flags keyword-stuffed text that type-count ratios miss. Integer
+    // sum of squares + one exact division.
+    "q_text_diversity" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.simpsonDiversity(Tables.documents(s, d))
+          .orderBy("doc_id"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, count(*) AS c FROM (
+             |    SELECT doc_id,
+             |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(c) AS BIGINT) AS n,
+             |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+             |  1.0::DOUBLE - CAST(sum(c * c) AS BIGINT)::DOUBLE
+             |    / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+             |    AS diversity
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // TF-IDF keyword extraction: top-3 terms per document, score =
     // tf × N / df (raw idf — same ranking as log-idf, but exact integer
     // product + one IEEE division, so the oracle replays it bit-for-bit;
