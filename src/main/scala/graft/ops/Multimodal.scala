@@ -173,6 +173,10 @@ object Multimodal {
     val meta = describe(col("media"))
     media
       .withColumn("n_frames", meta.getField("n_frames").cast("long"))
+      // A header may declare zero frames on arbitrary GRFT input; without
+      // this guard sequence(0, -1) descends to [0, -1] and DIV 0 below
+      // yields a null slice that NPEs at the decode boundary.
+      .filter(col("n_frames") >= 1)
       .withColumn("p_len", (length(col("media")) - HeaderLen).cast("long"))
       .withColumn("frame_idx",
         explode(filter(sequence(lit(0L), col("n_frames") - 1),

@@ -48,7 +48,14 @@ object BuildJob {
         * range pruning within. The right layout when lookups usually pin
         * the algorithm.
         */
-      partitionByAlgorithm: Boolean = false
+      partitionByAlgorithm: Boolean = false,
+      /** Also stamp the reference-format `shaha:bloom_*` footer bloom on
+        * each output file (FooterMeta.writeBlooms): the reference CLI's
+        * bloom fast-reject (parquet.rs:481-487) and graft's own exact-
+        * lookup fast path then work on this db without native-bloom
+        * support. Off by default — one extra pass over the written data.
+        */
+      footerBloom: Boolean = false
   ) {
     require(algorithms.nonEmpty, "at least one algorithm")
     algorithms.foreach(Hashers(_)) // fail fast, mirrors CLI value parser
@@ -150,6 +157,7 @@ object BuildJob {
     // reference CLI's metadata fast path (parquet.rs:152-202) reads graft
     // output directly, sidecar or no sidecar
     FooterMeta.write(spark, output, meta)
+    if (cfg.footerBloom) FooterMeta.writeBlooms(spark, output)
     Result(written = true, records = stats.getLong(0))
   }
 

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   * are re-stamped so both catalogs stay correct.
   *
   * Same staging discipline as append builds: write to `<db>_compacting`,
-  * then swap via FileSystem rename — readers never observe a half-written
-  * database, and the path works on any Hadoop FileSystem (ObjectStoreSpec
+  * rename the old database aside to `<db>_old`, rename the stage in, and
+  * delete `<db>_old` last — a crash at any point leaves either the old or
+  * the new database at the path (never a window with no database), and the
+  * rename-based swap works on any Hadoop FileSystem (ObjectStoreSpec
   * exercises it on a non-`file` scheme).
+  *
+  * Databases built with `partitionByAlgorithm = true` keep their hive
+  * `algorithm=` directory layout and `(algorithm, hash)` clustering; the
+  * layout is detected from the on-disk paths, so no flag is needed.
   */
 object Compact {
 
@@ -53,29 +59,47 @@ object Compact {
   ): Result = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val files = dataFiles(spark, db)
+    if (files.isEmpty) return Result(0, 0, 0L)
     val totalBytes = files.map(_.getLen).sum
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (files.size <= want + 1) {
       val n = spark.read.schema(BuildJob.schema).parquet(db).count()
       return Result(files.size, files.size, n)
     }
+    // A db built with partitionByAlgorithm=true has hive `algorithm=` dirs;
+    // detect from the paths (robust even without the original Config) and
+    // preserve both the directory layout and the (algorithm, hash)
+    // clustering so algorithm-pruned reads keep working after compaction.
+    val hiveLayout = cfg.partitionByAlgorithm ||
+      files.exists(_.getPath.getParent.getName.startsWith("algorithm="))
     val meta = SidecarMeta.read(spark, db)
     val df = spark.read.schema(BuildJob.schema).parquet(db)
     val stage = db + "_compacting"
-    df.repartitionByRange(want, col("hash"))
-      .sortWithinPartitions("hash")
+    val sorted =
+      if (hiveLayout)
+        df.repartitionByRange(want, col("algorithm"), col("hash"))
+          .sortWithinPartitions("algorithm", "hash")
+      else
+        df.repartitionByRange(want, col("hash")).sortWithinPartitions("hash")
+    val writer = sorted
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#hash", "true")
       .option("parquet.bloom.filter.expected.ndv#hash", cfg.bloomNdv.toString)
-      .parquet(stage)
+    (if (hiveLayout) writer.partitionBy("algorithm") else writer).parquet(stage)
 
     val conf = spark.sessionState.newHadoopConf()
     val outPath = new Path(db)
     val fs = outPath.getFileSystem(conf)
-    fs.delete(outPath, true)
-    if (!fs.rename(new Path(stage), outPath))
+    val oldPath = new Path(db + "_old")
+    fs.delete(oldPath, true) // clear leftovers from a prior crashed swap
+    if (!fs.rename(outPath, oldPath))
+      throw new java.io.IOException(s"failed to move $db aside to $oldPath")
+    if (!fs.rename(new Path(stage), outPath)) {
+      fs.rename(oldPath, outPath) // restore; leaves the stage for retry
       throw new java.io.IOException(s"failed to swap $stage into $db")
+    }
+    fs.delete(oldPath, true)
 
     val records = spark.read.schema(BuildJob.schema).parquet(db).count()
     meta.foreach { m =>

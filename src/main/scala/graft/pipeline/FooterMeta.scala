@@ -81,13 +81,86 @@ object FooterMeta {
     * Per-file `total_records` is the file's own row count (taken from the
     * footer being rewritten), so [[read]]'s summing merge reproduces the
     * dataset total and the reference CLI sees correct stats on any single
-    * file it is pointed at.
+    * file it is pointed at. `shaha:bloom_*` keys stamped by
+    * [[writeBlooms]] are left untouched (only this writer's own keys are
+    * replaced).
     */
   def write(spark: SparkSession, db: String, meta: SidecarMeta): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(db)
     val fs = root.getFileSystem(conf)
     inParallel(parquetFiles(fs, root))(p => appendFooterKv(fs, p, meta))
+  }
+
+  /** Per-file footer blooms (`shaha:bloom_*`) for every parquet file under
+    * `db` — None for files that carry no (or a malformed) bloom. One
+    * driver-side ranged footer read per file, fanned out; data pages are
+    * never touched. Used by the exact-lookup fast-reject
+    * ([[QueryJob.run]]) against reference-built databases.
+    */
+  def readBlooms(spark: SparkSession, db: String): Seq[(Path, Option[FooterBloom])] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(db)
+      val fs = root.getFileSystem(conf)
+      inParallel(parquetFiles(fs, root)) { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala
+          p -> FooterBloom.fromKv(kv)
+        } finally reader.close()
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** Compute and stamp a reference-format footer bloom
+    * (`shaha:bloom_bitmap`/`_keys`/`_items`) onto every data file under
+    * `db`, so the reference CLI's bloom fast-reject (parquet.rs:481-487)
+    * works on graft output. Per-file blooms are built DISTRIBUTED — each
+    * task folds its rows into per-file partial bitmaps keyed by
+    * `input_file_name()`, OR-merged by file — so the pass scales with
+    * executors; only the final ⌈bits/8⌉-byte bitmaps reach the driver
+    * (one per file), spliced footer-side in parallel. Returns the number
+    * of files stamped.
+    */
+  def writeBlooms(
+      spark: SparkSession, db: String,
+      minCapacity: Long = 100000, fp: Double = 0.01
+  ): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(db)
+    val fs = root.getFileSystem(conf)
+    if (parquetFiles(fs, root).isEmpty) return 0
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val df = spark.read.schema(BuildJob.schema).parquet(db)
+      .select(input_file_name().as("f"), col("hash"))
+    // sizing pass: one row per FILE reaches the driver, never data rows
+    val counts = df.groupBy("f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val params: Map[String, (Int, (Long, Long, Long, Long))] = counts.map {
+      case (f, n) =>
+        val proto = FooterBloom.forCapacity(math.max(n, minCapacity),
+          seed = new Path(new java.net.URI(f)).getName, fp)
+        f -> (proto.bitmap.length, proto.keys)
+    }
+    val bc = spark.sparkContext.broadcast(params)
+    val merged = df.rdd.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap.empty[String, FooterBloom]
+      it.foreach { row =>
+        val f = row.getString(0)
+        val (len, keys) = bc.value(f)
+        local.getOrElseUpdate(f, new FooterBloom(new Array[Byte](len), keys, 1L))
+          .add(row.getAs[Array[Byte]](1))
+      }
+      local.iterator.map { case (f, b) => f -> b.bitmap }
+    }.reduceByKey { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }; a
+    }.collect()
+    inParallel(merged.toSeq) { case (fUri, bytes) =>
+      val p = new Path(new java.net.URI(fUri))
+      val (_, keys) = params(fUri)
+      val bloom = new FooterBloom(bytes, keys, counts(fUri))
+      spliceFooter(fs, p)(_ => bloom.toKv)
+    }.length
   }
 
   private def parquetFiles(fs: FileSystem, root: Path): Seq[Path] = {
@@ -108,17 +181,35 @@ object FooterMeta {
   /** Driver-side per-file footer work, fanned out on the common pool:
     * thousands of files stop being a sequential metadata crawl.
     */
-  private def inParallel[T](files: Seq[Path])(f: Path => T): Seq[T] = {
+  private def inParallel[A, T](files: Seq[A])(f: A => T): Seq[T] = {
     val tasks = files.map(p =>
       java.util.concurrent.CompletableFuture.supplyAsync(() => f(p)))
     tasks.map(_.join())
   }
 
-  /** Splice `shaha:*` entries into one file's footer. The new file is
+  /** Splice this writer's catalog entries into one file's footer. */
+  private def appendFooterKv(fs: FileSystem, p: Path, meta: SidecarMeta): Unit =
+    spliceFooter(fs, p,
+      removeKeys = Set(KeyTotal, KeyAlgorithms, KeySources, KeySourceHashes)) { fmd =>
+      Seq(
+        KeyTotal -> fmd.getNum_rows.toString,
+        KeyAlgorithms -> meta.algorithms.mkString(","),
+        KeySources -> meta.sources.mkString(",")
+      ) ++ (if (meta.sourceHashes.nonEmpty)
+        Seq(KeySourceHashes -> meta.sourceHashes
+          .map(s => "\"" + SidecarMeta.escape(s) + "\"")
+          .mkString("[", ",", "]"))
+      else Seq.empty)
+    }
+
+  /** Splice key/value entries into one file's footer. The new file is
     * byte-identical up to the footer; offsets inside the footer stay valid
-    * because no data moves.
+    * because no data moves. Existing entries named in `removeKeys` or in
+    * the update set are replaced; everything else is preserved.
     */
-  private def appendFooterKv(fs: FileSystem, p: Path, meta: SidecarMeta): Unit = {
+  private def spliceFooter(fs: FileSystem, p: Path, removeKeys: Set[String] = Set.empty)(
+      updates: org.apache.parquet.format.FileMetaData => Seq[(String, String)]
+  ): Unit = {
     val len = fs.getFileStatus(p).getLen
     require(len > 12, s"$p: too small to be a parquet file")
     val in = fs.open(p)
@@ -139,21 +230,15 @@ object FooterMeta {
         (start, Util.readFileMetaData(new ByteArrayInputStream(buf)))
       } finally in.close()
 
-    // replace any stale shaha:* entries, then append the fresh ones in the
-    // reference's formats (decimal / comma-joined / JSON string array)
+    // replace stale entries for the keys being written (reference formats:
+    // decimal / comma-joined / JSON string array / base64), keep the rest
+    val fresh = updates(fmd)
+    val replaced = removeKeys ++ fresh.map(_._1)
     val kept = Option(fmd.getKey_value_metadata).map(_.asScala.toSeq)
-      .getOrElse(Seq.empty).filterNot(_.getKey.startsWith("shaha:"))
+      .getOrElse(Seq.empty).filterNot(e => replaced.contains(e.getKey))
     def kv(k: String, v: String) = { val e = new KeyValue(k); e.setValue(v); e }
-    val fresh = Seq(
-      kv(KeyTotal, fmd.getNum_rows.toString),
-      kv(KeyAlgorithms, meta.algorithms.mkString(",")),
-      kv(KeySources, meta.sources.mkString(","))
-    ) ++ (if (meta.sourceHashes.nonEmpty)
-      Seq(kv(KeySourceHashes, meta.sourceHashes
-        .map(s => "\"" + SidecarMeta.escape(s) + "\"")
-        .mkString("[", ",", "]")))
-    else Seq.empty)
-    fmd.setKey_value_metadata((kept ++ fresh).asJava)
+    fmd.setKey_value_metadata(
+      (kept ++ fresh.map { case (k, v) => kv(k, v) }).asJava)
 
     val out = new ByteArrayOutputStream()
     Util.writeFileMetaData(fmd, out)

@@ -23,9 +23,47 @@ object QueryJob {
       s"invalid hex hash prefix: $prefixHex")
   }
 
+  /** Full-hash digest lengths (md5/ripemd160-hash160/sha256/sha512 —
+    * reference parquet.rs:258-260): only these engage the footer bloom.
+    */
+  private def isFullHashLength(bytes: Int): Boolean =
+    bytes == 16 || bytes == 20 || bytes == 32 || bytes == 64
+
   def run(spark: SparkSession, db: String, p: Params): DataFrame = {
-    val base = spark.read.schema(BuildJob.schema).parquet(db)
-      .filter(hashPrefixPredicate(col("hash"), p.prefixHex.toLowerCase))
+    // Footer-bloom fast-reject for exact lookups (reference
+    // parquet.rs:481-487): per FILE, a `shaha:bloom_*` bloom — present on
+    // reference-built databases and on graft output finalized with
+    // FooterMeta.writeBlooms — rejects files that cannot contain the
+    // hash before any data page is opened. Files without a bloom are
+    // scanned as before (native parquet column blooms + min/max pruning
+    // still apply there). Cost: one driver-side ranged footer read per
+    // file, only on the full-hash path — the same reads the reference
+    // does per query.
+    val prefixBytes = p.prefixHex.length / 2
+    if (isFullHashLength(prefixBytes)) {
+      val hash = p.prefixHex.toLowerCase.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      val blooms = FooterMeta.readBlooms(spark, db)
+      if (blooms.exists(_._2.isDefined)) {
+        val surviving = blooms.collect {
+          case (path, b) if b.forall(_.mightContain(hash)) => path.toString
+        }
+        if (surviving.isEmpty)
+          // every file's bloom rejects: answer from metadata alone
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            BuildJob.schema)
+        if (surviving.size < blooms.size)
+          return filterAndLimit(
+            spark.read.schema(BuildJob.schema)
+              .option("basePath", db).parquet(surviving: _*), p)
+      }
+    }
+    filterAndLimit(spark.read.schema(BuildJob.schema).parquet(db), p)
+  }
+
+  private def filterAndLimit(df: DataFrame, p: Params): DataFrame = {
+    val base = df.filter(hashPrefixPredicate(col("hash"), p.prefixHex.toLowerCase))
     val filtered = p.algorithm match {
       case Some(a) => base.filter(col("algorithm") === a) // P3
       case None => base

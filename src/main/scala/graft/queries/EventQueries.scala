@@ -352,7 +352,7 @@ object EventQueries extends QueryGroup {
              |  min(k) AS min_k, max(k) AS max_k,
              |  count(DISTINCT k) AS n_distinct_k
              |FROM (SELECT event_type,
-             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |  FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),

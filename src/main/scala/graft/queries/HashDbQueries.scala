@@ -175,22 +175,59 @@ object HashDbQueries extends QueryGroup {
               |FROM merged ORDER BY hash_hex""".stripMargin)
     ),
 
-    // H1-H9 full registry through the codegen Digest expression (rows-only:
-    // DuckDB lacks keccak256/blake3/ripemd160/sha1/sha512; known-answer
-    // vectors pin these in HashersSpec/FunctionsSpec instead).
+    // H1-H9 full registry through the codegen Digest expression, fully
+    // value-oracled despite DuckDB lacking keccak256/blake3/ripemd160/
+    // sha1/sha512, via two complementary gates in ONE result set:
+    //  - registry rows: the reference's own published vectors
+    //    (tests/integration.rs:8-96 "hello" across all 9 algorithms,
+    //    README.md "password"/sha256) as literal rows in the oracle —
+    //    every algorithm's digest flows through the actual plan and is
+    //    compared against an independently published value;
+    //  - corpus rows: 200 SF-dependent shingle words × the two algorithms
+    //    DuckDB recomputes (md5/sha256) — gating the data path (shingle,
+    //    dedup, deterministic selection, hex casing) at any scale factor.
+    // Word selection orders by md5(w), not w: hex ordering is binary-
+    // collation-safe in both engines, raw UTF-8 text ordering is not.
     "q_hashdb_all_algos" -> QueryDef(
       (s, d) => {
         import graft.sql.functions.digestHex
-        val words = shingles(Tables.documents(s, d)).select("w").distinct().limit(200)
-        words.select(
-          explode(array(graft.core.Hashers.names.map { a =>
-            struct(lit(a).as("algorithm"), digestHex(a, col("w")).as("hash_hex"),
-              col("w").as("preimage"))
-          }: _*)).as("r"))
-          .select("r.algorithm", "r.hash_hex", "r.preimage")
+        def rows(words: DataFrame, algos: Seq[String]) =
+          words.select(
+            explode(array(algos.map { a =>
+              struct(lit(a).as("algorithm"), digestHex(a, col("w")).as("hash_hex"),
+                col("w").as("preimage"))
+            }: _*)).as("r"))
+            .select("r.algorithm", "r.hash_hex", "r.preimage")
+        import s.implicits._
+        val registry = rows(Seq("hello").toDF("w"), graft.core.Hashers.names)
+          .union(rows(Seq("password").toDF("w"), Seq("sha256")))
+        val corpus = shingles(Tables.documents(s, d)).select("w").distinct()
+          .orderBy(md5(col("w"))).limit(200)
+        registry.union(rows(corpus, Seq("md5", "sha256")))
           .orderBy("algorithm", "hash_hex")
       },
-      None
+      Some(s"""WITH $shinglesSqlCte,
+              |words AS (SELECT DISTINCT w FROM sh ORDER BY md5(w) LIMIT 200),
+              |corpus AS (
+              |  SELECT 'md5' AS algorithm, md5(w) AS hash_hex, w AS preimage
+              |  FROM words
+              |  UNION ALL
+              |  SELECT 'sha256', sha256(w), w FROM words),
+              |kat(algorithm, hash_hex, preimage) AS (VALUES
+              |  ('md5', '5d41402abc4b2a76b9719d911017c592', 'hello'),
+              |  ('sha1', 'aaf4c61ddcc5e8a2dabede0f3b482cd9aea9434d', 'hello'),
+              |  ('sha256', '2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824', 'hello'),
+              |  ('sha512', '9b71d224bd62f3785d96d46ad3ea3d73319bfbc2890caadae2dff72519673ca72323c3d99ba5c11d7c7acc6e14b8c5da0c4663475c2e5c3adef46f73bcdec043', 'hello'),
+              |  ('hash160', 'b6a9c8c230722b7c748331a8b450f05566dc7d0f', 'hello'),
+              |  ('hash256', '9595c9df90075148eb06860365df33584b75bff782a510c6cd4883a419833d50', 'hello'),
+              |  ('keccak256', '1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8', 'hello'),
+              |  ('blake3', 'ea8f163db38682925e4491c5e58d4bb3506ef8c14eb78a86e908c5624a67200f', 'hello'),
+              |  ('ripemd160', '108f07b8382412612c048d07d13f814118445acd', 'hello'),
+              |  ('sha256', '5e884898da28047151d0e56f8dc6292773603d0d6aabbdd62a11ef721d1542d8', 'password'))
+              |SELECT algorithm, hash_hex, preimage FROM kat
+              |UNION ALL
+              |SELECT algorithm, hash_hex, preimage FROM corpus
+              |ORDER BY algorithm, hash_hex""".stripMargin)
     ),
 
     // A3-A5: info stats — records, algorithms, sources, all from ONE shingle

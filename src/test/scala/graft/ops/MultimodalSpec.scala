@@ -156,4 +156,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(sampled.filter(_.media_id == 2L).map(_.frame_idx).sorted.toSeq ==
       Seq(0, 2, 4))
   }
+
+  test("frame features: media declaring zero frames yields no rows, no NPE") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-build a GRFT container with n_frames = 0 (synthesize never
+    // produces one, but the op accepts arbitrary input)
+    def be(n: Int) = java.nio.ByteBuffer.allocate(4).putInt(n).array()
+    val zeroFrames = "GRFT".getBytes("US-ASCII") ++ Array(3.toByte) ++
+      be(16) ++ be(16) ++ be(0) ++ "payload".getBytes("UTF-8")
+    val ok = "GRFT".getBytes("US-ASCII") ++ Array(3.toByte) ++
+      be(16) ++ be(16) ++ be(2) ++ "abcd".getBytes("UTF-8")
+    val media = Seq((1L, zeroFrames, "video"), (2L, ok, "video"))
+      .toDF("media_id", "media", "modality")
+    val out = Multimodal.frameFeatures(media, everyNth = 1)().collect()
+    assert(out.forall(_.media_id == 2L), "zero-frame media must be dropped")
+    assert(out.map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+  }
 }

@@ -45,4 +45,48 @@ class CompactSpec extends AnyFunSuite with SparkTestBase {
     val again = Compact.run(spark, out, targetBytes = 512L << 20, cfg = cfg)
     assert(again.filesBefore == again.filesAfter)
   }
+
+  test("compaction preserves hive algorithm= layout and clustering") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-hive")
+      .toString + "/db"
+    val words = (0 until 200).map(i => f"word-$i%04d").toDS()
+    val cfg = BuildJob.Config(algorithms = Seq("md5", "sha256"),
+      maxRecordsPerFile = 10L, numFiles = Some(20), bloomNdv = 1000L,
+      partitionByAlgorithm = true)
+    val res = BuildJob.run(spark, words, out, cfg, contentHash = Some("c1"))
+    assert(res.written && res.records == 400)
+
+    // layout auto-detected from the paths: pass a default Config on purpose
+    val compacted = Compact.run(spark, out, targetBytes = 512L << 20)
+    assert(compacted.filesAfter < compacted.filesBefore, s"got $compacted")
+    assert(compacted.records == 400)
+
+    // hive dirs survived; every data file sits under an algorithm= dir
+    val root = new java.io.File(out)
+    val algoDirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(algoDirs.toSeq == Seq("algorithm=md5", "algorithm=sha256"))
+
+    // algorithm-pruned read still sees exactly one partition's rows,
+    // and rows stay hash-clustered within each partition's files
+    val df = spark.read.schema(BuildJob.schema).parquet(out)
+    assert(df.filter(col("algorithm") === "md5").count() == 200)
+    val md5Hex = df.filter(col("algorithm") === "md5")
+      .select(hex(col("hash"))).collect().map(_.getString(0))
+    assert(md5Hex.toSeq == md5Hex.toSeq.sorted,
+      "per-partition files must stay hash-sorted")
+
+    // catalogs re-stamped
+    assert(SidecarMeta.read(spark, out).get.totalRecords == 400)
+    assert(FooterMeta.read(spark, out).get.totalRecords == 400)
+  }
+
+  test("compacting a missing or empty path is a clean zero Result") {
+    val missing = java.nio.file.Files.createTempDirectory("graft-compact-none")
+      .toString + "/nope"
+    assert(Compact.run(spark, missing) == Compact.Result(0, 0, 0L))
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-compact-empty")
+      .toString
+    assert(Compact.run(spark, emptyDir) == Compact.Result(0, 0, 0L))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Reference footer-bloom interop (`shaha:bloom_*` — reference
+  * parquet.rs:204-256, 444-461, 481-487): graft both WRITES the
+  * reference-format bloom onto its own output and CONSUMES it on exact
+  * lookups, rejecting files — or whole databases — without touching a
+  * single data row-group.
+  */
+class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("bloom set/check round-trip, serialization, and fp behavior") {
+    val bloom = FooterBloom.forCapacity(10000, seed = "spec")
+    val rnd = new scala.util.Random(7)
+    val present = Seq.fill(1000)(Array.fill(32)(rnd.nextInt().toByte))
+    present.foreach(bloom.add)
+    // no false negatives, ever
+    assert(present.forall(bloom.mightContain))
+    // footer KV round-trip is bit-exact
+    val kv = bloom.toKv.toMap
+    assert(kv.keySet == Set(FooterBloom.KeyBitmap, FooterBloom.KeyKeys,
+      FooterBloom.KeyItems))
+    val back = FooterBloom.fromKv(kv).get
+    assert(java.util.Arrays.equals(back.bitmap, bloom.bitmap))
+    assert(back.keys == bloom.keys && back.items == bloom.items)
+    // absent keys reject at roughly the configured 1% fp
+    val absent = Seq.fill(2000)(Array.fill(32)(rnd.nextInt().toByte))
+    val falseAccepts = absent.count(back.mightContain)
+    assert(falseAccepts < 100, s"fp too high: $falseAccepts/2000")
+    // reload k is capped at the write-side 7 even for huge item counts
+    // (the reference's items-as-k_num reload would probe `items` times
+    // and false-reject — parquet.rs:246-251 vs bloomfilter 1.0.16)
+    assert(new FooterBloom(bloom.bitmap, bloom.keys, 1000000L).kNum == 7)
+    assert(new FooterBloom(bloom.bitmap, bloom.keys, 3L).kNum == 3)
+  }
+
+  test("negative exact lookup on a bloom-stamped db reads zero data row-groups") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString + "/db"
+    val words = (0 until 500).map(i => f"word-$i%04d").toDS()
+    val cfg = BuildJob.Config(algorithms = Seq("md5", "sha256"), numFiles = Some(4))
+    assert(BuildJob.run(spark, words, out, cfg).written)
+    assert(FooterMeta.writeBlooms(spark, out, minCapacity = 10000) == 4)
+    // catalog keys coexist with the bloom keys after both writers ran
+    assert(FooterMeta.read(spark, out).get.totalRecords == 1000)
+
+    // a hash that is NOT in the db: every file's bloom rejects → the
+    // answer comes from footers alone, with NO parquet scan in the plan
+    val absent = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("never-in-db".getBytes("UTF-8")))
+    val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
+    assert(miss.count() == 0)
+    assert(fileScans(miss).isEmpty,
+      "all-files bloom reject must not plan a file scan")
+
+    // a present hash passes its file's bloom and is found
+    val hit = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("word-0123".getBytes("UTF-8")))
+    val found = QueryJob.run(spark, out, QueryJob.Params(hit)).collect()
+    assert(found.map(_.getString(1)).toSeq == Seq("word-0123"))
+
+    // prefix (non-full-hash) queries bypass the bloom path entirely
+    val prefix = QueryJob.run(spark, out, QueryJob.Params(hit.take(8)))
+    assert(prefix.count() == 1)
+  }
+
+  test("files without blooms fall back to scanning; mixed dbs prune per file") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom-mixed")
+      .toString + "/db"
+    val words = (0 until 200).map(i => f"mixed-$i%04d").toDS()
+    val cfg = BuildJob.Config(algorithms = Seq("md5"), numFiles = Some(2))
+    assert(BuildJob.run(spark, words, out, cfg).written)
+
+    // no blooms stamped: negative lookup still scans (correct, just slower)
+    val absent = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("never".getBytes("UTF-8")))
+    val noBloom = QueryJob.run(spark, out, QueryJob.Params(absent))
+    assert(noBloom.count() == 0)
+    assert(fileScans(noBloom).nonEmpty, "bloomless db must scan")
+
+    // stamp blooms, then verify per-file pruning: a present hash lives in
+    // exactly one of the two hash-range files, so the scan reads one file
+    assert(FooterMeta.writeBlooms(spark, out, minCapacity = 10000) == 2)
+    val hit = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("mixed-0042".getBytes("UTF-8")))
+    val found = QueryJob.run(spark, out, QueryJob.Params(hit))
+    assert(found.collect().map(_.getString(1)).toSeq == Seq("mixed-0042"))
+    val scanned = fileScans(found).flatMap(_.relation.location.inputFiles)
+    assert(scanned.size == 1,
+      s"bloom should prune to the single containing file, scanned: $scanned")
+  }
+}
