@@ -49,6 +49,50 @@ object Profile {
         }.reduce(_ unionByName _)
         time(s"minhash-scale-x$m")(noop(Dedup.minhashLsh(docs)))
       }
+    } else if (args.headOption.contains("--ann-scale")) {
+      // recall-at-scale curve for the ANN paths: m disjoint corpus copies,
+      // each perturbed per-dimension (deterministic sin offset, cast back
+      // to float) so copies are near but not identical in cosine space —
+      // the honest hard case for bucketed ANN. recall@10 is measured
+      // against the exact brute-force top-k on the SAME scaled corpus.
+      import graft.ops.Similarity
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val k = 10
+      Seq(1, 2, 5, 10).foreach { m =>
+        val corpus = (0 until m).map { cpy =>
+          base.select((col("vec_id") + lit(cpy * 10000000L)).as("vec_id"),
+            (if (cpy == 0) col("embedding")
+             else transform(col("embedding"), (x, i) =>
+               (x + sin(col("vec_id") * 0.37 + i * 1.13 + cpy * 2.7) * 0.05)
+                 .cast("float"))).as("embedding"))
+        }.reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = corpus.count()
+        val queries = corpus.filter(col("vec_id") < 50)
+        val truth = Similarity.bruteForceTopK(queries, corpus, k)
+          .select("query_id", "cand_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTruth = truth.count()
+        def recall(tag: String, ann: => org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val hits = ann.select("query_id", "cand_id")
+            .join(truth, Seq("query_id", "cand_id")).count()
+          println(f"ANN-SCALE x$m n=$n $tag recall@$k=${hits.toDouble / nTruth}%.3f " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        // optional knob overrides: --ann-scale [nPlanes nTables nProbe overfetch]
+        val nPlanes = args.lift(1).map(_.toInt).getOrElse(8)
+        val nTables = args.lift(2).map(_.toInt).getOrElse(8)
+        val nProbe = args.lift(3).map(_.toInt).getOrElse(4)
+        val overfetch = args.lift(4).map(_.toInt).getOrElse(8)
+        recall(s"lsh(p=$nPlanes,t=$nTables)", Similarity.lshTopK(queries,
+          corpus, k, dim = 64, nPlanes = nPlanes, nTables = nTables))
+        recall(s"ivf(probe=$nProbe)", Similarity.ivfTopK(queries, corpus, k,
+          nCells = 16, nProbe = nProbe, lloydIters = 3))
+        recall(s"rp(of=$overfetch)", Similarity.rpTopK(queries, corpus, k,
+          dim = 64, overfetch = overfetch))
+        truth.unpersist(); corpus.unpersist()
+      }
     } else if (args.headOption.contains("--graph-scale")) {
       // TextRank growth curve: m corpus copies SHARING one vocabulary
       // (same tokens, same graph) — the claim under test is that the

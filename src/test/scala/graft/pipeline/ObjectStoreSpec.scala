@@ -130,4 +130,34 @@ class ObjectStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(m("fs.s3a.secret.key") == "SK")
     assert(m("fs.s3a.path.style.access") == "true")
   }
+
+  /** LIVE variant — auto-enabled when the hadoop-aws jar is on the
+    * classpath AND `GRAFT_LIVE_S3_URL` names a writable `s3a://` prefix
+    * (credentials via the ambient provider chain / GraftConfig);
+    * visibly CANCELED otherwise. Same build→stats→lookup→append chain
+    * the mock3a test pins, against a real object store
+    * (TESTDATA.md §live-paths).
+    */
+  test("LIVE s3a: build → stats → lookup round-trip on a real bucket") {
+    val jarPresent =
+      try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(jarPresent, "hadoop-aws (S3AFileSystem) not on the classpath")
+    val url = sys.env.get("GRAFT_LIVE_S3_URL")
+    assume(url.isDefined, "set GRAFT_LIVE_S3_URL=s3a://bucket/prefix to enable")
+    import spark.implicits._
+    val out = url.get.stripSuffix("/") + s"/graft-live-${System.nanoTime()}/db"
+    val cfg = BuildJob.Config(algorithms = Seq("md5"))
+    val res = BuildJob.run(spark, Seq("alpha", "beta").toDS, out, cfg,
+      contentHash = Some("live1"))
+    assert(res.written && res.records == 2)
+    assert(FooterMeta.read(spark, out).get.totalRecords == 2)
+    val hex = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("alpha".getBytes("UTF-8")))
+    assert(QueryJob.run(spark, out, QueryJob.Params(hex)).collect()
+      .map(_.getString(1)).toSeq == Seq("alpha"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out).getParent, true)
+  }
 }

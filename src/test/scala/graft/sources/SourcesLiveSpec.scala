@@ -117,4 +117,47 @@ class SourcesLiveSpec extends AnyFunSuite with SparkTestBase {
       restore("graft.seclists.dir", prevDir)
     }
   }
+
+  // ---------------------------------------------------------------------
+  // LIVE variants — auto-enabled when the real capability exists in the
+  // environment, visibly CANCELED (assume()) otherwise. The stub tests
+  // above always run; these prove the same protocols against the real
+  // thing when a deploy has it (TESTDATA.md §live-paths).
+  // ---------------------------------------------------------------------
+
+  test("LIVE aspell: real binary on PATH drives the full dump protocol") {
+    assume(sys.props.get("graft.aspell.cmd").isEmpty && AspellSource.isAvailable,
+      "no real aspell binary on PATH — stub test above covers the protocol")
+    val langs = AspellSource.listLanguages()
+    assume(langs.nonEmpty, "aspell present but no dictionaries installed")
+    val src = WordSource.parse(s"aspell:${langs.head}")
+    assert(src.name == s"aspell-${langs.head}")
+    val words = src.words(spark).cache()
+    try {
+      assert(words.count() > 0)
+      import org.apache.spark.sql.functions.{col, length}
+      assert(words.filter(length(col("value")) === 0).count() == 0) // P5
+      assert(src.contentHash.exists(_.length == 64))
+    } finally { words.unpersist(); () }
+  }
+
+  test("LIVE http: real egress fetch when GRAFT_LIVE_HTTP_URL is set") {
+    val url = sys.env.get("GRAFT_LIVE_HTTP_URL")
+    assume(url.isDefined,
+      "set GRAFT_LIVE_HTTP_URL to a small wordlist URL to enable")
+    val src = WordSource.parse(url.get)
+    assert(src.isInstanceOf[UrlSource])
+    assert(src.words(spark).count() > 0)
+    assert(src.contentHash.exists(_.length == 64))
+  }
+
+  test("LIVE seclists: real upstream clone when GRAFT_LIVE_SECLISTS=true") {
+    // several-GB clone — opt-in even where egress exists
+    assume(sys.env.get("GRAFT_LIVE_SECLISTS").contains("true"),
+      "set GRAFT_LIVE_SECLISTS=true to clone the real SecLists repo")
+    SecListsSource.pull()
+    val files = SecListsSource.list()
+    assert(files.nonEmpty)
+    assert(WordSource.parse(s"seclists:${files.head}").words(spark).count() >= 0)
+  }
 }
