@@ -175,13 +175,26 @@ object BuildJob {
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toString)
   }
 
+  /** Swap the fully-written stage into place via rename-aside (same
+    * discipline as Compact): the old db moves to `<output>_old`, the
+    * stage renames in, and `_old` is deleted last — a crash at any point
+    * leaves either the old or the new database at the path, never
+    * neither.
+    */
   private def swap(spark: SparkSession, stage: String, output: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val stagePath = new org.apache.hadoop.fs.Path(stage)
     val outPath = new org.apache.hadoop.fs.Path(output)
     val fs = outPath.getFileSystem(conf)
-    fs.delete(outPath, true)
-    if (!fs.rename(stagePath, outPath))
+    val oldPath = new org.apache.hadoop.fs.Path(output + "_old")
+    fs.delete(oldPath, true) // clear leftovers from a prior crashed swap
+    if (fs.exists(outPath) && !fs.rename(outPath, oldPath))
+      throw new java.io.IOException(s"failed to move $output aside to $oldPath")
+    if (!fs.rename(stagePath, outPath)) {
+      fs.rename(oldPath, outPath) // restore; leaves the stage for retry
       throw new java.io.IOException(s"failed to move $stage to $output")
+    }
+    fs.delete(oldPath, true)
+    ()
   }
 }

@@ -63,7 +63,11 @@ object QueryJob {
   }
 
   private def filterAndLimit(df: DataFrame, p: Params): DataFrame = {
-    val base = df.filter(hashPrefixPredicate(col("hash"), p.prefixHex.toLowerCase))
+    // hive-partitioned dbs surface `algorithm` as a trailing partition
+    // column — normalize to the reference's (hash, preimage, algorithm,
+    // sources) order so positional consumers see one shape per layout
+    val ordered = df.select("hash", "preimage", "algorithm", "sources")
+    val base = ordered.filter(hashPrefixPredicate(col("hash"), p.prefixHex.toLowerCase))
     val filtered = p.algorithm match {
       case Some(a) => base.filter(col("algorithm") === a) // P3
       case None => base

@@ -71,6 +71,32 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
     assert(prefix.count() == 1)
   }
 
+  test("bloom pruning on a hive algorithm= layout keeps the partition column") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom-hive")
+      .toString + "/db"
+    val words = (0 until 300).map(i => f"hive-$i%04d").toDS()
+    val cfg = BuildJob.Config(algorithms = Seq("md5", "sha256"),
+      numFiles = Some(2), partitionByAlgorithm = true, footerBloom = true)
+    assert(BuildJob.run(spark, words, out, cfg).written)
+
+    // negative: every partition's blooms reject without a scan
+    val absent = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("nope".getBytes("UTF-8")))
+    val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
+    assert(miss.count() == 0 && fileScans(miss).isEmpty)
+
+    // positive with algorithm filter: the partition column survives the
+    // surviving-files read (basePath), so P3 filtering still works and
+    // the result carries the right algorithm value
+    val hit = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("hive-0077".getBytes("UTF-8")))
+    val found = QueryJob.run(spark, out,
+      QueryJob.Params(hit, algorithm = Some("md5"))).collect()
+    assert(found.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("hive-0077", "md5")))
+  }
+
   test("files without blooms fall back to scanning; mixed dbs prune per file") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-bloom-mixed")
