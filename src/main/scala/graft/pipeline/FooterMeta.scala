@@ -97,18 +97,42 @@ object FooterMeta {
     * driver-side ranged footer read per file, fanned out; data pages are
     * never touched. Used by the exact-lookup fast-reject
     * ([[QueryJob.run]]) against reference-built databases.
+    *
+    * Results are cached per db, validated by a (path, length, mtime)
+    * listing signature: a bloom-stamped footer carries the serialized
+    * bitmap (~hundreds of KB base64), so re-reading every footer per
+    * lookup would cost more than it saves on repeated queries — with the
+    * cache, a negative lookup after the first is a pure in-memory probe.
+    * Any rewrite (append, compact, re-stamp) changes the signature and
+    * refreshes the entry; the cache holds at most 8 dbs (cleared
+    * wholesale beyond that — a serving tier would use a proper LRU).
     */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long, Long)], Seq[(Path, Option[FooterBloom])])]
+
   def readBlooms(spark: SparkSession, db: String): Seq[(Path, Option[FooterBloom])] =
     try {
       val conf = spark.sessionState.newHadoopConf()
       val root = new Path(db)
       val fs = root.getFileSystem(conf)
-      inParallel(parquetFiles(fs, root)) { p =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        try {
-          val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala
-          p -> FooterBloom.fromKv(kv)
-        } finally reader.close()
+      val files = parquetFiles(fs, root)
+      val sig = files.map { p =>
+        val s = fs.getFileStatus(p)
+        (p.toString, s.getLen, s.getModificationTime)
+      }
+      bloomCache.get(db) match {
+        case Some((cachedSig, blooms)) if cachedSig == sig => blooms
+        case _ =>
+          val blooms = inParallel(files) { p =>
+            val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+            try {
+              val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala
+              p -> FooterBloom.fromKv(kv)
+            } finally reader.close()
+          }
+          if (bloomCache.size >= 8) bloomCache.clear()
+          bloomCache.put(db, (sig, blooms))
+          blooms
       }
     } catch { case _: Exception => Seq.empty }
 

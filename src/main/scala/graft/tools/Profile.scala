@@ -145,6 +145,48 @@ object Profile {
       }
       val qSecs = (System.nanoTime() - t1) / 1e9
       println(f"TIME exact-lookup avg ${qSecs / sample.length * 1000}%.1f ms over ${sample.length} lookups")
+      // footer-bloom value at scale: negative exact lookups before the
+      // bloom stamp (scan path: native blooms + range pruning) vs after
+      // (footer fast-reject: no scan planned at all), plus the one-off
+      // stamp cost itself
+      val absent = (0 until 20).map(i => graft.core.Hashers.hex(
+        graft.core.Hashers("md5").hash(s"graft-absent-$i".getBytes("UTF-8"))))
+      def negLookups(): Double = {
+        val t = System.nanoTime()
+        absent.foreach { h =>
+          graft.pipeline.QueryJob.run(spark, out,
+            graft.pipeline.QueryJob.Params(h)).count()
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      val negScan = negLookups()
+      println(f"TIME neg-lookup-noBloom avg ${negScan / absent.length * 1000}%.1f ms")
+      val t2 = System.nanoTime()
+      val stamped = graft.pipeline.FooterMeta.writeBlooms(spark, out)
+      println(f"TIME bloom-stamp ${(System.nanoTime() - t2) / 1e9}%.3f files=$stamped")
+      // first bloom lookup pays the one-off footer read (bitmaps cached
+      // after, signature-validated); warm lookups are in-memory probes
+      val tFirst = System.nanoTime()
+      graft.pipeline.QueryJob.run(spark, out,
+        graft.pipeline.QueryJob.Params(absent.head)).count()
+      println(f"TIME neg-lookup-bloom-first ${(System.nanoTime() - tFirst) / 1e9 * 1000}%.1f ms")
+      val negBloom = negLookups()
+      println(f"TIME neg-lookup-bloom-warm avg ${negBloom / absent.length * 1000}%.1f ms")
+      // the warm average mixes pure rejects with ~1%-fp single-file scans;
+      // isolate the pure all-files-reject cost (the metadata-only answer)
+      val blooms = graft.pipeline.FooterMeta.readBlooms(spark, out)
+      val pureReject = absent.filter { h =>
+        val bytes = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        blooms.forall(_._2.exists(!_.mightContain(bytes)))
+      }
+      if (pureReject.nonEmpty) {
+        val t3 = System.nanoTime()
+        pureReject.foreach { h =>
+          graft.pipeline.QueryJob.run(spark, out,
+            graft.pipeline.QueryJob.Params(h)).count()
+        }
+        println(f"TIME neg-lookup-bloom-pure avg ${(System.nanoTime() - t3) / 1e9 / pureReject.length * 1000}%.1f ms over ${pureReject.length} all-reject lookups")
+      }
     } else if (args.headOption.contains("--build-bench")) {
       // full BuildJob throughput: shingle corpus → 9-algo db on disk
       // (zstd + bloom + range sort), the reference's `shaha build` analog

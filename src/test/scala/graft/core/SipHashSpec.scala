@@ -48,4 +48,28 @@ class SipHashSpec extends AnyFunSuite {
     assert(a != SipHash.hash13(k0 + 1, k1, input(32)))
     assert(a != SipHash.hash13(k0, k1, input(31)))
   }
+
+  test("SipHash-1-3 matches tools/siphash_crosscheck.py (independent impl)") {
+    // the Python implementation reproduces the published 2-4 vectors, so
+    // its 1-3 outputs are a trusted cross-language check of this variant
+    val expected = Map(
+      0 -> java.lang.Long.parseUnsignedLong("abac0158050fc4dc", 16),
+      1 -> java.lang.Long.parseUnsignedLong("c9f49bf37d57ca93", 16),
+      7 -> java.lang.Long.parseUnsignedLong("d3927d989bb11140", 16),
+      8 -> java.lang.Long.parseUnsignedLong("369095118d299a8e", 16),
+      15 -> java.lang.Long.parseUnsignedLong("d320d86d2a519956", 16),
+      32 -> java.lang.Long.parseUnsignedLong("81157b6c16a7b60d", 16),
+      63 -> java.lang.Long.parseUnsignedLong("9d199062b7bbb3a8", 16)
+    )
+    for ((n, want) <- expected)
+      assert(SipHash.hash13(k0, k1, input(n)) == want, s"length $n")
+    // the bloom's framed form (8-byte LE length prefix || bytes — Rust
+    // Vec<u8> Hash): framed(b"hello") from the same cross-check
+    val framedHello = java.lang.Long.parseUnsignedLong("e07a1a7e637c240d", 16)
+    val item = "hello".getBytes("UTF-8")
+    val framed = new Array[Byte](8 + item.length)
+    framed(0) = item.length.toByte
+    System.arraycopy(item, 0, framed, 8, item.length)
+    assert(SipHash.hash13(k0, k1, framed) == framedHello)
+  }
 }

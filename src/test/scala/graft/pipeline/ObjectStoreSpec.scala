@@ -117,6 +117,24 @@ class ObjectStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(FooterMeta.read(spark, out).get.totalRecords == 8)
       assert(SidecarMeta.read(spark, out).get.sourceHashes.toSet ==
         before.sourceHashes.toSet)
+
+      // footer blooms behind the scheme: the splice takes the remote
+      // copy-swap branch, and the exact-lookup fast-reject answers a
+      // negative from footers alone — zero parquet scans over mock3a
+      assert(FooterMeta.writeBlooms(spark, out, minCapacity = 10000) >= 1)
+      assert(FooterMeta.read(spark, out).get.totalRecords == 8) // KVs coexist
+      val absent = graft.core.Hashers.hex(
+        graft.core.Hashers("md5").hash("never".getBytes("UTF-8")))
+      val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
+      assert(miss.count() == 0)
+      assert(miss.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.isEmpty, "all-files bloom reject must not plan a scan")
+      // and a present hash still resolves through the bloom
+      val hex2 = graft.core.Hashers.hex(
+        graft.core.Hashers("md5").hash("delta".getBytes("UTF-8")))
+      assert(QueryJob.run(spark, out, QueryJob.Params(hex2)).collect()
+        .map(_.getString(1)).toSeq == Seq("delta"))
     }
   }
 
