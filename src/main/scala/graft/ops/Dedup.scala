@@ -192,6 +192,17 @@ object Dedup {
     // persist it instead of re-exploding the corpus each time (released
     // after the consuming action — see AutoUnpersist)
     val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
+    // Verify reads the FULL cached shingle frame. Two measured attempts
+    // to pre-filter it to candidate-involved docs both lost:
+    //  - lazy semi-join (r3): cands lands in two plan branches, scoped
+    //    caches race into re-running the candidate pipeline — 2× worse;
+    //  - eager localCheckpoint(cands) + semi-join (r4): race-free, but
+    //    no measurable win at 1×-10× corpus (within the ±0.8 s run
+    //    variance at sf0.1; --minhash-scale x10 ~11 s both ways) — the
+    //    checkpoint barrier serializes candidates before verify and the
+    //    extra join cancels the smaller-side savings.
+    // The cached sh is simply cheap to re-read; callers that already hold
+    // materialized candidates (incrementalMinhash) still pre-filter.
     val cands =
       lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand, maxBucket)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)

@@ -183,6 +183,57 @@ object DedupQueries extends QueryGroup {
               |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
     ),
 
+    // Streaming-admission policy over the incremental pairs: which docs
+    // of "today's shard" actually enter the corpus. Edge-greedy and
+    // deterministic (StreamingDedup.rejectedIds — the exact rule each
+    // foreachBatch micro-batch applies): a shard doc is rejected iff it
+    // has a verified ≥0.8 near-duplicate in history, or an earlier
+    // (smaller-id) one in the same shard. The oracle replays signature →
+    // banding → verify → the CASE rule end-to-end.
+    "q_dedup_admission" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val pairs = graft.ops.Dedup.incrementalMinhash(
+            fresh, hist, Tables.historyMinhashSigs(s, d), threshold = 0.0)
+          .filter(floor(col("jaccard") * 10000).cast("long") >= 8000)
+          .select("i", "j")
+        fresh.select("doc_id")
+          .join(graft.streaming.StreamingDedup.rejectedIds(
+            pairs, fresh.select("doc_id")), Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shCte,
+              |mh AS (
+              |  SELECT doc_id,
+              |    min(md5('0' || '|' || w)) AS m0, min(md5('1' || '|' || w)) AS m1,
+              |    min(md5('2' || '|' || w)) AS m2, min(md5('3' || '|' || w)) AS m3,
+              |    min(md5('4' || '|' || w)) AS m4, min(md5('5' || '|' || w)) AS m5,
+              |    min(md5('6' || '|' || w)) AS m6, min(md5('7' || '|' || w)) AS m7
+              |  FROM shd GROUP BY doc_id),
+              |banded AS (
+              |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+              |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+              |  FROM mh),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+              |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+              |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+              |$jaccardSql,
+              |rej AS (
+              |  SELECT DISTINCT CASE
+              |    WHEN i % 5 = 0 AND j % 5 = 0 THEN j
+              |    WHEN i % 5 = 0 THEN i
+              |    ELSE j END AS doc_id
+              |  FROM jac WHERE jaccard_bp >= 8000)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id % 5 = 0
+              |  AND doc_id NOT IN (SELECT doc_id FROM rej)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Per-doc 64-bit SimHash fingerprint (16 hex digits).
     "q_dedup_simhash" -> QueryDef(
       (s, d) =>

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  // near-identical pair: one token of ~40 differs → Jaccard well above 0.8;
+  // the "far" doc shares nothing
+  private val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" ")
+  private val far = (1 to 40).map(i => s"other$i").mkString(" ")
+
+  test("admitBatch: in-batch near-dups resolve to the smaller id; state bootstraps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+
+    val r1 = StreamingDedup.admitBatch(
+      Seq((10L, base), (20L, nearDup), (30L, far)).toDF("doc_id", "text"),
+      corpus, index)
+    assert(r1 == StreamingDedup.BatchResult(admitted = 2, rejected = 1))
+    assert(spark.read.parquet(corpus).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 30L))
+    // index carries one signature row per admitted doc
+    assert(spark.read.parquet(index).count() == 2)
+
+    // second shard: near-dup of STORED doc 10 rejected, novel doc admitted,
+    // exact-id redelivery of 30 collapses to one row then rejects vs stored
+    val novel = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    val r2 = StreamingDedup.admitBatch(
+      Seq((40L, nearDup), (50L, novel), (30L, far), (30L, far))
+        .toDF("doc_id", "text"),
+      corpus, index)
+    assert(r2 == StreamingDedup.BatchResult(admitted = 1, rejected = 2))
+    assert(spark.read.parquet(corpus).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 30L, 50L))
+    assert(spark.read.parquet(index).count() == 3)
+  }
+
+  test("streaming: micro-batches admit against state persisted across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdedup-stream").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDedup.run(
+      input.toDF().toDF("doc_id", "text"), corpus, index, s"$dir/ckpt")
+    try {
+      input.addData((1L, base), (2L, far))
+      query.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 2)
+
+      // next batch: a near-dup of batch-1's doc 1 must be rejected via the
+      // stored index (no in-memory state — a fresh read of the parquet)
+      input.addData((3L, nearDup))
+      query.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+      // and a genuinely new doc still lands
+      input.addData((4L, (1 to 40).map(i => s"new$i").mkString(" ")))
+      query.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3)
+    } finally query.stop()
+  }
+}
