@@ -534,4 +534,62 @@ object Similarity {
         array_min(col("codes")).as("code_min"),
         array_max(col("codes")).as("code_max"))
   }
+
+  /** Margin-based parallel-pair (bitext) mining between two embedding
+    * collections A and B — the corpus-curation op that aligns two
+    * monolingual (or cross-modal) sides by embedding similarity, in the
+    * margin-scoring formulation of Artetxe & Schwenk (2019).
+    *
+    * For each candidate (x, y) with y among x's top-`topn` matches in B,
+    * the raw cosine is normalized by both directions' k-NN neighborhoods:
+    *
+    *   margin(x,y) = 2k·cos(x,y) / (Σᵢ₌₁..ₖ cos(x, NNᵢ(x,B))
+    *                              + Σᵢ₌₁..ₖ cos(y, NNᵢ(y,A)))
+    *
+    * which suppresses hubs — vectors globally close to everything — that
+    * a raw-cosine threshold would admit. Scoring runs on the bp-floored
+    * cosines (longs) with one IEEE double division at the end, so any
+    * engine replays it bit-exactly.
+    *
+    * Distributed shape: two k-NN sweeps (here [[bruteForceTopK]]; at
+    * corpus scale swap in [[lshTopK]]/[[ivfTopK]] — identical output
+    * contract), two per-id aggregations over exactly k rows each, then
+    * equi-joins on the pair keys. `mutual = true` additionally requires
+    * x to be y's best match in A (precision mode) — one more semi-join.
+    */
+  def bitextMine(
+      a: DataFrame, b: DataFrame, k: Int = 4, topn: Int = 1,
+      minMarginBp: Long = 10000L, mutual: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val ab = graft.util.AutoUnpersist.persistScoped(
+      bruteForceTopK(a, b, k, idCol, vecCol))
+    val ba = graft.util.AutoUnpersist.persistScoped(
+      bruteForceTopK(b, a, k, idCol, vecCol))
+    val axSum = ab.groupBy("query_id").agg(sum("cos_bp").as("ax"))
+      .withColumnRenamed("query_id", "src_id")
+    val aySum = ba.groupBy("query_id").agg(sum("cos_bp").as("ay"))
+      .withColumnRenamed("query_id", "tgt_id")
+    val cand = ab.filter(col("rank") <= topn)
+      .select(col("query_id").as("src_id"), col("cand_id").as("tgt_id"),
+        col("cos_bp"))
+    val scored = cand
+      .join(axSum, "src_id")
+      .join(aySum, "tgt_id")
+      // degenerate neighborhoods (non-positive cosine mass) can't be
+      // margin-normalized meaningfully — drop before the division
+      .filter(col("ax") + col("ay") > 0)
+      .withColumn("margin_bp",
+        floor(lit(2L * k * 10000L) * col("cos_bp") /
+          (col("ax") + col("ay"))).cast("long"))
+      .filter(col("margin_bp") >= minMarginBp)
+    val out =
+      if (mutual)
+        scored.join(
+          ba.filter(col("rank") === 1)
+            .select(col("query_id").as("tgt_id"), col("cand_id").as("src_id")),
+          Seq("src_id", "tgt_id"), "left_semi")
+      else scored
+    out.select("src_id", "tgt_id", "cos_bp", "margin_bp")
+  }
 }

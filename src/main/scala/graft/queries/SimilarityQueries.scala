@@ -163,6 +163,51 @@ object SimilarityQueries extends QueryGroup {
               |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // Margin-based bitext mining between the even-label and odd-label
+    // halves of the corpus (stand-ins for two monolingual sides): top-2
+    // matches per source vector, margin-normalized by both 4-NN
+    // neighborhoods, mined pairs = margin ≥ 1.0. The oracle replays both
+    // k-NN sweeps, the neighborhood sums, and the margin division.
+    "q_sim_bitext_mine" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bitextMine(
+            e.filter(pmod(col("label"), lit(2)) === 0),
+            e.filter(pmod(col("label"), lit(2)) === 1),
+            k = 4, topn = 2, minMarginBp = 10000L)
+          .orderBy("src_id", "tgt_id")
+      },
+      Some(s"""WITH a AS (SELECT * FROM embeddings WHERE label % 2 = 0),
+              |b AS (SELECT * FROM embeddings WHERE label % 2 = 1),
+              |ab AS (
+              |  SELECT query_id, cand_id, cos_bp,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_bp DESC, cand_id) AS rnk
+              |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |      CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
+              |    FROM a q JOIN b c ON q.vec_id <> c.vec_id)),
+              |ba AS (
+              |  SELECT query_id, cand_id, cos_bp,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos_bp DESC, cand_id) AS rnk
+              |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |      CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
+              |    FROM b q JOIN a c ON q.vec_id <> c.vec_id)),
+              |ax AS (SELECT query_id AS src_id, sum(cos_bp) AS ax
+              |  FROM ab WHERE rnk <= 4 GROUP BY 1),
+              |ay AS (SELECT query_id AS tgt_id, sum(cos_bp) AS ay
+              |  FROM ba WHERE rnk <= 4 GROUP BY 1),
+              |cand AS (SELECT query_id AS src_id, cand_id AS tgt_id, cos_bp
+              |  FROM ab WHERE rnk <= 2),
+              |m AS (
+              |  SELECT src_id, tgt_id, cos_bp,
+              |    CAST(floor(80000 * cos_bp / (ax + ay)) AS BIGINT) AS margin_bp
+              |  FROM cand JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+              |  WHERE ax + ay > 0)
+              |SELECT src_id, tgt_id, cos_bp, margin_bp FROM m
+              |WHERE margin_bp >= 10000 ORDER BY src_id, tgt_id""".stripMargin)
+    ),
+
     // Hard-negative mining: per anchor, the 3 most-similar vectors with a
     // different label — the contrastive-training pairs a metric model
     // needs. Broadcast anchors × streamed corpus, label-mismatch join.

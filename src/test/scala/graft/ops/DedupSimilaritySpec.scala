@@ -451,4 +451,46 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       }.toSet
     assert(got.toSet == expected)
   }
+
+  test("bitext mining: margin suppresses the hub; mutual mode keeps only best-best") {
+    import spark.implicits._
+    // Side A: two query vectors. Side B: a hub vector moderately close to
+    // EVERYTHING in A (and to the decoys), plus one genuine match per A
+    // vector. Raw cosine ranks the hub near the top for both queries; the
+    // margin criterion (cos normalized by neighborhood mass) demotes it.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val a = Seq(
+      (1L, v(1, 0, 0, 0.3)), // a1: true match b11
+      (2L, v(0, 1, 0, 0.3))  // a2: true match b12
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (11L, v(0.98, 0.05, 0, 0.3)),   // genuine pair of a1
+      (12L, v(0.05, 0.98, 0, 0.3)),   // genuine pair of a2
+      (13L, v(0.45, 0.55, 0.2, 0.42)), // hub: close-ish to both, nearer a2
+      (14L, v(0, 0, 1, 0))            // unrelated
+    ).toDF("vec_id", "embedding")
+
+    // hand-computed margins (tools-free replica of the operator's bp
+    // arithmetic): genuine pairs ≈ 2.0, hub pairs ≈ 1.2-1.4 — a 1.5
+    // floor separates them with ~4000 bp of slack on either side
+    val pairs = graft.ops.Similarity
+      .bitextMine(a, b, k = 3, topn = 2, minMarginBp = 15000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L), (2L, 12L)),
+      s"margin must keep only the genuine pairs, got $pairs")
+
+    // mutual mode: with topn=2 and no margin floor, BOTH queries pair
+    // with the hub b13; b13's best match in A is a2, so mutuality drops
+    // the non-reciprocal (1,13) while keeping (2,13) — reciprocity and
+    // margin are complementary filters, which is why the op has both
+    val loose = graft.ops.Similarity
+      .bitextMine(a, b, k = 3, topn = 2, minMarginBp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 11L), (1L, 13L), (2L, 12L), (2L, 13L)))
+    val mutual = graft.ops.Similarity
+      .bitextMine(a, b, k = 3, topn = 2, minMarginBp = 0L, mutual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual == loose - ((1L, 13L)),
+      s"only the non-reciprocal hub pair drops: $mutual")
+  }
 }

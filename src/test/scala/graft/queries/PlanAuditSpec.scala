@@ -20,7 +20,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_corpus_report", // crossJoin of four 1-row aggregates
     "q_text_tfidf", // 1-row corpus-size aggregate × vocab-sized tf table
     "q_events_quantile_sketch", // 3 quantile rows × ≤64-bin sketch table
-    "q_sim_hard_negatives") // broadcast anchors × corpus, label-mismatch
+    "q_sim_hard_negatives", // broadcast anchors × corpus, label-mismatch
+    "q_sim_bitext_mine") // brute-force k-NN sweeps (broadcast side A/B);
+                         // the LSH/IVF generators are the scale path
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>

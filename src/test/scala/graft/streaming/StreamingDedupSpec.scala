@@ -39,6 +39,18 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(corpus).select("doc_id").collect()
       .map(_.getLong(0)).toSet == Set(10L, 30L, 50L))
     assert(spark.read.parquet(index).count() == 3)
+
+    // per-batch appends fragment the index (≥1 file per batch); generic
+    // compaction collapses it and admissions behave identically after
+    import graft.pipeline.Compact
+    val compacted = Compact.runGeneric(spark, index, sortCols = Seq("doc_id"),
+      targetBytes = 512L << 20)
+    assert(compacted.records == 3)
+    assert(compacted.filesAfter <= compacted.filesBefore)
+    val r3 = StreamingDedup.admitBatch(
+      Seq((60L, nearDup)).toDF("doc_id", "text"), corpus, index)
+    assert(r3 == StreamingDedup.BatchResult(admitted = 0, rejected = 1),
+      "near-dup of stored doc must still reject against the compacted index")
   }
 
   test("streaming: micro-batches admit against state persisted across batches") {
