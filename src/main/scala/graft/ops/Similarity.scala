@@ -562,18 +562,34 @@ object Similarity {
       minMarginBp: Long = 10000L, mutual: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val ab = graft.util.AutoUnpersist.persistScoped(
-      bruteForceTopK(a, b, k, idCol, vecCol))
-    val ba = graft.util.AutoUnpersist.persistScoped(
-      bruteForceTopK(b, a, k, idCol, vecCol))
-    val axSum = ab.groupBy("query_id").agg(sum("cos_bp").as("ax"))
-      .withColumnRenamed("query_id", "src_id")
-    val aySum = ba.groupBy("query_id").agg(sum("cos_bp").as("ay"))
-      .withColumnRenamed("query_id", "tgt_id")
-    val cand = ab.filter(col("rank") <= topn)
-      .select(col("query_id").as("src_id"), col("cand_id").as("tgt_id"),
-        col("cos_bp"))
-    val scored = cand
+    // cosine is symmetric, so the B→A sweep is the TRANSPOSE of A→B:
+    // score the cross product ONCE (half the dot work of two
+    // bruteForceTopK sweeps), then rank it under both partitionings.
+    // Tie-breaks match bruteForceTopK's (desc score, then the other
+    // side's id ascending), so results are identical to two sweeps.
+    val q = a.select(col(idCol).as("src_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = b.select(col(idCol).as("tgt_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("src_id") =!= col("tgt_id"))
+      .withColumn("cos_bp",
+        floor(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 10000)
+          .cast("long"))
+      .select("src_id", "tgt_id", "cos_bp")
+    val wAb = Window.partitionBy("src_id").orderBy(desc("cos_bp"), col("tgt_id"))
+    val wBa = Window.partitionBy("tgt_id").orderBy(desc("cos_bp"), col("src_id"))
+    val ranked = graft.util.AutoUnpersist.persistScoped(
+      scored.withColumn("rab", row_number().over(wAb))
+        .withColumn("rba", row_number().over(wBa))
+        .filter(col("rab") <= math.max(k, topn) || col("rba") <= k))
+    val axSum = ranked.filter(col("rab") <= k)
+      .groupBy("src_id").agg(sum("cos_bp").as("ax"))
+    val aySum = ranked.filter(col("rba") <= k)
+      .groupBy("tgt_id").agg(sum("cos_bp").as("ay"))
+    val cand = ranked.filter(col("rab") <= topn &&
+        (!lit(mutual) || col("rba") === 1))
+      .select("src_id", "tgt_id", "cos_bp")
+    cand
       .join(axSum, "src_id")
       .join(aySum, "tgt_id")
       // degenerate neighborhoods (non-positive cosine mass) can't be
@@ -583,13 +599,6 @@ object Similarity {
         floor(lit(2L * k * 10000L) * col("cos_bp") /
           (col("ax") + col("ay"))).cast("long"))
       .filter(col("margin_bp") >= minMarginBp)
-    val out =
-      if (mutual)
-        scored.join(
-          ba.filter(col("rank") === 1)
-            .select(col("query_id").as("tgt_id"), col("cand_id").as("src_id")),
-          Seq("src_id", "tgt_id"), "left_semi")
-      else scored
-    out.select("src_id", "tgt_id", "cos_bp", "margin_bp")
+      .select("src_id", "tgt_id", "cos_bp", "margin_bp")
   }
 }

@@ -72,6 +72,11 @@ object Compact {
     // clustering so algorithm-pruned reads keep working after compaction.
     val hiveLayout = cfg.partitionByAlgorithm ||
       files.exists(_.getPath.getParent.getName.startsWith("algorithm="))
+    // a bloom-stamped db keeps its footer blooms through compaction —
+    // the rewrite invalidates per-file bitmaps, so they are recomputed
+    // for the new file set after the swap
+    val hadBlooms = cfg.footerBloom ||
+      FooterMeta.readBlooms(spark, db).exists(_._2.isDefined)
     val meta = SidecarMeta.read(spark, db)
     val df = spark.read.schema(BuildJob.schema).parquet(db)
     val stage = db + "_compacting"
@@ -95,6 +100,7 @@ object Compact {
       SidecarMeta.write(spark, db, m)
       FooterMeta.write(spark, db, m)
     }
+    if (hadBlooms) FooterMeta.writeBlooms(spark, db)
     Result(files.size, dataFiles(spark, db).size, records)
   }
 

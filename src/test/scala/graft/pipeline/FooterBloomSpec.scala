@@ -97,6 +97,31 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
       Seq(("hive-0077", "md5")))
   }
 
+  test("compaction recomputes footer blooms for the new file set") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom-compact")
+      .toString + "/db"
+    val words = (0 until 400).map(i => f"cpt-$i%04d").toDS()
+    val cfg = BuildJob.Config(algorithms = Seq("md5"), numFiles = Some(8),
+      footerBloom = true)
+    assert(BuildJob.run(spark, words, out, cfg).written)
+
+    val comp = Compact.run(spark, out, targetBytes = 512L << 20)
+    assert(comp.filesAfter < comp.filesBefore)
+
+    // the rewritten files carry fresh blooms: a negative exact lookup
+    // still answers metadata-only, a positive still resolves
+    val absent = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("gone".getBytes("UTF-8")))
+    val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
+    assert(miss.count() == 0 && fileScans(miss).isEmpty,
+      "compacted db must keep the bloom fast-reject")
+    val hit = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("cpt-0123".getBytes("UTF-8")))
+    assert(QueryJob.run(spark, out, QueryJob.Params(hit)).collect()
+      .map(_.getString(1)).toSeq == Seq("cpt-0123"))
+  }
+
   test("files without blooms fall back to scanning; mixed dbs prune per file") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-bloom-mixed")
