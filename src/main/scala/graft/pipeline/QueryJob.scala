@@ -39,8 +39,28 @@ object QueryJob {
     // still apply there). Cost: one driver-side ranged footer read per
     // file, only on the full-hash path — the same reads the reference
     // does per query.
+    //
+    // SOUNDNESS GATE the reference lacks: a full-hash-length probe can
+    // simultaneously be a PREFIX of a longer algorithm's digest (the
+    // range component of hashPrefixPredicate) — e.g. 32 hex chars is an
+    // md5 exact probe AND a sha256 prefix. The bloom only answers the
+    // exact component, so the fast-reject engages ONLY when no algorithm
+    // in the db (per the query's algorithm filter, else the catalog) has
+    // a digest longer than the probe. The reference applies its bloom
+    // unconditionally (parquet.rs:481-487), which would wrongly return
+    // empty for prefix-of-longer-digest lookups; we fall back to the
+    // range-pruned scan instead.
     val prefixBytes = p.prefixHex.length / 2
-    if (isFullHashLength(prefixBytes)) {
+    def noLongerDigests: Boolean = {
+      val algos = p.algorithm.map(Seq(_))
+        .orElse(SidecarMeta.read(spark, db).map(_.algorithms).filter(_.nonEmpty))
+        .orElse(FooterMeta.read(spark, db).map(_.algorithms).filter(_.nonEmpty))
+      algos.exists(as => as.nonEmpty && as.forall { a =>
+        try graft.core.Hashers(a).digestLength <= prefixBytes
+        catch { case _: IllegalArgumentException => false }
+      })
+    }
+    if (isFullHashLength(prefixBytes) && noLongerDigests) {
       val hash = p.prefixHex.toLowerCase.grouped(2)
         .map(Integer.parseInt(_, 16).toByte).toArray
       val blooms = FooterMeta.readBlooms(spark, db)

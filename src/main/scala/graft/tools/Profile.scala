@@ -42,7 +42,9 @@ object Profile {
       // the workload is honestly m×; cross-copy pairs are impossible)
       import graft.ops.Dedup
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      Seq(1, 2, 5, 10).foreach { m =>
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      mults.foreach { m =>
         val docs = (0 until m).map { k =>
           base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
@@ -148,9 +150,10 @@ object Profile {
       // footer-bloom value at scale: negative exact lookups before the
       // bloom stamp (scan path: native blooms + range pruning) vs after
       // (footer fast-reject: no scan planned at all), plus the one-off
-      // stamp cost itself
+      // stamp cost itself. sha256-length probes: the db's longest digest,
+      // so the fast path's no-longer-digest soundness gate passes
       val absent = (0 until 20).map(i => graft.core.Hashers.hex(
-        graft.core.Hashers("md5").hash(s"graft-absent-$i".getBytes("UTF-8"))))
+        graft.core.Hashers("sha256").hash(s"graft-absent-$i".getBytes("UTF-8"))))
       def negLookups(): Double = {
         val t = System.nanoTime()
         absent.foreach { h =>

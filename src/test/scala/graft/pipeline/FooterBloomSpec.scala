@@ -52,9 +52,11 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
     assert(FooterMeta.read(spark, out).get.totalRecords == 1000)
 
     // a hash that is NOT in the db: every file's bloom rejects → the
-    // answer comes from footers alone, with NO parquet scan in the plan
+    // answer comes from footers alone, with NO parquet scan in the plan.
+    // sha256-length probe: nothing in this db has a longer digest, so
+    // the fast-reject is sound (no prefix-of-longer-digest ambiguity)
     val absent = graft.core.Hashers.hex(
-      graft.core.Hashers("md5").hash("never-in-db".getBytes("UTF-8")))
+      graft.core.Hashers("sha256").hash("never-in-db".getBytes("UTF-8")))
     val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
     assert(miss.count() == 0)
     assert(fileScans(miss).isEmpty,
@@ -62,9 +64,24 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
 
     // a present hash passes its file's bloom and is found
     val hit = graft.core.Hashers.hex(
-      graft.core.Hashers("md5").hash("word-0123".getBytes("UTF-8")))
+      graft.core.Hashers("sha256").hash("word-0123".getBytes("UTF-8")))
     val found = QueryJob.run(spark, out, QueryJob.Params(hit)).collect()
     assert(found.map(_.getString(1)).toSeq == Seq("word-0123"))
+
+    // an md5-LENGTH probe on this md5+sha256 db is ambiguous — it is
+    // also a potential sha256 PREFIX, whose range component the bloom
+    // cannot answer — so the fast-reject must NOT engage (the reference
+    // applies its bloom here and would wrongly return empty)
+    val md5Absent = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("never-in-db".getBytes("UTF-8")))
+    val ambiguous = QueryJob.run(spark, out, QueryJob.Params(md5Absent))
+    assert(ambiguous.count() == 0)
+    assert(fileScans(ambiguous).nonEmpty,
+      "ambiguous-length probe must fall back to the range-pruned scan")
+    // …but pinning the algorithm restores the fast path
+    val pinned = QueryJob.run(spark, out,
+      QueryJob.Params(md5Absent, algorithm = Some("md5")))
+    assert(pinned.count() == 0 && fileScans(pinned).isEmpty)
 
     // prefix (non-full-hash) queries bypass the bloom path entirely
     val prefix = QueryJob.run(spark, out, QueryJob.Params(hit.take(8)))
@@ -80,10 +97,12 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
       numFiles = Some(2), partitionByAlgorithm = true, footerBloom = true)
     assert(BuildJob.run(spark, words, out, cfg).written)
 
-    // negative: every partition's blooms reject without a scan
+    // negative with a pinned algorithm (length-unambiguous): every
+    // partition's blooms reject without a scan
     val absent = graft.core.Hashers.hex(
       graft.core.Hashers("md5").hash("nope".getBytes("UTF-8")))
-    val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
+    val miss = QueryJob.run(spark, out,
+      QueryJob.Params(absent, algorithm = Some("md5")))
     assert(miss.count() == 0 && fileScans(miss).isEmpty)
 
     // positive with algorithm filter: the partition column survives the

@@ -124,7 +124,7 @@ class ObjectStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(FooterMeta.writeBlooms(spark, out, minCapacity = 10000) >= 1)
       assert(FooterMeta.read(spark, out).get.totalRecords == 8) // KVs coexist
       val absent = graft.core.Hashers.hex(
-        graft.core.Hashers("md5").hash("never".getBytes("UTF-8")))
+        graft.core.Hashers("sha256").hash("never".getBytes("UTF-8")))
       val miss = QueryJob.run(spark, out, QueryJob.Params(absent))
       assert(miss.count() == 0)
       assert(miss.queryExecution.executedPlan.collect {
