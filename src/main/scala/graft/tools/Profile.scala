@@ -109,6 +109,24 @@ object Profile {
         }.reduce(_ unionByName _)
         time(s"graph-scale-x$m")(noop(Graph.textRank(docs, iters = 4)))
       }
+    } else if (args.headOption.contains("--minhash-fast")) {
+      // portable (md5 string family, what the DuckDB oracle replays) vs
+      // production (xxhash64 codegen family) — the documented trade,
+      // measured at 1x and 10x corpus
+      import graft.ops.Dedup
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      // untimed warm-up: codegen + JIT + page cache, so family timings
+      // compare plans rather than session startup
+      noop(Dedup.minhashLsh(base, portable = true))
+      noop(Dedup.minhashLsh(base, portable = false))
+      Seq(1, 10).foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        time(s"minhash-portable-x$m")(noop(Dedup.minhashLsh(docs, portable = true)))
+        time(s"minhash-xxhash64-x$m")(noop(Dedup.minhashLsh(docs, portable = false)))
+      }
     } else if (args.headOption.contains("--minhash-profile")) {
       import graft.ops.Dedup
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
