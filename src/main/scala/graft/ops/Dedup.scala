@@ -68,14 +68,28 @@ object Dedup {
     def family(s: Int): Column =
       if (portable) md5(concat(lit(s.toString), lit("|"), col("w")))
       else xxhash64(lit(s), col("w")) // numeric min; banding concat coerces
-    val vocabHashes = sh.select("w").distinct().select(
-      col("w") +: (0 until k).map(s => family(s).as(s"h$s")): _*)
-    sh.join(vocabHashes, "w")
-      .groupBy("doc_id")
-      .agg(
-        min(col("h0")).as("m0"),
-        (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*
-      )
+    if (portable) {
+      // md5 is the expensive part: compute the k digests once per
+      // DISTINCT shingle (vocabulary-sized work) and join back — at a
+      // typical ~50× occurrence/vocabulary ratio the two extra shuffles
+      // cost less than 50× the md5s
+      val vocabHashes = sh.select("w").distinct().select(
+        col("w") +: (0 until k).map(s => family(s).as(s"h$s")): _*)
+      sh.join(vocabHashes, "w")
+        .groupBy("doc_id")
+        .agg(
+          min(col("h0")).as("m0"),
+          (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*
+        )
+    } else
+      // xxhash64 is cheaper than a shuffle row: hash every occurrence
+      // directly (min over occurrences ≡ min over distinct) — ZERO
+      // joins, one map-side-combined groupBy, full codegen
+      sh.groupBy("doc_id")
+        .agg(
+          min(family(0)).as("m0"),
+          (1 until k).map(s => min(family(s)).as(s"m$s")): _*
+        )
   }
 
   /** LSH banding: rows-per-band consecutive signature components hashed to
