@@ -130,9 +130,29 @@ object FooterMeta {
               p -> FooterBloom.fromKv(kv)
             } finally reader.close()
           }
+          // trust-but-verify, once per cache fill: a compatible bloom has
+          // NO false negatives for its own file's hashes, so probe one
+          // known-present hash from one bloom-carrying file. A writer
+          // with a different bit layout / hash framing fails the probe —
+          // then ALL blooms for this db are discarded and lookups fall
+          // back to the (correct, just slower) range-pruned scan instead
+          // of silently returning empty for present keys.
+          val validated = blooms.collectFirst {
+            case (p, Some(bloom)) => (p, bloom)
+          } match {
+            case Some((p, bloom)) =>
+              val probe =
+                try spark.read.parquet(p.toString).select("hash").limit(1)
+                  .collect().headOption.map(_.getAs[Array[Byte]](0))
+                catch { case _: Exception => None }
+              if (probe.exists(h => !bloom.mightContain(h)))
+                blooms.map { case (f, _) => (f, None: Option[FooterBloom]) }
+              else blooms
+            case None => blooms
+          }
           if (bloomCache.size >= 8) bloomCache.clear()
-          bloomCache.put(db, (sig, blooms))
-          blooms
+          bloomCache.put(db, (sig, validated))
+          validated
       }
     } catch { case _: Exception => Seq.empty }
 
@@ -231,7 +251,7 @@ object FooterMeta {
     * because no data moves. Existing entries named in `removeKeys` or in
     * the update set are replaced; everything else is preserved.
     */
-  private def spliceFooter(fs: FileSystem, p: Path, removeKeys: Set[String] = Set.empty)(
+  private[pipeline] def spliceFooter(fs: FileSystem, p: Path, removeKeys: Set[String] = Set.empty)(
       updates: org.apache.parquet.format.FileMetaData => Seq[(String, String)]
   ): Unit = {
     val len = fs.getFileStatus(p).getLen

@@ -116,6 +116,33 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
       Seq(("hive-0077", "md5")))
   }
 
+  test("incompatible blooms are detected and discarded, never trusted") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom-bad")
+      .toString + "/db"
+    val words = (0 until 100).map(i => f"bad-$i%04d").toDS()
+    val cfg = BuildJob.Config(algorithms = Seq("md5"), numFiles = Some(1))
+    assert(BuildJob.run(spark, words, out, cfg).written)
+    // splice a bloom whose bitmap is all zeros — it rejects EVERYTHING,
+    // the signature of a writer with an incompatible bit layout/framing
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(conf)
+    val file = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).head
+    val fake = FooterBloom.forCapacity(1000, seed = "incompatible")
+    FooterMeta.spliceFooter(fs, file)(_ => fake.toKv)
+
+    // without the probe validation this present-hash lookup would return
+    // empty; with it, the bloom is discarded and the scan finds the row
+    val hit = graft.core.Hashers.hex(
+      graft.core.Hashers("md5").hash("bad-0042".getBytes("UTF-8")))
+    val found = QueryJob.run(spark, out, QueryJob.Params(hit))
+    assert(found.collect().map(_.getString(1)).toSeq == Seq("bad-0042"))
+    assert(fileScans(found).nonEmpty,
+      "a distrusted bloom must fall back to scanning")
+  }
+
   test("compaction recomputes footer blooms for the new file set") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-bloom-compact")
