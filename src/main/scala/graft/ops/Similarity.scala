@@ -578,10 +578,15 @@ object Similarity {
       .select("src_id", "tgt_id", "cos_bp")
     val wAb = Window.partitionBy("src_id").orderBy(desc("cos_bp"), col("tgt_id"))
     val wBa = Window.partitionBy("tgt_id").orderBy(desc("cos_bp"), col("src_id"))
-    val ranked = graft.util.AutoUnpersist.persistScoped(
-      scored.withColumn("rab", row_number().over(wAb))
-        .withColumn("rba", row_number().over(wBa))
-        .filter(col("rab") <= math.max(k, topn) || col("rba") <= k))
+    // eager checkpoint, not a lazy persist: the ranked frame feeds THREE
+    // plan branches (ax, ay, candidates) — concurrent stages of a lazy
+    // cache race into recomputing the scored cross product + two windows
+    // per branch; the materialized table is only (|A|·max(k,topn) +
+    // |B|·k) rows
+    val ranked = scored.withColumn("rab", row_number().over(wAb))
+      .withColumn("rba", row_number().over(wBa))
+      .filter(col("rab") <= math.max(k, topn) || col("rba") <= k)
+      .localCheckpoint(true)
     val axSum = ranked.filter(col("rab") <= k)
       .groupBy("src_id").agg(sum("cos_bp").as("ax"))
     val aySum = ranked.filter(col("rba") <= k)
