@@ -102,7 +102,9 @@ object Profile {
       // one-shot bigram aggregation grows, the 4 power iterations don't.
       import graft.ops.Graph
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      Seq(1, 2, 5, 10).foreach { m =>
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      mults.foreach { m =>
         val docs = (0 until m).map { k =>
           base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
             col("text"))
