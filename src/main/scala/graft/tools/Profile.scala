@@ -111,6 +111,42 @@ object Profile {
         }.reduce(_ unionByName _)
         time(s"graph-scale-x$m")(noop(Graph.textRank(docs, iters = 4)))
       }
+    } else if (args.headOption.contains("--events-scale")) {
+      // growth curve for the event-analytics family: m copies of the
+      // events table with disjoint user populations (user_id offset) —
+      // honestly m× the users AND m× the rows, the shape a growing
+      // product emits. Probes the two classic scale risks: the as-of
+      // join (per-user sort + last-observation carry) and windowed
+      // sessionization (per-user event-time sort).
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.util.Tables.events(spark, sfDir)
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 10)
+      mults.foreach { m =>
+        val ev = (0 until m).map { k =>
+          base.select((col("user_id") + lit(k * 10000000L)).as("user_id"),
+            (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+            col("event_type"), col("ts_ns"))
+        }.reduce(_ unionByName _)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_ns")
+          .agg(max("event_id").as("click_event"))
+          .withColumn("click_ts_ns", col("ts_ns"))
+        time(s"events-asof-x$m")(
+          noop(graft.ops.AsOf.join(purchases, clicks, "user_id", "ts_ns")))
+        val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        time(s"events-sessions-x$m")(noop(
+          ev.withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+            .withColumn("new_session",
+              when(col("prev_ns").isNull ||
+                col("ts_ns") - col("prev_ns") > 1800L * 1000000000L, 1)
+                .otherwise(0))
+            .groupBy("user_id")
+            .agg(sum("new_session").as("n_sessions"),
+              count(lit(1)).as("n_events"))))
+      }
     } else if (args.headOption.contains("--minhash-fast")) {
       // portable (md5 string family, what the DuckDB oracle replays) vs
       // production (xxhash64 codegen family) — the documented trade,
