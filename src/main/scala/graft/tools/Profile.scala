@@ -147,6 +147,26 @@ object Profile {
             .agg(sum("new_session").as("n_sessions"),
               count(lit(1)).as("n_events"))))
       }
+    } else if (args.headOption.contains("--text-scale")) {
+      // growth curve for the aggregation-shaped text ops: tf-idf (corpus
+      // joins on the term key), n-gram LM coverage (model table is
+      // vocabulary-sized), and BPE training (an 8-round aggregation
+      // loop whose per-round work is pair-vocabulary-sized). Disjoint
+      // token suffixes per copy = honestly m× corpus AND m× vocabulary.
+      import graft.ops.TextAnalysis
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 10)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("source"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        time(s"text-tfidf-x$m")(noop(TextAnalysis.tfidf(docs)))
+        time(s"text-lmcov-x$m")(noop(TextAnalysis.lmCoverage(docs)))
+        time(s"text-bpetrain-x$m")(noop(TextAnalysis.bpeTrain(docs, 8)))
+      }
     } else if (args.headOption.contains("--minhash-fast")) {
       // portable (md5 string family, what the DuckDB oracle replays) vs
       // production (xxhash64 codegen family) — the documented trade,
