@@ -556,11 +556,18 @@ object Similarity {
     * contract), two per-id aggregations over exactly k rows each, then
     * equi-joins on the pair keys. `mutual = true` additionally requires
     * x to be y's best match in A (precision mode) — one more semi-join.
+    *
+    * A and B are independent collections with independent id spaces —
+    * parallel corpora commonly number both sides identically, so the
+    * true translation pair (i, i) must survive. Set `selfExclude = true`
+    * ONLY when a and b are literally the same collection (monolingual
+    * near-pair mining), where (i, i) is the degenerate self-match.
     */
   def bitextMine(
       a: DataFrame, b: DataFrame, k: Int = 4, topn: Int = 1,
       minMarginBp: Long = 10000L, mutual: Boolean = false,
-      idCol: String = "vec_id", vecCol: String = "embedding"
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      selfExclude: Boolean = false
   ): DataFrame = {
     // cosine is symmetric, so the B→A sweep is the TRANSPOSE of A→B:
     // score the cross product ONCE (half the dot work of two
@@ -571,7 +578,8 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = b.select(col(idCol).as("tgt_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val scored = c.join(broadcast(q), col("src_id") =!= col("tgt_id"))
+    val pairCond = if (selfExclude) col("src_id") =!= col("tgt_id") else lit(true)
+    val scored = c.join(broadcast(q), pairCond)
       .withColumn("cos_bp",
         floor(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 10000)
           .cast("long"))

@@ -33,12 +33,19 @@ import graft.core.SipHash
 final class FooterBloom(
     val bitmap: Array[Byte],
     val keys: (Long, Long, Long, Long),
-    val items: Long
+    val items: Long,
+    /** The crate's write-side probe count, ceil(log2(1/fp)) — 7 at the
+      * reference's fixed 1% fp. Carried per-instance because the footer
+      * does not record fp; [[FooterBloom.fromKv]] (reference files) always
+      * uses 7, [[FooterBloom.forCapacity]] derives it from its fp argument.
+      */
+    val writeK: Int = 7
 ) extends Serializable {
   require(bitmap.nonEmpty, "empty bloom bitmap")
+  require(writeK >= 1, s"writeK must be positive: $writeK")
   val bits: Long = bitmap.length * 8L
-  /** Write-compatible probe count — see class doc. */
-  val kNum: Int = math.max(1L, math.min(7L, items)).toInt
+  /** Read-side probe count — never beyond the write-side k (see class doc). */
+  val kNum: Int = math.max(1L, math.min(writeK.toLong, items)).toInt
 
   private val Prime = 0xffffffffffffffc5L // largest 64-bit prime
 
@@ -79,12 +86,12 @@ final class FooterBloom(
   def mightContain(item: Array[Byte]): Boolean = probe(item)(bitAt)
 
   def add(item: Array[Byte]): Unit = {
-    // the write side always sets all 7 probes (write k for fp=1%), even
-    // when `items` was constructed smaller — mirrors the crate's writer
+    // the write side always sets all writeK probes, even when `items` was
+    // constructed smaller — mirrors the crate's writer
     var h0 = 0L
     var h1 = 0L
     var i = 0
-    while (i < 7) {
+    while (i < writeK) {
       val g =
         if (i == 0) { h0 = sip(0, item); h0 }
         else if (i == 1) { h1 = sip(1, item); h1 }
@@ -112,24 +119,40 @@ object FooterBloom {
   val KeyKeys = "shaha:bloom_keys"
   val KeyItems = "shaha:bloom_items"
 
+  /** The crate's write-side probe count for a target fp:
+    * k = ceil(log2(1/fp)).
+    */
+  def kForFp(fp: Double): Int = {
+    require(fp > 0 && fp < 1, s"fp must be in (0,1): $fp")
+    math.ceil(-math.log(fp) / math.log(2.0)).toInt.max(1)
+  }
+
   /** Bitmap bytes for `capacity` items at `fp` — the crate's
-    * `compute_bitmap_size` (ceil(n·ln fp / (-8·ln²2))).
+    * `compute_bitmap_size` (ceil(n·ln fp / (-8·ln²2))). Fails loudly when
+    * the byte count exceeds a JVM array's Int range (~1.79e9 capacity at
+    * fp=0.01) instead of silently overflowing into a useless tiny bloom —
+    * per-file row counts (the only caller's capacity) never get there.
     */
   def bitmapBytes(capacity: Long, fp: Double = 0.01): Int = {
     require(capacity > 0 && fp > 0 && fp < 1)
     val ln2 = math.log(2.0)
-    math.ceil(capacity.toDouble * math.log(fp) / (-8.0 * ln2 * ln2)).toInt.max(1)
+    val bytes = math.ceil(capacity.toDouble * math.log(fp) / (-8.0 * ln2 * ln2))
+    require(bytes <= Int.MaxValue.toDouble,
+      s"bloom bitmap for capacity=$capacity at fp=$fp needs ${bytes.toLong} " +
+        "bytes — beyond a JVM array; shard the file or raise fp")
+    bytes.toInt.max(1)
   }
 
-  /** Fresh bloom sized for `capacity` at the reference's 1% fp, with
+  /** Fresh bloom sized for `capacity` at `fp` (reference default 1%), with
     * deterministic sip keys derived from `seed` (the reference uses
-    * random keys; any keys work — they ride in the footer).
+    * random keys; any keys work — they ride in the footer). The write-side
+    * probe count follows fp, matching the crate's writer at any fp.
     */
   def forCapacity(capacity: Long, seed: String, fp: Double = 0.01): FooterBloom = {
     val sb = seed.getBytes("UTF-8")
     def k(i: Int): Long = SipHash.hash24(0x6772616674626c6dL, i.toLong, sb)
     new FooterBloom(new Array[Byte](bitmapBytes(capacity, fp)),
-      (k(0), k(1), k(2), k(3)), capacity)
+      (k(0), k(1), k(2), k(3)), capacity, writeK = kForFp(fp))
   }
 
   /** Parse from a footer KV map; None when any of the three keys is

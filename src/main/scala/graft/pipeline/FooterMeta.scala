@@ -187,12 +187,14 @@ object FooterMeta {
         f -> (proto.bitmap.length, proto.keys)
     }
     val bc = spark.sparkContext.broadcast(params)
+    val writeK = FooterBloom.kForFp(fp)
     val merged = df.rdd.mapPartitions { it =>
       val local = scala.collection.mutable.HashMap.empty[String, FooterBloom]
       it.foreach { row =>
         val f = row.getString(0)
         val (len, keys) = bc.value(f)
-        local.getOrElseUpdate(f, new FooterBloom(new Array[Byte](len), keys, 1L))
+        local.getOrElseUpdate(f,
+            new FooterBloom(new Array[Byte](len), keys, 1L, writeK))
           .add(row.getAs[Array[Byte]](1))
       }
       local.iterator.map { case (f, b) => f -> b.bitmap }

@@ -185,14 +185,14 @@ object SimilarityQueries extends QueryGroup {
               |                       ORDER BY cos_bp DESC, cand_id) AS rnk
               |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
               |      CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
-              |    FROM a q JOIN b c ON q.vec_id <> c.vec_id)),
+              |    FROM a q CROSS JOIN b c)),
               |ba AS (
               |  SELECT query_id, cand_id, cos_bp,
               |    row_number() OVER (PARTITION BY query_id
               |                       ORDER BY cos_bp DESC, cand_id) AS rnk
               |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
               |      CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
-              |    FROM b q JOIN a c ON q.vec_id <> c.vec_id)),
+              |    FROM b q CROSS JOIN a c)),
               |ax AS (SELECT query_id AS src_id, sum(cos_bp) AS ax
               |  FROM ab WHERE rnk <= 4 GROUP BY 1),
               |ay AS (SELECT query_id AS tgt_id, sum(cos_bp) AS ay

@@ -47,17 +47,41 @@ object StreamingDedup {
       .localCheckpoint(true)
     if (fresh.isEmpty) return BatchResult(0L, 0L)
 
+    // history presence keys off the CORPUS (written first below): a crash
+    // between the two appends must still count the orphaned docs as
+    // admitted history, or redelivery would append them to the corpus a
+    // second time
     val fs = new Path(corpusPath).getFileSystem(spark.sessionState.newHadoopConf())
-    val bootstrapped = fs.exists(new Path(indexPath))
-    val (hist, sigs) =
-      if (bootstrapped)
-        (spark.read.parquet(corpusPath), spark.read.parquet(indexPath))
+    val bootstrapped = fs.exists(new Path(corpusPath))
+    val emptyDocs = fresh.filter(lit(false))
+    val emptySigs =
+      Dedup.minhashSignatures(Dedup.shingles(emptyDocs, shingleSize), k)
+    val hist = if (bootstrapped) spark.read.parquet(corpusPath) else emptyDocs
+    val storedSigs =
+      if (bootstrapped && fs.exists(new Path(indexPath)))
+        spark.read.parquet(indexPath)
+      else emptySigs
+
+    // self-heal the two-file state: corpus docs whose signatures never
+    // reached the index (crash between the corpus append and the index
+    // append) would otherwise be invisible to every future near-dup scan
+    // — the corpus-membership anti-join drops their redeliveries and
+    // nothing re-signs them. Backfill before the batch runs; the orphan
+    // set is empty on every clean run, so this costs one id-only
+    // anti-join probe per batch.
+    val sigs = if (bootstrapped) {
+      val orphans = hist
+        .join(storedSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      if (orphans.isEmpty) storedSigs
       else {
-        // first batch: empty history with the right shapes
-        val emptyDocs = fresh.filter(lit(false))
-        (emptyDocs, Dedup.minhashSignatures(
-          Dedup.shingles(emptyDocs, shingleSize), k))
+        val healed =
+          Dedup.minhashSignatures(Dedup.shingles(orphans, shingleSize), k)
+            .localCheckpoint(true)
+        healed.write.mode(SaveMode.Append).parquet(indexPath)
+        storedSigs.union(healed)
       }
+    } else storedSigs
 
     // ids already admitted in an earlier batch are redeliveries, not new
     // docs — the near-dup pass can't see them (same-id pairs fail i<j)
@@ -79,9 +103,10 @@ object StreamingDedup {
 
     val nAdmitted = admitted.count()
     if (nAdmitted > 0) {
-      // corpus first, index second: a crash between the two re-checks the
-      // docs next run (signatures absent → re-verified, idempotent)
-      // rather than silently never admitting them
+      // corpus first, index second: the corpus is the admission record
+      // (membership anti-joins above key off it), and the batch-start
+      // backfill re-signs any doc a crash strands between the two
+      // appends — the two-file state is self-healing in both orders
       admitted.write.mode(SaveMode.Append).parquet(corpusPath)
       Dedup.minhashSignatures(Dedup.shingles(admitted, shingleSize), k)
         .write.mode(SaveMode.Append).parquet(indexPath)

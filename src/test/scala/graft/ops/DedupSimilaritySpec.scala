@@ -493,4 +493,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(mutual == loose - ((1L, 13L)),
       s"only the non-reciprocal hub pair drops: $mutual")
   }
+
+  test("bitext mining: identically-numbered sides keep the (i,i) pair; " +
+      "selfExclude drops the diagonal for same-collection mining") {
+    import spark.implicits._
+    // Parallel corpora commonly number both sides with the SAME line ids.
+    // The true translation pair is (i, i) — it must be mined, and its
+    // cosine must contribute to both neighborhood sums.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val src = Seq(
+      (1L, v(1, 0, 0)),
+      (2L, v(0, 1, 0))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, v(0.97, 0.1, 0)),  // translation of line 1 — same id
+      (2L, v(0.1, 0.97, 0)),  // translation of line 2 — same id
+      (3L, v(0, 0, 1))        // unpaired extra line
+    ).toDF("vec_id", "embedding")
+    val mined = graft.ops.Similarity
+      .bitextMine(src, tgt, k = 2, topn = 1, minMarginBp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == Set((1L, 1L), (2L, 2L)),
+      s"equal-id true pairs must survive two-collection mining, got $mined")
+
+    // selfExclude=true is the same-collection mode: mining tgt against
+    // itself must never emit the degenerate (i,i) self-match.
+    val self = graft.ops.Similarity
+      .bitextMine(tgt, tgt, k = 2, topn = 1, minMarginBp = 0L,
+        selfExclude = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.nonEmpty)
+    self.foreach { case (s0, t0) =>
+      assert(s0 != t0, "selfExclude must drop the diagonal")
+    }
+  }
 }

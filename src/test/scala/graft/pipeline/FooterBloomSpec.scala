@@ -41,6 +41,31 @@ class FooterBloomSpec extends AnyFunSuite with SparkTestBase {
     assert(new FooterBloom(bloom.bitmap, bloom.keys, 3L).kNum == 3)
   }
 
+  test("probe count follows fp (crate: k = ceil(log2(1/fp))); bitmap sizing " +
+      "rejects Int overflow instead of silently truncating") {
+    assert(FooterBloom.kForFp(0.01) == 7)
+    assert(FooterBloom.kForFp(0.001) == 10)
+    assert(FooterBloom.kForFp(0.5) == 1)
+    // at fp=0.001 the writer sets 10 probes and the reader probes all 10
+    val b = FooterBloom.forCapacity(5000, seed = "fp3", fp = 0.001)
+    assert(b.writeK == 10 && b.kNum == 10)
+    val rnd = new scala.util.Random(11)
+    val present = Seq.fill(500)(Array.fill(32)(rnd.nextInt().toByte))
+    present.foreach(b.add)
+    assert(present.forall(b.mightContain), "no false negatives at fp=0.001")
+    // the tighter fp actually buys a lower false-accept rate than 1%
+    val absent = Seq.fill(4000)(Array.fill(32)(rnd.nextInt().toByte))
+    assert(absent.count(b.mightContain) < 40)
+    // reference files (fromKv) always reload with the reference's k=7
+    assert(FooterBloom.fromKv(b.toKv.toMap).get.writeK == 7)
+    // ~1.79e9 capacity at fp=0.01 is the Int-array ceiling; beyond it the
+    // sizing must fail loudly, never hand back a tiny wrapped bitmap
+    intercept[IllegalArgumentException] {
+      FooterBloom.bitmapBytes(3000000000L, 0.01)
+    }
+    assert(FooterBloom.bitmapBytes(1000000000L, 0.01) > 0)
+  }
+
   test("negative exact lookup on a bloom-stamped db reads zero data row-groups") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString + "/db"

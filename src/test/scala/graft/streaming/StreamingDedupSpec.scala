@@ -53,6 +53,44 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       "near-dup of stored doc must still reject against the compacted index")
   }
 
+  test("admitBatch: crash between corpus and index appends self-heals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdedup-crash").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+
+    // simulate a crash AFTER the corpus append but BEFORE the index
+    // append: doc 10 is in the corpus with no signature row anywhere —
+    // the exact state admitBatch leaves if it dies between its two writes
+    Seq((10L, base)).toDF("doc_id", "text")
+      .write.format("parquet").save(corpus)
+
+    // recovery batch: a redelivery of 10 plus a near-dup of it. The
+    // batch must (a) not duplicate 10 in the corpus, (b) backfill 10's
+    // signatures, (c) reject the near-dup AGAINST the healed index.
+    val r = StreamingDedup.admitBatch(
+      Seq((10L, base), (40L, nearDup)).toDF("doc_id", "text"),
+      corpus, index)
+    assert(r == StreamingDedup.BatchResult(admitted = 0, rejected = 2),
+      s"orphaned corpus doc must reject its near-dups after healing: $r")
+    assert(spark.read.parquet(corpus).collect().map(_.getLong(0)).toSeq
+      == Seq(10L), "redelivery must not duplicate the orphaned doc")
+    assert(spark.read.parquet(index).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(10L),
+      "batch start must backfill the orphan's signatures")
+
+    // the same healing covers a LATER-batch crash: corpus has {10, 30}
+    // but only 10 is indexed
+    Seq((30L, far)).toDF("doc_id", "text")
+      .write.format("parquet").mode("append").save(corpus)
+    val r2 = StreamingDedup.admitBatch(
+      Seq((60L, far)).toDF("doc_id", "text"), corpus, index)
+    assert(r2 == StreamingDedup.BatchResult(admitted = 0, rejected = 1),
+      "near-dup (here: exact dup text, new id) of the stranded doc 30 " +
+        s"must reject once 30's signatures are backfilled: $r2")
+    assert(spark.read.parquet(index).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 30L))
+  }
+
   test("streaming: micro-batches admit against state persisted across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
