@@ -16,45 +16,71 @@ import org.apache.spark.sql.functions._
   * vertex-sized. Iteration count is fixed (power method converges
   * geometrically — 4-10 rounds is the standard working range).
   *
-  * Engine-replayability: the per-vertex contribution sum folds in a
-  * PINNED order (sort by source vertex, then left-fold in double from
-  * 0.0) via `aggregate(sort_array(collect_list(...)))` — bit-equal to a
-  * SQL `list_reduce(list(c ORDER BY u), (a,b) -> a+b)`, which is what
-  * lets the DuckDB oracle replay the whole training loop exactly (the
-  * k-means IVF / BPE trick). A plain `sum()` would leave float
-  * accumulation order to each engine's aggregation tree.
+  * Engine-replayability: ranks are FIXED-POINT micro-units (BIGINT,
+  * 1.0 = 1e6), so the per-vertex contribution sum is exact integer
+  * arithmetic — order-independent, replayable bit-exactly by any engine
+  * as a plain `sum()`, and executed by Spark as a whole-stage-codegen
+  * hash aggregate with map-side partials. (An earlier formulation pinned
+  * a FLOAT fold order via `aggregate(sort_array(collect_list(...)))`;
+  * that put an ObjectHashAggregate in the hot loop — sort-based fallback
+  * past 128 keys per partition, disk-spill-sensitive under IO-contended
+  * machines, and the per-vertex array OOMs on web-scale hub vertices
+  * with millions of in-edges. Integer sums have neither failure mode.)
+  * One IEEE double division at the very end converts micro-units back to
+  * ranks — exact in every engine.
   */
 object Graph {
 
+  /** 1.0 in rank micro-units. */
+  private val Micro = 1000000L
+
   /** Weighted PageRank over `edges` (columns `u`, `v`, `w`: directed
-    * u→v with positive weight). Returns (tok, r) after `iters` rounds of
-    *   r'(v) = (1 - damping) + damping · Σ_u r(u) · w(u,v) / W(u)
-    * with W(u) the total out-weight of u, starting from r ≡ 1. Vertices
-    * are the edge endpoints that have in-edges (an undirected graph —
-    * edges present in both directions — keeps every vertex).
+    * u→v with positive integer weight). Returns (tok, r) after `iters`
+    * rounds of the fixed-point recurrence
+    *   r'(v) = (1-d)·1e6 + ⌊d · Σ_u ⌊r(u) · w(u,v) / W(u)⌋⌋
+    * in micro-units, with W(u) the total out-weight of u, starting from
+    * r ≡ 1e6, and damping d quantized to 3 decimals (d = dNum/1000).
+    * The returned `r` is micro-units / 1e6 as a double. Vertices are the
+    * edge endpoints that have in-edges (an undirected graph — edges
+    * present in both directions — keeps every vertex).
+    *
+    * Overflow bound: per-edge products r(u)·w must fit in Int64. Total
+    * rank mass stays ≈ |V|·1e6, so the safe envelope is
+    * |V| · max(w) ≲ 9e12 — e.g. a 1M-word vocabulary with co-occurrence
+    * weights up to ~9M, far beyond any real adjacency graph.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val outW = edges.groupBy("u").agg(sum(col("w")).as("wu"))
-    val withShare = edges.join(outW, "u")
+    val dNum = math.round(damping * 1000)
+    require(dNum >= 0 && dNum <= 1000, s"damping out of [0,1]: $damping")
+    // materialize the edge table FIRST: everything below reads it at
+    // least twice (out-weight agg + join side, then r0), and exchange
+    // reuse neither crosses job boundaries nor reliably fires for the
+    // repeated subplan — without this, textRank's corpus-sized bigram
+    // aggregation ran up to 4× per call (measured: the whole query's
+    // dominant cost, and the term an IO-contended machine amplifies)
+    val e = edges.localCheckpoint(true)
+    val outW = e.groupBy("u").agg(sum(col("w")).as("wu"))
+    val withShare = e.join(outW, "u")
       .select(col("u"), col("v"), col("w"), col("wu"))
       .localCheckpoint(true)
-    var ranks = edges.select(col("u").as("tok")).distinct()
-      .withColumn("r", lit(1.0))
+    var ranks = withShare.select(col("u").as("tok")).distinct()
+      .withColumn("r", lit(Micro))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       ranks = withShare
         .join(ranks, withShare("u") === ranks("tok"))
-        .select(col("v"),
-          struct(col("u"), (col("r") * col("w") / col("wu")).as("c")).as("uc"))
+        // `div` = integral division; every operand is non-negative, so
+        // truncation IS the floor in the recurrence above
+        .select(col("v"), expr("r * w div wu").as("c"))
         .groupBy("v")
-        .agg(aggregate(sort_array(collect_list(col("uc"))), lit(0.0),
-          (acc, x) => acc + x.getField("c")).as("s"))
+        .agg(sum(col("c")).as("s"))
         .select(col("v").as("tok"),
-          (lit(1.0 - damping) + lit(damping) * col("s")).as("r"))
+          (lit((1000L - dNum) * (Micro / 1000L)) +
+            expr(s"($dNum * s) div 1000")).as("r"))
         .localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("tok"), (col("r") / lit(Micro.toDouble)).as("r"))
   }
 
   /** TextRank keyword scoring: PageRank over the corpus's word-adjacency

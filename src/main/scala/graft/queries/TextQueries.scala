@@ -586,19 +586,26 @@ object TextQueries extends QueryGroup {
              |outw AS MATERIALIZED (
              |  SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY u),
              |r0 AS MATERIALIZED (
-             |  SELECT DISTINCT u AS tok, 1.0::DOUBLE AS r FROM edges)""".stripMargin
+             |  SELECT DISTINCT u AS tok, CAST(1000000 AS BIGINT) AS r
+             |  FROM edges)""".stripMargin
+    // fixed-point replay of Graph.pageRank: ranks are BIGINT micro-units,
+    // contributions floor-divide per edge, the damped mix floor-divides by
+    // 1000 — every intermediate is exact integer arithmetic, so the sum
+    // order is free and no list_reduce fold-order pin is needed
     for (k <- 1 to iters) {
       sb ++= s""",
                |r$k AS MATERIALIZED (
                |  SELECT e.v AS tok,
-               |    (1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * list_reduce(
-               |      list(r.r * e.w / o.wu ORDER BY e.u), (a, b) -> a + b) AS r
+               |    CAST(150 * 1000 +
+               |      (850 * CAST(sum(r.r * e.w // o.wu) AS BIGINT)) // 1000
+               |      AS BIGINT) AS r
                |  FROM edges e
                |  JOIN r${k - 1} r ON e.u = r.tok
                |  JOIN outw o ON e.u = o.u
                |  GROUP BY e.v)""".stripMargin
     }
-    sb ++= s"\nSELECT tok, r FROM r$iters ORDER BY r DESC, tok LIMIT 30"
+    sb ++= s"\nSELECT tok, r / 1000000.0 AS r FROM r$iters " +
+      "ORDER BY r DESC, tok LIMIT 30"
     sb.toString
   }
 

@@ -9,21 +9,23 @@ import graft.SparkTestBase
   */
 class GraphSpec extends AnyFunSuite with SparkTestBase {
 
-  /** Plain-Scala reference: same recurrence, same pinned fold order. */
+  /** Plain-Scala reference: the same fixed-point integer recurrence
+    * (ranks in micro-units, per-edge floor division, damped mix floored
+    * by 1000) — sum order is irrelevant by construction.
+    */
   private def referenceRank(
       edges: Seq[(String, String, Long)], iters: Int, damping: Double
   ): Map[String, Double] = {
+    val dNum = math.round(damping * 1000)
     val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    var r = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var r = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
     for (_ <- 1 to iters) {
       r = edges.groupBy(_._2).map { case (v, in) =>
-        val s = in.sortBy(_._1).foldLeft(0.0) { case (acc, (u, _, w)) =>
-          acc + r(u) * w / outW(u)
-        }
-        v -> ((1.0 - damping) + damping * s)
+        val s = in.map { case (u, _, w) => r(u) * w / outW(u) }.sum
+        v -> ((1000L - dNum) * 1000L + dNum * s / 1000L)
       }
     }
-    r
+    r.view.mapValues(_ / 1e6).toMap
   }
 
   test("pageRank matches the reference recurrence exactly on a weighted graph") {
