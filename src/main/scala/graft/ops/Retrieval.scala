@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus: BM25 scoring — the
+  * workhorse ranking function behind keyword search, RAG candidate
+  * generation, and decontamination-by-retrieval sweeps.
+  *
+  * Engine-replayability: the standard BM25 wraps its idf in a log, whose
+  * last-ulp behavior is libm-specific — the same reason tf-idf here uses
+  * the raw ratio (see [[TextAnalysis.tfidf]]). This variant keeps the
+  * rational idf
+  *
+  *   idf(t) = (N - df(t) + 0.5) / (df(t) + 0.5) + 1
+  *
+  * un-logged (per-term ranking is unchanged — log is monotone — while
+  * the cross-term mix weights rare terms more than log-BM25), and floors
+  * each per-(doc,term) contribution to integer micro-units BEFORE the
+  * per-doc sum, so the sum is order-independent exact integer arithmetic
+  * that any engine replays bit-for-bit. Every double step on the way to
+  * the floor is a single IEEE-exact op sequence both engines evaluate in
+  * the same association order.
+  *
+  * Scale shape: one token pass for per-doc lengths (narrow projection,
+  * no shuffle), one exploded pass filtered to the query terms BEFORE the
+  * shuffle (the term filter prunes the stream to matching tokens only),
+  * a term-count-sized df table broadcast back, and one final per-doc
+  * aggregation with map-side partials. Nothing is ever corpus × terms.
+  */
+object Retrieval {
+
+  /** BM25 scores for `terms` over `docs` (`doc_id`, `text`). Returns
+    * (doc_id, n_terms, score_micro): matched-term count and the summed
+    * contribution in micro-units, descending-ready. Docs matching no
+    * term are absent (their score is 0).
+    */
+  def bm25(
+      docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("_toks"))
+    // one row per doc — also the stats source, so a token-less doc still
+    // counts toward N and avgdl in both engines
+    val lens = graft.util.AutoUnpersist.persistScoped(
+      toks.select(col("doc_id"), size(col("_toks")).cast("long").as("dl")))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // tf feeds two branches of the final plan (the df aggregation and the
+    // score join) — scoped-persist it so the exploded token pass runs once
+    val tf = graft.util.AutoUnpersist.persistScoped(toks
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // association order below is mirrored verbatim by the SQL oracle —
+    // each double op is IEEE-exact, so the floor input is bit-identical
+    val idf = (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0)
+    val dlNorm = lit(1.0) - lit(b) + lit(b) *
+      (col("dl").cast("double") / col("avgdl"))
+    val contrib = floor(
+      lit(1000000.0) * idf * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * dlNorm)).cast("long")
+    tf.join(broadcast(df_), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score_micro"))
+  }
+}

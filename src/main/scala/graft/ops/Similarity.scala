@@ -535,6 +535,66 @@ object Similarity {
         array_max(col("codes")).as("code_max"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication in embedding
+    * space — k-means cells bound the pairwise work, within-cell pairs
+    * above a cosine floor form duplicate groups, and each group keeps
+    * its LEAST-centroid-similar member (the paper's diversity-preserving
+    * policy: the kept copy is the group's most atypical example; ties to
+    * the lowest id).
+    *
+    * Returns (cluster_id, keep_id, keep_csim_bp, cluster_size) — one row
+    * per duplicate group, exactly the [[Dedup.survivors]] contract plus
+    * the kept member's centroid cosine in basis points. Singleton docs
+    * (no within-cell pair above the floor) are implicitly kept and don't
+    * appear.
+    *
+    * Scale shape: the Lloyd loop is [[kmeansCentroids]] (centroid table
+    * driver-sized, members distributed); assignment is one narrow
+    * projection; the quadratic step is FENCED inside cells — work is
+    * Σ|cell|², so nCells is the knob that trades recall (cross-cell
+    * near-dups are invisible, the paper's accepted miss) against cost,
+    * exactly like LSH bucket caps. Group resolution and the keep policy
+    * are one label propagation + one argmin aggregation.
+    */
+  def semanticDedup(
+      vectors: DataFrame, nCells: Int = 16, lloydIters: Int = 3,
+      minCosBp: Long = 4000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val cents = kmeansCentroids(vectors, nCells, lloydIters, idCol, vecCol)
+    // one argmax struct yields BOTH the cell and the centroid cosine —
+    // the same greatest(struct(s, cell)) comparison ivfCell performs
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("_vec"), array(c.toSeq.map(lit): _*)) / cNorm).as("s"),
+        lit(i).as("cell"))
+    }
+    val v = graft.util.AutoUnpersist.persistScoped(
+      vectors.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+        .withColumn("_best", greatest(scored: _*))
+        .select(col("_id"), col("_vec"), norm(col("_vec")).as("_n"),
+          col("_best").getField("cell").as("_cell"),
+          floor(col("_best").getField("s") * 10000).cast("long")
+            .as("_csim_bp")))
+    val x = v.select(col("_cell"), col("_id").as("i"),
+      col("_vec").as("_vi"), col("_n").as("_ni"))
+    val y = v.select(col("_cell"), col("_id").as("j"),
+      col("_vec").as("_vj"), col("_n").as("_nj"))
+    val pairs = x.join(y, Seq("_cell"))
+      .filter(col("i") < col("j"))
+      .filter(floor(dot(col("_vi"), col("_vj")) / (col("_ni") * col("_nj"))
+        * 10000).cast("long") >= minCosBp)
+      .select("i", "j")
+    Dedup.duplicateClusters(pairs)
+      .join(v.select(col("_id").as("doc_id"), col("_csim_bp")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(min(struct(col("_csim_bp").as("c"), col("doc_id").as("id")))
+        .as("_k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("_k.id").as("keep_id"),
+        col("_k.c").as("keep_csim_bp"), col("cluster_size"))
+  }
+
   /** Margin-based parallel-pair (bitext) mining between two embedding
     * collections A and B — the corpus-curation op that aligns two
     * monolingual (or cross-modal) sides by embedding similarity, in the

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-substring detection — the token-level core of
+  * suffix-array corpus dedup (Lee et al. 2021, "Deduplicating Training
+  * Data Makes Language Models Better"): find every maximal token span
+  * that also occurs elsewhere in the corpus at least `minRep` times, so
+  * a pipeline can mask or cut verbatim boilerplate (licenses, headers,
+  * templated text) that document-level near-dedup leaves behind.
+  *
+  * A literal suffix array doesn't distribute; the equivalent bounded
+  * formulation does: every length-`n` token window is a positioned
+  * shingle, corpus-frequency-counted in one aggregation, and occurrences
+  * of frequent windows merge into maximal spans per document with one
+  * window function (gaps-and-islands: a new span starts where a window's
+  * start position clears the running max end of everything before it).
+  * All integer arithmetic — any engine replays it exactly.
+  *
+  * Scale shape: the window stream is corpus-linear (one row per token
+  * position), aggregated with map-side partials into a vocabulary-of-
+  * windows table; only windows seen ≥ `minRep` times join back (rare by
+  * construction at high `minRep` — the frequent-window table is the
+  * boilerplate itself). The per-doc island pass partitions by document.
+  * No step is ever corpus × corpus.
+  */
+object Substring {
+
+  /** Maximal repeated spans: (doc_id, span_start, span_end, n_windows,
+    * max_rep) — token-index [start, end) of each maximal merged run of
+    * length-`n` windows whose corpus occurrence count is ≥ `minRep`,
+    * the number of such windows merged into the span, and the highest
+    * occurrence count among them.
+    */
+  def repeatedSpans(
+      docs: DataFrame, n: Int = 8, minRep: Int = 3
+  ): DataFrame = {
+    require(n >= 2 && minRep >= 2, s"degenerate params: n=$n minRep=$minRep")
+    val t = col("_toks")
+    // the positioned window stream feeds two branches (frequency agg +
+    // join-back) — scoped-persist so the corpus explode runs once
+    val windows = graft.util.AutoUnpersist.persistScoped(
+      graft.util.Partitioning.fanOut(docs)
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .filter(size(t) >= n)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(t) - n), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+            .as(Seq("pos", "gram"))))
+    val freq = windows.groupBy("gram")
+      .agg(count(lit(1)).as("rep"))
+      .filter(col("rep") >= minRep)
+    val occ = windows.join(freq, "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rep"))
+    // gaps-and-islands: windows sorted by start; a window opens a NEW
+    // span iff its start clears the running max end (pos + n) of all
+    // earlier windows in the doc — merged spans are maximal by
+    // construction (overlap AND back-to-back adjacency both merge)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    occ
+      .withColumn("_new",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("_island",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "_island")
+      .agg(
+        min(col("pos")).as("span_start"),
+        max(col("pos") + n).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        max(col("rep")).as("max_rep"))
+      .drop("_island")
+  }
+}

@@ -298,6 +298,46 @@ object TextAnalysis {
         col("n_known").cast("double") / col("n_ngrams"))
   }
 
+  /** Collocation mining: adjacent token pairs that co-occur far more
+    * often than their parts' frequencies predict — the multi-word-
+    * expression signal ("new york", "machine learning") used for
+    * tokenizer vocabulary curation and phrase-aware chunking. The
+    * association score is the T-normalized lift
+    *
+    *   lift(a,b) = n_ab · T / (n_a · n_b)
+    *
+    * (n_ab = corpus count of the bigram, n_a/n_b = corpus counts of each
+    * token AS a bigram member, T = total bigram events) — the PMI
+    * exponential up to a corpus constant, so the RANKING matches PMI
+    * while staying in exact integer arithmetic: the score ships as
+    * `lift_e4 = ⌊10000 · n_ab · T / (n_a · n_b)⌋`, replayable
+    * bit-for-bit by any engine (PMI proper would take a log — libm-
+    * specific last-ulp, the same reason tfidf/BM25 here stay rational).
+    *
+    * Scale shape: one bigram aggregation with map-side partials (the
+    * gram table is vocabulary², corpus-size-independent), two marginal
+    * aggregations over it, and equi-joins on the token key. Overflow
+    * bound: 10000 · n_ab · T must fit Int64 → n_ab · T ≲ 9.2e14; past
+    * that (web-scale corpora), lift the expression into DECIMAL(38,0) —
+    * the ranking is unchanged.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val bi = graft.util.AutoUnpersist.persistScoped(
+      ngramCounts(docs, 2).groupBy("gram").agg(sum(col("c")).as("n_ab"))
+        .select(split(col("gram"), " ").as("_uv"), col("n_ab"))
+        .select(element_at(col("_uv"), 1).as("a"),
+          element_at(col("_uv"), 2).as("b"), col("n_ab")))
+    val left = bi.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val right = bi.groupBy("b").agg(sum(col("n_ab")).as("n_b"))
+    val total = bi.agg(sum(col("n_ab")).as("t_bigrams"))
+    bi.filter(col("n_ab") >= minCount)
+      .join(left, "a")
+      .join(right, "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("10000 * n_ab * t_bigrams div (n_a * n_b)").as("lift_e4"))
+  }
+
   /** Weighted systematic sampling: pick ~`n` documents per `source`
     * stratum with probability proportional to `weightCol` (an integer
     * column), deterministically. Each stratum lays its documents on a

@@ -163,6 +163,48 @@ object SimilarityQueries extends QueryGroup {
               |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // SemDeDup: k-means cells fence the pairwise work, within-cell
+    // cosine pairs ≥ 0.4 form duplicate groups, each keeps its LEAST
+    // centroid-similar member (diversity policy, ties to lowest id).
+    // The oracle replays the full Lloyd loop (the IVF CTE chain), the
+    // argmax assignment with the same tie rule, the fenced pair join,
+    // a recursive transitive closure, and the argmin keep policy.
+    "q_dedup_semantic" -> QueryDef(
+      (s, d) =>
+        Similarity.semanticDedup(Tables.embeddings(s, d),
+            nCells = 16, lloydIters = IvfLloydIters, minCosBp = 4000L)
+          .orderBy("cluster_id"),
+      Some(s"""WITH RECURSIVE ${kmeansCentsCtes(IvfLloydIters)},
+              |asg AS (
+              |  SELECT vec_id, cell, CAST(floor(s * 10000) AS BIGINT) AS csim_bp
+              |  FROM (
+              |    SELECT vec_id, cell, s,
+              |      row_number() OVER (PARTITION BY vec_id
+              |                         ORDER BY s DESC, cell DESC) AS rn
+              |    FROM score$IvfLloydIters) WHERE rn = 1),
+              |pairs AS (
+              |  SELECT x.vec_id AS i, y.vec_id AS j
+              |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+              |  JOIN embeddings q ON q.vec_id = x.vec_id
+              |  JOIN embeddings c ON c.vec_id = y.vec_id
+              |  WHERE CAST(floor(($cosineSql) * 10000) AS BIGINT) >= 4000),
+              |edges AS (SELECT i AS a, j AS b FROM pairs
+              |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+              |reach AS (
+              |  SELECT a AS doc_id, b AS r FROM edges
+              |  UNION
+              |  SELECT re.doc_id, e.b AS r FROM reach re JOIN edges e ON e.a = re.r),
+              |labels AS (
+              |  SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+              |  FROM reach GROUP BY doc_id)
+              |SELECT l.cluster_id,
+              |  first(l.doc_id ORDER BY a.csim_bp, l.doc_id) AS keep_id,
+              |  first(a.csim_bp ORDER BY a.csim_bp, l.doc_id) AS keep_csim_bp,
+              |  count(*) AS cluster_size
+              |FROM labels l JOIN asg a ON a.vec_id = l.doc_id
+              |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin)
+    ),
+
     // Margin-based bitext mining between the even-label and odd-label
     // halves of the corpus (stand-ins for two monolingual sides): top-2
     // matches per source vector, margin-normalized by both 4-NN

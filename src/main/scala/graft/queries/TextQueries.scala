@@ -496,6 +496,111 @@ object TextQueries extends QueryGroup {
       Some(textRankSql(4))
     ),
 
+    // BM25 retrieval scoring (rational-idf variant — log is libm-specific,
+    // same trade as tfidf): per-(doc,term) contributions floored to
+    // integer micro-units BEFORE the per-doc sum, so both engines sum in
+    // any order and agree bit-for-bit. Oracle mirrors the association
+    // order of every double op.
+    "q_text_bm25" -> QueryDef(
+      (s, d) =>
+        graft.ops.Retrieval.bm25(Tables.documents(s, d),
+            terms = Seq("hash", "window", "vector"))
+          .orderBy(desc("score_micro"), asc("doc_id")).limit(50),
+      Some("""WITH lens AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |      AS BIGINT) AS dl
+             |  FROM documents),
+             |stats AS (
+             |  SELECT count(*) AS n_docs,
+             |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+             |toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, count(*) AS tf FROM toks
+             |  WHERE tok IN ('hash', 'window', 'vector') GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(1000000.0
+             |      * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+             |      AS BIGINT) AS c
+             |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats)
+             |SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS score_micro
+             |FROM scored GROUP BY doc_id
+             |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin)
+    ),
+
+    // Exact repeated-substring spans (Lee et al. 2021 core): maximal
+    // merged runs of 8-token windows occurring ≥3 times corpus-wide —
+    // the verbatim-boilerplate mask document-level dedup can't see.
+    // Integer positions end-to-end.
+    "q_text_repeated_spans" -> QueryDef(
+      (s, d) =>
+        graft.ops.Substring.repeatedSpans(Tables.documents(s, d),
+            n = 8, minRep = 3)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |    array_to_string(t[i : i + 7], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+             |  WHERE len(t) >= 8),
+             |freq AS (
+             |  SELECT gram, count(*) AS rep FROM wins
+             |  GROUP BY 1 HAVING count(*) >= 3),
+             |occ AS (
+             |  SELECT w.doc_id, w.pos, f.rep FROM wins w JOIN freq f USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, pos, rep,
+             |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+             |        PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS new_island
+             |  FROM occ),
+             |isl2 AS (
+             |  SELECT doc_id, pos, rep,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl)
+             |SELECT doc_id, min(pos) AS span_start, max(pos + 8) AS span_end,
+             |  count(*) AS n_windows, CAST(max(rep) AS BIGINT) AS max_rep
+             |FROM isl2 GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)
+    ),
+
+    // PMI-lift collocation mining: adjacent pairs co-occurring above
+    // their marginal-frequency prediction; exact-integer lift (×1e4),
+    // PMI-equivalent ranking without the libm log.
+    "q_text_collocations" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.collocations(Tables.documents(s, d),
+            minCount = 5L)
+          .orderBy(desc("lift_e4"), asc("a"), asc("b")).limit(50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |big AS (
+             |  SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+             |  WHERE len(t) >= 2 GROUP BY 1, 2),
+             |la AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM big GROUP BY 1),
+             |rb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM big GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_bigrams FROM big)
+             |SELECT big.a, big.b, n_ab, n_a, n_b,
+             |  (10000 * n_ab * t_bigrams) // (n_a * n_b) AS lift_e4
+             |FROM big JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+             |WHERE n_ab >= 5
+             |ORDER BY lift_e4 DESC, a, b LIMIT 50""".stripMargin)
+    ),
+
     // Weighted systematic sampling: ~10 docs per source stratum, selection
     // probability proportional to n_chars, fully deterministic (a doc is
     // picked iff its cumulative-weight span crosses a stride boundary —

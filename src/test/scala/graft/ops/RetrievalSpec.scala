@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** BM25, collocations, and repeated-span behavior on hand corpora —
+  * the battery oracle checks engine-exactness; these check the math.
+  */
+class RetrievalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bm25: tf raises, rarity raises, length normalizes, absent terms absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat cat dog"),               // high tf for cat, short
+      (2L, "cat dog"),                        // one cat, short
+      (3L, "cat " + Seq.fill(60)("filler").mkString(" ")), // one cat, long
+      (4L, "dog dog dog dog"),                // matches no query term
+      (5L, "emu emu emu emu")                 // matches no query term
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, terms = Seq("cat", "zebra"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // only cat matches — docs 1,2,3; doc 4/5 never appear
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_._1 == 1L), "one matched term each")
+    // more occurrences beat fewer at similar length
+    assert(got(1L)._2 > got(2L)._2, s"tf must raise the score: $got")
+    // same tf, much longer doc scores lower (length normalization)
+    assert(got(2L)._2 > got(3L)._2, s"length must normalize down: $got")
+
+    // rarity: 'rare' appears in 1 doc, 'common' in all 4 — with equal tf
+    // and identical doc lengths, the rare term's contribution dominates
+    val docs2 = Seq(
+      (1L, "rare common pad1 pad2"),
+      (2L, "common x pad1 pad2"),
+      (3L, "common y pad1 pad2"),
+      (4L, "common z pad1 pad2")
+    ).toDF("doc_id", "text")
+    val got2 = Retrieval.bm25(docs2, terms = Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2(1L) > 2 * got2(2L),
+      s"rare-term doc must far outrank common-only docs: $got2")
+    // hand check doc 2's single common-term score: N=4, df=4, dl=4=avgdl
+    // idf = (4-4+0.5)/(4+0.5)+1 ; denom = 1 + 1.2*(1-0.75+0.75*1) = 2.2
+    // score = floor(1e6 * idf * 2.2 / 2.2) = floor(1e6 * idf)
+    val idf = (4.0 - 4 + 0.5) / (4 + 0.5) + 1.0
+    assert(got2(2L) == math.floor(1000000.0 * idf).toLong)
+  }
+
+  test("collocations: lift isolates the glued pair and replays exactly") {
+    import spark.implicits._
+    // "new york" always co-occur; "the" pairs with everything
+    val docs = Seq(
+      (1L, "new york is big the end"),
+      (2L, "new york the start"),
+      (3L, "the big end"),
+      (4L, "new york new york")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.collocations(docs, minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair.contains(("new", "york")))
+    // hand replay of ("new","york"): n_ab=4; 'new' left-count=4 ('new york'
+    // ×4); 'york' right-count=4; T = total bigram events
+    val t = {
+      val texts = Seq("new york is big the end", "new york the start",
+        "the big end", "new york new york")
+      texts.map(_.split(" ").length - 1).sum.toLong
+    }
+    val (_, _, nab, lift) = byPair(("new", "york"))
+    assert(nab == 4L)
+    assert(lift == 10000L * 4 * t / (4 * 4))
+    // the glued pair outranks any pair involving the promiscuous 'the'
+    rows.filter(r => r._1 == "the" || r._2 == "the").foreach { r =>
+      assert(lift > r._4, s"glued pair must outrank 'the'-pairs: $r")
+    }
+  }
+
+  test("repeatedSpans: merges overlap and adjacency into maximal spans") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token boilerplate
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"intro words here $boiler trailer"),
+      (3L, s"$boiler middle $boiler"),
+      (4L, "totally unrelated text with no repeats at all whatsoever here")
+    ).toDF("doc_id", "text")
+    // 8-token windows of the 10-token boilerplate appear ≥3 times (docs
+    // 1, 2, 3×2); within each doc the 3 windows (pos p, p+1, p+2) overlap
+    // into ONE maximal span of 10 tokens
+    val got = Substring.repeatedSpans(docs, n = 8, minRep = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    // doc1: span [0,10); doc2: starts at 3 → [3,13); doc3: two spans
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 0L, 10L), (2L, 3L, 13L), (3L, 0L, 10L), (3L, 11L, 21L)),
+      s"maximal merged spans expected, got ${got.toSeq}")
+    // each merged span swallowed its 3 overlapping windows
+    assert(got.forall(_._4 == 3L), s"3 windows per span: ${got.toSeq}")
+    // back-to-back adjacency also merges: two copies touching each other
+    val docs2 = Seq((7L, s"$boiler $boiler x"),
+      (8L, boiler), (9L, boiler)).toDF("doc_id", "text")
+    val got2 = Substring.repeatedSpans(docs2, n = 10, minRep = 3)
+      .filter(col("doc_id") === 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((0L, 20L)),
+      s"adjacent copies must merge into one span: ${got2.toSeq}")
+  }
+
+  test("semanticDedup: fenced pairs cluster; keep is least centroid-similar") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // two tight groups far apart; ids chosen so the keep policy is
+    // distinguishable from min-id: within each group the LAST vector is
+    // tilted furthest from the group mean (lowest centroid cosine)
+    val vecs = Seq(
+      (0L, v(1, 0, 0)), (1L, v(0.99, 0.05, 0)), (2L, v(0.9, 0.3, 0)),
+      (10L, v(0, 1, 0)), (11L, v(0.05, 0.99, 0)), (12L, v(0.3, 0.9, 0))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .semanticDedup(vecs, nCells = 2, lloydIters = 2, minCosBp = 9000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == 2, s"two duplicate groups expected: ${got.toSeq}")
+    assert(got.map(_._3).forall(_ == 3L), s"each group has 3: ${got.toSeq}")
+    // the kept member is the tilted one (2 / 12), NOT the min id
+    assert(got.map(_._2).toSet == Set(2L, 12L),
+      s"keep must be least centroid-similar, got ${got.toSeq}")
+  }
+}

@@ -19,6 +19,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_sim_ivf_topk", "q_sim_quantized_topk", "q_sim_rp_topk",
     "q_corpus_report", // crossJoin of four 1-row aggregates
     "q_text_tfidf", // 1-row corpus-size aggregate × vocab-sized tf table
+    "q_text_bm25", // 1-row (N, avgdl) stats aggregate × matched-term rows
+    "q_text_collocations", // 1-row bigram-total aggregate × vocab² pairs
     "q_events_quantile_sketch", // 3 quantile rows × ≤64-bin sketch table
     "q_sim_hard_negatives", // broadcast anchors × corpus, label-mismatch
     "q_sim_bitext_mine") // brute-force k-NN sweeps (broadcast side A/B);
