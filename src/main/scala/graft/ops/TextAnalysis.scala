@@ -444,4 +444,50 @@ object TextAnalysis {
     }
     merges.result().toDF("step", "left", "right", "merged", "pair_count")
   }
+
+  /** Literal (non-regex) replace with SQL `replace()` left-to-right
+    * non-overlapping semantics — the engine-replayable primitive both
+    * BPE sides build on.
+    */
+  private def litReplace(c: Column, find: String, repl: String): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.StringReplace(
+        GraftShim.expression(c),
+        GraftShim.expression(lit(find)),
+        GraftShim.expression(lit(repl))))
+  }
+
+  /** The ENCODE side of [[bpeTrain]]: apply an ordered merge list (the
+    * shipped tokenizer artifact) to the corpus and return per-document
+    * subword counts — the number a context-length packer or a cost model
+    * actually needs.
+    *
+    * Scale shape — the key trick is that encoding is a function of the
+    * WORD, not the occurrence: the merge chain (two sentinel-bounded
+    * literal replaces per merge, identical semantics to the training
+    * loop, so encode(word) ≡ the training vocabulary's final
+    * symbolization) runs over the DISTINCT-token vocabulary table, and
+    * the corpus pays only one equi-join on the token key plus a per-doc
+    * count aggregation. A 100 TB corpus with a 10M-word vocabulary does
+    * vocabulary × merges string work, not corpus × merges.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // token stream feeds the vocab distinct AND the join — one pass
+    val toks = graft.util.AutoUnpersist.persistScoped(
+      graft.util.Partitioning.fanOut(docs)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+    var w: Column = concat(lit(" "),
+      trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" "))
+    merges.foreach { case (l, r) =>
+      val pair = " " + l + " " + r + " "
+      val merged = " " + l + r + " "
+      w = litReplace(litReplace(w, pair, merged), pair, merged)
+    }
+    val encoded = toks.select("tok").distinct()
+      .select(col("tok"), size(split(trim(w), " ")).as("_np"))
+    toks.join(encoded, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_bpe_tokens"))
+  }
 }

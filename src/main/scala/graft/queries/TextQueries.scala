@@ -384,6 +384,32 @@ object TextQueries extends QueryGroup {
       Some(bpeTrainSql(8))
     ),
 
+    // BPE ENCODE: train 8 merges, then apply them to the corpus —
+    // per-doc subword counts. Encoding runs over the distinct-token
+    // vocabulary (vocab × merges string work), the corpus pays one
+    // equi-join; the oracle exploits encode(word) ≡ the training chain's
+    // final symbolization and joins the corpus against w8 directly.
+    "q_text_bpe_encode" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.ops.TextAnalysis.bpeTrain(docs, nMerges = 8)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.TextAnalysis.bpeEncode(docs, m).orderBy("doc_id")
+      },
+      Some(s"""${bpeTrainCtes(8)},
+              |enc AS (
+              |  SELECT replace(w, ' ', '') AS tok,
+              |    CAST(len(string_split(w, ' ')) AS BIGINT) AS np FROM w8),
+              |toksd AS (
+              |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+              |    x -> x <> '')) AS tok FROM documents)
+              |SELECT doc_id, count(*) AS n_words,
+              |  CAST(sum(np) AS BIGINT) AS n_bpe_tokens
+              |FROM toksd JOIN enc USING (tok)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_text_bpe_tokens" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
@@ -632,6 +658,22 @@ object TextQueries extends QueryGroup {
     */
   private def bpeTrainSql(nMerges: Int): String = {
     val sb = new StringBuilder
+    sb ++= bpeTrainCtes(nMerges)
+    sb ++= "\n" + (1 to nMerges).map { k =>
+      s"""SELECT $k AS step, string_split(pair, ' ')[1] AS "left",
+         |  string_split(pair, ' ')[2] AS "right",
+         |  replace(pair, ' ', '') AS merged, n AS pair_count FROM b$k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** The training CTE chain alone (`WITH w0 ... w{nMerges}`) — the final
+    * `w{nMerges}` holds every vocabulary word in its fully-merged
+    * symbolization, which is exactly what BPE ENCODING produces for that
+    * word, so the encode oracle joins the corpus against it directly.
+    */
+  private def bpeTrainCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
              |  SELECT trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS w,
              |    count(*) AS freq
@@ -658,11 +700,6 @@ object TextQueries extends QueryGroup {
                |    freq
                |  FROM $prev)""".stripMargin
     }
-    sb ++= "\n" + (1 to nMerges).map { k =>
-      s"""SELECT $k AS step, string_split(pair, ' ')[1] AS "left",
-         |  string_split(pair, ' ')[2] AS "right",
-         |  replace(pair, ' ', '') AS merged, n AS pair_count FROM b$k""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
     sb.toString
   }
 

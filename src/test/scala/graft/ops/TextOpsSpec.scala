@@ -136,6 +136,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(m(2) == ((3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("BPE encode: trained merges compress the corpus; counts are exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab cd"), (2L, "aaab cd cd")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 3).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // after (a,a)→aa, (a,b)→ab, (aa,ab)→aaab: "aaab" encodes to 1 piece,
+    // "cd" stays 2 ("c d" never merged)
+    val got = TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 1 + 1 + 2L), (2L, 3L, 1 + 2 + 2L)),
+      s"got ${got.toSeq}")
+    // zero merges = raw character counts
+    val raw = TextAnalysis.bpeEncode(docs, Seq.empty).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(raw.toSeq == Seq((1L, 4 + 4 + 2L), (2L, 4 + 2 + 2L)))
+  }
+
   test("normalize: canonical form is idempotent and collapses byte noise") {
     import spark.implicits._
     val cases = Seq(
