@@ -79,7 +79,98 @@ object PipelineQueries extends QueryGroup {
               |FROM survivors""".stripMargin)
     ),
 
-    "q_corpus_report" -> corpusReport
+    "q_corpus_report" -> corpusReport,
+
+    // The STREAMING curation pipeline's batch-replay twin: the exact
+    // gate + admission semantics StreamingCurate runs per micro-batch
+    // (normalize → PII redact → lang/quality gates → near-dup admission
+    // against stored curated-history signatures), on the incremental
+    // fixture split (fresh = doc_id % 5 = 0). The gate transform is the
+    // SAME object the stream executes (StreamingCurate.gate); the oracle
+    // replays normalize, redaction, the quality formula, and the full
+    // minhash admission chain over the curated text.
+    "q_pipeline_stream_curate" -> QueryDef(
+      (s, d) => {
+        val gated = graft.streaming.StreamingCurate.gate(Tables.documents(s, d))
+        val fresh = gated.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val pairs = Dedup.incrementalMinhash(
+            fresh.select("doc_id", "text"),
+            gated.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+              .select("doc_id", "text"),
+            Tables.curatedHistoryMinhashSigs(s, d), threshold = 0.0)
+          .filter(floor(col("jaccard") * 10000).cast("long") >= 8000)
+          .select("i", "j")
+        fresh
+          .join(graft.streaming.StreamingDedup.rejectedIds(
+            pairs, fresh.select("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("quality_bp"),
+            md5(col("text")).as("curated_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      trim(regexp_replace(regexp_replace(lower(text),
+             |        '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')),
+             |      '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}(-\d{3,4})?', '<PHONE>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g') AS red
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id, red,
+             |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+             |      + least((length(replace(red, ' ', ''))::DOUBLE / len(toks)) / 8.0,
+             |          1.0) * 0.3) * 10000) AS BIGINT) AS quality_bp
+             |  FROM (SELECT doc_id, red,
+             |          list_filter(string_split(red, ' '), x -> x <> '') AS toks
+             |        FROM cur WHERE lang = 'en')),
+             |gated AS (SELECT * FROM scored WHERE quality_bp >= 4000),
+             |gtoks AS (SELECT doc_id, string_split(red, ' ') AS t FROM gated),
+             |shd AS (
+             |  SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+             |    FROM gtoks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+             |    WHERE len(t) >= 3)),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+             |mh AS (
+             |  SELECT doc_id,
+             |    min(md5('0' || '|' || w)) AS m0, min(md5('1' || '|' || w)) AS m1,
+             |    min(md5('2' || '|' || w)) AS m2, min(md5('3' || '|' || w)) AS m3,
+             |    min(md5('4' || '|' || w)) AS m4, min(md5('5' || '|' || w)) AS m5,
+             |    min(md5('6' || '|' || w)) AS m6, min(md5('7' || '|' || w)) AS m7
+             |  FROM shd GROUP BY doc_id),
+             |banded AS (
+             |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+             |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+             |  FROM mh),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+             |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+             |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+             |common AS (
+             |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS c
+             |  FROM cand JOIN shd x ON x.doc_id = cand.i
+             |            JOIN shd y ON y.doc_id = cand.j AND y.w = x.w
+             |  GROUP BY x.doc_id, y.doc_id),
+             |jac AS (
+             |  SELECT i, j,
+             |    CAST(floor(c::DOUBLE / (ci.n + cj.n - c) * 10000) AS BIGINT) AS jaccard_bp
+             |  FROM common
+             |  JOIN cnt ci ON ci.doc_id = i
+             |  JOIN cnt cj ON cj.doc_id = j),
+             |rej AS (
+             |  SELECT DISTINCT CASE
+             |    WHEN i % 5 = 0 AND j % 5 = 0 THEN j
+             |    WHEN i % 5 = 0 THEN i
+             |    ELSE j END AS doc_id
+             |  FROM jac WHERE jaccard_bp >= 8000)
+             |SELECT doc_id, quality_bp, md5(red) AS curated_md5
+             |FROM gated
+             |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY doc_id""".stripMargin)
+    )
   )
 
   /** One-row corpus health report — the dashboard numbers a pipeline

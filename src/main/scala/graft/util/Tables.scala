@@ -50,4 +50,23 @@ object Tables {
           AutoUnpersist.persistScoped(graft.ops.Dedup.shingles(hist)), 8)
         .localCheckpoint(true)
     })
+
+  private val curatedHistSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** [[historyMinhashSigs]] over the CURATED history — the signature
+    * index a streaming curation pipeline (StreamingCurate) persists:
+    * signatures of gate-surviving docs' normalized/redacted text, for the
+    * q_pipeline_stream_curate fixture split (history = doc_id % 5 != 0).
+    */
+  def curatedHistoryMinhashSigs(s: SparkSession, d: String): DataFrame =
+    curatedHistSigCache.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val hist = graft.streaming.StreamingCurate.gate(documents(s, d))
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select("doc_id", "text")
+      graft.ops.Dedup.minhashSignatures(
+          AutoUnpersist.persistScoped(graft.ops.Dedup.shingles(hist)), 8)
+        .localCheckpoint(true)
+    })
 }
