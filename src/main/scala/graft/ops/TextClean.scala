@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII scrubbing for training corpora: detect and redact e-mail
@@ -50,4 +50,72 @@ object TextClean {
     trim(regexp_replace(
       regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
       " {2,}", " "))
+
+  /** Canonical URL form for crawl dedup — the normalization a web-scale
+    * pipeline applies before URL-level dedup so that byte-different
+    * spellings of the same resource collapse:
+    *   - fragment dropped;
+    *   - scheme and host lowercased; default ports (:80/:443) stripped;
+    *   - path case preserved (paths are case-sensitive), trailing
+    *     slashes stripped, empty path → "/";
+    *   - tracking params (utm_*, fbclid, gclid, ref) dropped, the rest
+    *     byte-sorted (ASCII), so param order doesn't split a group.
+    * Pure codegen projection in the Java∩RE2 regex subset (engine-
+    * replayable, like the PII patterns). The param-filter lambda closes
+    * over the extracted query string (re-evaluated per element) — bounded
+    * by the handful of params a URL carries, per-row constant work.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val base = regexp_replace(noFrag, "\\?.*", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)),
+      ":(80|443)$", "")
+    val rawPath =
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=")))
+    val canonQ = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
+  /** Corpus-level line deduplication (the C4 rule): a line whose corpus
+    * occurrence count reaches `minDf` is boilerplate — navigation, cookie
+    * banners, footers — and survives only at its FIRST corpus position
+    * (min (doc_id, pos)); rarer lines all stay. Returns one row per doc
+    * that keeps ≥1 line: `doc_id, n_kept, text` (kept lines rejoined in
+    * order).
+    *
+    * Distributed shape: one posexplode, one line-keyed aggregate (count +
+    * min position, map-side combinable), one join back on the line key,
+    * one doc-keyed reassembly — work scales with corpus lines, the
+    * line-stats table with DISTINCT lines; no all-pairs stage anywhere.
+    * First-position is arg-min over the encoded key `doc_id*100000+pos`
+    * (docs hold ≪100k lines) — a plain BIGINT min every engine agrees on,
+    * instead of struct-compare semantics.
+    *
+    * In: `doc_id` plus `lines: array<string>`.
+    */
+  def lineDedup(docs: DataFrame, minDf: Long = 3L): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .withColumn("pos_key", col("doc_id") * 100000L + col("pos"))
+    val stats = exploded.groupBy("line").agg(
+      count(lit(1)).as("df"),
+      min("pos_key").as("first_key"))
+    exploded.join(stats, "line")
+      .filter(col("df") < minDf || col("pos_key") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line")),
+          "\n").as("text"))
+  }
 }

@@ -94,6 +94,64 @@ object DedupQueries extends QueryGroup {
     ),
 
     // Exact dedup on a 5-token prefix key: duplicate groups + survivor id.
+    // URL-canonicalization dedup: each resource k is spelled two ways —
+    // even doc 2k messy (uppercase scheme/host, :443, tracking params,
+    // unsorted query, fragment, trailing slash), odd doc 2k+1 already
+    // canonical. Canonicalization must collapse exactly those pairs; the
+    // oracle replays the full normalization chain (fragment, case, port,
+    // path, param filter + byte-sort) in DuckDB.
+    "q_dedup_url" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val res = floor(col("doc_id") / 2).cast("long").cast("string")
+        val url = when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("HTTPS://WWW.Example.COM:443/Item/"), res,
+              lit("/?utm_source=feed&b=2&a=1&fbclid=x#frag")))
+          .otherwise(concat(lit("https://www.example.com/Item/"), res,
+            lit("?a=1&b=2")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextClean.urlCanonicalize(url).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_variants"), min("doc_id").as("first_doc"))
+          .orderBy("first_doc")
+      },
+      Some("""WITH urls AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             |    THEN 'HTTPS://WWW.Example.COM:443/Item/' || (doc_id // 2)
+             |      || '/?utm_source=feed&b=2&a=1&fbclid=x#frag'
+             |    ELSE 'https://www.example.com/Item/' || (doc_id // 2)
+             |      || '?a=1&b=2' END AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(url, '#.*', ''), '\?.*', '') AS base,
+             |    regexp_extract(regexp_replace(url, '#.*', ''), '\?(.*)$', 1) AS q
+             |  FROM urls),
+             |canon AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             |      || '://'
+             |      || regexp_replace(lower(regexp_extract(base,
+             |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)), ':(80|443)$', '')
+             |      || CASE WHEN regexp_replace(regexp_extract(base,
+             |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)?$', 1), '/+$', '') = ''
+             |           THEN '/'
+             |           ELSE regexp_replace(regexp_extract(base,
+             |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)?$', 1), '/+$', '') END
+             |      || CASE WHEN array_to_string(list_sort(list_filter(
+             |             string_split(q, '&'), x -> x <> '' AND NOT regexp_matches(x,
+             |               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') = ''
+             |           THEN ''
+             |           ELSE '?' || array_to_string(list_sort(list_filter(
+             |             string_split(q, '&'), x -> x <> '' AND NOT regexp_matches(x,
+             |               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') END
+             |      AS canonical_url
+             |  FROM parts)
+             |SELECT canonical_url, count(*) AS n_variants,
+             |  min(doc_id) AS first_doc
+             |FROM canon GROUP BY canonical_url ORDER BY first_doc""".stripMargin)
+    ),
+
     "q_dedup_exact" -> QueryDef(
       (s, d) => {
         val toks = split(col("text"), " ")

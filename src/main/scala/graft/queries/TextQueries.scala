@@ -346,6 +346,68 @@ object TextQueries extends QueryGroup {
     // deterministic byte-level noise (case, tabs, CR/LF, doubled spaces,
     // a control char) is injected identically on both engines and the
     // normalized output is value-checked verbatim plus by md5.
+    // Corpus-level line dedup (the C4 boilerplate rule): docs become
+    // line lists — an injected per-source subscribe header, the body
+    // chunked into 10-token lines, an injected per-source copyright
+    // footer. The injected lines repeat ~corpus/source times, so the
+    // ≥3-occurrence rule strips them everywhere except their first
+    // corpus position; body lines are (at this vocabulary) unique and
+    // all survive. DuckDB replays the chunking, the df/first-position
+    // stats, the keep rule, and the in-order reassembly bit-for-bit.
+    "q_text_line_dedup" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val docs = Tables.documents(s, d)
+          // materialize the token array BEFORE the transform lambda —
+          // HOF lambdas re-evaluate closed-over expressions per element
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("lines", concat(
+            array(concat(lit("subscribe to "), col("source"),
+              lit(" newsletter"))),
+            transform(
+              sequence(lit(0),
+                floor((size(col("toks")) - 1) / 10).cast("int")),
+              i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")),
+            array(concat(lit("copyright "), col("source"),
+              lit(" all rights reserved")))))
+        TextClean.lineDedup(docs.select(col("doc_id"), col("lines")))
+          .select(col("doc_id"), col("n_kept"),
+            md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |body AS (
+             |  SELECT doc_id, i + 1 AS pos,
+             |    array_to_string(toks[(10*i+1):(10*i+10)], ' ') AS line
+             |  FROM toksrc,
+             |    unnest(generate_series(0, (len(toks)-1)//10)) AS g(i)),
+             |heads AS (
+             |  SELECT doc_id, 0 AS pos,
+             |    'subscribe to ' || source || ' newsletter' AS line
+             |  FROM toksrc),
+             |tails AS (
+             |  SELECT doc_id, (len(toks)-1)//10 + 2 AS pos,
+             |    'copyright ' || source || ' all rights reserved' AS line
+             |  FROM toksrc),
+             |keyed AS (
+             |  SELECT doc_id, pos, line, doc_id*100000 + pos AS pos_key
+             |  FROM (SELECT * FROM heads UNION ALL SELECT * FROM body
+             |        UNION ALL SELECT * FROM tails)),
+             |stats AS (
+             |  SELECT line, count(*) AS df, min(pos_key) AS first_key
+             |  FROM keyed GROUP BY line),
+             |kept AS (
+             |  SELECT k.doc_id, k.pos, k.line
+             |  FROM keyed k JOIN stats s ON k.line = s.line
+             |  WHERE s.df < 3 OR k.pos_key = s.first_key)
+             |SELECT doc_id, count(*) AS n_kept,
+             |  md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_text_normalize" -> QueryDef(
       (s, d) => {
         import graft.ops.TextClean

@@ -233,4 +233,45 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(again == picked)
   }
+
+  test("urlCanonicalize: case/port/fragment/tracking/param-order all collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val canon = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1&fbclid=z#frag",
+      "https://www.ex.com/A/b?a=1&b=2",
+      "http://ex.com:80",            // default http port + empty path
+      "http://ex.com/",
+      "https://ex.com:8443/p",       // NON-default port must survive
+      "https://ex.com/p?ref=nav"     // all params tracking → no '?'
+    ).toDF("url")
+      .select(TextClean.urlCanonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(canon(0) == "https://www.ex.com/A/b?a=1&b=2")
+    assert(canon(0) == canon(1), "messy and clean spellings must collapse")
+    assert(canon(2) == "http://ex.com/" && canon(2) == canon(3))
+    assert(canon(4) == "https://ex.com:8443/p")
+    assert(canon(5) == "https://ex.com/p")
+  }
+
+  test("lineDedup: df>=minDf lines survive only at their first corpus position") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, Seq(boiler, "unique one", "shared twice")),
+      (2L, Seq(boiler, "unique two", "shared twice")),
+      (3L, Seq("unique three", boiler)),
+      (4L, Seq(boiler) /* loses every line → no output row */)
+    ).toDF("doc_id", "lines")
+    val out = TextClean.lineDedup(docs, minDf = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("text"))).toMap
+    // boiler occurs 4x (>=3): only doc 1 pos 0 keeps it; "shared twice"
+    // occurs 2x (<3): everyone keeps it; order is preserved on reassembly
+    assert(out(1L) == ((3L, s"$boiler\nunique one\nshared twice")))
+    assert(out(2L) == ((2L, "unique two\nshared twice")))
+    assert(out(3L) == ((1L, "unique three")))
+    assert(!out.contains(4L))
+  }
 }
