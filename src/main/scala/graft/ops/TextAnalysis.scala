@@ -132,10 +132,12 @@ object TextAnalysis {
     val toks = graft.util.Partitioning.fanOut(docs)
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), explode(col("_toks")).as("tok"))
+    // sort+limit plans as TakeOrderedAndProject — per-partition partial
+    // top-k merged once, vs a WindowExec that would drag the whole
+    // vocabulary through one partition
     val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
-      .filter(col("rn") <= k)
+      .orderBy(col("c").desc, col("tok"))
+      .limit(k)
       .select(col("tok"), lit(1).as("_hit"))
     toks.join(broadcast(top), Seq("tok"), "left")
       .groupBy("doc_id")

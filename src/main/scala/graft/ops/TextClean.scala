@@ -84,6 +84,60 @@ object TextClean {
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
   }
 
+  /** Gopher-rule quality flags (Rae et al. 2021, §A1.1 — the heuristic
+    * document filter FineWeb/Dolma descend from), one boolean per rule
+    * plus the conjunction `pass_gopher`:
+    *   word count in [50, 100k]; mean word length in [3, 10] chars;
+    *   symbol ('#'/'...') to word ratio ≤ 0.1; ≥80% of words contain an
+    *   alphabetic char; ≥2 stopwords; ≤90% bullet-started lines; ≤30%
+    *   ellipsis-ended lines.
+    * Every ratio test is cross-multiplied into BIGINT comparisons
+    * (`n_symbols*10 <= n_words`) — no division, no doubles, so any
+    * engine replays the flags bit-for-bit. Pure projection, no shuffle;
+    * the word/line arrays are materialized as columns BEFORE the filter
+    * lambdas (the measured HOF re-evaluation trap). Words split on \s+
+    * (kept inside the Java∩RE2 subset — no \x0B in corpus text).
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")): DataFrame =
+    docs
+      .withColumn("_words", filter(split(col(textCol), "\\s+"), w => w =!= ""))
+      .withColumn("_lines", filter(split(col(textCol), "\n"), l => l =!= ""))
+      .withColumn("n_words", size(col("_words")).cast("long"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(col("_words"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(col("_words"), w => w.isInCollection(stopwords))).cast("long"))
+      .withColumn("n_symbols",
+        (size(regexp_extract_all(col(textCol), lit("#"), lit(0)))
+          + size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))))
+          .cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(col("_lines"), l => l.rlike("^[-*]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("_lines"), l => l.rlike("\\.\\.\\.$"))).cast("long"))
+      .withColumn("chars_no_ws",
+        length(regexp_replace(col(textCol), "\\s", "")).cast("long"))
+      .withColumn("pass_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("pass_word_shape",
+        col("chars_no_ws") >= col("n_words") * 3 &&
+          col("chars_no_ws") <= col("n_words") * 10)
+      .withColumn("pass_symbols", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("pass_alpha",
+        col("n_alpha_words") * 10 >= col("n_words") * 8)
+      .withColumn("pass_stopwords", col("n_stopwords") >= 2L)
+      .withColumn("pass_bullets",
+        col("n_bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("pass_ellipsis",
+        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("pass_gopher",
+        col("pass_word_count") && col("pass_word_shape") &&
+          col("pass_symbols") && col("pass_alpha") && col("pass_stopwords") &&
+          col("pass_bullets") && col("pass_ellipsis"))
+      .drop("_words", "_lines")
+
   /** Corpus-level line deduplication (the C4 rule): a line whose corpus
     * occurrence count reaches `minDf` is boilerplate — navigation, cookie
     * banners, footers — and survives only at its FIRST corpus position

@@ -279,14 +279,14 @@ object TextQueries extends QueryGroup {
     "q_text_cms_topk" -> QueryDef(
       (s, d) => {
         import graft.ops.Sketches
-        import org.apache.spark.sql.expressions.Window
         val toks = Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("tok"))
         val sketch = Sketches.countMinSketch(toks, col("tok"))
+        // sort+limit → TakeOrderedAndProject (distributed partial top-k),
+        // not a single-partition WindowExec over the vocabulary
         val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-          .withColumn("_rn", row_number().over(
-            Window.orderBy(desc("exact_n"), col("tok"))))
-          .filter(col("_rn") <= 20).drop("_rn")
+          .orderBy(desc("exact_n"), col("tok"))
+          .limit(20)
         Sketches.cmsEstimate(top, sketch, "tok").orderBy("tok")
       },
       Some(s"""WITH toks AS (
@@ -346,6 +346,83 @@ object TextQueries extends QueryGroup {
     // deterministic byte-level noise (case, tabs, CR/LF, doubled spaces,
     // a control char) is injected identically on both engines and the
     // normalized output is value-checked verbatim plus by md5.
+    // Gopher-rule quality flags over deterministically-dirtied docs:
+    // every 5th doc gets a 10-line bullet wall (trips the bullet rule),
+    // every 7th a '# '-spam tail (symbol ratio), every doc ≡1 mod 3 two
+    // ellipsis-ended footer lines (ellipsis rule); short docs fail the
+    // word-count rule on their own. All-integer cross-multiplied rule
+    // arithmetic → DuckDB replays every count and flag bit-for-bit.
+    "q_text_gopher_rules" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val aug = Tables.documents(s, d).withColumn("text", concat(
+          when(pmod(col("doc_id"), lit(5)) === 0, repeat(lit("- x\n"), 10))
+            .otherwise(lit("")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" "), repeat(lit("# "), 15))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 1,
+            lit("\nread more...\nsee more...")).otherwise(lit(""))))
+        TextClean.gopherRules(aug)
+          .select("doc_id", "n_words", "n_lines", "n_alpha_words",
+            "n_stopwords", "n_symbols", "n_bullet_lines", "n_ellipsis_lines",
+            "chars_no_ws", "pass_word_count", "pass_word_shape",
+            "pass_symbols", "pass_alpha", "pass_stopwords", "pass_bullets",
+            "pass_ellipsis", "pass_gopher")
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN repeat('- x' || chr(10), 10)
+             |         ELSE '' END
+             |    || text
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('# ', 15)
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 3 = 1
+             |            THEN chr(10) || 'read more...' || chr(10) || 'see more...'
+             |            ELSE '' END AS t
+             |  FROM documents),
+             |arrs AS (
+             |  SELECT doc_id, t,
+             |    list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS words,
+             |    list_filter(string_split(t, chr(10)), x -> x <> '') AS nls
+             |  FROM aug),
+             |m AS (
+             |  SELECT doc_id,
+             |    len(words)::BIGINT AS n_words,
+             |    len(nls)::BIGINT AS n_lines,
+             |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+             |      AS n_alpha_words,
+             |    len(list_filter(words, w -> w IN ('the','a','of','and','is')))::BIGINT
+             |      AS n_stopwords,
+             |    (len(regexp_extract_all(t, '#'))
+             |      + len(regexp_extract_all(t, '\.\.\.')))::BIGINT AS n_symbols,
+             |    len(list_filter(nls, l -> regexp_matches(l, '^[-*]')))::BIGINT
+             |      AS n_bullet_lines,
+             |    len(list_filter(nls, l -> regexp_matches(l, '\.\.\.$')))::BIGINT
+             |      AS n_ellipsis_lines,
+             |    length(regexp_replace(t, '\s', '', 'g'))::BIGINT AS chars_no_ws
+             |  FROM arrs)
+             |SELECT doc_id, n_words, n_lines, n_alpha_words, n_stopwords,
+             |  n_symbols, n_bullet_lines, n_ellipsis_lines, chars_no_ws,
+             |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+             |  (chars_no_ws >= n_words*3 AND chars_no_ws <= n_words*10)
+             |    AS pass_word_shape,
+             |  (n_symbols*10 <= n_words) AS pass_symbols,
+             |  (n_alpha_words*10 >= n_words*8) AS pass_alpha,
+             |  (n_stopwords >= 2) AS pass_stopwords,
+             |  (n_bullet_lines*10 <= n_lines*9) AS pass_bullets,
+             |  (n_ellipsis_lines*10 <= n_lines*3) AS pass_ellipsis,
+             |  ((n_words >= 50 AND n_words <= 100000)
+             |    AND (chars_no_ws >= n_words*3 AND chars_no_ws <= n_words*10)
+             |    AND (n_symbols*10 <= n_words)
+             |    AND (n_alpha_words*10 >= n_words*8)
+             |    AND (n_stopwords >= 2)
+             |    AND (n_bullet_lines*10 <= n_lines*9)
+             |    AND (n_ellipsis_lines*10 <= n_lines*3)) AS pass_gopher
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
     // Corpus-level line dedup (the C4 boilerplate rule): docs become
     // line lists — an injected per-source subscribe header, the body
     // chunked into 10-token lines, an injected per-source copyright

@@ -234,6 +234,40 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again == picked)
   }
 
+  test("gopherRules: each rule trips on its engineered failure alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val goodWords = ("the of " + (1 to 58).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (1L, goodWords),                                   // passes everything
+      (2L, "the of tiny"),                               // word count < 50
+      (3L, goodWords + " " + Seq.fill(10)("#").mkString(" ")), // symbol ratio
+      (4L, (1 to 60).map(_ => "12345").mkString(" ") + " the of"), // alpha < 80%
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")), // no stopwords
+      (6L, (1 to 10).map(_ => "- b").mkString("\n")),    // all-bullet lines
+      (7L, goodWords + "\nmore...\nstill...\n"),         // ellipsis lines 2/3
+      (8L, "the of " + Seq.fill(58)("a" * 20).mkString(" ")) // mean wl > 10
+    ).toDF("doc_id", "text")
+    val out = TextClean.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass_gopher"))
+    def failsOnly(id: Long, flag: String): Unit = {
+      val r = out(id)
+      assert(!r.getAs[Boolean](flag), s"doc $id should fail $flag")
+      assert(!r.getAs[Boolean]("pass_gopher"))
+    }
+    failsOnly(2L, "pass_word_count")
+    failsOnly(3L, "pass_symbols")
+    failsOnly(4L, "pass_alpha")
+    failsOnly(5L, "pass_stopwords")
+    failsOnly(6L, "pass_bullets")
+    failsOnly(7L, "pass_ellipsis")
+    failsOnly(8L, "pass_word_shape")
+    // the bullet wall also fails alpha ('-' carries no letter) — flags
+    // are independent, the conjunction is what gates
+    assert(!out(6L).getAs[Boolean]("pass_alpha"))
+  }
+
   test("urlCanonicalize: case/port/fragment/tracking/param-order all collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
