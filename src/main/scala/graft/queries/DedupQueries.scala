@@ -94,6 +94,45 @@ object DedupQueries extends QueryGroup {
     ),
 
     // Exact dedup on a 5-token prefix key: duplicate groups + survivor id.
+    // Corpus snapshot diff: yesterday = docs without the ≡0 mod 7 ids,
+    // today = docs without the ≡0 mod 5 ids and with every ≡3 mod 10 doc
+    // edited — so ids ≡0 mod 7 surface as added, ≡0 mod 5 as removed,
+    // ≡3 mod 10 as changed, the rest unchanged (ids ≡0 mod 35 are in
+    // neither snapshot and must not appear at all).
+    "q_corpus_diff" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val cur = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 3,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Dedup.snapshotDiff(old, cur)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("status")
+      },
+      Some("""WITH snap_a AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents
+             |  WHERE doc_id % 7 <> 0),
+             |snap_b AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 10 = 3
+             |    THEN text || ' v2' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |diff AS (
+             |  SELECT coalesce(snap_a.doc_id, snap_b.doc_id) AS doc_id,
+             |    CASE WHEN snap_a.h IS NULL THEN 'added'
+             |         WHEN snap_b.h IS NULL THEN 'removed'
+             |         WHEN snap_a.h = snap_b.h THEN 'unchanged'
+             |         ELSE 'changed' END AS status
+             |  FROM snap_a FULL OUTER JOIN snap_b
+             |    ON snap_a.doc_id = snap_b.doc_id)
+             |SELECT status, count(*) AS n, min(doc_id) AS first_id,
+             |  max(doc_id) AS last_id
+             |FROM diff GROUP BY status ORDER BY status""".stripMargin)
+    ),
+
     // URL-canonicalization dedup: each resource k is spelled two ways —
     // even doc 2k messy (uppercase scheme/host, :443, tracking params,
     // unsorted query, fragment, trailing slash), odd doc 2k+1 already

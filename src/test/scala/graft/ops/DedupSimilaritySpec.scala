@@ -527,4 +527,16 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(s0 != t0, "selfExclude must drop the diagonal")
     }
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged by content hash") {
+    import spark.implicits._
+    val a = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val diff = graft.ops.Dedup.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
