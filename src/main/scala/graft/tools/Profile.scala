@@ -166,6 +166,22 @@ object Profile {
         time(s"text-tfidf-x$m")(noop(TextAnalysis.tfidf(docs)))
         time(s"text-lmcov-x$m")(noop(TextAnalysis.lmCoverage(docs)))
         time(s"text-bpetrain-x$m")(noop(TextAnalysis.bpeTrain(docs, 8)))
+        // C4 line dedup: per-source boilerplate head/tail + 10-token body
+        // lines (the q_text_line_dedup shape). Copies keep the SAME
+        // boilerplate (df grows ×m — the realistic mode) while body
+        // lines stay distinct (suffixed tokens).
+        val lined = docs
+          .withColumn("_t", TextAnalysis.tokens(col("text")))
+          .withColumn("lines", concat(
+            array(concat(lit("subscribe to "), col("source"),
+              lit(" newsletter"))),
+            transform(
+              sequence(lit(0), floor((size(col("_t")) - 1) / 10).cast("int")),
+              i => array_join(slice(col("_t"), i * 10 + 1, lit(10)), " ")),
+            array(concat(lit("copyright "), col("source"),
+              lit(" all rights reserved")))))
+          .select(col("doc_id"), col("lines"))
+        time(s"text-linededup-x$m")(noop(graft.ops.TextClean.lineDedup(lined)))
       }
     } else if (args.headOption.contains("--minhash-fast")) {
       // portable (md5 string family, what the DuckDB oracle replays) vs
