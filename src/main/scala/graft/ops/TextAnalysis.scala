@@ -200,6 +200,31 @@ object TextAnalysis {
         expr(s"(_cum - n_tokens) DIV $binTokens").as("bin_id"))
   }
 
+  /** Quality-greedy per-source token budgeting — the "data recipe"
+    * selector: given a per-source token budget table, keep each source's
+    * highest-quality docs until the running token count would exceed its
+    * budget (greedy prefix on (quality desc, doc_id) — deterministic).
+    * The cumulative sum windows PER SOURCE (the `pack` argument: strata
+    * fill in parallel, no global stream); the budget table is
+    * sources-sized and broadcast. Returns the selected docs with their
+    * rank metrics; aggregate downstream for recipe totals.
+    *
+    * In: docs `(doc_id, source, text)`; budgets `(source, budget_tokens)`.
+    */
+  def tokenBudget(docs: DataFrame, budgets: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_bp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("quality_bp",
+        floor(qualityScore(col("text")) * 10000).cast("long"))
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .select("doc_id", "source", "quality_bp", "n_tokens", "cum_tokens")
+  }
+
   /** 64-bit-ish polynomial content fingerprint over characters
     * (acc*31 + codepoint, mod 1e9+7) — the batch analog of a rolling hash,
     * reproducible in any engine.

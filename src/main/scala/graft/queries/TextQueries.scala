@@ -180,6 +180,48 @@ object TextQueries extends QueryGroup {
              |ORDER BY quality_bp DESC, doc_id LIMIT 1000""".stripMargin)
     ),
 
+    // Quality-greedy token budgeting: each source gets a deterministic
+    // token budget (600/900/1200 by source number mod 3 — roughly half
+    // a source's ~1400-token volume, so the cut genuinely bites) and fills it
+    // with its highest-quality docs first — the "data recipe" selection
+    // a training run starts from. Greedy-prefix semantics (a doc enters
+    // iff the running total INCLUDING it fits) replayed exactly by the
+    // oracle's window.
+    "q_text_token_budget" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val budgets = docs.select("source").distinct()
+          .withColumn("budget_tokens",
+            lit(600L) + lit(300L) * pmod(
+              regexp_extract(col("source"), "([0-9]+)", 1).cast("long"),
+              lit(3L)))
+        tokenBudget(docs, budgets).orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+             |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+             |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000)
+             |      AS BIGINT) AS quality_bp
+             |  FROM t),
+             |cum AS (
+             |  SELECT doc_id, source, quality_bp, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY quality_bp DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+             |    600 + 300 * (CAST(regexp_extract(source, '([0-9]+)', 1)
+             |      AS BIGINT) % 3) AS budget_tokens
+             |  FROM q)
+             |SELECT doc_id, source, quality_bp, n_tokens, cum_tokens
+             |FROM cum WHERE cum_tokens <= budget_tokens
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_text_langid" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

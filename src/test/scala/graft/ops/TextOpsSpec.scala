@@ -234,6 +234,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again == picked)
   }
 
+  test("tokenBudget: greedy prefix on quality rank, not knapsack") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // quality rank: doc 1 (most diverse) > doc 2 > doc 3 (repetitions);
+    // tokens 10 / 5 / 4. Budget 14: doc 1 fits (cum 10), doc 2 overflows
+    // (cum 15) and doc 3 stays excluded (cum 19) even though its OWN 4
+    // tokens would fit — prefix semantics, deterministic
+    val docs = Seq(
+      (1L, "s0", (1 to 10).map(i => s"alpha$i").mkString(" ")),
+      (2L, "s0", "beta1 beta2 beta3 beta4 beta4"),
+      (3L, "s0", "gam gam gam gam")
+    ).toDF("doc_id", "source", "text")
+    val budgets = Seq(("s0", 14L)).toDF("source", "budget_tokens")
+    val sel = TextAnalysis.tokenBudget(docs, budgets).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(sel == Set(1L), s"expected prefix {1}, got $sel")
+    // raising the budget admits the prefix in rank order
+    val sel2 = TextAnalysis.tokenBudget(docs,
+      Seq(("s0", 15L)).toDF("source", "budget_tokens")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(sel2 == Set(1L, 2L))
+  }
+
   test("gopherRules: each rule trips on its engineered failure alone") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
