@@ -183,6 +183,39 @@ object Profile {
           .select(col("doc_id"), col("lines"))
         time(s"text-linededup-x$m")(noop(graft.ops.TextClean.lineDedup(lined)))
       }
+    } else if (args.headOption.contains("--admit-scale")) {
+      // streaming-admission growth curve: ONE fixed 500-doc batch (250
+      // exact-text near-dups of stored docs + 250 novel) admitted against
+      // a stored corpus+index at m× the sf corpus. The incremental
+      // contract says per-batch cost grows only with the banding join
+      // against the index, never with history×history — this measures it.
+      import graft.ops.Dedup
+      import graft.streaming.StreamingDedup
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 10)
+      mults.foreach { m =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-admit-x$m").toString
+        val hist = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        hist.write.parquet(s"$dir/corpus")
+        Dedup.minhashSignatures(Dedup.shingles(hist), 8)
+          .write.parquet(s"$dir/index")
+        val nearDups = base.orderBy("doc_id").limit(250)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1~c0").as("text"))
+        val novel = base.orderBy("doc_id").limit(250)
+          .select((col("doc_id") + lit(910000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1~nv").as("text"))
+        val batch = nearDups.unionByName(novel).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val r = StreamingDedup.admitBatch(batch, s"$dir/corpus", s"$dir/index")
+        println(f"TIME admit-x$m ${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"admitted=${r.admitted} rejected=${r.rejected}")
+      }
     } else if (args.headOption.contains("--minhash-fast")) {
       // portable (md5 string family, what the DuckDB oracle replays) vs
       // production (xxhash64 codegen family) — the documented trade,
