@@ -48,6 +48,34 @@ object Sketches {
       .withColumn("approx_distinct", estimate(col("sketch")))
       .drop("sketch")
 
+  /** Pairwise set-overlap estimates between groups from their HLL
+    * sketches alone — inclusion-exclusion over the union estimate:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). The input is one sketch row
+    * per group (groups-sized, NOT data-sized), so the pairwise self-join
+    * is trivially small however big the underlying data was; sketch once
+    * while scanning, overlap any pair later without re-reading anything —
+    * the mergeable-sketch algebra that makes cross-corpus audits free at
+    * 100 TB. Exactness twin: q_text_vocab_overlap gates the same numbers
+    * exactly at test scale; SketchesSpec bounds this estimator against it.
+    *
+    * In: `(key, sketch)` rows from [[distinctSketch]].
+    * Out: `key_a, key_b (key_a < key_b), est_a, est_b, est_union,
+    * est_common` (clamped at ≥0 — inclusion-exclusion can go slightly
+    * negative on disjoint sets).
+    */
+  def sketchOverlap(sketches: DataFrame, keyCol: String = "key"): DataFrame = {
+    val a = sketches.select(col(keyCol).as("key_a"), col("sketch").as("_sa"))
+    val b = sketches.select(col(keyCol).as("key_b"), col("sketch").as("_sb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        hll_sketch_estimate(col("_sa")).as("est_a"),
+        hll_sketch_estimate(col("_sb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("_sa"), col("_sb")))
+          .as("est_union"))
+      .withColumn("est_common",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
+
   /** Count-min row/bucket for `value` in sketch row `row`: the first six
     * hex digits of md5("cms:row:value") mod `width`. md5-derived like the
     * LSH hyperplane family, so a second engine rebuilds the identical

@@ -180,6 +180,54 @@ object TextQueries extends QueryGroup {
              |ORDER BY quality_bp DESC, doc_id LIMIT 1000""".stripMargin)
     ),
 
+    // Pairwise vocabulary overlap between sources (src0..src4 → 10
+    // pairs), computed EXACTLY: the oracle twin of the HLL
+    // inclusion-exclusion estimator (Sketches.sketchOverlap), which
+    // SketchesSpec bounds against these numbers. The tok equi-join is
+    // vocabulary-keyed — the scale shape; jaccard in integer bp (DIV).
+    "q_text_vocab_overlap" -> QueryDef(
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .filter(regexp_extract(col("source"), "([0-9]+)", 1)
+            .cast("long") < 5)
+          .withColumn("_toks", tokens(col("text")))
+          .select(col("source"), explode(col("_toks")).as("tok"))
+          .distinct()
+        val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+        val common = vocab.as("a")
+          .join(vocab.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+            Seq("src_a"))
+          .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+            Seq("src_b"))
+          .withColumn("jaccard_bp",
+            expr("n_common * 10000 DIV (n_a + n_b - n_common)"))
+          .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_bp")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH vocab AS (
+             |  SELECT DISTINCT source, tok FROM (
+             |    SELECT source,
+             |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |    FROM documents
+             |    WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) < 5)),
+             |sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+             |common AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+             |  FROM vocab a JOIN vocab b
+             |    ON a.tok = b.tok AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+             |  n_common * 10000 // (sa.n + sb.n - n_common) AS jaccard_bp
+             |FROM common JOIN sizes sa ON sa.source = src_a
+             |            JOIN sizes sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)
+    ),
+
     // Quality-greedy token budgeting: each source gets a deterministic
     // token budget (600/900/1200 by source number mod 3 — roughly half
     // a source's ~1400-token volume, so the cut genuinely bites) and fills it

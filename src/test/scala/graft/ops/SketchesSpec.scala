@@ -163,4 +163,32 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(clamped == Map(0 -> 1L, (bins - 1) -> 1L))
   }
+
+  test("sketchOverlap: inclusion-exclusion tracks exact vocab overlap") {
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val toks = docs
+      .withColumn("_t", TextAnalysis.tokens(col("text")))
+      .select(col("source").as("key"), explode(col("_t")).as("tok"))
+    val sketches = Sketches.distinctSketch(toks, col("tok"), Seq(col("key")))
+    val est = Sketches.sketchOverlap(sketches).collect()
+      .map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")) ->
+        (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+          r.getAs[Long]("est_common"))).toMap
+    // exact twin (the q_text_vocab_overlap formulation, all sources)
+    val vocab = toks.distinct()
+    val exact = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("ka"), col("b.key").as("kb"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty, "fixture must produce overlapping pairs")
+    exact.foreach { case (pair, n) =>
+      val (_, _, estCommon) = est(pair)
+      // lgK=12 on few-hundred-element sets: near-exact; allow 5% + 2 abs
+      assert(math.abs(estCommon - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$pair: est $estCommon vs exact $n")
+    }
+  }
 }
