@@ -69,4 +69,37 @@ object Decontaminate {
       .select("doc_id").distinct()
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
+
+  /** SEMANTIC decontamination: corpus items whose embedding is
+    * ≥ `thresholdBp` cosine-close to any benchmark embedding — catches
+    * paraphrased/translated benchmark leakage that n-gram collision
+    * can't see (the embedding-level complement of [[contaminationPairs]]).
+    *
+    * Per flagged corpus item: hit count, the max cosine (bp), and the
+    * benchmark id achieving it (ties → larger id; a total order, so any
+    * engine agrees). The benchmark side is broadcast — eval suites are
+    * tiny next to a training corpus, the same asymmetry the n-gram path
+    * leans on — so the corpus streams through one codegen projection
+    * (FloatVecDot + hoisted norms): no shuffle at all on the big side.
+    */
+  def semanticPairs(
+      corpus: DataFrame, benchmarks: DataFrame, thresholdBp: Long = 4000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    import graft.ops.{Similarity => Sim}
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("_vc"), Sim.norm(col(vecCol)).as("_nc"))
+    val b = benchmarks.select(col(idCol).as("bench_id"),
+      col(vecCol).as("_vb"), Sim.norm(col(vecCol)).as("_nb"))
+    c.join(broadcast(b), lit(true))
+      .withColumn("cos_bp",
+        floor(Sim.dot(col("_vc"), col("_vb")) / (col("_nc") * col("_nb"))
+          * 10000).cast("long"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .groupBy("corpus_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(col("cos_bp")).as("max_cos_bp"),
+        max(struct(col("cos_bp"), col("bench_id")))
+          .getField("bench_id").as("best_bench"))
+  }
 }

@@ -94,6 +94,53 @@ object DedupQueries extends QueryGroup {
     ),
 
     // Exact dedup on a 5-token prefix key: duplicate groups + survivor id.
+    // SEMANTIC decontamination: corpus embeddings (vec_id ≥ 50) within
+    // cos ≥ 0.4 of any benchmark embedding (vec_id < 50) — the
+    // paraphrase-level leak screen the n-gram queries can't see. The
+    // benchmark side broadcasts (the eval-suite asymmetry); per flagged
+    // item the oracle replays hit count, max cosine, and the max-cos
+    // benchmark id (ties → larger id) with the established list-fold
+    // arithmetic.
+    "q_decontaminate_semantic" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.ops.Decontaminate.semanticPairs(
+            emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+            thresholdBp = 4000L)
+          .orderBy("corpus_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id AS corpus_id, embedding FROM embeddings
+             |  WHERE vec_id >= 50),
+             |b AS (
+             |  SELECT vec_id AS bench_id, embedding FROM embeddings
+             |  WHERE vec_id < 50),
+             |hits AS (
+             |  SELECT c.corpus_id, b.bench_id,
+             |    CAST(floor(
+             |      list_reduce(list_transform(generate_series(1, len(c.embedding)),
+             |          x -> c.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE),
+             |        (s, v) -> s + v)
+             |      / (sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)),
+             |            x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v))
+             |       * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+             |            x -> b.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE), (s, v) -> s + v)))
+             |      * 10000) AS BIGINT) AS cos_bp
+             |  FROM c, b),
+             |flt AS (SELECT * FROM hits WHERE cos_bp >= 4000),
+             |agg AS (
+             |  SELECT corpus_id, count(*) AS n_hits, max(cos_bp) AS max_cos_bp
+             |  FROM flt GROUP BY corpus_id),
+             |best AS (
+             |  SELECT f.corpus_id, max(f.bench_id) AS best_bench
+             |  FROM flt f JOIN agg a
+             |    ON f.corpus_id = a.corpus_id AND f.cos_bp = a.max_cos_bp
+             |  GROUP BY f.corpus_id)
+             |SELECT corpus_id, agg.n_hits, agg.max_cos_bp, best.best_bench
+             |FROM agg JOIN best USING (corpus_id)
+             |ORDER BY corpus_id""".stripMargin)
+    ),
+
     // Corpus snapshot diff: yesterday = docs without the ≡0 mod 7 ids,
     // today = docs without the ≡0 mod 5 ids and with every ≡3 mod 10 doc
     // edited — so ids ≡0 mod 7 surface as added, ≡0 mod 5 as removed,

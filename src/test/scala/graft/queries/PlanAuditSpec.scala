@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_bm25", // 1-row (N, avgdl) stats aggregate × matched-term rows
     "q_text_collocations", // 1-row bigram-total aggregate × vocab² pairs
     "q_events_quantile_sketch", // 3 quantile rows × ≤64-bin sketch table
+    "q_decontaminate_semantic", // broadcast benchmark embeddings × corpus
     "q_sim_hard_negatives", // broadcast anchors × corpus, label-mismatch
     "q_sim_bitext_mine") // brute-force k-NN sweeps (broadcast side A/B);
                          // the LSH/IVF generators are the scale path
