@@ -364,8 +364,21 @@ object Dedup {
     */
   def simhashPairs(
       sh: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000
+  ): DataFrame =
+    bandedHammingPairs(simhashWide(sh), maxHamming, maxBucket)
+
+  /** Banded Hamming pairs over ANY 64-bit fingerprint in wide nibble form
+    * (`doc_id, d1..d16` — the [[simhashWide]] layout, also produced by
+    * `Multimodal.aHashWide` for perceptual image hashes): candidates from
+    * 8 LSH bands of 2 hex digits verified by exact bit-hamming. Banding
+    * is probabilistic — a pair within `maxHamming` bits collides in ≥1
+    * band with high (not certain) probability; the exact blocked
+    * formulation is the oracle twin at test scale.
+    */
+  def bandedHammingPairs(
+      wideIn: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000
   ): DataFrame = {
-    val wide = graft.util.AutoUnpersist.persistScoped(simhashWide(sh))
+    val wide = graft.util.AutoUnpersist.persistScoped(wideIn)
     val melted = graft.util.AutoUnpersist.persistScoped(
       wide.select(col("doc_id"),
         explode(array((0 until 8).map { b =>
@@ -387,6 +400,29 @@ object Dedup {
       .join(wide.as("bj"), col("j") === col("bj.doc_id"))
       .select(col("i"), col("j"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** EXACT Hamming pairs over wide-nibble fingerprints — the all-pairs
+    * oracle twin of [[bandedHammingPairs]] (blocked equi-join, no BNLJ;
+    * O(N²) by definition, test-scale only — same role as
+    * `Similarity.exactNearDupPairs`).
+    */
+  def exactHammingPairs(
+      wide: DataFrame, maxHamming: Int = 12, nBlocks: Int = 8
+  ): DataFrame = {
+    val left = wide.select(col("doc_id").as("i") +:
+        (1 to 16).map(p => col(s"d$p").as(s"a$p")): _*)
+      .withColumn("_jb", explode(sequence(lit(0), lit(nBlocks - 1))))
+    val right = wide.select(col("doc_id").as("j") +:
+        ((1 to 16).map(p => col(s"d$p").as(s"b$p")) :+
+          pmod(col("doc_id"), lit(nBlocks)).as("_jb")): _*)
+    val hamming = (1 to 16).map(p =>
+      expr(s"bit_count(a$p ^ b$p)")).reduce(_ + _)
+    left.join(right, "_jb")
+      .filter(col("i") < col("j"))
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("i", "j", "hamming")
   }
 
   /** Resolve near-dup pairs into duplicate clusters (connected components)

@@ -202,4 +202,50 @@ object Multimodal {
       java.nio.ByteBuffer.wrap(h, i * 4, 4).getInt.toFloat / Int.MaxValue
     }
   }
+
+  /** Perceptual average-hash (aHash) of the payload: the payload stream
+    * is cut into 64 equal segments; bit k is set iff segment k's mean
+    * value exceeds the global mean — the classic image-dedup fingerprint,
+    * here over payload bytes (a real decoder would feed 8×8 downsampled
+    * luma through the SAME shape). Near-identical payloads differ in few
+    * bits, so Hamming distance ranks near-duplicates; feed the wide
+    * output straight to `Dedup.bandedHammingPairs` (scale path) or
+    * `Dedup.exactHammingPairs` (oracle twin).
+    *
+    * Every comparison is cross-multiplied BIGINT (`segSum·totalLen >
+    * totalSum·segLen`) — no doubles, so a SQL engine replays the hash
+    * bit-for-bit. One posexplode (payload-linear) + two bounded
+    * aggregations (≤64 segment rows per media); no shuffle wider than
+    * the (media, segment) key.
+    *
+    * Out: `doc_id, d1..d16, phash` (the [[graft.ops.Dedup.simhashWide]]
+    * wide-nibble layout, media_id AS doc_id for the shared pair ops).
+    */
+  def aHashWide(media: DataFrame): DataFrame = {
+    val chars = media
+      .select(col("media_id").as("doc_id"),
+        expr(s"substring(media, ${HeaderLen + 1}, length(media))").as("_pay"))
+      .select(col("doc_id"), decode(col("_pay"), "UTF-8").as("_s"))
+      .withColumn("_n", length(col("_s")).cast("long"))
+      .select(col("doc_id"), col("_n"),
+        posexplode(split(col("_s"), "")).as(Seq("pos", "c")))
+      .withColumn("seg", expr("CAST(pos AS BIGINT) * 64 DIV _n"))
+      .withColumn("v", ascii(col("c")).cast("long"))
+    val segs = chars.groupBy("doc_id", "seg")
+      .agg(sum(col("v")).as("ssum"), count(lit(1)).as("slen"))
+    val tot = segs.groupBy("doc_id")
+      .agg(sum(col("ssum")).as("tsum"), sum(col("slen")).as("tlen"))
+    val bits = segs.join(tot, "doc_id")
+      .withColumn("bit",
+        col("ssum") * col("tlen") > col("tsum") * col("slen"))
+    val digitAggs = (1 to 16).map { p =>
+      sum(when(col("seg") >= (p - 1) * 4 && col("seg") < p * 4 && col("bit"),
+        expr("1 << (3 - CAST(seg % 4 AS INT))")).otherwise(0))
+        .cast("int").as(s"d$p")
+    }
+    bits.groupBy("doc_id").agg(digitAggs.head, digitAggs.tail: _*)
+      .withColumn("phash",
+        concat((1 to 16).map(p =>
+          expr(s"substring('0123456789abcdef', d$p + 1, 1)")): _*))
+  }
 }

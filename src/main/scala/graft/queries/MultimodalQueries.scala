@@ -16,7 +16,85 @@ import graft.util.Tables
   */
 object MultimodalQueries extends QueryGroup {
 
+  /** Shared DuckDB replay of [[Multimodal.aHashWide]] over the synthetic
+    * payload (= the document's UTF-8 text), ending in `dig(media_id, p, d)`
+    * with p = nibble index 0..15, d = nibble value. All cross-multiplied
+    * BIGINT arithmetic — replays the hash bit-for-bit.
+    */
+  private val aHashCte: String =
+    """pay AS (
+      |  SELECT doc_id AS media_id, text AS s, length(text)::BIGINT AS n
+      |  FROM documents WHERE doc_id < 200),
+      |chars AS (
+      |  SELECT media_id, n, i - 1 AS pos,
+      |    ascii(substring(s, i, 1))::BIGINT AS v
+      |  FROM pay, unnest(generate_series(1, CAST(n AS INTEGER))) AS g(i)),
+      |segd AS (
+      |  SELECT media_id, (pos * 64) // n AS seg,
+      |    sum(v) AS ssum, count(*)::BIGINT AS slen
+      |  FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(ssum) AS tsum, sum(slen) AS tlen
+      |        FROM segd GROUP BY 1),
+      |bits AS (
+      |  SELECT s.media_id, s.seg,
+      |    (s.ssum * t.tlen > t.tsum * s.slen) AS bit
+      |  FROM segd s JOIN tot t USING (media_id)),
+      |dig AS (
+      |  SELECT media_id, seg // 4 AS p,
+      |    sum(CASE WHEN bit THEN 1 << CAST(3 - seg % 4 AS INTEGER)
+      |        ELSE 0 END) AS d
+      |  FROM bits GROUP BY 1, 2)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Perceptual average-hash per media item: 64 payload segments, bit =
+    // segment mean > global mean, rendered as 16 hex nibbles. DuckDB
+    // rebuilds the identical hash from the raw text.
+    "q_multimodal_phash" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 200))
+        Multimodal.aHashWide(media)
+          .select(col("doc_id").as("media_id"), col("phash"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $aHashCte
+              |SELECT media_id,
+              |  string_agg(substring('0123456789abcdef',
+              |    CAST(d AS INTEGER) + 1, 1), '' ORDER BY p) AS phash
+              |FROM dig GROUP BY media_id ORDER BY media_id""".stripMargin)
+    ),
+
+    // Perceptual near-dup pairs by exact Hamming distance over the
+    // aHash (blocked equi-join — the oracle twin of the banded LSH path,
+    // which MultimodalSpec bounds against this). DuckDB computes the
+    // same all-pairs hamming from its replayed nibbles.
+    "q_multimodal_phash_pairs" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 200))
+        graft.ops.Dedup.exactHammingPairs(
+            Multimodal.aHashWide(media), maxHamming = 15)
+          .orderBy("i", "j")
+      },
+      Some {
+        val dcols = (1 to 16).map(p =>
+          s"sum(CASE WHEN p = ${p - 1} THEN d ELSE 0 END) AS d$p")
+          .mkString(",\n    ")
+        val ham = (1 to 16).map(p =>
+          s"bit_count(xor(a.d$p, b.d$p))").mkString(" + ")
+        s"""WITH $aHashCte,
+           |wide AS (
+           |  SELECT media_id,
+           |    $dcols
+           |  FROM dig GROUP BY media_id)
+           |SELECT i, j, hamming FROM (
+           |  SELECT a.media_id AS i, b.media_id AS j,
+           |    CAST($ham AS BIGINT) AS hamming
+           |  FROM wide a JOIN wide b ON a.media_id < b.media_id)
+           |WHERE hamming <= 15 ORDER BY i, j""".stripMargin
+      }
+    ),
 
     // Synthesize media payloads, decode headers, aggregate per modality.
     "q_multimodal_meta" -> QueryDef(

@@ -173,4 +173,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_.media_id == 2L), "zero-frame media must be dropped")
     assert(out.map(_.frame_idx).sorted.toSeq == Seq(0, 1))
   }
+
+  test("aHash: locality + identical payloads; banded pairs ⊆ exact pairs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w100 w101 w102", "w100 wMUT w102")
+    val far = (1 to 200).map(i => s"z${i * 7}").mkString(" ")
+    val media = Multimodal.synthesize(Seq(
+      (1L, base), (2L, nearDup), (3L, far), (4L, base)
+    ).toDF("doc_id", "text"))
+    val wide = Multimodal.aHashWide(media)
+    val exact = Dedup.exactHammingPairs(wide, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical payloads → hamming 0; a one-token local edit moves only
+    // the touched segments → small hamming; unrelated text stays far
+    assert(exact.get((1L, 4L)).contains(0L), s"identical must be 0: $exact")
+    assert(exact.contains((1L, 2L)) && exact((1L, 2L)) <= 10)
+    assert(!exact.keySet.exists { case (i, j) => Set(i, j).contains(3L) },
+      s"unrelated payload must not pair: $exact")
+    // the banded LSH path may only MISS exact pairs, never invent them —
+    // and a hamming-0 pair always shares every band
+    val banded = Dedup.bandedHammingPairs(wide, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(banded.keySet.subsetOf(exact.keySet), s"banded invented: $banded")
+    banded.foreach { case (k, h) => assert(exact(k) == h) }
+    assert(banded.contains((1L, 4L)))
+  }
 }
