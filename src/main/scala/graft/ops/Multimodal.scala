@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Blake3
@@ -248,4 +249,85 @@ object Multimodal {
         concat((1 to 16).map(p =>
           expr(s"substring('0123456789abcdef', d$p + 1, 1)")): _*))
   }
+
+  /** Constellation-style audio fingerprints (the landmark scheme of
+    * Wang's "An Industrial-Strength Audio Search Algorithm", ISMIR 2003)
+    * over a decoded sample stream `(media_id, s)`:
+    *
+    *   1. the stream is cut into fixed `window`-sample frames;
+    *   2. per frame, energy accumulates into `bands` comb bands
+    *      (sample position mod band — the deterministic stand-in for FFT
+    *      bins; a real frontend feeds |FFT| magnitudes through the SAME
+    *      shape);
+    *   3. the peak band per frame is the frame's landmark (ties → lowest
+    *      band, so the landmark is total-ordered and engine-replayable);
+    *   4. each landmark pairs with the landmarks `deltas` frames ahead
+    *      into tokens `peak₁·(bands·4) + peak₂·4 + Δ` — the hash key of
+    *      the published constellation index.
+    *
+    * Everything is integer arithmetic over codepoints, so a SQL engine
+    * replays the fingerprint bit-for-bit. Scale shape: one payload-linear
+    * posexplode, one (media, frame, band) aggregation, one bounded
+    * window pass (frames are contiguous, so token pairing is `lead()` —
+    * no self-join). At 100 TB the token domain comes from real FFT bins
+    * (≈2²⁰ values) and over-common tokens are dropped by document
+    * frequency before indexing (stop-token removal) — both swaps leave
+    * this plan untouched.
+    *
+    * Out: `media_id, w (frame index), token`.
+    */
+  def audioFingerprints(samples: DataFrame, window: Int = 16, bands: Int = 8,
+      deltas: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(deltas.nonEmpty && deltas.forall(d => d >= 1 && d < 4),
+      s"delta codes are packed into 2 bits: $deltas")
+    val peaks = samples
+      .select(col("media_id"), posexplode(split(col("s"), "")).as(Seq("pos", "c")))
+      .withColumn("w", expr(s"CAST(pos DIV $window AS BIGINT)"))
+      .withColumn("b", expr(s"CAST(pos % $bands AS INT)"))
+      .groupBy("media_id", "w", "b")
+      .agg(sum(ascii(col("c")).cast("long")).as("e"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("media_id", "w")
+          .orderBy(col("e").desc, col("b").asc)))
+      .filter(col("rk") === 1)
+      .select(col("media_id"), col("w"), col("b").as("peak"))
+    val ahead = Window.partitionBy("media_id").orderBy("w")
+    val tokenCols = deltas.map { d =>
+      (col("peak") * (bands * 4) + lead("peak", d).over(ahead) * 4 + d)
+        .as(s"_t$d")
+    }
+    peaks.select(col("media_id") +: col("w") +: tokenCols: _*)
+      .select(col("media_id"), col("w"),
+        explode(array(deltas.map(d => col(s"_t$d")): _*)).as("token"))
+      .filter(col("token").isNotNull)
+  }
+
+  /** Query-by-snippet matching over constellation fingerprints: probe
+    * tokens equi-join the track index on the token key (the inverted
+    * index of the published scheme), and every hit votes for
+    * `(probe, track, Δw = track frame − probe frame)`. A true match is a
+    * diagonal in offset space — many tokens agreeing on ONE Δw — so the
+    * vote count per (probe, track, Δw) is the match score and random
+    * collisions spread thin across deltas. This is a structurally
+    * different candidate generator from banded LSH: discrimination comes
+    * from offset-coherence voting, not bucket collision.
+    *
+    * Scale shape: one equi-shuffle join on `token` plus one grouped
+    * count with map-side partials; no cross join anywhere. Skewed hub
+    * tokens are the known hazard at scale — the published fix (drop
+    * high-df tokens at index build) composes upstream of this join.
+    *
+    * Out: `probe_id, media_id, delta_w, votes` for every pairing with
+    * `votes ≥ minVotes`.
+    */
+  def audioMatch(index: DataFrame, probes: DataFrame,
+      minVotes: Long = 8L): DataFrame =
+    probes.select(col("media_id").as("probe_id"), col("w").as("pw"),
+        col("token"))
+      .join(index.select(col("media_id"), col("w").as("tw"), col("token")),
+        "token")
+      .groupBy(col("probe_id"), col("media_id"),
+        (col("tw") - col("pw")).as("delta_w"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
 }

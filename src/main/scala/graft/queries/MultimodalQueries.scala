@@ -268,6 +268,84 @@ object MultimodalQueries extends QueryGroup {
              |  CAST(16 AS INTEGER) AS checksum_len
              |FROM v, unnest(generate_series(0, n_frames - 1, 2)) AS g(f)
              |ORDER BY media_id, frame_idx""".stripMargin)
+    ),
+
+    // Query-by-snippet audio matching: constellation fingerprints
+    // (16-sample frames, 8 comb bands, peak landmarks, (peak₁,peak₂,Δ)
+    // tokens) indexed for the audio modality; probes are 64-sample
+    // clips (= exactly 4 frames) of every 5th track, so each probe's
+    // origin track must surface at delta_w = 4 with a dominant vote
+    // count. DuckDB replays frames → peaks → lead()-paired tokens →
+    // the token join → offset-delta voting, end to end.
+    "q_multimodal_audio_match" -> QueryDef(
+      (s, d) => {
+        val sam = Multimodal.synthesize(Tables.documents(s, d))
+          .filter(col("modality") === "audio")
+          .select(col("media_id"),
+            decode(expr(s"substring(media, ${Multimodal.HeaderLen + 1}, " +
+              "length(media))"), "UTF-8").as("s"))
+        val probes = sam
+          .filter(col("media_id") % 5 === 0 && length(col("s")) >= 192)
+          .select(col("media_id"), expr("substring(s, 65)").as("s"))
+        val hits = Multimodal.audioMatch(
+          Multimodal.audioFingerprints(sam),
+          Multimodal.audioFingerprints(probes))
+        hits.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+              .orderBy(col("votes").desc, col("media_id").asc,
+                col("delta_w").asc)))
+          .filter(col("rk") === 1)
+          .select(col("probe_id"), col("media_id").as("track_id"),
+            col("delta_w"), col("votes"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH sam AS (
+             |  SELECT doc_id AS media_id, text AS s
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |streams AS (
+             |  SELECT 'T' AS side, media_id, s FROM sam
+             |  UNION ALL
+             |  SELECT 'P' AS side, media_id, substring(s, 65) AS s
+             |  FROM sam WHERE media_id % 5 = 0 AND length(s) >= 192),
+             |chars AS (
+             |  SELECT side, media_id, CAST(i - 1 AS BIGINT) AS pos,
+             |    ascii(substring(s, i, 1))::BIGINT AS v
+             |  FROM streams,
+             |    unnest(generate_series(1, CAST(length(s) AS INTEGER))) AS g(i)),
+             |energy AS (
+             |  SELECT side, media_id, pos // 16 AS w,
+             |    CAST(pos % 8 AS INTEGER) AS b, sum(v) AS e
+             |  FROM chars GROUP BY 1, 2, 3, 4),
+             |peaks AS (
+             |  SELECT side, media_id, w, b AS peak FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY side, media_id, w
+             |      ORDER BY e DESC, b ASC) AS rk FROM energy)
+             |  WHERE rk = 1),
+             |tok AS (
+             |  SELECT side, media_id, w, token FROM (
+             |    SELECT side, media_id, w,
+             |      unnest([peak * 32 + l1 * 4 + 1,
+             |              peak * 32 + l2 * 4 + 2,
+             |              peak * 32 + l3 * 4 + 3]) AS token
+             |    FROM (
+             |      SELECT side, media_id, w, peak,
+             |        lead(peak, 1) OVER win AS l1,
+             |        lead(peak, 2) OVER win AS l2,
+             |        lead(peak, 3) OVER win AS l3
+             |      FROM peaks
+             |      WINDOW win AS (PARTITION BY side, media_id ORDER BY w)))
+             |  WHERE token IS NOT NULL),
+             |votes AS (
+             |  SELECT p.media_id AS probe_id, t.media_id AS track_id,
+             |    t.w - p.w AS delta_w, count(*)::BIGINT AS votes
+             |  FROM (SELECT * FROM tok WHERE side = 'P') p
+             |  JOIN (SELECT * FROM tok WHERE side = 'T') t USING (token)
+             |  GROUP BY 1, 2, 3 HAVING count(*) >= 8)
+             |SELECT probe_id, track_id, delta_w, votes FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY votes DESC, track_id ASC, delta_w ASC) AS rk
+             |  FROM votes)
+             |WHERE rk = 1 ORDER BY probe_id""".stripMargin)
     )
   )
 }

@@ -200,4 +200,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     banded.foreach { case (k, h) => assert(exact(k) == h) }
     assert(banded.contains((1L, 4L)))
   }
+
+  test("audio fingerprints: clip probes find their origin by offset voting") {
+    import spark.implicits._
+    // three "tracks" (distinct sample streams) + probes clipped from two
+    // of them at a 64-sample offset (= 4 frames at the 16-sample window)
+    val tracks = Seq(
+      1L -> (1 to 400).map(i => ('a' + (i * 7) % 26).toChar).mkString,
+      2L -> (1 to 400).map(i => ('a' + (i * 11) % 26).toChar).mkString,
+      3L -> (1 to 400).map(i => ('a' + (i * 13) % 26).toChar).mkString
+    ).toDF("media_id", "s")
+    val probes = Seq(
+      101L -> (1 to 400).map(i => ('a' + (i * 7) % 26).toChar).mkString.drop(64),
+      102L -> (1 to 400).map(i => ('a' + (i * 11) % 26).toChar).mkString.drop(64)
+    ).toDF("media_id", "s")
+    val hits = Multimodal.audioMatch(
+      Multimodal.audioFingerprints(tracks),
+      Multimodal.audioFingerprints(probes)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // each probe's origin wins at delta_w = 4 with a dominant vote count
+    val o1 = hits.getOrElse((101L, 1L, 4L), 0L)
+    val o2 = hits.getOrElse((102L, 2L, 4L), 0L)
+    assert(o1 >= 15L && o2 >= 15L, s"origin votes too low: $hits")
+    hits.foreach { case ((p, t, d), v) =>
+      val isOrigin = (p == 101L && t == 1L && d == 4L) ||
+        (p == 102L && t == 2L && d == 4L)
+      if (!isOrigin)
+        assert(v < math.min(o1, o2),
+          s"spurious alignment ($p,$t,$d)=$v rivals the origin votes")
+    }
+    // frame indices are contiguous, so lead()-based token pairing must
+    // emit (windows − Δ) tokens per delta: verify the token count exactly
+    val nWin = 400 / 16
+    val perTrackTokens = Multimodal.audioFingerprints(tracks)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (nWin - 1) + (nWin - 2) + (nWin - 3)
+    assert(perTrackTokens.values.forall(_ == expected.toLong),
+      s"token count per track: $perTrackTokens, expected $expected")
+  }
 }
