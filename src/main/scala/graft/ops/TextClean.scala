@@ -172,4 +172,62 @@ object TextClean {
             x => x("line")),
           "\n").as("text"))
   }
+
+  /** Deterministic HTML page around a document — the test/bench stand-in
+    * for raw crawl records (WARC responses), built so [[htmlExtract]] has
+    * every boilerplate class to strip: head/title, an inline stylesheet,
+    * a nav bar, a script, an entity-bearing footer. Body text is entity-
+    * escaped (`&` first, then `<`, `>` — a bijection [[htmlExtract]]
+    * inverts), so adversarial text can never form a live tag. Pure
+    * column concat: codegen'd, shuffle-free at any corpus size.
+    */
+  def htmlWrap(docId: Column, text: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<html><head><title>doc "), docId,
+      lit("</title><style>p{margin:0}</style></head><body>"),
+      lit("<nav><a href=\"/\">home</a> | <a href=\"/s"), docId % 7,
+      lit("\">section</a></nav><h1>doc "), docId,
+      lit("</h1><p>"), esc,
+      lit("</p><script>var t="), docId,
+      lit(";</script><footer>&copy; corpus "), docId % 7,
+      lit("</footer></body></html>"))
+  }
+
+  /** Main-content extraction from raw HTML — the pipeline stage between
+    * crawl and curation (the trafilatura/jusText slot in RefinedWeb-style
+    * pipelines), as a pure codegen projection:
+    *
+    *   1. container blocks that never hold body text are dropped whole
+    *      (`head`, `script`, `style`, `nav`, `footer`) — spelled as an
+    *      explicit alternation because the shared Java∩RE2 regex subset
+    *      has no backreferences;
+    *   2. every remaining tag becomes a space (block boundaries must not
+    *      glue words);
+    *   3. the five basic entities decode, `&amp;` LAST — the exact
+    *      inverse of [[htmlWrap]]'s escape order, so escape∘extract
+    *      round-trips arbitrary text;
+    *   4. whitespace collapses and trims.
+    *
+    * No shuffle, full pushdown, and the chain is engine-replayable —
+    * the oracle wraps AND extracts independently and checks the
+    * round-trip equality itself. A real deployment swaps step 1-2 for a
+    * DOM-aware extractor at the same projection boundary; everything
+    * around it (schema, pushdown, no-shuffle shape) is unchanged.
+    */
+  def htmlExtract(html: Column): Column = {
+    val blocks = regexp_replace(html,
+      "(?is)<script\\b.*?</script>|<style\\b.*?</style>|" +
+        "<head\\b.*?</head>|<nav\\b.*?</nav>|<footer\\b.*?</footer>",
+      " ")
+    val untagged = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        untagged, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&amp;", "&")
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    // the one place the two regex dialects would silently diverge here
+    trim(regexp_replace(unescaped, "[ \\t\\n\\r\\f]+", " "))
+  }
 }

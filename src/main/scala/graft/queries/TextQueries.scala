@@ -875,6 +875,67 @@ object TextQueries extends QueryGroup {
              |FROM cum
              |WHERE (cum_w * 10) // total_w > ((cum_w - n_chars) * 10) // total_w
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Main-content extraction from raw HTML (the crawl→curation stage):
+    // every doc is wrapped in a deterministic page (head/style/nav/
+    // script/footer boilerplate + entity-escaped body), extracted back,
+    // and the oracle independently wraps AND extracts — the roundtrip
+    // boolean proves escape∘extract is the identity on corpus text in
+    // BOTH engines, not just that two runs of one engine agree.
+    "q_text_html_extract" -> QueryDef(
+      (s, d) => {
+        val ws = "[ \\t\\n\\r\\f]+"
+        val wrapped = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            graft.ops.TextClean.htmlWrap(col("doc_id"), col("text"))
+              .as("html"))
+        wrapped
+          .withColumn("extracted",
+            graft.ops.TextClean.htmlExtract(col("html")))
+          .select(col("doc_id"),
+            length(col("html")).as("html_chars"),
+            length(col("extracted")).as("extracted_chars"),
+            md5(col("extracted")).as("extract_md5"),
+            (col("extracted") === concat(lit("doc "), col("doc_id"),
+              lit(" "), trim(regexp_replace(col("text"), ws, " "))))
+              .as("roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH wrapped AS (
+             |  SELECT doc_id, text,
+             |    '<html><head><title>doc ' || doc_id ||
+             |    '</title><style>p{margin:0}</style></head><body>' ||
+             |    '<nav><a href="/">home</a> | <a href="/s' || (doc_id % 7) ||
+             |    '">section</a></nav><h1>doc ' || doc_id ||
+             |    '</h1><p>' ||
+             |    replace(replace(replace(text,
+             |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+             |    '</p><script>var t=' || doc_id ||
+             |    ';</script><footer>&copy; corpus ' || (doc_id % 7) ||
+             |    '</footer></body></html>' AS html
+             |  FROM documents),
+             |ext AS (
+             |  SELECT doc_id, text, html,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(html,
+             |            '(?is)<script\b.*?</script>|<style\b.*?</style>|<head\b.*?</head>|<nav\b.*?</nav>|<footer\b.*?</footer>',
+             |            ' ', 'g'),
+             |          '(?s)<[^>]*>', ' ', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |        '&#39;', ''''), '&amp;', '&'),
+             |      '[ \t\n\r\f]+', ' ', 'g')) AS extracted
+             |  FROM wrapped)
+             |SELECT doc_id,
+             |  CAST(length(html) AS INTEGER) AS html_chars,
+             |  CAST(length(extracted) AS INTEGER) AS extracted_chars,
+             |  md5(extracted) AS extract_md5,
+             |  (extracted = 'doc ' || doc_id || ' ' ||
+             |    trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))
+             |    AS roundtrip
+             |FROM ext ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -331,4 +331,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == ((1L, "unique three")))
     assert(!out.contains(4L))
   }
+
+  test("htmlExtract: wrap∘extract is identity on adversarial text; " +
+      "boilerplate blocks and live markup are stripped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the corpus fixture has no &/</> or whitespace runs, so the escape
+    // bijection and collapse are pinned HERE, on text built to break them
+    val adversarial = Seq(
+      7L -> "plain words only",
+      8L -> "a & b &amp; c &lt;already&gt; <b>bold</b> \"q\" 'a'",
+      9L -> "tabs\tand\nnewlines   and   runs",
+      10L -> "<script>alert(1)</script> stays TEXT once escaped"
+    ).toDF("doc_id", "text")
+    val out = adversarial
+      .select(col("doc_id"), col("text"),
+        TextClean.htmlExtract(
+          TextClean.htmlWrap(col("doc_id"), col("text"))).as("ex"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    out.foreach { case (id, (text, ex)) =>
+      val collapsed = text.replaceAll("[ \\t\\n\\r\\f]+", " ").trim
+      assert(ex == s"doc $id $collapsed",
+        s"roundtrip broke for $id: got '$ex'")
+    }
+    // raw (unescaped) markup in a page: blocks vanish whole, other tags
+    // become word boundaries, entities decode, case-insensitive blocks
+    val page = ("<HTML><HEAD><title>t</title></HEAD><body>" +
+      "<NAV>menu</NAV><p>one</p><div>two<br/>three</div>" +
+      "<SCRIPT type=\"x\">var a=\"<p>sneaky</p>\";</SCRIPT>" +
+      "<style media=\"all\">p{}</style>keep &amp; this" +
+      "<footer>drop</footer></body></HTML>")
+    val got = Seq(page).toDF("h")
+      .select(TextClean.htmlExtract(col("h"))).head.getString(0)
+    assert(got == "one two three keep & this", s"got '$got'")
+  }
 }
