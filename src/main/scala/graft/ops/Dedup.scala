@@ -510,6 +510,39 @@ object Dedup {
       .select(col("cluster_id"), (-col("b.negid")).as("keep_id"),
         col("b.s").as("keep_score"), col("cluster_size"))
 
+  /** Leakage-safe train/val/test split: fold assignment hashes the
+    * near-duplicate CLUSTER id (singletons: the doc's own id), so two
+    * near-duplicate documents can never straddle a fold boundary — the
+    * eval-contamination mode a per-doc hash split has by construction
+    * (a train doc's near-copy lands in test with probability
+    * 1 − 1/buckets per pair). The split stays deterministic, stable
+    * under corpus growth for unaffected clusters, and proportional in
+    * expectation; only the hash INPUT changes vs the naive split.
+    *
+    * Scale shape: cluster labels come from [[duplicateClusters]] (the
+    * checkpointed label propagation), then one left equi-join of the
+    * corpus against the label table — which holds only PAIRED docs, a
+    * tiny fraction of the corpus — plus a pure hash projection. Nothing
+    * new shuffles at corpus width.
+    *
+    * Out: the input rows plus `cluster_id` (null for singletons),
+    * `split_key`, `split` ∈ {train, val, test}.
+    */
+  def clusterSafeSplit(docs: DataFrame, pairs: DataFrame,
+      buckets: Int = 10, trainUpto: Long = 8L, valUpto: Long = 9L
+  ): DataFrame = {
+    val keyed = docs.join(duplicateClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = pmod(
+      conv(substring(md5(col("split_key").cast("string")), 1, 4), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+    keyed.withColumn("split",
+      when(bucket < trainUpto, "train")
+        .when(bucket < valUpto, "val")
+        .otherwise("test"))
+  }
+
   /** Inverted-index candidates: pairs sharing a shingle that occurs in at
     * most `maxDf` documents (rare-feature join — bounded fan-out, no cross
     * product), verified with exact Jaccard.

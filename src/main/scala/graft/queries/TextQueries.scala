@@ -936,6 +936,83 @@ object TextQueries extends QueryGroup {
              |    trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))
              |    AS roundtrip
              |FROM ext ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Leakage-safe train/val/test split: fold hash on the near-dup
+    // CLUSTER id, so no verified near-duplicate pair straddles folds.
+    // The output carries its own proof by contrast: cross_pairs_safe is
+    // 0 by construction while cross_pairs_naive (the per-doc hash split
+    // of q_text_split applied to the same pair set) is not — both
+    // replayed end-to-end by DuckDB through the recursive-closure
+    // cluster labels.
+    "q_text_split_leakage_safe" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.ops.Dedup.minhashLsh(docs, portable = false)
+          .select("i", "j").localCheckpoint(true)
+        val safe = graft.ops.Dedup.clusterSafeSplit(docs, pairs)
+          .select(col("doc_id"), col("split"))
+        val naiveBucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"), lit(10L))
+        val naive = docs.select(col("doc_id"),
+          when(naiveBucket < 8, "train").when(naiveBucket === 8, "val")
+            .otherwise("test").as("split"))
+        def crossPairs(assign: org.apache.spark.sql.DataFrame, out: String) =
+          pairs
+            .join(assign.select(col("doc_id").as("i"), col("split").as("_si")),
+              "i")
+            .join(assign.select(col("doc_id").as("j"), col("split").as("_sj")),
+              "j")
+            .agg(coalesce(sum(when(col("_si") =!= col("_sj"), 1L)
+              .otherwise(0L)), lit(0L)).as(out))
+        safe.agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(crossPairs(safe, "cross_pairs_safe"))
+          .crossJoin(crossPairs(naive, "cross_pairs_naive"))
+      },
+      Some(s"""WITH RECURSIVE ${PipelineQueries.minhashPairsCte},
+              |edges AS (SELECT i AS a, j AS b FROM pairs
+              |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+              |reach AS (
+              |  SELECT a AS doc_id, b AS r FROM edges
+              |  UNION
+              |  SELECT re.doc_id, e.b AS r
+              |  FROM reach re JOIN edges e ON e.a = re.r),
+              |labels AS (
+              |  SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+              |  FROM reach GROUP BY doc_id),
+              |assigned AS (
+              |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS split_key
+              |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+              |sp AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ${hex4Sql("md5(split_key::VARCHAR)")} % 10 < 8
+              |           THEN 'train'
+              |         WHEN ${hex4Sql("md5(split_key::VARCHAR)")} % 10 = 8
+              |           THEN 'val'
+              |         ELSE 'test' END AS s
+              |  FROM assigned),
+              |nv AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ${hex4Sql("md5(doc_id::VARCHAR)")} % 10 < 8
+              |           THEN 'train'
+              |         WHEN ${hex4Sql("md5(doc_id::VARCHAR)")} % 10 = 8
+              |           THEN 'val'
+              |         ELSE 'test' END AS s
+              |  FROM documents)
+              |SELECT
+              |  (SELECT count(*) FROM sp WHERE s = 'train') AS n_train,
+              |  (SELECT count(*) FROM sp WHERE s = 'val') AS n_val,
+              |  (SELECT count(*) FROM sp WHERE s = 'test') AS n_test,
+              |  (SELECT count(*) FROM pairs p
+              |     JOIN sp a ON a.doc_id = p.i JOIN sp b ON b.doc_id = p.j
+              |     WHERE a.s <> b.s) AS cross_pairs_safe,
+              |  (SELECT count(*) FROM pairs p
+              |     JOIN nv a ON a.doc_id = p.i JOIN nv b ON b.doc_id = p.j
+              |     WHERE a.s <> b.s) AS cross_pairs_naive""".stripMargin)
     )
   )
 

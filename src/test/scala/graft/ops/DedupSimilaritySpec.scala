@@ -539,4 +539,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(diff == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("clusterSafeSplit: transitive near-dup chains share a fold; " +
+      "singletons hash on their own id") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a CHAIN (1~2, 2~3): 1 and 3 are never directly paired, only
+    // transitively — the case a pair-local fix would miss
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("i", "j")
+    val out = graft.ops.Dedup.clusterSafeSplit(docs, pairs)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      s"chain split apart: ${out.view.filterKeys(_ <= 3L).toMap}")
+    assert(out(1L)._1 == 1L, "cluster key must be the min member id")
+    assert(out(10L) == out(20L))
+    // singletons keep their own id as the split key — so adding pairs
+    // elsewhere in the corpus never reshuffles untouched docs' folds
+    (Seq(4L, 5L, 6L, 30L)).foreach(i => assert(out(i)._1 == i))
+    // every fold is populated and every doc is assigned exactly one
+    val folds = out.values.map(_._2).toSet
+    assert(folds == Set("train", "val", "test"), s"folds seen: $folds")
+  }
 }
