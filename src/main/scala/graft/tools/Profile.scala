@@ -95,6 +95,61 @@ object Profile {
           dim = 64, overfetch = overfetch))
         truth.unpersist(); corpus.unpersist()
       }
+    } else if (args.headOption.contains("--audio-scale")) {
+      // growth curve for constellation audio matching: m corpus copies,
+      // each passed through a copy-specific alphabet permutation
+      // (multiplicative+additive over a–z via translate) so the sample
+      // streams are content-DECORRELATED — a mere per-token suffix is
+      // not enough, because the fingerprint is designed to be robust to
+      // small perturbations and offsets, and near-identical copies
+      // legitimately cross-match (measured: origin_top = 1/m exactly,
+      // min-id winning every tie). The curve's real subject is the
+      // TOKEN DOMAIN: with b bands the token space is b²·3 values, and
+      // the match join's collision volume grows as (probes·index)/domain
+      // — quadratic in m at fixed domain. Usage: --audio-scale [bands
+      // [mult ...]] — run bands=8 (the oracle fixture's frontend) at
+      // small m and bands=32 (a 16× richer domain, standing in for a
+      // real FFT's 2²⁰) at large m to see the documented mitigation
+      // carry the growth.
+      import graft.ops.Multimodal
+      val bands = args.lift(1).map(_.toInt).getOrElse(8)
+      val mults =
+        if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 2, 5)
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 3 === 1)
+      val alphabet = ('a' to 'z').mkString
+      val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      mults.foreach { m =>
+        val sam = (0 until m).map { k =>
+          val mult = coprimes(k % coprimes.length)
+          val perm = (0 until 26).map(i =>
+            ('a' + (i * mult + k) % 26).toChar).mkString
+          base.select((col("doc_id") + lit(k * 10000000L)).as("media_id"),
+            translate(col("text"), alphabet, perm).as("s"))
+        }.reduce(_ unionByName _)
+        val probes = sam
+          .filter(col("media_id") % 5 === 0 && length(col("s")) >= 192)
+          .select(col("media_id"), expr("substring(s, 65)").as("s"))
+        val idx = Multimodal.audioFingerprints(sam, bands = bands)
+        val pfp = Multimodal.audioFingerprints(probes, bands = bands)
+        val t0 = System.nanoTime()
+        val hits = Multimodal.audioMatch(idx, pfp)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nHits = hits.count()
+        val top = hits.withColumn("rk",
+            org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+                .orderBy(col("votes").desc, col("media_id").asc,
+                  col("delta_w").asc)))
+          .filter(col("rk") === 1)
+        val originTop = top.filter(col("probe_id") === col("media_id") &&
+          col("delta_w") === 4).count()
+        val nProbes = top.count()
+        println(f"AUDIO-SCALE x$m bands=$bands probes=$nProbes " +
+          f"hits=$nHits origin_top=${originTop.toDouble / nProbes}%.3f " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.2f")
+        hits.unpersist()
+      }
     } else if (args.headOption.contains("--graph-scale")) {
       // TextRank growth curve: m corpus copies SHARING one vocabulary
       // (same tokens, same graph) — the claim under test is that the
