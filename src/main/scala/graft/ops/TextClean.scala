@@ -230,4 +230,64 @@ object TextClean {
     // the one place the two regex dialects would silently diverge here
     trim(regexp_replace(unescaped, "[ \\t\\n\\r\\f]+", " "))
   }
+
+  private val Crlf = "\r\n"
+
+  /** Deterministic WARC-style capture stream per source — the test/bench
+    * stand-in for real crawl archive files. Each document becomes one
+    * response record (version line, type/URI/date headers, a
+    * Content-Length measured in BYTES of the [[htmlWrap]] page, blank
+    * line, payload, record terminator), concatenated in doc_id order.
+    *
+    * TEST FIXTURE ONLY at the stream-assembly step: collecting a whole
+    * source into one string is the inverse of what a crawler does. In
+    * production the streams are the WARC FILES as rows (e.g. via the
+    * binaryFile source or wholetext) and [[warcParse]] is the real
+    * operator — parallelism is the file count, parsing is per-file
+    * projection.
+    */
+  def warcSynthesize(docs: DataFrame): DataFrame = {
+    val page = htmlWrap(col("doc_id"), col("text"))
+    val rec = concat(
+      lit("WARC/1.0" + Crlf + "WARC-Type: response" + Crlf +
+        "WARC-Target-URI: http://corpus.local/"), col("doc_id"),
+      lit(Crlf + "WARC-Date: 2026-01-01T00:00:00Z" + Crlf +
+        "Content-Length: "), octet_length(page),
+      lit(Crlf + Crlf), page, lit(Crlf + Crlf))
+    docs.select(col("source"), col("doc_id"), rec.as("_r"))
+      .groupBy("source")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("_r")))),
+          x => x("_r")), "").as("stream"))
+  }
+
+  /** WARC record parsing: split a capture stream on the record sentinel,
+    * extract the response headers, and verify each record's declared
+    * Content-Length against the payload actually recovered — the
+    * well-formedness check a production (length-delimited) reader gets
+    * for free and a sentinel-split reader must assert. Pure projection
+    * plus one explode; no shuffle, so a directory of WARC files parses
+    * embarrassingly parallel at any corpus size.
+    *
+    * In: `(source, stream)`. Out: `source, rec_idx, uri, warc_date,
+    * declared_len, length_ok, payload`.
+    */
+  def warcParse(streams: DataFrame): DataFrame =
+    streams
+      .select(col("source"),
+        posexplode(split(col("stream"), "WARC/1\\.0\r\n")).as(Seq("pos", "rec")))
+      .filter(col("pos") >= 1) // drop the empty pre-sentinel prefix
+      .select(
+        col("source"),
+        (col("pos") - 1).as("rec_idx"),
+        regexp_extract(col("rec"), "WARC-Target-URI: ([^\\r\\n]+)", 1)
+          .as("uri"),
+        regexp_extract(col("rec"), "WARC-Date: ([^\\r\\n]+)", 1)
+          .as("warc_date"),
+        regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
+          .cast("long").as("declared_len"),
+        regexp_extract(col("rec"), "(?s)\r\n\r\n(.*)\r\n\r\n$", 1)
+          .as("payload"))
+      .withColumn("length_ok",
+        octet_length(col("payload")) === col("declared_len"))
 }
