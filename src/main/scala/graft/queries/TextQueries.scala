@@ -1013,6 +1013,49 @@ object TextQueries extends QueryGroup {
               |  (SELECT count(*) FROM pairs p
               |     JOIN nv a ON a.doc_id = p.i JOIN nv b ON b.doc_id = p.j
               |     WHERE a.s <> b.s) AS cross_pairs_naive""".stripMargin)
+    ),
+
+    // WARC crawl-archive roundtrip: every doc becomes one response
+    // record in a per-source capture stream (synthesize), the stream is
+    // parsed back by sentinel split + header extraction (parse), and
+    // each record's declared Content-Length is verified in BYTES against
+    // the recovered payload. The oracle constructs every record's
+    // expected fixpoint independently — uri, date, byte length, payload
+    // md5 — so a parser that drops, reorders, truncates (e.g. on a
+    // payload-embedded CRLF blank line), or mis-measures any record
+    // hash-mismatches. Parse itself is projection + one explode: a
+    // directory of WARC files scales embarrassingly parallel.
+    "q_text_warc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val streams = graft.ops.TextClean.warcSynthesize(Tables.documents(s, d))
+        graft.ops.TextClean.warcParse(streams)
+          .select(col("source"), col("rec_idx"), col("uri"), col("warc_date"),
+            col("declared_len"), col("length_ok"),
+            md5(col("payload")).as("payload_md5"))
+          .orderBy("source", "rec_idx")
+      },
+      Some("""WITH page AS (
+             |  SELECT doc_id, source,
+             |    '<html><head><title>doc ' || doc_id ||
+             |    '</title><style>p{margin:0}</style></head><body>' ||
+             |    '<nav><a href="/">home</a> | <a href="/s' || (doc_id % 7) ||
+             |    '">section</a></nav><h1>doc ' || doc_id ||
+             |    '</h1><p>' ||
+             |    replace(replace(replace(text,
+             |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+             |    '</p><script>var t=' || doc_id ||
+             |    ';</script><footer>&copy; corpus ' || (doc_id % 7) ||
+             |    '</footer></body></html>' AS p
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             |    - 1 AS INTEGER) AS rec_idx,
+             |  'http://corpus.local/' || doc_id AS uri,
+             |  '2026-01-01T00:00:00Z' AS warc_date,
+             |  CAST(strlen(p) AS BIGINT) AS declared_len,
+             |  TRUE AS length_ok,
+             |  md5(p) AS payload_md5
+             |FROM page ORDER BY source, rec_idx""".stripMargin)
     )
   )
 

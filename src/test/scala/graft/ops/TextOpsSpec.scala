@@ -366,4 +366,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(TextClean.htmlExtract(col("h"))).head.getString(0)
     assert(got == "one two three keep & this", s"got '$got'")
   }
+
+  test("warc: synthesize∘parse recovers every record with verified lengths") {
+    import spark.implicits._
+    // multi-source, out-of-order insertion, and a payload that carries
+    // CRLF runs (the page wraps it, so the separator regex must bind to
+    // the FIRST blank line and the terminator to the LAST)
+    val docs = Seq(
+      (3L, "alpha beta", "web"),
+      (1L, "gamma\r\n\r\ndelta", "web"),
+      (2L, "epsilon", "books")
+    ).toDF("doc_id", "text", "source")
+    val parsed = TextClean.warcParse(TextClean.warcSynthesize(docs))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rec_idx")) ->
+        (r.getAs[String]("uri"), r.getAs[Long]("declared_len"),
+          r.getAs[Boolean]("length_ok"), r.getAs[String]("payload")))
+      .toMap
+    assert(parsed.size == 3)
+    // records land in doc_id order within each source stream
+    assert(parsed(("web", 0))._1 == "http://corpus.local/1")
+    assert(parsed(("web", 1))._1 == "http://corpus.local/3")
+    assert(parsed(("books", 0))._1 == "http://corpus.local/2")
+    parsed.values.foreach { case (_, len, ok, payload) =>
+      assert(ok, "declared Content-Length must match recovered payload")
+      assert(len == payload.getBytes("UTF-8").length.toLong)
+    }
+    // the recovered payload is exactly the wrapped page — embedded CRLF
+    // blank lines inside the body did not truncate it
+    val page1 = parsed(("web", 0))._4
+    assert(page1.contains("gamma\r\n\r\ndelta"))
+    assert(page1.startsWith("<html>") && page1.endsWith("</html>"))
+  }
 }
