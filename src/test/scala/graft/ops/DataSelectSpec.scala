@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Behavioral specs for model-guided data selection; the battery oracle
+  * (q_text_dsir_select) checks engine-exactness, these check semantics
+  * on hand-built fixtures.
+  */
+class DataSelectSpec extends AnyFunSuite with SparkTestBase {
+
+  test("dsirWeights: target-vocabulary docs outscore off-domain docs") {
+    import spark.implicits._
+    // target domain speaks {alpha beta gamma}; off-domain {zeta eta theta}.
+    // doc 5 is unseen but target-like, doc 6 unseen off-domain-like.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma", true),
+      (3L, "zeta eta theta zeta", false),
+      (4L, "eta theta zeta eta theta", false),
+      (5L, "alpha beta gamma beta", false),
+      (6L, "zeta eta theta eta", false)
+    ).toDF("doc_id", "text", "tgt")
+    val w = DataSelect.dsirWeights(docs, col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 6)
+    // the unseen target-like doc must rank above the unseen off-domain one
+    assert(w(5L) > w(6L),
+      s"target-like doc should outscore off-domain: ${w(5L)} vs ${w(6L)}")
+    // and the in-target docs sit at the top, off-domain at the bottom
+    assert(Seq(w(1L), w(2L)).min > Seq(w(3L), w(4L)).max)
+  }
+
+  test("dsirWeights: score is a pure integer sum — repartition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok$i shared common shared tok${i % 7}", i % 3 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val a = DataSelect.dsirWeights(docs, col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = DataSelect.dsirWeights(docs.repartition(13), col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+}
