@@ -92,4 +92,66 @@ object DataSelect {
       .agg(sum(col("c") * col("lr_bp")).as("score_bp"),
         sum("c").as("n_feats"))
   }
+
+  /** One training step's state: weights (bias first, then one per
+    * feature) and the training-set accuracy of those weights.
+    */
+  final case class LrStep(step: Int, weights: Seq[Double], nCorrect: Long)
+
+  /** A linear quality classifier trained INSIDE the engine: full-batch
+    * logistic regression by gradient descent, where every iteration is
+    * ONE distributed aggregation (map-side-combined partial sums — the
+    * exact shape distributed LR takes on a real cluster; the driver only
+    * ever holds the weight vector). The standard use is DISTILLING a
+    * hard heuristic gate (a Gopher-rule cascade, a curated-vs-crawl
+    * membership bit) into a soft score that can rank, budget, and
+    * threshold-sweep where a boolean can't.
+    *
+    * Engine-exact replay: the only libm call is `exp` inside the
+    * sigmoid, and every per-doc gradient contribution is quantized to
+    * integer MICRO-units (`floor(g·10⁶)`) before the sum — so the
+    * distributed reduction is associative BIGINT arithmetic, partition
+    * order can't move it, and a second engine reproduces the whole
+    * trajectory from the same update expressions. Accuracy uses
+    * `z ≥ 0`, which needs no transcendental at all.
+    *
+    * `rows` must provide `label` and each feature as deterministic
+    * columns. Returns the (iters)-row training trace: weights after each
+    * update plus that step's training accuracy — a rising `n_correct`
+    * is the in-band proof the classifier learns, not just runs.
+    *
+    * Scale: the per-iteration cost is one pass over the data with a
+    * (k+1)-long partial aggregate; iterations are a driver-side loop
+    * exactly like MLlib's. At 100 TB you'd train on a sampled slice
+    * (classifier training needs ~10⁶ rows, not 10¹¹) and SCORE the full
+    * corpus with the final weights — scoring is a pure projection.
+    */
+  def logisticTrace(rows: DataFrame, label: Column, features: Seq[Column],
+      iters: Int = 8, lrate: Double = 4.0): Seq[LrStep] = {
+    val k = features.size
+    require(k >= 1, "need at least one feature")
+    val feats = rows.select(
+      when(label, 1.0).otherwise(0.0).as("y") +:
+        features.zipWithIndex.map { case (f, i) => f.as(s"x${i + 1}") }: _*)
+      .localCheckpoint(true)
+    val n = feats.count()
+    var w = Array.fill(k + 1)(0.0)
+    def z(wv: Array[Double]): Column =
+      (1 to k).foldLeft(lit(wv(0)): Column)((acc, j) =>
+        acc + lit(wv(j)) * col(s"x$j"))
+    val trace = Seq.newBuilder[LrStep]
+    for (step <- 1 to iters) {
+      val diff = lit(1.0) / (lit(1.0) + exp(-z(w))) - col("y")
+      val gradCols =
+        floor(diff * 1000000.0).cast("long") +:
+          (1 to k).map(j => floor((diff * col(s"x$j")) * 1000000.0).cast("long"))
+      val sums = gradCols.map(c => sum(c))
+      val g = feats.agg(sums.head, sums.tail: _*).head()
+      w = Array.tabulate(k + 1)(j =>
+        w(j) - lrate * (g.getLong(j).toDouble / (n * 1000000.0)))
+      val correct = feats.filter((z(w) >= 0.0) === (col("y") === 1.0)).count()
+      trace += LrStep(step, w.toSeq, correct)
+    }
+    trace.result()
+  }
 }

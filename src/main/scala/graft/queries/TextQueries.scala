@@ -1108,6 +1108,36 @@ object TextQueries extends QueryGroup {
               |SELECT d.doc_id, d.lang, score_bp, n_feats
               |FROM sc JOIN documents d USING (doc_id)
               |ORDER BY score_bp DESC, doc_id LIMIT 50""".stripMargin)
+    ),
+
+    // Model-based quality filtering, trained in-engine: distill the hard
+    // Gopher-rule cascade into a soft linear score via 8 full-batch
+    // logistic-regression iterations, each ONE distributed aggregation
+    // over quantized per-doc gradient contributions (order-free BIGINT).
+    // The output is the training trace — micro-quantized weights plus
+    // training accuracy per step — replayed end-to-end by DuckDB through
+    // the identical update expressions. n_correct rising over steps is
+    // the in-band proof the classifier learns, not just runs.
+    "q_text_lr_quality" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val g = graft.ops.TextClean.gopherRules(Tables.documents(s, d))
+          .filter(col("n_words") >= 1L)
+        graft.ops.DataSelect.logisticTrace(
+          g, col("pass_gopher"),
+          Seq(
+            least(col("n_words").cast("double") / lit(100.0), lit(1.0)),
+            col("n_stopwords").cast("double") / col("n_words"),
+            least((col("chars_no_ws").cast("double") / col("n_words"))
+              / lit(10.0), lit(1.0))))
+          .map { st =>
+            def q(j: Int) = math.floor(st.weights(j) * 1000000.0).toLong
+            (st.step, q(0), q(1), q(2), q(3), st.nCorrect)
+          }
+          .toDF("step", "w0_q", "w1_q", "w2_q", "w3_q", "n_correct")
+          .orderBy("step")
+      },
+      Some(lrTrainSql(8))
     )
   )
 
@@ -1227,6 +1257,82 @@ object TextQueries extends QueryGroup {
   /** DuckDB replay of [[graft.ops.Sketches.cmsBucket]]: first 6 hex digits
     * of md5("cms:row:tok") mod 1024.
     */
+  /** DuckDB replay of [[graft.ops.DataSelect.logisticTrace]]: the feature
+    * table once, then per iteration k a gradient CTE `g{k}` (per-doc
+    * contributions quantized to integer micro-units BEFORE the sum — the
+    * same order-free reduction Spark does), a weight-update CTE `w{k}`
+    * (identical expression tree), and an accuracy CTE `c{k}` (`z ≥ 0`,
+    * transcendental-free). The final SELECT unions the training trace.
+    */
+  private def lrTrainSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH m AS (
+              |  SELECT
+              |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+              |      x -> x <> ''))::BIGINT AS n_words,
+              |    len(list_filter(string_split(text, chr(10)),
+              |      x -> x <> ''))::BIGINT AS n_lines,
+              |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+              |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+              |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+              |      w -> w IN ('the','a','of','and','is')))::BIGINT AS n_stopwords,
+              |    (len(regexp_extract_all(text, '#'))
+              |      + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_symbols,
+              |    len(list_filter(string_split(text, chr(10)),
+              |      l -> regexp_matches(l, '^[-*]')))::BIGINT AS n_bullet_lines,
+              |    len(list_filter(string_split(text, chr(10)),
+              |      l -> regexp_matches(l, '\\.\\.\\.${"$"}')))::BIGINT AS n_ellipsis_lines,
+              |    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS chars_no_ws
+              |  FROM documents),
+              |f AS MATERIALIZED (
+              |  SELECT CASE WHEN
+              |      (n_words >= 50 AND n_words <= 100000)
+              |      AND (chars_no_ws >= n_words*3 AND chars_no_ws <= n_words*10)
+              |      AND (n_symbols*10 <= n_words)
+              |      AND (n_alpha_words*10 >= n_words*8)
+              |      AND (n_stopwords >= 2)
+              |      AND (n_bullet_lines*10 <= n_lines*9)
+              |      AND (n_ellipsis_lines*10 <= n_lines*3)
+              |    THEN 1.0 ELSE 0.0 END AS y,
+              |    least(n_words::DOUBLE / 100.0, 1.0) AS x1,
+              |    n_stopwords::DOUBLE / n_words AS x2,
+              |    least((chars_no_ws::DOUBLE / n_words) / 10.0, 1.0) AS x3
+              |  FROM m WHERE n_words >= 1),
+              |w0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS wt,
+              |  0.0::DOUBLE AS wo, 0.0::DOUBLE AS wl)""".stripMargin
+    for (k <- 1 to iters) {
+      val p = k - 1
+      val z = "(wb + wt*x1 + wo*x2 + wl*x3)"
+      val diff = s"((1.0/(1.0 + exp(-$z))) - y)"
+      def grad(x: String) =
+        s"CAST(sum(CAST(floor(($diff * $x) * 1000000.0) AS BIGINT)) AS BIGINT)"
+      sb ++= s""",
+                |g$k AS (SELECT count(*) AS n,
+                |  CAST(sum(CAST(floor($diff * 1000000.0) AS BIGINT)) AS BIGINT) AS gb,
+                |  ${grad("x1")} AS gt,
+                |  ${grad("x2")} AS go,
+                |  ${grad("x3")} AS gl
+                |  FROM f, w$p),
+                |w$k AS (SELECT
+                |  wb - 4.0 * (gb::DOUBLE / (n * 1000000.0)) AS wb,
+                |  wt - 4.0 * (gt::DOUBLE / (n * 1000000.0)) AS wt,
+                |  wo - 4.0 * (go::DOUBLE / (n * 1000000.0)) AS wo,
+                |  wl - 4.0 * (gl::DOUBLE / (n * 1000000.0)) AS wl
+                |  FROM w$p, g$k),
+                |c$k AS (SELECT count(*) AS nc FROM f, w$k
+                |  WHERE ((wb + wt*x1 + wo*x2 + wl*x3) >= 0.0) = (y = 1.0))""".stripMargin
+    }
+    sb ++= "\n" + (1 to iters).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS step,
+         |  CAST(floor(wb * 1000000.0) AS BIGINT) AS w0_q,
+         |  CAST(floor(wt * 1000000.0) AS BIGINT) AS w1_q,
+         |  CAST(floor(wo * 1000000.0) AS BIGINT) AS w2_q,
+         |  CAST(floor(wl * 1000000.0) AS BIGINT) AS w3_q,
+         |  nc AS n_correct FROM w$k, c$k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
   /** DuckDB replay of [[graft.ops.DataSelect.dsirBucket]]: first 6 hex
     * digits of md5("dsir:" + gram) mod 256.
     */

@@ -43,4 +43,30 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(a.sameElements(b))
   }
+
+  test("logisticTrace: converges to 100% on a separable label") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i / 200.0, i > 100)).toDF("x", "y")
+    val trace = DataSelect.logisticTrace(rows, col("y"), Seq(col("x")),
+      iters = 30, lrate = 12.0)
+    assert(trace.size == 30)
+    assert(trace.last.nCorrect >= 190,
+      s"separable problem should be ~solved: ${trace.last.nCorrect}/200")
+    assert(trace.last.nCorrect > trace.head.nCorrect)
+    // the feature weight must end up positive (y rises with x) and the
+    // bias negative (the boundary sits at x≈0.5, so z(0) < 0)
+    assert(trace.last.weights(1) > 0.0 && trace.last.weights(0) < 0.0)
+  }
+
+  test("logisticTrace: quantized gradients make the trace partition-stable") {
+    import spark.implicits._
+    val rows = (1 to 120).map(i =>
+      (i % 10 / 10.0, (i % 13) / 13.0, i % 3 == 0)).toDF("x1", "x2", "y")
+    val t1 = DataSelect.logisticTrace(rows, col("y"),
+      Seq(col("x1"), col("x2")), iters = 5)
+    val t2 = DataSelect.logisticTrace(rows.repartition(17), col("y"),
+      Seq(col("x1"), col("x2")), iters = 5)
+    assert(t1.map(s => (s.step, s.weights, s.nCorrect)) ==
+      t2.map(s => (s.step, s.weights, s.nCorrect)))
+  }
 }
