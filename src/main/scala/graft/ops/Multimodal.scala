@@ -330,4 +330,71 @@ object Multimodal {
         (col("tw") - col("pw")).as("delta_w"))
       .agg(count(lit(1)).as("votes"))
       .filter(col("votes") >= minVotes)
+
+  /** CLIP-style image–text alignment scoring — the LAION filter slot,
+    * where a web-scale corpus of (image, caption) pairs is cut to the
+    * pairs whose two modalities actually describe each other.
+    *
+    * STUB at the encoder boundary only: each side is embedded as its
+    * `d`-segment byte-mean profile (exact-tiled like [[aHashWide]] — a
+    * real deployment swaps BOTH encoders for model inference via
+    * `mapInPandas`, leaving the melt/pivot/score plumbing untouched).
+    * The alignment score is the PEARSON CORRELATION of the two
+    * profiles — not raw cosine, which degenerates to ≈1 on byte-mean
+    * vectors because they all sit near the global byte average;
+    * centering is what makes a swapped caption visible.
+    *
+    * Engine-exact replay: segment sums/lengths are BIGINT (order-free),
+    * the d-term dot products are FIXED-ORDER column expressions (not a
+    * grouped float sum, which partition arrival order could move), and
+    * the only irrational op is IEEE-exact `sqrt`. Score is quantized to
+    * basis points.
+    *
+    * Scale shape: one payload-linear posexplode (both sides melted into
+    * one pass), one (pair, side, segment) aggregation, one 2·d-column
+    * pivot — no join wider than the pair key, no cross product. In:
+    * `(media_id, media, caption)`. Out: `media_id, align_bp, matched`.
+    */
+  def alignmentScore(pairs: DataFrame, d: Int = 8,
+      thresholdBp: Long = 9000L): DataFrame = {
+    require(d >= 2, "need at least 2 segments for a correlation")
+    val melted = pairs
+      .select(col("media_id"),
+        expr(s"substring(media, ${HeaderLen + 1}, length(media))").as("_pay"),
+        col("caption"))
+      .select(col("media_id"), explode(map(
+        lit("img"), decode(col("_pay"), "UTF-8"),
+        lit("txt"), col("caption"))).as(Seq("side", "s")))
+      .filter(length(col("s")) >= d)
+      .withColumn("_n", length(col("s")).cast("long"))
+      .select(col("media_id"), col("side"), col("_n"),
+        posexplode(split(col("s"), "")).as(Seq("pos", "c")))
+      .withColumn("seg", expr(s"CAST(pos AS BIGINT) * $d DIV _n"))
+      .withColumn("v", ascii(col("c")).cast("long"))
+    val cells = melted.groupBy("media_id", "side", "seg")
+      .agg(sum("v").as("ssum"), count(lit(1)).as("slen"))
+    def cell(side: String, k: Int, c: String): Column =
+      sum(when(col("side") === side && col("seg") === k, col(c))
+        .otherwise(0L)).as(s"${side}_${c}_$k")
+    val aggs = for {
+      side <- Seq("img", "txt"); k <- 0 until d; c <- Seq("ssum", "slen")
+    } yield cell(side, k, c)
+    val wide = cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
+    def mean(side: String, k: Int): Column =
+      col(s"${side}_ssum_$k").cast("double") / col(s"${side}_slen_$k")
+    def sumExpr(terms: Seq[Column]): Column = terms.reduceLeft(_ + _)
+    val sa = sumExpr((0 until d).map(mean("img", _)))
+    val sb = sumExpr((0 until d).map(mean("txt", _)))
+    val sab = sumExpr((0 until d).map(k => mean("img", k) * mean("txt", k)))
+    val saa = sumExpr((0 until d).map(k => mean("img", k) * mean("img", k)))
+    val sbb = sumExpr((0 until d).map(k => mean("txt", k) * mean("txt", k)))
+    val va = lit(d.toDouble) * saa - sa * sa
+    val vb = lit(d.toDouble) * sbb - sb * sb
+    val r = when(va > 0.0 && vb > 0.0,
+      (lit(d.toDouble) * sab - sa * sb) / (sqrt(va) * sqrt(vb)))
+      .otherwise(lit(0.0))
+    wide.select(col("media_id"),
+      floor(r * 10000.0).cast("long").as("align_bp"))
+      .withColumn("matched", col("align_bp") >= thresholdBp)
+  }
 }

@@ -346,6 +346,99 @@ object MultimodalQueries extends QueryGroup {
              |    ORDER BY votes DESC, track_id ASC, delta_w ASC) AS rk
              |  FROM votes)
              |WHERE rk = 1 ORDER BY probe_id""".stripMargin)
+    ),
+
+    // CLIP-style image–text alignment filtering (the LAION slot): every
+    // doc becomes an (image payload, caption) pair, captions of doc_id%7
+    // docs are SWAPPED with their neighbor's, and the Pearson-correlation
+    // alignment score over 16-segment byte-mean profiles must separate
+    // them. The swapped flag rides along in the output, so the result
+    // carries its own confusion table. DuckDB replays profile, score,
+    // and threshold end-to-end.
+    "q_multimodal_align" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val media = Multimodal.synthesize(docs)
+        val capSrc = docs.select(col("doc_id").as("cap_of"),
+          col("text").as("cap_text"))
+        val caps = docs
+          .select(col("doc_id"), col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0, col("doc_id") + 1)
+              .otherwise(col("doc_id")).as("cap_id"))
+          .join(capSrc, col("cap_id") === col("cap_of"), "left")
+          .select(col("doc_id").as("media_id"),
+            coalesce(col("cap_text"), col("text")).as("caption"),
+            (pmod(col("doc_id"), lit(7)) === 0 && col("cap_of").isNotNull)
+              .as("swapped"))
+        Multimodal.alignmentScore(
+            media.join(caps, "media_id"), d = 16)
+          .join(caps.select("media_id", "swapped"), "media_id")
+          .select("media_id", "align_bp", "matched", "swapped")
+          .orderBy("media_id")
+      },
+      Some(alignSql)
     )
   )
+
+  /** DuckDB replay of [[Multimodal.alignmentScore]] at d=16 over the
+    * swapped-caption fixture: byte-mean segment profiles for both sides,
+    * then the Pearson correlation as the IDENTICAL fixed-order
+    * expression tree (sums and products left-associated exactly as the
+    * Spark column expressions are built — grouped float sums would be
+    * partition-order-dependent, column chains are not).
+    */
+  private def alignSql: String = {
+    val D = 16
+    def cells(side: String) = (0 until D).flatMap(k => Seq(
+      s"CAST(sum(CASE WHEN side = '$side' AND seg = $k THEN ssum ELSE 0 END) AS BIGINT) AS ${side}_ssum_$k",
+      s"CAST(sum(CASE WHEN side = '$side' AND seg = $k THEN slen ELSE 0 END) AS BIGINT) AS ${side}_slen_$k"))
+    def mean(side: String, k: Int) =
+      s"(${side}_ssum_$k::DOUBLE / ${side}_slen_$k)"
+    def chain(terms: Seq[String]) = terms.reduceLeft((a, b) => s"($a + $b)")
+    val sa = chain((0 until D).map(mean("img", _)))
+    val sb = chain((0 until D).map(mean("txt", _)))
+    val sab = chain((0 until D).map(k => s"(${mean("img", k)} * ${mean("txt", k)})"))
+    val saa = chain((0 until D).map(k => s"(${mean("img", k)} * ${mean("img", k)})"))
+    val sbb = chain((0 until D).map(k => s"(${mean("txt", k)} * ${mean("txt", k)})"))
+    s"""WITH pay AS (
+       |  SELECT doc_id AS media_id, text AS s
+       |  FROM documents WHERE doc_id < 300),
+       |caps AS (
+       |  SELECT d.doc_id AS media_id, coalesce(c.text, d.text) AS cap,
+       |    (d.doc_id % 7 = 0 AND c.doc_id IS NOT NULL) AS swapped
+       |  FROM (SELECT doc_id, text,
+       |      CASE WHEN doc_id % 7 = 0 THEN doc_id + 1 ELSE doc_id END AS cap_id
+       |    FROM documents WHERE doc_id < 300) d
+       |  LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 300) c
+       |    ON c.doc_id = d.cap_id),
+       |sides AS (
+       |  SELECT media_id, 'img' AS side, s FROM pay
+       |  UNION ALL
+       |  SELECT media_id, 'txt' AS side, cap AS s FROM caps),
+       |chars AS (
+       |  SELECT media_id, side, length(s)::BIGINT AS n, i - 1 AS pos,
+       |    ascii(substring(s, i, 1))::BIGINT AS v
+       |  FROM sides, unnest(generate_series(1, CAST(length(s) AS INTEGER))) AS g(i)
+       |  WHERE length(s) >= $D),
+       |segd AS (
+       |  SELECT media_id, side, (pos * $D) // n AS seg,
+       |    CAST(sum(v) AS BIGINT) AS ssum, count(*)::BIGINT AS slen
+       |  FROM chars GROUP BY 1, 2, 3),
+       |wide AS (
+       |  SELECT media_id,
+       |    ${(cells("img") ++ cells("txt")).mkString(",\n    ")}
+       |  FROM segd GROUP BY 1),
+       |sc AS (
+       |  SELECT media_id,
+       |    CAST(floor((CASE WHEN (($D.0 * $saa) - ($sa * $sa)) > 0.0
+       |        AND (($D.0 * $sbb) - ($sb * $sb)) > 0.0
+       |      THEN (($D.0 * $sab) - ($sa * $sb))
+       |        / (sqrt(($D.0 * $saa) - ($sa * $sa))
+       |          * sqrt(($D.0 * $sbb) - ($sb * $sb)))
+       |      ELSE 0.0 END) * 10000.0) AS BIGINT) AS align_bp
+       |  FROM wide)
+       |SELECT sc.media_id, align_bp, (align_bp >= 9000) AS matched, swapped
+       |FROM sc JOIN caps ON caps.media_id = sc.media_id
+       |ORDER BY sc.media_id""".stripMargin
+  }
 }

@@ -240,4 +240,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(perTrackTokens.values.forall(_ == expected.toLong),
       s"token count per track: $perTrackTokens, expected $expected")
   }
+
+  test("alignmentScore: true captions score ~1, swapped captions fall off") {
+    import spark.implicits._
+    // 4 docs with visibly different byte profiles; pair 2 gets doc 3's
+    // caption and vice versa — the filter must flag exactly those two
+    val texts = Seq(
+      1L -> ("aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj " * 4),
+      2L -> ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk " * 5),
+      3L -> ("1111 2222 3333 4444 5555 6666 7777 8888 9999 0000 " * 4),
+      4L -> ("mixed MIXED Mixed mIxEd case CASE Case tokens here now " * 4)
+    )
+    val docs = texts.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val media = Multimodal.synthesize(docs)
+    val caps = texts.map { case (id, t) =>
+      val capOf = if (id == 2L) 3L else if (id == 3L) 2L else id
+      (id, texts.toMap.apply(capOf), id == 2L || id == 3L)
+    }.toDF("media_id", "caption", "swapped")
+    val out = Multimodal.alignmentScore(media.join(caps, "media_id"), d = 16)
+      .join(caps, "media_id")
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("align_bp"), r.getAs[Boolean]("matched"),
+          r.getAs[Boolean]("swapped")))
+      .toMap
+    assert(out.size == 4)
+    out.foreach { case (id, (bp, matched, swapped)) =>
+      if (swapped) assert(!matched && bp < 9000, s"$id should be flagged: $bp")
+      else assert(matched && bp >= 9990, s"$id should pass: $bp")
+    }
+  }
 }
