@@ -154,4 +154,64 @@ object DataSelect {
     }
     trace.result()
   }
+
+  /** Bigram-LM perplexity scoring — the CCNet/KenLM filter slot: train a
+    * language model on a trusted corpus, score every raw doc by how
+    * surprised the model is, and drop the gibberish tail.
+    *
+    * The model is add-1-smoothed bigram MLE over the rows where
+    * `trainOn` holds: `P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V)` with
+    * `c(w₁·)` the bigram-prefix count and `V` the train-corpus distinct
+    * token count. Each bigram's log-prob is quantized to integer basis
+    * points at the JOINED row — before any per-doc reduction — so the
+    * doc score `nll_bp = -Σ c·lp_bp` is an order-free BIGINT sum a
+    * second engine replays exactly, the same discipline as
+    * [[dsirWeights]]. (A 5-gram Kneser-Ney model is the production
+    * choice; it changes the count tables and the smoothing formula,
+    * not this join/quantize/sum shape.)
+    *
+    * Scale shape: bigram/prefix count tables are vocabulary²-bounded
+    * (corpus-size-independent) and joined on token keys with map-side
+    * partial aggregation — the model tables SHUFFLE-join rather than
+    * broadcast because a web-scale bigram table outgrows the driver.
+    * No cross product; the only scalar (V) broadcasts as one row.
+    *
+    * Out: `(doc_id, n_bigrams, nll_bp, nll_per_tok_bp)`, one row per
+    * doc with ≥2 tokens; higher `nll_per_tok_bp` = more surprising.
+    */
+  def lmScore(docs: DataFrame, trainOn: Column,
+      textCol: String = "text"): DataFrame = {
+    val t = col("_toks")
+    val base = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_train", trainOn)
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+    val vRow = base.filter(col("_train"))
+      .select(explode(t).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val bg = base.filter(size(t) >= 2)
+      .select(col("doc_id"), col("_train"),
+        explode(transform(sequence(lit(0), size(t) - 2), i =>
+          struct(element_at(t, i + 1).as("w1"),
+            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))
+              .as("gram")))).as("p"))
+      .select(col("doc_id"), col("_train"), col("p.w1"), col("p.gram"))
+    val dbg = bg.groupBy("doc_id", "_train", "w1", "gram")
+      .agg(count(lit(1)).as("c"))
+    val trainB = dbg.filter(col("_train")).groupBy("gram")
+      .agg(sum("c").as("cb"))
+    val trainU = dbg.filter(col("_train")).groupBy("w1")
+      .agg(sum("c").as("cu"))
+    dbg
+      .join(trainB, Seq("gram"), "left")
+      .join(trainU, Seq("w1"), "left")
+      .crossJoin(broadcast(vRow))
+      .withColumn("lp_bp", floor(log(
+        (coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))
+        * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        (-sum(col("c") * col("lp_bp"))).as("nll_bp"))
+      .withColumn("nll_per_tok_bp", expr("nll_bp div n_bigrams"))
+  }
 }

@@ -1138,6 +1138,79 @@ object TextQueries extends QueryGroup {
           .orderBy("step")
       },
       Some(lrTrainSql(8))
+    ),
+
+    // Bigram-LM perplexity filtering (the CCNet/KenLM slot): docs with
+    // doc_id%9==0 are rewritten as "w zzqx w zzqx …" (their own first
+    // token alternating with an out-of-vocabulary token — the bigram
+    // shape a trained LM is maximally surprised by: common prefix,
+    // never-seen continuation; plain token reversal does NOT raise
+    // perplexity on this near-uniform corpus, measured). The LM trains
+    // on the CLEAN docs only and scores every doc. Per-bigram log-probs
+    // quantize to integer bp at the joined row, so both engines reduce
+    // pure BIGINTs. The corrupted flag rides along: clean docs score
+    // ≤3.7 nats/tok, corrupted ≥5.0 — the separation is in the output.
+    "q_text_lm_perplexity" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val aug = Tables.documents(s, d)
+          .withColumn("corrupted", pmod(col("doc_id"), lit(9)) === 0)
+          .withColumn("text",
+            when(col("corrupted"),
+              trim(repeat(concat(
+                element_at(TextAnalysis.tokens(col("text")), 1),
+                lit(" zzqx ")), 25)))
+              .otherwise(col("text")))
+        graft.ops.DataSelect.lmScore(aug, !col("corrupted"))
+          .join(aug.select("doc_id", "corrupted"), "doc_id")
+          .select("doc_id", "corrupted", "n_bigrams", "nll_bp",
+            "nll_per_tok_bp")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk0 AS (
+             |  SELECT doc_id, (doc_id % 9 = 0) AS corrupted,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS s0
+             |  FROM documents),
+             |tk AS (
+             |  SELECT doc_id, corrupted,
+             |    CASE WHEN corrupted THEN list_filter(string_split(
+             |        trim(repeat(s0[1] || ' zzqx ', 25)), ' '), x -> x <> '')
+             |      ELSE s0 END AS s
+             |  FROM tk0),
+             |vt AS (
+             |  SELECT count(DISTINCT w)::BIGINT AS v
+             |  FROM (SELECT unnest(s) AS w FROM tk WHERE NOT corrupted)),
+             |bg AS (
+             |  SELECT doc_id, corrupted, s[i] AS w1,
+             |    s[i] || ' ' || s[i+1] AS gram
+             |  FROM tk, unnest(generate_series(1, len(s) - 1)) AS g(i)
+             |  WHERE len(s) >= 2),
+             |dbg AS (
+             |  SELECT doc_id, corrupted, w1, gram, count(*)::BIGINT AS c
+             |  FROM bg GROUP BY 1, 2, 3, 4),
+             |trainb AS (
+             |  SELECT gram, CAST(sum(c) AS BIGINT) AS cb FROM dbg
+             |  WHERE NOT corrupted GROUP BY 1),
+             |trainu AS (
+             |  SELECT w1, CAST(sum(c) AS BIGINT) AS cu FROM dbg
+             |  WHERE NOT corrupted GROUP BY 1),
+             |lp AS (
+             |  SELECT doc_id, corrupted, c,
+             |    CAST(floor(ln(
+             |      (coalesce(cb, 0) + 1)::DOUBLE /
+             |      (coalesce(cu, 0) + v)::DOUBLE) * 10000) AS BIGINT) AS lp_bp
+             |  FROM dbg
+             |  LEFT JOIN trainb USING (gram)
+             |  LEFT JOIN trainu USING (w1)
+             |  CROSS JOIN vt),
+             |sc AS (
+             |  SELECT doc_id, corrupted,
+             |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |    CAST(-sum(c * lp_bp) AS BIGINT) AS nll_bp
+             |  FROM lp GROUP BY 1, 2)
+             |SELECT doc_id, corrupted, n_bigrams, nll_bp,
+             |  nll_bp // n_bigrams AS nll_per_tok_bp
+             |FROM sc ORDER BY doc_id""".stripMargin)
     )
   )
 

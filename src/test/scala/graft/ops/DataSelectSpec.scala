@@ -69,4 +69,30 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
     assert(t1.map(s => (s.step, s.weights, s.nCorrect)) ==
       t2.map(s => (s.step, s.weights, s.nCorrect)))
   }
+
+  test("lmScore: common-prefix/unseen-continuation bigrams score as most " +
+      "surprising; in-domain text as least") {
+    import spark.implicits._
+    val docs = Seq(
+      // train: a tight phrase distribution
+      (1L, "big data joins big data scans big data joins", true),
+      (2L, "big data scans big data joins big data scans", true),
+      // in-domain probe: only seen bigrams
+      (3L, "big data joins big data scans", false),
+      // surprise probe: 'big' never continues with 'zz'
+      (4L, "big zz big zz big zz", false),
+      // fully OOV probe: unseen prefixes (milder surprise than doc 4 —
+      // an unseen PREFIX backs off to 1/V, a betrayed common prefix
+      // pays 1/(c(w1)+V))
+      (5L, "qq ww qq ww qq ww", false)
+    ).toDF("doc_id", "text", "train")
+    val out = DataSelect.lmScore(docs, col("train"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("nll_per_tok_bp"))
+      .toMap
+    assert(out.size == 5)
+    assert(out(3L) < out(5L) && out(5L) < out(4L),
+      s"expected in-domain < OOV-prefix < betrayed-prefix: $out")
+    // scoring is train-table-driven: the train docs themselves score low
+    assert(out(1L) < out(5L) && out(2L) < out(5L))
+  }
 }

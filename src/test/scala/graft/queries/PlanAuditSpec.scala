@@ -24,8 +24,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_events_quantile_sketch", // 3 quantile rows × ≤64-bin sketch table
     "q_decontaminate_semantic", // broadcast benchmark embeddings × corpus
     "q_sim_hard_negatives", // broadcast anchors × corpus, label-mismatch
-    "q_sim_bitext_mine") // brute-force k-NN sweeps (broadcast side A/B);
+    "q_sim_bitext_mine", // brute-force k-NN sweeps (broadcast side A/B);
                          // the LSH/IVF generators are the scale path
+    "q_text_split_leakage_safe", // crossJoin of three 1-row count aggs
+    "q_text_dsir_select", // 1-row totals aggregate × 256-row ratio table
+    "q_text_lm_perplexity") // 1-row vocab-size aggregate × bigram rows
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
