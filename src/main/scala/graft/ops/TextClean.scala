@@ -290,4 +290,60 @@ object TextClean {
           .as("payload"))
       .withColumn("length_ok",
         octet_length(col("payload")) === col("declared_len"))
+
+  /** StarCoder/BigCode-style source-file quality flags (Li et al. 2023
+    * "StarCoder: may the source be with you!", §3.1; the code-corpus
+    * analogue of [[gopherRules]]): one boolean per rule plus the
+    * conjunction `pass_code`:
+    *   longest line ≤ 1000 chars; mean line length ≤ 100 chars;
+    *   alphanumeric chars ≥ 25% of content; no ≥32-char hex blob and no
+    *   ≥64-char base64 blob (minified/embedded-binary tell); no
+    *   auto-generated banner ("auto-generated" / "do not edit" /
+    *   "generated by", case-insensitive).
+    * Every ratio is cross-multiplied into BIGINT comparisons
+    * (`n_alnum*4 >= n_content_chars`) — no division, no doubles, so any
+    * engine replays the flags bit-for-bit. Pure codegen projection over
+    * `textCol` (newline-delimited file content), no shuffle; the line
+    * array is materialized as a column BEFORE the aggregate lambdas (the
+    * measured HOF re-evaluation trap). Patterns stay in the Java∩RE2
+    * subset: character classes + bounded repetition + (?i), no
+    * lookaround.
+    *
+    * `n_content_chars` counts line bytes only (newlines excluded), so
+    * the alnum ratio is separator-free; `max_line_len` on an empty file
+    * is 0 via the aggregate's BIGINT seed.
+    */
+  def codeRules(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("max_line_len",
+        aggregate(col("_lines"), lit(0L),
+          (acc, l) => greatest(acc, length(l).cast("long"))))
+      .withColumn("n_content_chars",
+        aggregate(col("_lines"), lit(0L),
+          (acc, l) => acc + length(l).cast("long")))
+      .withColumn("n_alnum",
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]"), lit(0)))
+          .cast("long"))
+      .withColumn("n_hex_blobs",
+        size(regexp_extract_all(col(textCol), lit("[0-9a-fA-F]{32,}"), lit(0)))
+          .cast("long"))
+      .withColumn("n_b64_blobs",
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z0-9+/=]{64,}"), lit(0))).cast("long"))
+      .withColumn("autogen",
+        col(textCol).rlike("(?i)auto-generated|do not edit|generated by"))
+      .withColumn("pass_max_line", col("max_line_len") <= 1000L)
+      .withColumn("pass_avg_line",
+        col("n_content_chars") <= col("n_lines") * 100L)
+      .withColumn("pass_alnum",
+        col("n_alnum") * 4L >= col("n_content_chars"))
+      .withColumn("pass_blobs",
+        col("n_hex_blobs") === 0L && col("n_b64_blobs") === 0L)
+      .withColumn("pass_autogen", !col("autogen"))
+      .withColumn("pass_code",
+        col("pass_max_line") && col("pass_avg_line") && col("pass_alnum") &&
+          col("pass_blobs") && col("pass_autogen"))
+      .drop("_lines")
 }

@@ -1211,6 +1211,107 @@ object TextQueries extends QueryGroup {
              |SELECT doc_id, corrupted, n_bigrams, nll_bp,
              |  nll_bp // n_bigrams AS nll_per_tok_bp
              |FROM sc ORDER BY doc_id""".stripMargin)
+    ),
+
+    // StarCoder-rule code-quality flags over a deterministically
+    // synthesized source-file fixture: tokens become 6-token code lines
+    // behind a '// src:' header, and doc_id-keyed injections trip each
+    // rule — a 1200-char line (%11), a 48-char hex blob (%13), an 80-char
+    // base64 blob (%29), a symbol-filler line (%19), two 600-char lines
+    // (%23) and an auto-generated banner (%17). Both engines build the
+    // file AND evaluate the rules independently.
+    "q_text_code_rules" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("body", array_join(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / 6).cast("int")),
+            i => array_join(slice(col("toks"), i * 6 + 1, lit(6)), " ")), "\n"))
+          .withColumn("code", concat(
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              lit("// Auto-Generated. DO NOT EDIT.\n")).otherwise(lit("")),
+            lit("// src: "), col("source"), lit("\n"),
+            col("body"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(lit("\n"), repeat(lit("x"), 1200))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              concat(lit("\nhash = \""), repeat(lit("deadbeef"), 6),
+                lit("\""))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(29)) === 0,
+              concat(lit("\nblob = \""), repeat(lit("QUJDRA=="), 10),
+                lit("\""))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(19)) === 0,
+              concat(lit("\n"), repeat(lit("=+*; "), 30))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(23)) === 0,
+              concat(lit("\n"), repeat(lit("y"), 600), lit("\n"),
+                repeat(lit("y"), 600))).otherwise(lit(""))))
+        TextClean.codeRules(docs, "code")
+          .select("doc_id", "n_lines", "max_line_len", "n_content_chars",
+            "n_alnum", "n_hex_blobs", "n_b64_blobs", "autogen",
+            "pass_max_line", "pass_avg_line", "pass_alnum", "pass_blobs",
+            "pass_autogen", "pass_code")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |body AS (
+             |  SELECT t.doc_id,
+             |    string_agg(array_to_string(t.toks[(6*g.i+1):(6*g.i+6)], ' '),
+             |      chr(10) ORDER BY g.i) AS body
+             |  FROM toksrc t, unnest(generate_series(0, (len(t.toks)-1)//6)) AS g(i)
+             |  GROUP BY t.doc_id),
+             |codes AS (
+             |  SELECT t.doc_id,
+             |    (CASE WHEN t.doc_id % 17 = 0
+             |       THEN '// Auto-Generated. DO NOT EDIT.' || chr(10)
+             |       ELSE '' END)
+             |    || '// src: ' || t.source || chr(10) || b.body
+             |    || (CASE WHEN t.doc_id % 11 = 0
+             |          THEN chr(10) || repeat('x', 1200) ELSE '' END)
+             |    || (CASE WHEN t.doc_id % 13 = 0
+             |          THEN chr(10) || 'hash = "' || repeat('deadbeef', 6) || '"'
+             |          ELSE '' END)
+             |    || (CASE WHEN t.doc_id % 29 = 0
+             |          THEN chr(10) || 'blob = "' || repeat('QUJDRA==', 10) || '"'
+             |          ELSE '' END)
+             |    || (CASE WHEN t.doc_id % 19 = 0
+             |          THEN chr(10) || repeat('=+*; ', 30) ELSE '' END)
+             |    || (CASE WHEN t.doc_id % 23 = 0
+             |          THEN chr(10) || repeat('y', 600) || chr(10) || repeat('y', 600)
+             |          ELSE '' END)
+             |    AS code
+             |  FROM toksrc t JOIN body b ON t.doc_id = b.doc_id),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(code, chr(10))) AS BIGINT) AS n_lines,
+             |    CAST(list_max(list_transform(string_split(code, chr(10)),
+             |      l -> len(l))) AS BIGINT) AS max_line_len,
+             |    CAST(list_sum(list_transform(string_split(code, chr(10)),
+             |      l -> len(l))) AS BIGINT) AS n_content_chars,
+             |    CAST(len(regexp_extract_all(code, '[A-Za-z0-9]')) AS BIGINT)
+             |      AS n_alnum,
+             |    CAST(len(regexp_extract_all(code, '[0-9a-fA-F]{32,}')) AS BIGINT)
+             |      AS n_hex_blobs,
+             |    CAST(len(regexp_extract_all(code, '[A-Za-z0-9+/=]{64,}')) AS BIGINT)
+             |      AS n_b64_blobs,
+             |    regexp_matches(code, '(?i)auto-generated|do not edit|generated by')
+             |      AS autogen
+             |  FROM codes)
+             |SELECT doc_id, n_lines, max_line_len, n_content_chars, n_alnum,
+             |  n_hex_blobs, n_b64_blobs, autogen,
+             |  max_line_len <= 1000 AS pass_max_line,
+             |  n_content_chars <= n_lines * 100 AS pass_avg_line,
+             |  n_alnum * 4 >= n_content_chars AS pass_alnum,
+             |  n_hex_blobs = 0 AND n_b64_blobs = 0 AS pass_blobs,
+             |  NOT autogen AS pass_autogen,
+             |  (max_line_len <= 1000 AND n_content_chars <= n_lines * 100
+             |    AND n_alnum * 4 >= n_content_chars
+             |    AND n_hex_blobs = 0 AND n_b64_blobs = 0 AND NOT autogen)
+             |    AS pass_code
+             |FROM m ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -291,6 +291,40 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out(6L).getAs[Boolean]("pass_alpha"))
   }
 
+  test("codeRules: each StarCoder rule trips on its engineered failure alone") {
+    import spark.implicits._
+    val good = (1 to 20).map(i => s"val x$i = compute(input$i)").mkString("\n")
+    val docs = Seq(
+      (1L, good),                                // passes everything
+      (2L, good + "\n" + "x" * 1001),            // one 1001-char line
+      (3L, (1 to 5).map(_ => "a" * 150).mkString("\n")), // avg line 150 > 100
+      (4L, (1 to 30).map(_ => "+= -* ;;").mkString("\n") + "\nthe end"), // alnum < 25%
+      (5L, good + "\nh = \"" + "deadbeef" * 4 + "\""),   // 32-char hex blob
+      (6L, good + "\nb = \"" + "QUJDRA==" * 8 + "\""),   // 64-char base64 blob
+      (7L, "// AUTO-GENERATED by tool\n" + good)         // banner, any case
+    ).toDF("doc_id", "text")
+    val out = TextClean.codeRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass_code"))
+    def failsOnly(id: Long, flag: String): Unit = {
+      val r = out(id)
+      assert(!r.getAs[Boolean](flag), s"doc $id should fail $flag")
+      assert(!r.getAs[Boolean]("pass_code"))
+    }
+    failsOnly(2L, "pass_max_line")
+    failsOnly(3L, "pass_avg_line")
+    failsOnly(4L, "pass_alnum")
+    failsOnly(5L, "pass_blobs")
+    failsOnly(6L, "pass_blobs")
+    failsOnly(7L, "pass_autogen")
+    // the hex blob is counted as hex only (48 < 64 b64 chars once the
+    // quote breaks the run); the b64 blob is counted as b64 only
+    assert(out(5L).getAs[Long]("n_hex_blobs") == 1L &&
+      out(5L).getAs[Long]("n_b64_blobs") == 0L)
+    assert(out(6L).getAs[Long]("n_b64_blobs") == 1L &&
+      out(6L).getAs[Long]("n_hex_blobs") == 0L)
+  }
+
   test("urlCanonicalize: case/port/fragment/tracking/param-order all collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
