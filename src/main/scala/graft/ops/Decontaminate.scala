@@ -102,4 +102,38 @@ object Decontaminate {
         max(struct(col("cos_bp"), col("bench_id")))
           .getField("bench_id").as("best_bench"))
   }
+
+  /** Fuzzy (edit-distance) contamination: corpus docs whose `prefixLen`-
+    * char prefix is within `maxDist` Levenshtein edits of a benchmark
+    * prompt's prefix — the screen that catches lightly-reformatted leaks
+    * (whitespace drift, a dropped word, OCR noise) that exact n-gram
+    * collision misses and embedding cosine over-matches.
+    *
+    * Shape: the benchmark side (eval suites are tiny next to a training
+    * corpus) broadcasts; the corpus streams through ONE scan with no
+    * shuffle. The join predicate is a pure length-difference band
+    * (|len(c)−len(b)| ≤ maxDist, a necessary condition for distance ≤
+    * maxDist), so the expensive kernel never runs on hopeless pairs; the
+    * kernel itself is Spark's THRESHOLD-banded `levenshtein(l, r, d)` —
+    * O(prefixLen·maxDist) per pair, not O(prefixLen²), returning −1 the
+    * moment the band is exceeded. Both stages are codegen projections.
+    *
+    * Returns (doc_id, benchmark_id, edit_dist) with edit_dist ≤ maxDist.
+    */
+  def fuzzyPairs(
+      corpus: DataFrame, benchmarks: DataFrame,
+      prefixLen: Int = 48, maxDist: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "benchmark_id"
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("_cp"))
+    val b = benchmarks.select(col(benchIdCol),
+      substring(col(textCol), 1, prefixLen).as("_bp"))
+    c.join(broadcast(b),
+        abs(length(col("_cp")) - length(col("_bp"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("_cp"), col("_bp"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select("doc_id", "benchmark_id", "edit_dist")
+  }
 }

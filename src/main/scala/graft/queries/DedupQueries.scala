@@ -101,6 +101,34 @@ object DedupQueries extends QueryGroup {
     // item the oracle replays hit count, max cosine, and the max-cos
     // benchmark id (ties → larger id) with the established list-fold
     // arithmetic.
+    // Fuzzy decontamination: every 8th doc's 48-char prefix, with chars
+    // 11-13 deleted, becomes a "benchmark prompt" — a lightly-corrupted
+    // leak exact n-grams can miss. The banded Levenshtein screen must
+    // recover exactly those (d, d) pairs at edit_dist ≤ 5; both engines
+    // build the perturbed benchmark AND compute the distance.
+    "q_decontaminate_fuzzy" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(pmod(col("doc_id"), lit(8)) === 0)
+          .select(col("doc_id").as("benchmark_id"),
+            concat(substring(col("text"), 1, 10),
+              substring(col("text"), 14, 35)).as("text"))
+        graft.ops.Decontaminate.fuzzyPairs(docs, bench,
+            prefixLen = 48, maxDist = 5)
+          .orderBy("doc_id", "benchmark_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id AS benchmark_id,
+             |    substr(text, 1, 10) || substr(text, 14, 35) AS bp
+             |  FROM documents WHERE doc_id % 8 = 0),
+             |c AS (SELECT doc_id, substr(text, 1, 48) AS cp FROM documents)
+             |SELECT c.doc_id, b.benchmark_id,
+             |  CAST(levenshtein(c.cp, b.bp) AS INTEGER) AS edit_dist
+             |FROM c JOIN b ON abs(len(c.cp) - len(b.bp)) <= 5
+             |  AND levenshtein(c.cp, b.bp) <= 5
+             |ORDER BY c.doc_id, b.benchmark_id""".stripMargin)
+    ),
+
     "q_decontaminate_semantic" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
