@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SFT / chat-corpus intake: parse serialized conversations (the JSON
+  * `[{"role":…,"content":…}, …]` interchange shape every instruction-
+  * tuning pipeline ingests), validate the turn structure, and fingerprint
+  * the chat-template rendering the tokenizer will actually see.
+  *
+  * Shape: one `from_json` + higher-order-function projection per doc —
+  * pure codegen, no shuffle, no explode (the turn array never leaves the
+  * row, so a 10-turn and a 500-turn conversation cost the same plan).
+  * Every count is BIGINT and the validity flags are pure boolean algebra
+  * over the parsed array, so any engine that rebuilds the same
+  * (role, content) sequence replays the stats bit-for-bit — JSON
+  * serialization quirks never reach the compare.
+  */
+object ChatData {
+
+  /** The interchange turn schema. */
+  val TurnSchema = "array<struct<role:string,content:string>>"
+
+  /** Per-conversation structural stats + validity flags:
+    *   `n_turns` / `n_user` / `n_assistant` / `n_system`;
+    *   `n_empty_turns` (content = "");
+    *   `n_tokens` (whitespace tokens across all contents);
+    *   `starts_user` (first NON-system turn is the user's);
+    *   `alternates` (no two consecutive equal roles once system turns
+    *     are dropped — the strict user/assistant ping-pong SFT trainers
+    *     assume);
+    *   `pass_chat` = starts_user ∧ alternates ∧ no empty turns ∧ ≥2
+    *     turns;
+    *   `render_md5` — md5 of the `<|role|>content` newline-joined chat
+    *     template, the dedup/caching key for the tokenizer input.
+    *
+    * The parsed array and the non-system role list are materialized as
+    * columns BEFORE any lambda that walks them (the measured HOF
+    * re-evaluation trap: a lambda closing over `from_json` would
+    * re-parse the JSON once per element).
+    */
+  def conversationStats(
+      df: DataFrame, jsonCol: String = "conv_json",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    df
+      .withColumn("_turns", from_json(col(jsonCol), TurnSchema,
+        Map.empty[String, String]))
+      .withColumn("_roles_nonsys",
+        filter(transform(col("_turns"), t => t.getField("role")),
+          r => r =!= "system"))
+      .withColumn("n_turns", size(col("_turns")).cast("long"))
+      .withColumn("n_user",
+        size(filter(col("_turns"), t => t.getField("role") === "user"))
+          .cast("long"))
+      .withColumn("n_assistant",
+        size(filter(col("_turns"), t => t.getField("role") === "assistant"))
+          .cast("long"))
+      .withColumn("n_system",
+        size(filter(col("_turns"), t => t.getField("role") === "system"))
+          .cast("long"))
+      .withColumn("n_empty_turns",
+        size(filter(col("_turns"), t => t.getField("content") === ""))
+          .cast("long"))
+      .withColumn("n_tokens",
+        aggregate(col("_turns"), lit(0L), (acc, t) =>
+          acc + size(filter(split(t.getField("content"), " "),
+            w => w =!= "")).cast("long")))
+      .withColumn("starts_user",
+        size(col("_roles_nonsys")) > 0 &&
+          element_at(col("_roles_nonsys"), 1) === "user")
+      // pairwise role[i] <=> role[i+1] via a 1-shifted zip; the shorter
+      // shifted side pads with null and `<=>` makes that a clean false
+      .withColumn("alternates",
+        !exists(zip_with(col("_roles_nonsys"),
+          slice(col("_roles_nonsys"), lit(2),
+            greatest(size(col("_roles_nonsys")) - 1, lit(0))),
+          (a, b) => a <=> b), x => x))
+      .withColumn("pass_chat",
+        col("starts_user") && col("alternates") &&
+          col("n_empty_turns") === 0L && col("n_turns") >= 2L)
+      .withColumn("render_md5",
+        md5(array_join(transform(col("_turns"), t =>
+          concat(lit("<|"), t.getField("role"), lit("|>"),
+            t.getField("content"))), "\n")))
+      .select(idCol, "n_turns", "n_user", "n_assistant", "n_system",
+        "n_empty_turns", "n_tokens", "starts_user", "alternates",
+        "pass_chat", "render_md5")
+}

@@ -1213,6 +1213,93 @@ object TextQueries extends QueryGroup {
              |FROM sc ORDER BY doc_id""".stripMargin)
     ),
 
+    // Chat/SFT conversation intake over a deterministically synthesized
+    // JSON fixture: tokens become 8-token turns with alternating roles;
+    // doc_id-keyed injections produce the real-world defects the
+    // validator must flag — an empty second turn (%21), broken
+    // alternation / all-user roles (%27), a prepended system turn (%35,
+    // legal). Spark round-trips through to_json/from_json (the actual
+    // interchange path); DuckDB rebuilds the (role, content) sequence
+    // directly — agreement proves the JSON round-trip is faithful AND
+    // the stats are right.
+    "q_text_chat_stats" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("_chunks", transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / 8).cast("int")),
+            i => struct(
+              when(pmod(col("doc_id"), lit(27)) === 0, lit("user"))
+                .when(pmod(i, lit(2)) === 0, lit("user"))
+                .otherwise(lit("assistant")).as("role"),
+              when(pmod(col("doc_id"), lit(21)) === 0 && i === 1, lit(""))
+                .otherwise(array_join(slice(col("toks"), i * 8 + 1, lit(8)),
+                  " ")).as("content"))))
+          .withColumn("turns",
+            when(pmod(col("doc_id"), lit(35)) === 0,
+              concat(array(struct(lit("system").as("role"),
+                lit("you are a helpful assistant").as("content"))),
+                col("_chunks")))
+              .otherwise(col("_chunks")))
+          .withColumn("conv_json", to_json(col("turns")))
+        graft.ops.ChatData.conversationStats(docs).orderBy("doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |turns0 AS (
+             |  SELECT doc_id, i AS turn_idx,
+             |    CASE WHEN doc_id % 27 = 0 THEN 'user'
+             |         WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             |    CASE WHEN doc_id % 21 = 0 AND i = 1 THEN ''
+             |         ELSE array_to_string(toks[(8*i+1):(8*i+8)], ' ') END
+             |      AS content
+             |  FROM toksrc, unnest(generate_series(0, (len(toks)-1)//8)) AS g(i)),
+             |turns AS (
+             |  SELECT * FROM turns0
+             |  UNION ALL
+             |  SELECT doc_id, -1 AS turn_idx, 'system' AS role,
+             |    'you are a helpful assistant' AS content
+             |  FROM toksrc WHERE doc_id % 35 = 0),
+             |ordered AS (
+             |  SELECT doc_id, role, content,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY turn_idx)
+             |      AS rn
+             |  FROM turns),
+             |nonsys AS (
+             |  SELECT doc_id, role, rn,
+             |    lag(role) OVER (PARTITION BY doc_id ORDER BY rn) AS prev
+             |  FROM ordered WHERE role <> 'system'),
+             |stats AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_turns,
+             |    CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT)
+             |      AS n_user,
+             |    CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT)
+             |      AS n_assistant,
+             |    CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT)
+             |      AS n_system,
+             |    CAST(count(*) FILTER (WHERE content = '') AS BIGINT)
+             |      AS n_empty_turns,
+             |    CAST(sum(len(list_filter(string_split(content, ' '),
+             |      x -> x <> ''))) AS BIGINT) AS n_tokens,
+             |    md5(string_agg('<|' || role || '|>' || content,
+             |      chr(10) ORDER BY rn)) AS render_md5
+             |  FROM ordered GROUP BY doc_id),
+             |alt AS (
+             |  SELECT doc_id,
+             |    NOT coalesce(bool_or(role = prev), false) AS alternates,
+             |    arg_min(role, rn) = 'user' AS starts_user
+             |  FROM nonsys GROUP BY doc_id)
+             |SELECT s.doc_id, n_turns, n_user, n_assistant, n_system,
+             |  n_empty_turns, n_tokens, starts_user, alternates,
+             |  (starts_user AND alternates AND n_empty_turns = 0
+             |    AND n_turns >= 2) AS pass_chat,
+             |  render_md5
+             |FROM stats s JOIN alt USING (doc_id) ORDER BY s.doc_id""".stripMargin)
+    ),
+
     // StarCoder-rule code-quality flags over a deterministically
     // synthesized source-file fixture: tokens become 6-token code lines
     // behind a '// src:' header, and doc_id-keyed injections trip each

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Semantics of the conversation validator on hand-built defect
+  * fixtures; the q_text_chat_stats oracle checks engine-exactness.
+  */
+class ChatDataSpec extends AnyFunSuite with SparkTestBase {
+
+  private def stats(convs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    ChatData.conversationStats(convs.toDF("doc_id", "conv_json"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("conversationStats: well-formed, defective, and edge conversations") {
+    val out = stats(Seq(
+      1L -> """[{"role":"user","content":"hi there"},
+               {"role":"assistant","content":"hello"}]""".replaceAll("\n\\s*", ""),
+      2L -> """[{"role":"system","content":"be nice"},
+               {"role":"user","content":"q one"},
+               {"role":"assistant","content":"a one"},
+               {"role":"user","content":"q two"}]""".replaceAll("\n\\s*", ""),
+      3L -> """[{"role":"user","content":"a"},{"role":"user","content":"b"}]""",
+      4L -> """[{"role":"assistant","content":"I speak first"},
+               {"role":"user","content":"odd"}]""".replaceAll("\n\\s*", ""),
+      5L -> """[{"role":"user","content":""},
+               {"role":"assistant","content":"x"}]""".replaceAll("\n\\s*", ""),
+      6L -> """[{"role":"user","content":"lonely"}]"""))
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_turns") == 2L &&
+      r1.getAs[Long]("n_tokens") == 3L &&
+      r1.getAs[Boolean]("pass_chat"))
+    // system turn doesn't break alternation and isn't the "first" role
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_system") == 1L &&
+      r2.getAs[Boolean]("starts_user") &&
+      r2.getAs[Boolean]("alternates") && r2.getAs[Boolean]("pass_chat"))
+    assert(!out(3L).getAs[Boolean]("alternates") &&
+      !out(3L).getAs[Boolean]("pass_chat"))
+    assert(!out(4L).getAs[Boolean]("starts_user") &&
+      !out(4L).getAs[Boolean]("pass_chat"))
+    assert(out(5L).getAs[Long]("n_empty_turns") == 1L &&
+      !out(5L).getAs[Boolean]("pass_chat"))
+    // a single turn alternates vacuously but fails the ≥2-turn gate
+    assert(out(6L).getAs[Boolean]("alternates") &&
+      !out(6L).getAs[Boolean]("pass_chat"))
+  }
+
+  test("render_md5 keys on the exact template, not the JSON formatting") {
+    val out = stats(Seq(
+      1L -> """[{"role":"user","content":"same text"}]""",
+      2L -> """[ {"content":"same text", "role":"user"} ]""",
+      3L -> """[{"role":"user","content":"same  text"}]"""))
+    assert(out(1L).getAs[String]("render_md5") ==
+      out(2L).getAs[String]("render_md5"))
+    assert(out(1L).getAs[String]("render_md5") !=
+      out(3L).getAs[String]("render_md5"))
+  }
+}
