@@ -86,4 +86,35 @@ object ChatData {
       .select(idCol, "n_turns", "n_user", "n_assistant", "n_system",
         "n_empty_turns", "n_tokens", "starts_user", "alternates",
         "pass_chat", "render_md5")
+
+  /** Preference-pair construction for reward-model / DPO training: from a
+    * table of scored candidate responses per prompt, emit one
+    * (chosen, rejected) pair per prompt — chosen is the argmax of
+    * (score, id), rejected the argmin, so ties resolve deterministically
+    * (equal scores: chosen takes the LARGER id, rejected the smaller).
+    * Prompts with fewer than 2 candidates or a margin below `minMargin`
+    * are dropped — a zero-margin pair teaches a reward model nothing.
+    * Best-of-n rejection sampling is this op's `chosen_*` columns alone.
+    *
+    * Shape: ONE groupBy with two struct-argmax aggregates — map-side
+    * combinable partials, a single shuffle on the prompt key, no window
+    * (a per-prompt sort would shuffle the same data and then sort it; the
+    * argmax pair needs neither). Scales with prompts × candidates.
+    */
+  def preferencePairs(
+      cands: DataFrame, promptCol: String = "prompt_id",
+      idCol: String = "cand_id", scoreCol: String = "score",
+      minMargin: Long = 1L
+  ): DataFrame =
+    cands.groupBy(col(promptCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), col(idCol).as("i"))).as("_c"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("i"))).as("_r"),
+        count(lit(1)).as("n_candidates"))
+      .select(col(promptCol),
+        col("_c.i").as("chosen_id"), col("_r.i").as("rejected_id"),
+        col("_c.s").as("chosen_score"), col("_r.s").as("rejected_score"),
+        (col("_c.s") - col("_r.s")).as("margin"),
+        col("n_candidates"))
+      .filter(col("n_candidates") >= 2L && col("margin") >= minMargin)
 }

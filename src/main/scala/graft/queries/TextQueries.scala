@@ -1300,6 +1300,43 @@ object TextQueries extends QueryGroup {
              |FROM stats s JOIN alt USING (doc_id) ORDER BY s.doc_id""".stripMargin)
     ),
 
+    // Preference pairs: docs bucketed 4-per-prompt are "candidate
+    // responses" scored by n_chars; one struct-argmax groupBy yields the
+    // (chosen, rejected) DPO pair per prompt. Tie-break (equal score →
+    // chosen takes the larger id, rejected the smaller) is replayed in
+    // DuckDB as two row_number windows.
+    "q_text_pref_pairs" -> QueryDef(
+      (s, d) => {
+        val cands = Tables.documents(s, d).select(
+          floor(col("doc_id") / 4).cast("long").as("prompt_id"),
+          col("doc_id").as("cand_id"),
+          col("n_chars").as("score"))
+        graft.ops.ChatData.preferencePairs(cands).orderBy("prompt_id")
+      },
+      Some("""WITH cands AS (
+             |  SELECT doc_id // 4 AS prompt_id, doc_id AS cand_id,
+             |    n_chars AS score
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT prompt_id, cand_id, score,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |      ORDER BY score DESC, cand_id DESC) AS rc,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |      ORDER BY score ASC, cand_id ASC) AS rr,
+             |    count(*) OVER (PARTITION BY prompt_id) AS nc
+             |  FROM cands),
+             |c AS (SELECT prompt_id, cand_id AS chosen_id,
+             |        score AS chosen_score, nc FROM ranked WHERE rc = 1),
+             |r AS (SELECT prompt_id, cand_id AS rejected_id,
+             |        score AS rejected_score FROM ranked WHERE rr = 1)
+             |SELECT c.prompt_id, chosen_id, rejected_id, chosen_score,
+             |  rejected_score, chosen_score - rejected_score AS margin,
+             |  CAST(nc AS BIGINT) AS n_candidates
+             |FROM c JOIN r USING (prompt_id)
+             |WHERE nc >= 2 AND chosen_score - rejected_score >= 1
+             |ORDER BY c.prompt_id""".stripMargin)
+    ),
+
     // StarCoder-rule code-quality flags over a deterministically
     // synthesized source-file fixture: tokens become 6-token code lines
     // behind a '// src:' header, and doc_id-keyed injections trip each

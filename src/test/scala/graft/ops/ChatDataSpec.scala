@@ -49,6 +49,31 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
       !out(6L).getAs[Boolean]("pass_chat"))
   }
 
+  test("preferencePairs: argmax/argmin, tie-breaks, and the margin gate") {
+    import spark.implicits._
+    val cands = Seq(
+      // prompt 1: clear ordering
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 2L),
+      // prompt 2: all tied → margin 0 → dropped
+      (2L, 20L, 7L), (2L, 21L, 7L),
+      // prompt 3: single candidate → dropped
+      (3L, 30L, 4L),
+      // prompt 4: tie at the top → chosen takes the larger id
+      (4L, 40L, 9L), (4L, 41L, 9L), (4L, 42L, 1L)
+    ).toDF("prompt_id", "cand_id", "score")
+    val out = ChatData.preferencePairs(cands).collect()
+      .map(r => r.getAs[Long]("prompt_id") -> r).toMap
+    assert(out.keySet == Set(1L, 4L))
+    val p1 = out(1L)
+    assert(p1.getAs[Long]("chosen_id") == 11L &&
+      p1.getAs[Long]("rejected_id") == 12L &&
+      p1.getAs[Long]("margin") == 7L &&
+      p1.getAs[Long]("n_candidates") == 3L)
+    val p4 = out(4L)
+    assert(p4.getAs[Long]("chosen_id") == 41L &&
+      p4.getAs[Long]("rejected_id") == 42L)
+  }
+
   test("render_md5 keys on the exact template, not the JSON formatting") {
     val out = stats(Seq(
       1L -> """[{"role":"user","content":"same text"}]""",
