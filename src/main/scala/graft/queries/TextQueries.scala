@@ -1300,6 +1300,56 @@ object TextQueries extends QueryGroup {
              |FROM stats s JOIN alt USING (doc_id) ORDER BY s.doc_id""".stripMargin)
     ),
 
+    // Domain-blocklist filtering: hosts synthesized from source (ads./www.
+    // subdomain × .com/.net tld by doc_id parity) against a 4-rule
+    // blocklist covering both bare-domain and subdomain-rule matches;
+    // suffix-explode + equi-join, most-specific rule wins. DuckDB replays
+    // host synthesis, the suffix chain, and the argmax.
+    "q_text_url_blocklist" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.TextClean
+        val urls = Tables.documents(s, d)
+          .select(col("doc_id"), TextClean.urlHost(concat(
+            lit("https://"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("ads."))
+              .otherwise(lit("www.")),
+            col("source"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit(".com"))
+              .otherwise(lit(".net")),
+            lit("/page/"), col("doc_id"))).as("host"))
+        val bl = Seq("src1.com", "src2.net", "ads.src3.com", "src4.com")
+          .toDF("rule")
+        TextClean.blocklistFilter(urls, bl)
+          .select("doc_id", "host", "blocked", "matched_rule", "n_matched")
+          .orderBy("doc_id")
+      },
+      Some("""WITH urls AS (
+             |  SELECT doc_id,
+             |    lower((CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE 'www.' END)
+             |      || source
+             |      || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.net' END))
+             |      AS host
+             |  FROM documents),
+             |bl AS (SELECT * FROM (VALUES ('src1.com'), ('src2.net'),
+             |  ('ads.src3.com'), ('src4.com')) AS t(rule)),
+             |sfx AS (
+             |  SELECT doc_id, array_to_string(labels[i:], '.') AS suffix
+             |  FROM (SELECT doc_id, string_split(host, '.') AS labels
+             |        FROM urls),
+             |    unnest(generate_series(1, len(labels))) AS g(i)),
+             |m AS (
+             |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+             |    arg_max(b.rule, len(b.rule)) AS matched_rule
+             |  FROM sfx s JOIN bl b ON s.suffix = b.rule
+             |  GROUP BY s.doc_id)
+             |SELECT u.doc_id, u.host, m.doc_id IS NOT NULL AS blocked,
+             |  coalesce(m.matched_rule, '') AS matched_rule,
+             |  coalesce(m.n_matched, 0) AS n_matched
+             |FROM urls u LEFT JOIN m ON u.doc_id = m.doc_id
+             |ORDER BY u.doc_id""".stripMargin)
+    ),
+
     // Preference pairs: docs bucketed 4-per-prompt are "candidate
     // responses" scored by n_chars; one struct-argmax groupBy yields the
     // (chosen, rejected) DPO pair per prompt. Tie-break (equal score →

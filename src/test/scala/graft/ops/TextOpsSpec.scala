@@ -325,6 +325,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       out(6L).getAs[Long]("n_hex_blobs") == 0L)
   }
 
+  test("blocklistFilter: exact, subdomain, most-specific, and no-substring matches") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://example.com/x"),          // exact rule
+      (2L, "https://ads.example.com/x"),      // subdomain of example.com AND exact ads rule
+      (3L, "https://notexample.com/x"),       // suffix of the STRING but not of the domain
+      (4L, "https://clean.org/x"),            // clean
+      (5L, "https://deep.ads.example.com/x")  // two levels under both rules
+    ).toDF("doc_id", "url")
+      .select(col("doc_id"), TextClean.urlHost(col("url")).as("host"))
+    val bl = Seq("example.com", "ads.example.com").toDF("rule")
+    val out = TextClean.blocklistFilter(docs, bl).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("blocked"), r.getAs[String]("matched_rule"),
+          r.getAs[Long]("n_matched"))).toMap
+    assert(out(1L) == ((true, "example.com", 1L)))
+    // the longer (more specific) rule wins the report
+    assert(out(2L) == ((true, "ads.example.com", 2L)))
+    assert(out(3L) == ((false, "", 0L))) // dot-suffix, not string-suffix
+    assert(out(4L) == ((false, "", 0L)))
+    assert(out(5L) == ((true, "ads.example.com", 2L)))
+  }
+
   test("urlCanonicalize: case/port/fragment/tracking/param-order all collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
