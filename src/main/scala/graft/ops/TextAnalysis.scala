@@ -517,4 +517,39 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_bpe_tokens"))
   }
+
+  /** Tokenizer fertility audit: per-language chars-per-BPE-token and
+    * BPE-tokens-per-word, the compression-parity report every multilingual
+    * tokenizer decision reads (a language whose fertility runs 2× the
+    * corpus mean pays 2× the context budget for the same content — the
+    * standard argument for rebalancing merges or vocab).
+    *
+    * Shape: [[bpeEncode]]'s per-doc counts (vocab-sized merge work, one
+    * corpus equi-join) + one narrow char-count projection, then a single
+    * languages-sized groupBy — map-side combinable, one shuffle. Ratios
+    * are BIGINT basis points via integer division (`x*10000 div y`), so
+    * any engine replays them bit-for-bit.
+    */
+  def tokenizerFertility(
+      docs: DataFrame, merges: Seq[(String, String)],
+      langCol: String = "lang"
+  ): DataFrame = {
+    val enc = bpeEncode(docs, merges)
+    val chars = docs
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), col(langCol).as("lang"),
+        aggregate(col("_toks"), lit(0L),
+          (a, t) => a + length(t).cast("long")).as("n_token_chars"))
+    chars.join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("n_token_chars").as("n_token_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_token_chars"),
+        expr("n_token_chars * 10000 div n_bpe_tokens")
+          .as("chars_per_token_bp"),
+        expr("n_bpe_tokens * 10000 div n_words").as("bpe_per_word_bp"))
+  }
 }

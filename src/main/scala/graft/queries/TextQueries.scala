@@ -1300,6 +1300,42 @@ object TextQueries extends QueryGroup {
              |FROM stats s JOIN alt USING (doc_id) ORDER BY s.doc_id""".stripMargin)
     ),
 
+    // Tokenizer fertility: per-language chars/BPE-token and BPE-tokens/
+    // word over the 8-merge trained tokenizer — DuckDB retrains the merge
+    // chain and replays both integer-bp ratios.
+    "q_text_fertility" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.ops.TextAnalysis.bpeTrain(docs, nMerges = 8)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.TextAnalysis.tokenizerFertility(docs, m).orderBy("lang")
+      },
+      Some(s"""${bpeTrainCtes(8)},
+              |enc AS (
+              |  SELECT replace(w, ' ', '') AS tok,
+              |    CAST(len(string_split(w, ' ')) AS BIGINT) AS np FROM w8),
+              |toksd AS (
+              |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+              |    x -> x <> '')) AS tok FROM documents),
+              |perdoc AS (
+              |  SELECT doc_id, count(*) AS n_words,
+              |    CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
+              |    CAST(sum(len(tok)) AS BIGINT) AS n_token_chars
+              |  FROM toksd JOIN enc USING (tok)
+              |  GROUP BY doc_id)
+              |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+              |  CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+              |  CAST(sum(p.n_token_chars) AS BIGINT) AS n_token_chars,
+              |  CAST(sum(p.n_token_chars) AS BIGINT) * 10000
+              |    // CAST(sum(p.n_bpe_tokens) AS BIGINT) AS chars_per_token_bp,
+              |  CAST(sum(p.n_bpe_tokens) AS BIGINT) * 10000
+              |    // CAST(sum(p.n_words) AS BIGINT) AS bpe_per_word_bp
+              |FROM perdoc p JOIN documents d USING (doc_id)
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+    ),
+
     // Domain-blocklist filtering: hosts synthesized from source (ads./www.
     // subdomain × .com/.net tld by doc_id parity) against a 4-rule
     // blocklist covering both bare-domain and subdomain-rule matches;
