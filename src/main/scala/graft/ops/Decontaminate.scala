@@ -111,10 +111,15 @@ object Decontaminate {
     *
     * Shape: the benchmark side (eval suites are tiny next to a training
     * corpus) broadcasts; the corpus streams through ONE scan with no
-    * shuffle. The join predicate is a pure length-difference band
-    * (|len(c)−len(b)| ≤ maxDist, a necessary condition for distance ≤
-    * maxDist), so the expensive kernel never runs on hopeless pairs; the
-    * kernel itself is Spark's THRESHOLD-banded `levenshtein(l, r, d)` —
+    * shuffle. The length-difference band (|len(c)−len(b)| ≤ maxDist, a
+    * necessary condition for distance ≤ maxDist) is expressed as an
+    * EQUI-join on a length bucket of width maxDist+1 — each benchmark
+    * row explodes to its bucket ±1, so a corpus row hash-probes at most
+    * the benchmarks in 1 bucket instead of evaluating a predicate
+    * against every benchmark (a BroadcastNestedLoopJoin would pay
+    * |benchmarks| predicate evaluations PER corpus row — the difference
+    * between O(corpus) and O(corpus×bench) at 100 TB). Survivors run
+    * Spark's THRESHOLD-banded `levenshtein(l, r, d)` kernel —
     * O(prefixLen·maxDist) per pair, not O(prefixLen²), returning −1 the
     * moment the band is exceeded. Both stages are codegen projections.
     *
@@ -126,12 +131,19 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text",
       benchIdCol: String = "benchmark_id"
   ): DataFrame = {
+    val w = maxDist + 1
     val c = corpus.select(col(idCol).as("doc_id"),
-      substring(col(textCol), 1, prefixLen).as("_cp"))
+        substring(col(textCol), 1, prefixLen).as("_cp"))
+      .withColumn("_bucket", expr(s"length(_cp) div $w"))
     val b = benchmarks.select(col(benchIdCol),
-      substring(col(textCol), 1, prefixLen).as("_bp"))
-    c.join(broadcast(b),
-        abs(length(col("_cp")) - length(col("_bp"))) <= maxDist)
+        substring(col(textCol), 1, prefixLen).as("_bp"))
+      // a corpus length within ±maxDist of a benchmark length lands in
+      // the benchmark's bucket or an adjacent one — replicate ×3, never
+      // compare across buckets
+      .withColumn("_bucket",
+        explode(array((-1 to 1).map(d => expr(s"length(_bp) div $w + $d")): _*)))
+    c.join(broadcast(b), Seq("_bucket"))
+      .filter(abs(length(col("_cp")) - length(col("_bp"))) <= maxDist)
       .withColumn("edit_dist", levenshtein(col("_cp"), col("_bp"), maxDist))
       .filter(col("edit_dist") >= 0)
       .select("doc_id", "benchmark_id", "edit_dist")

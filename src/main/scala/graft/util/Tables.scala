@@ -14,16 +14,46 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long and
-    * surface both the long and a microsecond-truncated timestamp column.
+  /** The generated `events.ts` column has shipped as BOTH parquet
+    * TIMESTAMP(NANOS) (earlier rounds) and TIMESTAMP(MICROS, ntz)
+    * (round 5 regeneration), so the reader adapts on schema: either way
+    * downstream code sees the same two columns — `ts_ns` (epoch nanos,
+    * BIGINT — the exact-arithmetic column every event operator keys on)
+    * and `ts` (microsecond TimestampType). Sessions run with
+    * `spark.sql.session.timeZone=UTC` (Verify/Bench/SparkTestBase), so
+    * the NTZ→LTZ cast is wall-clock-identical and `ts_ns` equals
+    * DuckDB's `epoch_ns(ts)` in both layouts.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    // nanos layout: the vectorized reader rejects TIMESTAMP(NANOS)
+    // ([PARQUET_TYPE_ILLEGAL]) unless read as a plain long
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            expr("ts_ns div 1000")))
+      case _ => // micros (ntz or ltz): surface the nanos long alongside
+        withEventTime(raw).withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
+  }
+
+  /** Normalize a raw events frame (either `ts` layout — nanos BIGINT or
+    * micros timestamp) to carry a micros TimestampType `ts` — the
+    * streaming twin of [[events]] for frames built over `readStream`
+    * with the file's native schema.
+    */
+  def withEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

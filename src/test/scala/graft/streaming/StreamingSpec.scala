@@ -122,10 +122,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
 
-    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val streamed = graft.util.Tables.withEventTime(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamingBuild.windowedEventCounts(streamed, watermark = "1 hour")
       .writeStream.format("memory").queryName("ev_parity")
       .outputMode("complete").start()
@@ -179,8 +177,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
     def sides(ev: org.apache.spark.sql.DataFrame) = {
-      val t = ev.withColumn("tts",
-        timestamp_micros(expr("ts div 1000")))
+      val t = graft.util.Tables.withEventTime(ev)
+        .withColumn("tts", col("ts"))
       (t.filter(col("event_type") === "view")
           .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
             col("tts").as("view_ts")),
