@@ -73,4 +73,39 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score_micro"))
   }
+
+  /** Exact phrase search over a positional inverted index: docs
+    * containing `phrase` as consecutive whitespace tokens, with match
+    * count and first position — the phrase/proximity primitive BM25
+    * bag-of-words ranking can't express (and the exact-match tool a
+    * contamination audit reaches for after a BM25 candidate sweep).
+    *
+    * Shape: the token stream is filtered to the PHRASE VOCABULARY before
+    * anything shuffles — the postings the query actually touches, the
+    * inverted-index access pattern — then each subsequent term aligns by
+    * an equi-join on (doc_id, pos − offset). Join inputs are
+    * term-postings-sized, never corpus-token-sized; a k-word phrase is
+    * k−1 hash joins on keys that shrink monotonically (every join
+    * intersects). Nothing compares across documents.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    // postings restricted to phrase terms; persisted because each term
+    // re-reads its slice of the same exploded stream
+    val postings = graft.util.AutoUnpersist.persistScoped(
+      graft.util.Partitioning.fanOut(docs)
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(phrase.distinct: _*)))
+    val first = postings.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").cast("long").as("start"))
+    val hits = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(postings.filter(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - i).cast("long").as("start")),
+          Seq("doc_id", "start"))
+    }
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+  }
 }

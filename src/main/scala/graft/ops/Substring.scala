@@ -75,4 +75,36 @@ object Substring {
         max(col("rep")).as("max_rep"))
       .drop("_island")
   }
+
+  /** Memorization-risk profile: per-doc fraction of token positions
+    * covered by corpus-repeated spans (from [[repeatedSpans]] — maximal
+    * merged islands, so covered positions are counted once), bucketed
+    * into coverage deciles. A corpus whose mass sits in the high buckets
+    * is boilerplate the LM will memorize; the 0-bucket is the organic
+    * text. Buckets are `coverage_bp div 1000` ∈ [0, 10] (10 = exactly
+    * fully-covered) — all integer arithmetic after the span pass.
+    *
+    * Scale: repeatedSpans is the cost (corpus-linear, see there); the
+    * coverage join is doc-keyed with the span side aggregated
+    * doc-sized-or-smaller first, and the histogram is an 11-row result.
+    */
+  def spanCoverage(
+      docs: DataFrame, n: Int = 8, minRep: Int = 3
+  ): DataFrame = {
+    val lens = docs
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val cov = repeatedSpans(docs, n, minRep)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("covered"))
+    lens.join(cov, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("cov_decile",
+        expr("(covered * 10000 div n_tokens) div 1000"))
+      .groupBy("cov_decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("covered").as("covered_tokens"),
+        sum("n_tokens").as("total_tokens"))
+  }
 }

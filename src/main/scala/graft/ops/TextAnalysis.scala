@@ -552,4 +552,80 @@ object TextAnalysis {
           .as("chars_per_token_bp"),
         expr("n_bpe_tokens * 10000 div n_words").as("bpe_per_word_bp"))
   }
+
+  /** Temperature-based stratum rebalancing — the multilingual-LM mixing
+    * rule (sample share ∝ p^α with α = 1/2, the XLM-R / mT5 recipe):
+    * majority strata downsample, minority strata upsample, and the total
+    * document budget is preserved. Everything after the one square root
+    * is EXACT integer arithmetic so any engine replays the same sample:
+    * per-stratum weight s = ⌊√(n·10⁶)⌋ (√p up to the common normalizer —
+    * IEEE-correctly-rounded in every engine), integer-divided into a
+    * target count, and realized per doc as ⌊target/n⌋ guaranteed copies
+    * plus one md5-keyed Bernoulli copy with probability (target mod n)/n
+    * — deterministic in doc_id, never `rand()`, so a rerun of a 100 TB
+    * mix job reproduces byte-identical output.
+    *
+    * Scale shape: two stratum-sized aggregates (map-side partial, ≤
+    * |strata| rows), then one broadcast join back to the corpus — a
+    * single shuffle-free pass over the data. Returns per-doc `copies`
+    * (0 = dropped, ≥2 = upsampled epochs) with the stratum's `n_l` and
+    * `target_docs`; explode a `sequence(1, copies)` downstream to
+    * materialize the mixed corpus.
+    */
+  def temperatureMix(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val stats = docs.groupBy(strataCol).agg(count(lit(1)).as("n_l"))
+    val tot = stats.agg(sum("n_l").as("n_total"))
+    val scaled = stats.withColumn("s_l",
+      floor(sqrt(col("n_l").cast("double") * lit(1000000.0))).cast("long"))
+    val norm = scaled.agg(sum("s_l").as("s_total"))
+    val targets = scaled.crossJoin(broadcast(tot)).crossJoin(broadcast(norm))
+      .withColumn("target_docs", expr("(s_l * n_total) div s_total"))
+      .select(strataCol, "n_l", "target_docs")
+    docs.join(broadcast(targets), Seq(strataCol))
+      .withColumn("_u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"))
+      // fractional-remainder Bernoulli: accept iff u/2²⁴ < rem/n, kept
+      // in integers as u·n < rem·2²⁴
+      .withColumn("copies",
+        expr("target_docs div n_l") +
+          when(col("_u") * col("n_l") <
+            expr("(target_docs % n_l)") * lit(16777216L), 1L).otherwise(0L))
+      .drop("_u")
+  }
+
+  /** Curriculum bucketing: assign every doc an equal-size quality-ordered
+    * bucket (0 = best) — the data-ordering primitive behind
+    * quality-curriculum training schedules. Equivalent to a global
+    * `(row_number − 1)·k div N` over (quality desc, doc_id), but computed
+    * WITHOUT a global single-partition window: quality is floored to
+    * basis points, so the rank decomposes into "docs with strictly
+    * higher quality_bp" (a ≤10001-row cumulative table, broadcast back)
+    * plus a tie-break row_number windowed BY quality value — partitions
+    * are value-domain groups, so the corpus-sized window never
+    * serializes onto one task. The bucket formula spreads remainder docs
+    * evenly (unlike SQL ntile's front-loading), and ties break on doc_id
+    * — fully deterministic, any engine replays it.
+    */
+  def curriculum(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
+    val q = docs.select(col("doc_id"),
+      floor(qualityScore(col("text")) * 10000).cast("long").as("quality_bp"))
+    val dist = q.groupBy("quality_bp").agg(count(lit(1)).as("n_q"))
+    // cumulative count of strictly-better docs: a window over the
+    // VALUE table (≤10001 rows) — single-partition is fine there
+    val above = Window.orderBy(desc("quality_bp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("n_above", coalesce(sum("n_q").over(above), lit(0L)))
+      .select("quality_bp", "n_above")
+    val tot = q.agg(count(lit(1)).as("n_total"))
+    q.join(broadcast(cum), Seq("quality_bp"))
+      .withColumn("_tie", row_number().over(
+        Window.partitionBy("quality_bp").orderBy("doc_id")).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", col("n_above") + col("_tie"))
+      .withColumn("bucket", expr(s"(rank - 1) * $nBuckets div n_total"))
+      .select("doc_id", "quality_bp", "rank", "bucket")
+  }
 }

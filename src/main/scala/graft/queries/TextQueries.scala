@@ -360,6 +360,151 @@ object TextQueries extends QueryGroup {
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // Temperature mixing (share ∝ p^0.5, the XLM-R/mT5 rule): integer
+    // targets from ⌊√(n·10⁶)⌋ weights, md5-Bernoulli fractional copies —
+    // the whole plan replays exactly in any engine (the one sqrt is
+    // IEEE-correctly-rounded everywhere; everything else is BIGINT).
+    "q_text_temperature_mix" -> QueryDef(
+      (s, d) => {
+        val mixed = graft.ops.TextAnalysis.temperatureMix(Tables.documents(s, d))
+        mixed.groupBy("lang")
+          .agg(max("n_l").as("n_docs"),
+            max("target_docs").as("target_docs"),
+            sum("copies").as("n_mixed"),
+            sum(when(col("copies") > 0, 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_chars") * col("copies")).as("chars_mixed"))
+          .orderBy("lang")
+      },
+      Some("""WITH stats AS (
+             |  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total FROM stats),
+             |scaled AS (
+             |  SELECT lang, n_l,
+             |    CAST(floor(sqrt(CAST(n_l AS DOUBLE) * 1000000.0)) AS BIGINT) AS s_l
+             |  FROM stats),
+             |norm AS (SELECT CAST(sum(s_l) AS BIGINT) AS s_total FROM scaled),
+             |tgt AS (
+             |  SELECT lang, n_l, (s_l * n_total) // s_total AS target_docs
+             |  FROM scaled, tot, norm),
+             |perdoc AS (
+             |  SELECT d.lang, d.n_chars, t.n_l, t.target_docs,
+             |    t.target_docs // t.n_l +
+             |      CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+             |             * t.n_l < (t.target_docs % t.n_l) * 16777216 THEN 1 ELSE 0 END AS copies
+             |  FROM documents d JOIN tgt t USING (lang))
+             |SELECT lang, max(n_l) AS n_docs, max(target_docs) AS target_docs,
+             |  CAST(sum(copies) AS BIGINT) AS n_mixed,
+             |  CAST(sum(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(n_chars * copies) AS BIGINT) AS chars_mixed
+             |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Curriculum bucketing: equal-size quality-ordered buckets without a
+    // global window (value-domain rank decomposition — see the op). The
+    // oracle states the SAME rank as one row_number, which DuckDB can
+    // afford at oracle scale; bucket boundaries must agree exactly.
+    "q_text_curriculum" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.curriculum(Tables.documents(s, d), 10)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            max("quality_bp").as("best_bp"), min("quality_bp").as("worst_bp"),
+            min("rank").as("first_rank"), max("rank").as("last_rank"))
+          .orderBy("bucket"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id,
+             |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+             |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality_bp
+             |  FROM t),
+             |r AS (
+             |  SELECT doc_id, quality_bp,
+             |    row_number() OVER (ORDER BY quality_bp DESC, doc_id) AS rank,
+             |    count(*) OVER () AS n_total
+             |  FROM q)
+             |SELECT (rank - 1) * 10 // n_total AS bucket,
+             |  count(*) AS n_docs,
+             |  max(quality_bp) AS best_bp, min(quality_bp) AS worst_bp,
+             |  min(rank) AS first_rank, max(rank) AS last_rank
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Exact phrase search on the positional inverted index: postings of
+    // the phrase terms only, aligned by (doc_id, pos − offset) equi-joins.
+    "q_text_phrase_search" -> QueryDef(
+      (s, d) =>
+        graft.ops.Retrieval.phraseSearch(Tables.documents(s, d),
+            Seq("slow", "hash", "batch"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |hit AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start
+             |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+             |  WHERE len(toks) >= 3 AND toks[i] = 'slow'
+             |    AND toks[i + 1] = 'hash' AND toks[i + 2] = 'batch')
+             |SELECT doc_id, count(*) AS n_matches, min(start) AS first_pos
+             |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Memorization-risk histogram: per-doc repeated-span coverage from
+    // the q_text_repeated_spans machinery, folded into 11 decile rows.
+    "q_text_span_coverage" -> QueryDef(
+      (s, d) =>
+        graft.ops.Substring.spanCoverage(Tables.documents(s, d),
+            n = 8, minRep = 3)
+          .orderBy("cov_decile"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |    array_to_string(t[i : i + 7], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+             |  WHERE len(t) >= 8),
+             |freq AS (
+             |  SELECT gram, count(*) AS rep FROM wins
+             |  GROUP BY 1 HAVING count(*) >= 3),
+             |occ AS (
+             |  SELECT w.doc_id, w.pos FROM wins w JOIN freq f USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+             |        PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS new_island
+             |  FROM occ),
+             |isl2 AS (
+             |  SELECT doc_id, pos,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |spans AS (
+             |  SELECT doc_id, min(pos) AS s, max(pos + 8) AS e
+             |  FROM isl2 GROUP BY doc_id, island),
+             |cov AS (
+             |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered
+             |  FROM spans GROUP BY doc_id),
+             |lens AS (
+             |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+             |  WHERE len(t) > 0),
+             |perdoc AS (
+             |  SELECT l.doc_id, l.n_tokens, coalesce(c.covered, 0) AS covered
+             |  FROM lens l LEFT JOIN cov c USING (doc_id))
+             |SELECT (covered * 10000 // n_tokens) // 1000 AS cov_decile,
+             |  count(*) AS n_docs,
+             |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Count-min sketch frequency estimation: build a 4×1024-counter CMS
     // over the token stream (a mergeable table ≤4096 rows at ANY corpus
     // size — the frequency twin of the HLL distinct sketches), then probe

@@ -130,4 +130,24 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2).toSet == Set(2L, 12L),
       s"keep must be least centroid-similar, got ${got.toSeq}")
   }
+
+  test("phraseSearch: consecutive-only matches, counts, repeated-word phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow hash batch then slow hash batch again"), // two matches
+      (2L, "slow hash fast batch"),                       // broken phrase
+      (3L, "batch hash slow"),                            // reversed
+      (4L, "x slow hash batch y"),                        // one match mid-doc
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Retrieval
+      .phraseSearch(docs, Seq("slow", "hash", "batch"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 0L), 4L -> (1L, 1L)), s"got $got")
+    // a phrase with a repeated word must align both occurrences
+    val rep = Seq((1L, "a b a c a b a")).toDF("doc_id", "text")
+    val got2 = graft.ops.Retrieval.phraseSearch(rep, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((1L, 2L, 0L)), s"got ${got2.toSeq}")
+  }
 }

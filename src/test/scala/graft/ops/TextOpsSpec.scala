@@ -455,4 +455,81 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(page1.contains("gamma\r\n\r\ndelta"))
     assert(page1.startsWith("<html>") && page1.endsWith("</html>"))
   }
+
+  test("temperatureMix: budget-preserving, direction-correct, deterministic") {
+    import spark.implicits._
+    // 80/15/5 split — en must downsample, de must upsample
+    val docs = (1 to 100).map { i =>
+      val lang = if (i <= 80) "en" else if (i <= 95) "fr" else "de"
+      (i.toLong, lang, 100L)
+    }.toDF("doc_id", "lang", "n_chars")
+    val mixed = TextAnalysis.temperatureMix(docs)
+    val byLang = mixed.groupBy("lang")
+      .agg(max("n_l").as("n"), max("target_docs").as("target"),
+        sum("copies").as("realized"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // targets preserve the total budget up to per-stratum floor loss
+    val targetSum = byLang.values.map(_._2).sum
+    assert(targetSum <= 100 && targetSum >= 100 - byLang.size,
+      s"budget drift: $targetSum")
+    // α=1/2 flattens: majority target below its count, minority above
+    assert(byLang("en")._2 < 80, s"en should downsample: ${byLang("en")}")
+    assert(byLang("de")._2 > 5, s"de should upsample: ${byLang("de")}")
+    // realized counts track targets within the Bernoulli remainder ±n
+    byLang.foreach { case (l, (n, target, realized)) =>
+      val base = target / n * n
+      assert(realized >= base && realized <= base + n,
+        s"$l realized=$realized outside [$base, ${base + n}]")
+    }
+    // md5-keyed, not rand(): byte-identical on a second invocation
+    val again = TextAnalysis.temperatureMix(docs)
+      .select("doc_id", "copies").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = mixed.select("doc_id", "copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == again)
+  }
+
+  test("curriculum: equal-size quality-ordered buckets, contiguous ranks") {
+    import spark.implicits._
+    // 25 docs into 4 buckets → sizes 7/6/6/6 spread evenly; quality is
+    // driven by token count (lenScore), several exact ties included
+    val docs = (1 to 25).map { i =>
+      (i.toLong, Seq.fill(4 + (i % 5) * 3)("tok" + i).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = TextAnalysis.curriculum(docs, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_bp"),
+        r.getAs[Long]("rank"), r.getAs[Long]("bucket")))
+    assert(rows.length == 25)
+    // ranks are a permutation of 1..25
+    assert(rows.map(_._3).sorted.toSeq == (1L to 25L).toSeq)
+    // quality never increases as rank increases
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      "rank must order by quality desc")
+    // bucket sizes differ by at most 1 and are rank-contiguous
+    val sizes = rows.groupBy(_._4).map { case (b, g) =>
+      b -> (g.length, g.map(_._3).min, g.map(_._3).max) }
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.map(_._1).max - sizes.values.map(_._1).min <= 1,
+      s"unbalanced buckets: $sizes")
+    sizes.foreach { case (b, (n, lo, hi)) =>
+      assert(hi - lo + 1 == n, s"bucket $b ranks not contiguous: $sizes")
+    }
+  }
+
+  test("spanCoverage: boilerplate docs land high, organic docs in decile 0") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => "w" + i).mkString(" ") // one 8-token gram
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),       // fully covered ×3
+      (4L, (1 to 40).map(i => "u" + i).mkString(" ")) // organic, no repeats
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Substring.spanCoverage(docs, n = 8, minRep = 3)
+      .collect()
+      .map(r => r.getAs[Long]("cov_decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("covered_tokens"))).toMap
+    // 3 docs at 100% coverage (decile 10), 1 doc at 0
+    assert(got == Map(10L -> (3L, 24L), 0L -> (1L, 0L)), s"got $got")
+  }
 }
