@@ -109,19 +109,30 @@ object Decontaminate {
     * (whitespace drift, a dropped word, OCR noise) that exact n-gram
     * collision misses and embedding cosine over-matches.
     *
-    * Shape: the benchmark side (eval suites are tiny next to a training
-    * corpus) broadcasts; the corpus streams through ONE scan with no
-    * shuffle. The length-difference band (|len(c)−len(b)| ≤ maxDist, a
-    * necessary condition for distance ≤ maxDist) is expressed as an
-    * EQUI-join on a length bucket of width maxDist+1 — each benchmark
-    * row explodes to its bucket ±1, so a corpus row hash-probes at most
-    * the benchmarks in 1 bucket instead of evaluating a predicate
-    * against every benchmark (a BroadcastNestedLoopJoin would pay
-    * |benchmarks| predicate evaluations PER corpus row — the difference
-    * between O(corpus) and O(corpus×bench) at 100 TB). Survivors run
-    * Spark's THRESHOLD-banded `levenshtein(l, r, d)` kernel —
-    * O(prefixLen·maxDist) per pair, not O(prefixLen²), returning −1 the
-    * moment the band is exceeded. Both stages are codegen projections.
+    * Candidate generation is the PassJoin segment scheme (Li, Deng,
+    * Wang, Feng 2011, "PASS-JOIN: a partition-based method for
+    * similarity joins"): split each corpus prefix into maxDist+1
+    * aligned segments — if two strings are within maxDist edits, the
+    * pigeonhole principle forces at least one corpus segment to appear
+    * EXACTLY in the benchmark string, at a start position shifted by at
+    * most maxDist. So candidates come from an EQUI-join on
+    * (segment slot, segment text, corpus length): the corpus explodes
+    * ×(maxDist+1) — constant — while each benchmark enumerates its
+    * aligned substring windows (≤ (2k+1)²(k+1) rows, deduplicated;
+    * benchmark suites are small by assumption). A length band alone
+    * cannot prune fixed-width prefixes at all (every pair survives —
+    * Θ(corpus×bench) distance kernels); segment equality prunes by
+    * CONTENT, so non-leaked docs fall out of the join. Survivors —
+    * candidate pairs, not all pairs — run Spark's THRESHOLD-banded
+    * `levenshtein(l, r, d)` kernel, O(prefixLen·maxDist) each with
+    * early exit. Degenerate repeated segments behave like hot LSH
+    * buckets; the [[LshGuard]] cap pattern applies if a corpus's
+    * boilerplate survives to this screen.
+    *
+    * Corpus prefixes shorter than maxDist+1 chars have no non-empty
+    * segment split; they route through a length-bucket equi-join
+    * fallback (trivially small: only benchmarks within maxDist chars of
+    * near-empty strings can match).
     *
     * Returns (doc_id, benchmark_id, edit_dist) with edit_dist ≤ maxDist.
     */
@@ -131,21 +142,66 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text",
       benchIdCol: String = "benchmark_id"
   ): DataFrame = {
-    val w = maxDist + 1
+    val k = maxDist
+    val nSeg = k + 1
     val c = corpus.select(col(idCol).as("doc_id"),
         substring(col(textCol), 1, prefixLen).as("_cp"))
-      .withColumn("_bucket", expr(s"length(_cp) div $w"))
+      .withColumn("_cl", length(col("_cp")))
     val b = benchmarks.select(col(benchIdCol),
         substring(col(textCol), 1, prefixLen).as("_bp"))
-      // a corpus length within ±maxDist of a benchmark length lands in
-      // the benchmark's bucket or an adjacent one — replicate ×3, never
-      // compare across buckets
+      .withColumn("_bl", length(col("_bp")))
+
+    // -- main path: PassJoin candidates for corpus prefixes with ≥ nSeg
+    // chars (every segment non-empty). Segment i of a length-l string
+    // covers [i·l div nSeg, (i+1)·l div nSeg) — 0-based.
+    val segs = c.filter(col("_cl") >= nSeg)
+      .withColumn("_i", explode(sequence(lit(0), lit(k))))
+      .withColumn("_s", expr(s"(_i * _cl) div $nSeg"))
+      .withColumn("_seg",
+        expr(s"substring(_cp, _s + 1, ((_i + 1) * _cl) div $nSeg - _s)"))
+      .select(col("doc_id"), col("_cp"), col("_cl"), col("_i"), col("_seg"))
+    // benchmark windows: for each candidate corpus length l ∈ bl±k and
+    // slot i, the substrings of _bp with that slot's length starting
+    // within ±k of the slot's canonical position
+    val wins = b
+      // a benchmark shorter than nSeg−k chars can't be within k edits
+      // of any main-path corpus string (and sequence() would descend)
+      .filter(col("_bl") + k >= nSeg)
+      .withColumn("_l", explode(sequence(
+        greatest(col("_bl") - k, lit(nSeg)), col("_bl") + k)))
+      .withColumn("_i", explode(sequence(lit(0), lit(k))))
+      .withColumn("_s", expr(s"(_i * _l) div $nSeg"))
+      .withColumn("_len", expr(s"((_i + 1) * _l) div $nSeg - (_i * _l) div $nSeg"))
+      .withColumn("_plo", greatest(col("_s") - k, lit(0)))
+      .withColumn("_phi", least(col("_s") + k, col("_bl") - col("_len")))
+      // Spark's sequence(a, b) DESCENDS when a > b — an empty window
+      // must be filtered out, not exploded
+      .filter(col("_phi") >= col("_plo"))
+      .withColumn("_p", explode(sequence(col("_plo"), col("_phi"))))
+      .withColumn("_seg", expr("substring(_bp, _p + 1, _len)"))
+      // the join never sees _p: dedup to distinct probe keys per benchmark
+      .select(col(benchIdCol), col("_bp"), col("_l"), col("_i"), col("_seg"))
+      .dropDuplicates(benchIdCol, "_l", "_i", "_seg")
+    val passCands = segs
+      .join(wins, segs("_cl") === wins("_l") &&
+        segs("_i") === wins("_i") && segs("_seg") === wins("_seg"))
+      .select(col("doc_id"), col(benchIdCol), col("_cp"), col("_bp"))
+      .dropDuplicates("doc_id", benchIdCol)
+
+    // -- fallback: near-empty corpus prefixes (< nSeg chars) — a
+    // length-bucket equi-join (width nSeg, benchmark replicated ±1)
+    val shortC = c.filter(col("_cl") < nSeg)
+      .withColumn("_bucket", expr(s"_cl div $nSeg"))
+    val shortB = b
       .withColumn("_bucket",
-        explode(array((-1 to 1).map(d => expr(s"length(_bp) div $w + $d")): _*)))
-    c.join(broadcast(b), Seq("_bucket"))
-      .filter(abs(length(col("_cp")) - length(col("_bp"))) <= maxDist)
-      .withColumn("edit_dist", levenshtein(col("_cp"), col("_bp"), maxDist))
+        explode(array((-1 to 1).map(d => expr(s"_bl div $nSeg + $d")): _*)))
+    val shortCands = shortC.join(shortB, Seq("_bucket"))
+      .filter(abs(col("_cl") - col("_bl")) <= k)
+      .select(col("doc_id"), col(benchIdCol), col("_cp"), col("_bp"))
+
+    passCands.unionByName(shortCands)
+      .withColumn("edit_dist", levenshtein(col("_cp"), col("_bp"), k))
       .filter(col("edit_dist") >= 0)
-      .select("doc_id", "benchmark_id", "edit_dist")
+      .select("doc_id", benchIdCol, "edit_dist")
   }
 }

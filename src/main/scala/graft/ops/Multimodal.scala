@@ -266,13 +266,18 @@ object Multimodal {
     *      the published constellation index.
     *
     * Everything is integer arithmetic over codepoints, so a SQL engine
-    * replays the fingerprint bit-for-bit. Scale shape: one payload-linear
-    * posexplode, one (media, frame, band) aggregation, one bounded
-    * window pass (frames are contiguous, so token pairing is `lead()` —
-    * no self-join). At 100 TB the token domain comes from real FFT bins
-    * (≈2²⁰ values) and over-common tokens are dropped by document
-    * frequency before indexing (stop-token removal) — both swaps leave
-    * this plan untouched.
+    * replays the fingerprint bit-for-bit. Scale shape: the ENTIRE
+    * landmark computation — band energies, per-frame argmax, token
+    * pairing — is one codegen projection over per-row arrays (frames of
+    * one payload never span rows, so no shuffle is needed to compute
+    * them; the earlier formulation exploded every SAMPLE into a row and
+    * paid a corpus-chars-sized aggregation plus two window sorts for
+    * what a per-row array fold computes in place). The only explode is
+    * the final token stream — `deltas.size` rows per `window` samples,
+    * an order of magnitude below the sample stream. At 100 TB the token
+    * domain comes from real FFT bins (≈2²⁰ values) and over-common
+    * tokens are dropped by document frequency before indexing
+    * (stop-token removal) — both swaps leave this plan untouched.
     *
     * Out: `media_id, w (frame index), token`.
     */
@@ -280,26 +285,46 @@ object Multimodal {
       deltas: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(deltas.nonEmpty && deltas.forall(d => d >= 1 && d < 4),
       s"delta codes are packed into 2 bits: $deltas")
-    val peaks = samples
-      .select(col("media_id"), posexplode(split(col("s"), "")).as(Seq("pos", "c")))
-      .withColumn("w", expr(s"CAST(pos DIV $window AS BIGINT)"))
-      .withColumn("b", expr(s"CAST(pos % $bands AS INT)"))
-      .groupBy("media_id", "w", "b")
-      .agg(sum(ascii(col("c")).cast("long")).as("e"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("media_id", "w")
-          .orderBy(col("e").desc, col("b").asc)))
-      .filter(col("rk") === 1)
-      .select(col("media_id"), col("w"), col("b").as("peak"))
-    val ahead = Window.partitionBy("media_id").orderBy("w")
-    val tokenCols = deltas.map { d =>
-      (col("peak") * (bands * 4) + lead("peak", d).over(ahead) * 4 + d)
-        .as(s"_t$d")
-    }
-    peaks.select(col("media_id") +: col("w") +: tokenCols: _*)
-      .select(col("media_id"), col("w"),
-        explode(array(deltas.map(d => col(s"_t$d")): _*)).as("token"))
-      .filter(col("token").isNotNull)
+    require(window % bands == 0,
+      s"band comb must tile the frame: window=$window bands=$bands")
+    val reps = window / bands
+    // codepoint array MATERIALIZED as a column before any lambda closes
+    // over it — the HOF re-evaluation trap (SCALING.md) would otherwise
+    // re-split the payload once per band probe
+    val chars = samples
+      .withColumn("_chars",
+        transform(split(col("s"), ""), c => ascii(c).cast("long")))
+      .withColumn("_nw",
+        expr(s"(size(_chars) + ${window - 1}) div $window"))
+    // per frame: band energies (sample position mod band within the
+    // frame — window % bands == 0 keeps band phase frame-independent),
+    // then argmax via array_position(max) — FIRST index, so ties break
+    // to the lowest band exactly like the ordered-window formulation
+    val peaks = chars.withColumn("_peaks",
+      transform(sequence(lit(0), col("_nw") - 1), w => {
+        val es = transform(sequence(lit(0), lit(bands - 1)), b =>
+          (0 until reps).map(r =>
+            // try_element_at: the last frame's comb probes run past the
+            // payload (ANSI element_at would throw there)
+            coalesce(try_element_at(col("_chars"),
+              (w * window + b + lit(r * bands) + 1).cast("int")), lit(0L)))
+            .reduce(_ + _))
+        array_position(es, array_max(es)) - 1
+      }))
+    // token pairing: landmark w pairs with landmark w+Δ — pure array
+    // indexing, no lead() window
+    val pairs = peaks.withColumn("_pairs",
+      flatten(transform(sequence(lit(0), col("_nw") - 1), w =>
+        array(deltas.map(d =>
+          when(w + d < col("_nw"),
+            struct(w.cast("long").as("w"),
+              (element_at(col("_peaks"), (w + 1).cast("int")) * (bands * 4) +
+                element_at(col("_peaks"), (w + d + 1).cast("int")) * 4 + d)
+                .as("token")))): _*))))
+    pairs
+      .select(col("media_id"),
+        explode(filter(col("_pairs"), p => p.isNotNull)).as("p"))
+      .select(col("media_id"), col("p.w").as("w"), col("p.token").as("token"))
   }
 
   /** Query-by-snippet matching over constellation fingerprints: probe
