@@ -21,7 +21,23 @@ class ConcurrentStressSpec extends AnyFunSuite with SparkTestBase {
     *   GRAFT_STRESS=true sbt "testOnly graft.ops.ConcurrentStressSpec"
     * Without the scope-tag fix in [[graft.util.AutoUnpersist]] it fails
     * within a run or two (intermittent EMPTY results); with it, it's
-    * stable across repeated runs.
+    * stable across repeated runs on an otherwise-idle machine.
+    *
+    * Round-5 controlled measurement of the RESIDUAL failure mode: with a
+    * full sf0.1 bench saturating all 32 cores as co-tenant load, the
+    * spec still fails ~1/3 of runs with AQE ON (one or two of the 12
+    * pipelines return zero rows) and passed 8/8 with
+    * GRAFT_STRESS_AQE_OFF=true under the same load. The trigger is the
+    * noise thread's `spark.catalog.clearCache()` landing mid-query —
+    * i.e. an adversarial actor dropping ANOTHER thread's in-flight
+    * cached plan, a hazard for any cached plan in any Spark app, not a
+    * graft-specific lifetime bug (the scope-tag fix removed those). The
+    * AQE-on/AQE-off split localizes the silent-empty path to adaptive
+    * re-planning consuming a transiently-empty cached-stage read;
+    * quiet-machine runs are stable with AQE on. Operational guidance:
+    * don't share one SparkSession between a pipeline and code that
+    * calls clearCache; if that can't be guaranteed, run curation
+    * pipelines with AQE's empty-relation propagation excluded.
     */
   private def stressTest(name: String)(body: => Unit): Unit =
     if (sys.env.get("GRAFT_STRESS").contains("true")) test(name)(body)
