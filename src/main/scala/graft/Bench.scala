@@ -52,7 +52,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter (dev): bench only matching queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       runOnce(name, fn) // untimed warm-up: codegen compile + page cache
       val load = osBean.getSystemLoadAverage
       val times = Seq.fill(reps)(runOnce(name, fn)).sorted

@@ -44,6 +44,21 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = ok = 0
+    # a query that FAILED in graft.Verify has no output dir — surface it
+    # instead of silently skipping (a stale-or-absent dir must never pass)
+    ep = f"{out_dir}/verify_errors.json"
+    reported = set()
+    if os.path.exists(ep):
+        for name, err in json.load(open(ep)).items():
+            if not only or name in only:
+                print(f"  {name}: VERIFY FAILED: {err[:160]}")
+                fails += 1; reported.add(name)
+    present = {os.path.basename(d.rstrip("/"))
+               for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(oracles):
+        if (not only or name in only) and name not in present \
+                and name not in reported:
+            print(f"  {name}: MISSING OUTPUT"); fails += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if only and name not in only:
