@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval over a document corpus: BM25 scoring — the
@@ -107,5 +108,45 @@ object Retrieval {
     }
     hits.groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * heterogeneous retrieval runs — the standard hybrid-search combiner
+    * (BM25 lexical + dense ANN in a RAG stack). Each run contributes
+    * 1/(k + rank) per candidate; candidates strong in EITHER modality
+    * surface without any score normalization across incomparable scales
+    * (micro-BM25 vs cosine bp) — the property that makes RRF the
+    * default fusion baseline. Contributions are fixed-point
+    * `10¹² div (k + rank)` BIGINTs, so the fused ordering is exact
+    * integer arithmetic any engine replays (ties → more runs, then
+    * lower id).
+    *
+    * In: each run `(query_id, id, score)` ranked by (score desc, id).
+    * Out: `(query_id, id, n_runs, rrf_pico, rank)`, top `topK` per
+    * query.
+    *
+    * Scale shape: runs are per-query CANDIDATE lists (top-N from their
+    * retrievers), so every window here partitions by query over
+    * bounded-size groups and the union/groupBy shuffles candidate rows,
+    * not corpus rows. Fusing R runs of N candidates for Q queries costs
+    * O(Q·N·R) — retrieval itself dwarfs it.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int = 60, topK: Int = 20): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(k >= 1 && topK >= 1, s"degenerate params: k=$k topK=$topK")
+    val perQ = Window.partitionBy("query_id")
+    val contribs = runs.map { r =>
+      r.select(col("query_id"), col("id"), col("score"))
+        .withColumn("rank", row_number().over(
+          perQ.orderBy(desc("score"), asc("id"))).cast("long"))
+        .select(col("query_id"), col("id"),
+          expr(s"1000000000000 div ($k + rank)").as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "id")
+      .agg(count(lit(1)).as("n_runs"), sum("contrib").as("rrf_pico"))
+      .withColumn("rank", row_number().over(
+        perQ.orderBy(desc("rrf_pico"), desc("n_runs"), asc("id"))).cast("int"))
+      .filter(col("rank") <= topK)
   }
 }

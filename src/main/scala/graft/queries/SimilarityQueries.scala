@@ -141,6 +141,79 @@ object SimilarityQueries extends QueryGroup {
     ),
 
     // Exact k-NN: top-5 cosine neighbors for the first 10 vectors.
+    // Hybrid lexical+dense retrieval fused by reciprocal rank (RRF,
+    // Cormack et al. 2009): the BM25 run over documents and the cosine
+    // run over the aligned embeddings merge on 10^12 div (60+rank)
+    // fixed-point contributions — no cross-scale score normalization,
+    // exact integer fusion both engines replay.
+    "q_sim_hybrid_rrf" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Retrieval
+        val e = Tables.embeddings(s, d)
+        val lex = Retrieval.bm25(Tables.documents(s, d),
+            terms = Seq("slow", "hash", "batch"))
+          .select(lit(0L).as("query_id"), col("doc_id").as("id"),
+            col("score_micro").as("score"))
+        val dense = Similarity.bruteForceTopK(
+            e.filter(col("vec_id") === 0), e, k = 50)
+          .select(col("query_id"), col("cand_id").as("id"),
+            col("cos_bp").as("score"))
+        Retrieval.rrfFuse(Seq(lex, dense), k = 60, topK = 20)
+          .orderBy("rank")
+      },
+      Some(s"""WITH lens AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              |      AS BIGINT) AS dl
+              |  FROM documents),
+              |stats AS (
+              |  SELECT count(*) AS n_docs,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              |  FROM documents),
+              |tf AS (
+              |  SELECT doc_id, tok, count(*) AS tf FROM toks
+              |  WHERE tok IN ('slow', 'hash', 'batch') GROUP BY 1, 2),
+              |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              |lexscore AS (
+              |  SELECT tf.doc_id,
+              |    CAST(sum(CAST(floor(1000000.0
+              |      * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+              |      * (tf * (1.2 + 1.0))
+              |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              |      AS BIGINT)) AS BIGINT) AS score
+              |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+              |  CROSS JOIN stats GROUP BY tf.doc_id),
+              |densescore AS (
+              |  SELECT c.vec_id AS id,
+              |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS score
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id = 0),
+              |lexrank AS (
+              |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS id,
+              |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              |  FROM lexscore),
+              |denserank AS (
+              |  SELECT CAST(0 AS BIGINT) AS query_id, id,
+              |    row_number() OVER (ORDER BY score DESC, id) AS rank
+              |  FROM densescore QUALIFY rank <= 50),
+              |contrib AS (
+              |  SELECT query_id, id, 1000000000000 // (60 + rank) AS c
+              |  FROM (SELECT * FROM lexrank UNION ALL SELECT * FROM denserank)),
+              |fused AS (
+              |  SELECT query_id, id, count(*) AS n_runs,
+              |    CAST(sum(c) AS BIGINT) AS rrf_pico
+              |  FROM contrib GROUP BY 1, 2)
+              |SELECT * FROM (
+              |  SELECT query_id, id, n_runs, rrf_pico,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY rrf_pico DESC, n_runs DESC, id) AS INTEGER) AS rank
+              |  FROM fused)
+              |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+    ),
+
     "q_sim_topk_bruteforce" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)

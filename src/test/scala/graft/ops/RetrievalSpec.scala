@@ -150,4 +150,25 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got2.toSeq == Seq((1L, 2L, 0L)), s"got ${got2.toSeq}")
   }
+
+  test("rrfFuse: both-run candidates beat single-run toppers; exact picos") {
+    import spark.implicits._
+    // doc 30 is mid-rank in BOTH runs; docs 10/20 top one run each
+    val lex = Seq((0L, 10L, 900L), (0L, 30L, 800L), (0L, 40L, 700L))
+      .toDF("query_id", "id", "score")
+    val dense = Seq((0L, 20L, 9500L), (0L, 30L, 9000L), (0L, 50L, 8500L))
+      .toDF("query_id", "id", "score")
+    val got = graft.ops.Retrieval.rrfFuse(Seq(lex, dense), k = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // 30: rank 2 in both → 2·(10^12 div 62); singles: 10^12 div 61
+    val both = 2 * (1000000000000L / 62)
+    val single = 1000000000000L / 61
+    assert(both > single)
+    assert(got.head == (30L, 2L, both, 1), s"got ${got.toSeq}")
+    // the two run-toppers tie on rrf_pico and n_runs → lower id first
+    assert(got(1) == (10L, 1L, single, 2) && got(2) == (20L, 1L, single, 3),
+      s"got ${got.toSeq}")
+    assert(got.length == 5)
+  }
 }
