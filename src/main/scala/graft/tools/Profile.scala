@@ -95,6 +95,39 @@ object Profile {
           dim = 64, overfetch = overfetch))
         truth.unpersist(); corpus.unpersist()
       }
+    } else if (args.headOption.contains("--fuzzy-scale")) {
+      // growth curve for PassJoin fuzzy decontamination: the benchmark
+      // set stays FIXED (eval suites don't grow with the corpus) while
+      // the corpus scales ×m; copies >0 pass through a copy-specific
+      // alphabet permutation so only copy-0 docs can match — candidate
+      // volume stays benchmark-linked while the scanned/segmented corpus
+      // grows honestly m×. Expected: linear in m (the segment projection
+      // + equi-join probe), with the verify kernel flat.
+      import graft.ops.Decontaminate
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val alphabet = ('a' to 'z').mkString
+      val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      val bench = base.filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select(col("doc_id").as("benchmark_id"),
+          concat(substring(col("text"), 1, 10),
+            substring(col("text"), 14, 35)).as("text"))
+      mults.foreach { m =>
+        val corpus = (0 until m).map { k =>
+          val mult = coprimes(k % coprimes.length)
+          val perm = (0 until 26).map(i =>
+            ('a' + (i * mult + k) % 26).toChar).mkString
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            (if (k == 0) col("text")
+             else translate(col("text"), alphabet, perm)).as("text"))
+        }.reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val n = Decontaminate.fuzzyPairs(corpus, bench,
+          prefixLen = 48, maxDist = 5).count()
+        println(f"FUZZY-SCALE x$m pairs=$n " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
     } else if (args.headOption.contains("--audio-scale")) {
       // growth curve for constellation audio matching: m corpus copies,
       // each passed through a copy-specific alphabet permutation
@@ -130,8 +163,11 @@ object Profile {
         val probes = sam
           .filter(col("media_id") % 5 === 0 && length(col("s")) >= 192)
           .select(col("media_id"), expr("substring(s, 65)").as("s"))
-        val idx = Multimodal.audioFingerprints(sam, bands = bands)
-        val pfp = Multimodal.audioFingerprints(probes, bands = bands)
+        // the comb must tile the frame (window % bands == 0): richer
+        // domains widen the frame with reps fixed at 2
+        val win = math.max(16, bands * 2)
+        val idx = Multimodal.audioFingerprints(sam, window = win, bands = bands)
+        val pfp = Multimodal.audioFingerprints(probes, window = win, bands = bands)
         val t0 = System.nanoTime()
         val hits = Multimodal.audioMatch(idx, pfp)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -142,8 +178,9 @@ object Profile {
                 .orderBy(col("votes").desc, col("media_id").asc,
                   col("delta_w").asc)))
           .filter(col("rk") === 1)
+        // the probe drops 64 samples = 64/win frames — the true offset
         val originTop = top.filter(col("probe_id") === col("media_id") &&
-          col("delta_w") === 4).count()
+          col("delta_w") === (64 / win)).count()
         val nProbes = top.count()
         println(f"AUDIO-SCALE x$m bands=$bands probes=$nProbes " +
           f"hits=$nHits origin_top=${originTop.toDouble / nProbes}%.3f " +
