@@ -279,11 +279,15 @@ object MultimodalQueries extends QueryGroup {
     // the token join → offset-delta voting, end to end.
     "q_multimodal_audio_match" -> QueryDef(
       (s, d) => {
-        val sam = Multimodal.synthesize(Tables.documents(s, d))
-          .filter(col("modality") === "audio")
-          .select(col("media_id"),
-            decode(expr(s"substring(media, ${Multimodal.HeaderLen + 1}, " +
-              "length(media))"), "UTF-8").as("s"))
+        // the synthesized sample stream feeds BOTH fingerprint subplans
+        // (index + probes) — scope-persist it so container synthesis and
+        // payload decode run once, not once per side
+        val sam = graft.util.AutoUnpersist.persistScoped(
+          Multimodal.synthesize(Tables.documents(s, d))
+            .filter(col("modality") === "audio")
+            .select(col("media_id"),
+              decode(expr(s"substring(media, ${Multimodal.HeaderLen + 1}, " +
+                "length(media))"), "UTF-8").as("s")))
         val probes = sam
           .filter(col("media_id") % 5 === 0 && length(col("s")) >= 192)
           .select(col("media_id"), expr("substring(s, 65)").as("s"))
