@@ -70,13 +70,27 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$loads}"""
-    println(json)
-    // sbt decorates stdout with an "[info] " prefix, which broke the
-    // driver's JSON parse in round 1 (BENCH_r01 parsed:null) — also write
-    // the line to a file so it survives any log framing
+    // The full line (124+ queries + loadavg) runs ~5k chars, but the
+    // driver records only the LAST 2000 chars of stdout and parses the
+    // JSON from that window — r4's line was head-truncated and parsed as
+    // null. Write the complete record to BENCH.json (committed each
+    // round), and print a stdout line that provably fits the window:
+    // total + the slowest queries, packed into a ~1600-char budget, with
+    // the full per-query map delegated to the file.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val budget = 1600
+    val bySlow = results.sortBy(-_._2)
+    val shown = new StringBuilder
+    var n = 0
+    for ((k, v, _) <- bySlow) {
+      val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + f"$v%.2f"
+      if (shown.length + entry.length <= budget) { shown.append(entry); n += 1 }
+    }
+    val stdoutJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${shown.result()}},"sf":"$sfDir","reps":$reps,"stat":"median","n_queries":${results.size},"queries_shown":$n,"full_per_query":"BENCH.json"}"""
+    println(stdoutJson)
     spark.stop()
   }
 }

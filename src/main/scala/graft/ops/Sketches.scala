@@ -190,4 +190,68 @@ object Sketches {
       .groupBy(probes.columns.map(col).toSeq: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
   }
+
+  /** Bloom probe position for `value` under probe index `probe`: the
+    * first eight hex digits of md5("bloom:probe:value") mod `mBits`.
+    * md5-derived like [[cmsBucket]] and the LSH hyperplane family, so a
+    * second engine rebuilds the identical filter bit-for-bit.
+    */
+  def bloomBit(value: Column, probe: Int, mBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"bloom:$probe:"), value)), 1, 8), 16, 10)
+      .cast("long"), lit(mBits.toLong))
+
+  /** Distributed Bloom filter over `of`'s values, as the relational
+    * SET-OF-SET-BITS (`bit` BIGINT, ≤ mBits rows, typically far fewer) —
+    * the fourth mergeable-sketch family next to HLL (distincts), CMS
+    * (frequencies) and histograms (quantiles), covering MEMBERSHIP: "was
+    * this content hash ever admitted?" without joining the full corpus.
+    *
+    * Mergeability is set UNION of the bits tables (dedup on `bit`) —
+    * per-shard/per-day filters roll up into a corpus filter without
+    * re-reading data, and the union is exactly the filter of the unioned
+    * key sets (Bloom OR). Build cost: one k×N explode into a groupBy
+    * with map-side partials; the result is bounded by mBits rows no
+    * matter the corpus size, so the probe side can broadcast it. No
+    * false negatives ever; false-positive rate ≈ (1-e^(-kN/m))^k, the
+    * textbook bound, and — because the probes are pure md5 arithmetic —
+    * which specific keys collide is deterministic and replayable.
+    *
+    * (Spark's own `stat.bloomFilter` builds a driver-side object; this
+    * formulation stays distributed, mergeable and SQL-replayable, at the
+    * cost of ~8 bytes per SET bit — the right trade for screens up to
+    * ~10⁸ bits. Beyond that, pack bits into fixed-width word groups via
+    * `bit div 64` + `sum(1L << (bit % 64))` on the same probe family.)
+    */
+  def bloomBits(
+      df: DataFrame, of: Column, k: Int = 7, mBits: Int = 65536
+  ): DataFrame =
+    df.select(explode(array((0 until k).map(p =>
+        bloomBit(of, p, mBits)): _*)).as("bit"))
+      .distinct()
+
+  /** Screen `df` against a Bloom bits table: appends `might_contain` —
+    * true iff ALL k probe positions of `value` are set. One k-way
+    * explode joined against the broadcast bits table (left join + count
+    * of matches = k; duplicate probe positions match independently, so
+    * the count test is exact), then one groupBy on `keyCol` to fold the
+    * verdict and an equi-join back onto the input rows.
+    *
+    * The intended 100 TB shape: build [[bloomBits]] once over admitted
+    * history (bounded output), broadcast it against each fresh shard,
+    * and let `might_contain = false` — the overwhelming majority —
+    * skip the exact-membership join entirely; only flagged rows pay it.
+    */
+  def bloomScreen(
+      df: DataFrame, keyCol: String, value: Column, bits: DataFrame,
+      k: Int = 7, mBits: Int = 65536, flag: String = "might_contain"
+  ): DataFrame = {
+    val probes = df.select(col(keyCol).as("_bk"),
+      explode(array((0 until k).map(p => bloomBit(value, p, mBits)): _*))
+        .as("bit"))
+    val hits = probes
+      .join(broadcast(bits.withColumn("_set", lit(1))), Seq("bit"), "left")
+      .groupBy("_bk")
+      .agg((count(col("_set")) === k).as(flag))
+    df.join(hits, df(keyCol) === hits("_bk")).drop("_bk")
+  }
 }

@@ -283,6 +283,56 @@ object DedupQueries extends QueryGroup {
              |ORDER BY content_key""".stripMargin)
     ),
 
+    // Bloom-filter admission screen: the membership sketch family
+    // (Sketches.bloomBits/bloomScreen). History = docs with id%3≠0,
+    // fresh shard = id%3=0; the fresh side is screened against the
+    // history's content-hash Bloom filter (m=65536 bits, k=7) and the
+    // flag is value-checked against ground truth — no false negative is
+    // structurally possible, and WHICH keys false-positive is md5
+    // arithmetic both engines replay bit-for-bit.
+    "q_dedup_bloom_screen" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(md5(col("text")).as("h"))
+        val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val bits = graft.ops.Sketches.bloomBits(hist, col("h"))
+        val screened =
+          graft.ops.Sketches.bloomScreen(fresh, "doc_id", col("h"), bits)
+        screened
+          .join(hist.distinct().withColumn("_t", lit(true)), Seq("h"), "left")
+          .select(col("doc_id"), col("might_contain"),
+            coalesce(col("_t"), lit(false)).as("is_true_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH hist AS (
+             |  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+             |fresh AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |bits AS (
+             |  SELECT DISTINCT
+             |    CAST(('0x' || substring(md5('bloom:' || p || ':' || h), 1, 8))
+             |      AS BIGINT) % 65536 AS bit
+             |  FROM hist, range(7) t(p)),
+             |probes AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5('bloom:' || p || ':' || h), 1, 8))
+             |      AS BIGINT) % 65536 AS bit
+             |  FROM fresh, range(7) t(p)),
+             |hits AS (
+             |  SELECT doc_id, count(b.bit) = 7 AS might_contain
+             |  FROM probes LEFT JOIN bits b USING (bit)
+             |  GROUP BY doc_id)
+             |SELECT f.doc_id, hi.might_contain,
+             |  (dh.h IS NOT NULL) AS is_true_dup
+             |FROM fresh f
+             |JOIN hits hi USING (doc_id)
+             |LEFT JOIN (SELECT DISTINCT h FROM hist) dh ON dh.h = f.h
+             |ORDER BY f.doc_id""".stripMargin)
+    ),
+
     // MinHash(k=8) + LSH(4 bands × 2 rows) candidates, exact-Jaccard verify.
     "q_dedup_minhash_lsh" -> QueryDef(
       (s, d) =>

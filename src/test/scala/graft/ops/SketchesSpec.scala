@@ -191,4 +191,32 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
         s"$pair: est $estCommon vs exact $n")
     }
   }
+
+  test("bloom screen: zero false negatives, bounded false positives, union merge") {
+    import spark.implicits._
+    val hist = (1 to 200).map(i => s"member-$i").toDF("key")
+    val bits = Sketches.bloomBits(hist, col("key"), k = 7, mBits = 65536)
+    // members ∪ strangers probed together; every member MUST flag true
+    val probesDf = ((1 to 200).map(i => s"member-$i") ++
+      (1 to 400).map(i => s"stranger-$i")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "key")
+    val flags = Sketches.bloomScreen(probesDf, "id", col("key"), bits)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Boolean]("might_contain"))
+    val (members, strangers) = flags.partition(_._1.startsWith("member"))
+    assert(members.forall(_._2), "bloom false negative — structurally impossible")
+    // fp bound: load kN/m = 7*200/65536 → (1-e^-0.021)^7 ≈ 1e-12; any
+    // stranger flagged would be a probe-arithmetic bug, not bad luck
+    assert(strangers.count(_._2) == 0,
+      s"unexpected false positives: ${strangers.filter(_._2).map(_._1).toSeq}")
+
+    // merge = set union of bits tables: screening against union(bitsA, bitsB)
+    // equals screening against bits of (A ∪ B) — Bloom OR, lossless
+    val a = (1 to 50).map(i => s"a-$i").toDF("key")
+    val b = (1 to 50).map(i => s"b-$i").toDF("key")
+    val unionOfBits = Sketches.bloomBits(a, col("key"))
+      .union(Sketches.bloomBits(b, col("key"))).distinct()
+    val bitsOfUnion = Sketches.bloomBits(a.union(b), col("key"))
+    assert(unionOfBits.except(bitsOfUnion).isEmpty &&
+      bitsOfUnion.except(unionOfBits).isEmpty)
+  }
 }
