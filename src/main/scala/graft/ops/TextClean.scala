@@ -173,6 +173,24 @@ object TextClean {
           "\n").as("text"))
   }
 
+  /** WITHIN-document repeated-line removal (the paragraph-dedup intake
+    * rule, complementing the corpus-level [[lineDedup]]): each distinct
+    * line survives only at its FIRST position inside its own document;
+    * cross-document repetition is untouched. Returns the filtered array,
+    * order preserved.
+    *
+    * Pure higher-order projection — an `array_position` first-index
+    * probe per element (O(lines²) per doc worst case, fine for the
+    * ≤10³-line documents this targets) with ZERO shuffle and zero state:
+    * embarrassingly parallel at any corpus size, where the corpus-level
+    * rule pays a line-keyed aggregate. Callers must pass a
+    * MATERIALIZED column (`withColumn` first), not an inline expression —
+    * HOF lambdas re-evaluate closed-over expressions per element.
+    */
+  def intraDocLineDedup(lines: Column): Column =
+    filter(lines, (l, i) =>
+      array_position(lines, l) === (i + lit(1)).cast("long"))
+
   /** Deterministic HTML page around a document — the test/bench stand-in
     * for raw crawl records (WARC responses), built so [[htmlExtract]] has
     * every boilerplate class to strip: head/title, an inline stylesheet,

@@ -658,6 +658,68 @@ object TextQueries extends QueryGroup {
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
 
+    // WITHIN-document repeated-line removal (paragraph-dedup intake
+    // rule): each doc gets a header line, its body chunked into 10-token
+    // lines, then an injected repeat of body line 1 and of the header —
+    // within-doc dups that intraDocLineDedup must strip while keeping
+    // first occurrences in order. DuckDB replays the synthesis and the
+    // first-position keep rule via a (doc, line)-partitioned row_number.
+    "q_text_intradoc_dedup" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("body", transform(
+            sequence(lit(0),
+              floor((size(col("toks")) - 1) / 10).cast("int")),
+            i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")))
+          .withColumn("head", concat(lit("about "), col("source")))
+          .withColumn("lines", concat(
+            array(col("head")), col("body"),
+            array(element_at(col("body"), 1), col("head"))))
+        docs
+          .select(col("doc_id"),
+            size(col("lines")).cast("long").as("n_lines"),
+            TextClean.intraDocLineDedup(col("lines")).as("kept"))
+          .select(col("doc_id"), col("n_lines"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(array_join(col("kept"), "\n")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |body AS (
+             |  SELECT doc_id, i + 1 AS pos,
+             |    array_to_string(toks[(10*i+1):(10*i+10)], ' ') AS line
+             |  FROM toksrc,
+             |    unnest(generate_series(0, (len(toks)-1)//10)) AS g(i)),
+             |keyed AS (
+             |  SELECT doc_id, 0 AS pos, 'about ' || source AS line FROM toksrc
+             |  UNION ALL SELECT * FROM body
+             |  UNION ALL
+             |  SELECT doc_id, (len(toks)-1)//10 + 2 AS pos,
+             |    array_to_string(toks[1:10], ' ') AS line
+             |  FROM toksrc
+             |  UNION ALL
+             |  SELECT doc_id, (len(toks)-1)//10 + 3 AS pos,
+             |    'about ' || source AS line
+             |  FROM toksrc),
+             |firsts AS (
+             |  SELECT doc_id, pos, line,
+             |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos)
+             |      AS rn
+             |  FROM keyed)
+             |SELECT k.doc_id,
+             |  (SELECT count(*) FROM keyed WHERE keyed.doc_id = k.doc_id)
+             |    AS n_lines,
+             |  count(*) AS n_kept,
+             |  md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_md5
+             |FROM firsts k WHERE k.rn = 1
+             |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin)
+    ),
+
     // Corpus-level line dedup (the C4 boilerplate rule): docs become
     // line lists — an injected per-source subscribe header, the body
     // chunked into 10-token lines, an injected per-source copyright

@@ -532,4 +532,22 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // 3 docs at 100% coverage (decile 10), 1 doc at 0
     assert(got == Map(10L -> (3L, 24L), 0L -> (1L, 0L)), s"got $got")
   }
+
+  test("intraDocLineDedup: first occurrences survive in order; cross-doc repeats untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c", "b", "a")), // adjacent + distant dups
+      (2L, Seq("x", "y", "z")),                // all unique: passthrough
+      (3L, Seq("a", "a", "a")),                // all same: collapses to one
+      (4L, Seq("x", "y", "z"))                 // repeats doc 2 — must keep all
+    ).toDF("doc_id", "lines")
+    val got = docs
+      .select($"doc_id", TextClean.intraDocLineDedup($"lines").as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == Map(
+      1L -> List("a", "b", "c"),
+      2L -> List("x", "y", "z"),
+      3L -> List("a"),
+      4L -> List("x", "y", "z")), s"got $got")
+  }
 }
