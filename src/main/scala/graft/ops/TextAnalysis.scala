@@ -628,4 +628,37 @@ object TextAnalysis {
       .withColumn("bucket", expr(s"(rank - 1) * $nBuckets div n_total"))
       .select("doc_id", "quality_bp", "rank", "bucket")
   }
+
+  /** Deterministic output-shard manifest — the handoff artifact between
+    * a curation run and the training data loader: docs are assigned to
+    * `nShards` shards by id hash (stable under reordering AND under
+    * corpus growth — a doc never migrates, unlike round-robin or
+    * size-balanced packing), and each shard row carries the accounting a
+    * loader or auditor needs: doc/token/char volume, the id range, and
+    * an ORDER-FREE content checksum (sum of each doc's 48-bit text-hash
+    * prefix) that any engine — or a later re-run — can recompute to
+    * prove the shard's contents didn't drift.
+    *
+    * One hash projection + one groupBy with map-side partials; output is
+    * exactly `nShards` rows. The checksum is a commutative BIGINT sum,
+    * so per-partition partials combine without ordering constraints —
+    * the same replayability discipline as the rest of the engine.
+    */
+  def shardManifest(
+      docs: DataFrame, nShards: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"
+  ): DataFrame =
+    docs
+      .withColumn("shard",
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(nShards.toLong)))
+      .withColumn("_ck",
+        conv(substring(md5(col(textCol)), 1, 12), 16, 10).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("n_tokens"),
+        sum(length(col(textCol))).as("n_chars"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(col("_ck")).as("content_checksum"))
 }

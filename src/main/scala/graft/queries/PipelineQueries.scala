@@ -81,6 +81,83 @@ object PipelineQueries extends QueryGroup {
 
     "q_corpus_report" -> corpusReport,
 
+    // Per-stage attrition report for the curation pipeline — the audit
+    // artifact a real corpus build publishes next to its output: every
+    // doc is labeled with the FIRST stage that would drop it (quality →
+    // lang → exact-dup → near-dup → kept), then one groupBy folds the
+    // funnel. One pass over the corpus plus the same dup side-tables the
+    // curate query builds; no per-stage re-counting jobs.
+    "q_pipeline_attrition" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.withColumn("quality_bp",
+          floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"))
+        val toks = split(col("text"), " ")
+        val gated = scored
+          .filter(col("quality_bp") >= 4000 && col("lang") === "en")
+        val keyed = gated.withColumn("content_key",
+          md5(concat_ws(" ", (1 to 5).map(i => element_at(toks, i)): _*)))
+        val exactLosers = keyed
+          .join(keyed.groupBy("content_key").agg(min("doc_id").as("_keep")),
+            "content_key")
+          .filter(col("doc_id") =!= col("_keep"))
+          .select(col("doc_id")).withColumn("_exact", lit(true))
+        val nearLosers = Dedup.minhashLsh(docs)
+          .select(col("j").as("doc_id")).distinct()
+          .withColumn("_near", lit(true))
+        scored
+          .join(exactLosers, Seq("doc_id"), "left")
+          .join(nearLosers, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("quality_bp") < 4000, "1_quality")
+              .when(col("lang") =!= "en", "2_lang")
+              .when(coalesce(col("_exact"), lit(false)), "3_exact_dup")
+              .when(coalesce(col("_near"), lit(false)), "4_near_dup")
+              .otherwise("5_kept"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH toksrc AS (
+              |  SELECT doc_id, lang, text,
+              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+              |    string_split(text, ' ') AS rawtoks,
+              |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, lang, toks, rawtoks,
+              |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+              |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+              |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000)
+              |      AS BIGINT) AS quality_bp
+              |  FROM toksrc),
+              |keyed AS (
+              |  SELECT doc_id,
+              |    md5(array_to_string(rawtoks[1:5], ' ')) AS content_key
+              |  FROM scored WHERE quality_bp >= 4000 AND lang = 'en'),
+              |exact_losers AS (
+              |  SELECT k.doc_id FROM keyed k
+              |  JOIN (SELECT content_key, min(doc_id) AS keep
+              |        FROM keyed GROUP BY content_key) m
+              |    ON k.content_key = m.content_key AND k.doc_id <> m.keep),
+              |${PipelineQueries.minhashPairsCte},
+              |near_losers AS (SELECT DISTINCT j AS doc_id FROM pairs),
+              |staged AS (
+              |  SELECT s.doc_id, len(s.toks) AS ntok,
+              |    CASE WHEN s.quality_bp < 4000 THEN '1_quality'
+              |         WHEN s.lang <> 'en' THEN '2_lang'
+              |         WHEN s.doc_id IN (SELECT doc_id FROM exact_losers)
+              |           THEN '3_exact_dup'
+              |         WHEN s.doc_id IN (SELECT doc_id FROM near_losers)
+              |           THEN '4_near_dup'
+              |         ELSE '5_kept' END AS stage
+              |  FROM scored s)
+              |SELECT stage, count(*) AS n_docs,
+              |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+              |FROM staged GROUP BY stage ORDER BY stage""".stripMargin)
+    ),
+
     // The STREAMING curation pipeline's batch-replay twin: the exact
     // gate + admission semantics StreamingCurate runs per micro-batch
     // (normalize → PII redact → lang/quality gates → near-dup admission

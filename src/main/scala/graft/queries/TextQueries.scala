@@ -658,6 +658,31 @@ object TextQueries extends QueryGroup {
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
 
+    // Output-shard manifest: id-hash shard assignment (migration-free
+    // under corpus growth) + per-shard volume accounting + an order-free
+    // content checksum a loader can recompute to prove shard integrity.
+    "q_text_shard_manifest" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.shardManifest(Tables.documents(s, d), nShards = 16)
+          .orderBy("shard"),
+      Some("""WITH assigned AS (
+             |  SELECT
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+             |      AS BIGINT) % 16 AS shard,
+             |    doc_id,
+             |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |      AS ntok,
+             |    length(text) AS nchars,
+             |    CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) AS ck
+             |  FROM documents)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             |  CAST(sum(nchars) AS BIGINT) AS n_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+             |  CAST(sum(ck) AS BIGINT) AS content_checksum
+             |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin)
+    ),
+
     // WITHIN-document repeated-line removal (paragraph-dedup intake
     // rule): each doc gets a header line, its body chunked into 10-token
     // lines, then an injected repeat of body line 1 and of the header —
