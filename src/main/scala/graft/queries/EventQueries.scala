@@ -120,6 +120,101 @@ object EventQueries extends QueryGroup {
              |FROM buckets""".stripMargin)
     ),
 
+    // SCD2 (slowly-changing-dimension) interval construction: each
+    // user's event-type stream collapses into validity runs — one row
+    // per CHANGE with [valid_from_ns, valid_to_ns) bounds, the open
+    // current row ending NULL. Gaps-and-islands via one lag + running
+    // sum + one groupBy + one lead; all per-user windows, so the work
+    // partitions by user at any scale (the same shape Sessionize runs).
+    "q_events_scd2" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts_ns"), col("event_id"))
+        val byRun = Window.partitionBy("user_id").orderBy(col("run_id"))
+        Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(20)) === 0)
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byUser).isNull ||
+              col("event_type") =!= lag(col("event_type"), 1).over(byUser), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(byUser))
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(first(col("event_type")).as("segment"),
+            min(col("ts_ns")).as("valid_from_ns"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to_ns",
+            lead(col("valid_from_ns"), 1).over(byRun))
+          .select("user_id", "segment", "valid_from_ns", "valid_to_ns",
+            "n_events")
+          .orderBy("user_id", "valid_from_ns")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+             |  FROM events WHERE user_id % 20 = 0),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |      OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END
+             |      AS chg
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+             |runs AS (
+             |  SELECT *, sum(chg) OVER
+             |    (PARTITION BY user_id ORDER BY ts_ns, event_id
+             |     ROWS UNBOUNDED PRECEDING) AS run_id
+             |  FROM flagged),
+             |grouped AS (
+             |  SELECT user_id, run_id, min(event_type) AS segment,
+             |    min(ts_ns) AS valid_from_ns, count(*) AS n_events
+             |  FROM runs GROUP BY user_id, run_id)
+             |SELECT user_id, segment, valid_from_ns,
+             |  lead(valid_from_ns) OVER
+             |    (PARTITION BY user_id ORDER BY run_id) AS valid_to_ns,
+             |  n_events
+             |FROM grouped ORDER BY user_id, valid_from_ns""".stripMargin)
+    ),
+
+    // Incremental rollup maintenance — the warehouse ETL core: history
+    // partials (3/4 of events, the "yesterday" table) merge with the new
+    // shard's partials by bucket-wise SUM, never re-scanning history.
+    // Sums run on exact integer cents, so partial-then-merge is
+    // bit-identical to a direct aggregate in any engine and any order.
+    "q_events_incremental_rollup" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("cents", floor(col("value") * 100).cast("long"))
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        val hist = partial(ev.filter(pmod(col("event_id"), lit(4)) =!= 0))
+        val incr = partial(ev.filter(pmod(col("event_id"), lit(4)) === 0))
+        hist.unionByName(incr)
+          .groupBy("user_id", "event_type")
+          .agg(sum("n").as("n_events"), sum("cents").as("sum_cents"))
+          .filter(pmod(col("user_id"), lit(10)) === 0)
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |hist AS (
+             |  SELECT user_id, event_type, count(*) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM ev WHERE event_id % 4 <> 0 GROUP BY 1, 2),
+             |incr AS (
+             |  SELECT user_id, event_type, count(*) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM ev WHERE event_id % 4 = 0 GROUP BY 1, 2),
+             |merged AS (
+             |  SELECT * FROM hist UNION ALL SELECT * FROM incr)
+             |SELECT user_id, event_type,
+             |  CAST(sum(n) AS BIGINT) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM merged WHERE user_id % 10 = 0
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)
+    ),
+
     // Stream-enrichment join: events × broadcast customer dimension.
     "q_events_enrich_join" -> QueryDef(
       (s, d) => {

@@ -73,6 +73,13 @@ class ConcurrentStressSpec extends AnyFunSuite with SparkTestBase {
     })
     val aqeOff = sys.env.get("GRAFT_STRESS_AQE_OFF").contains("true")
     if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // surgical variant: keep AQE (coalescing, skew splitting) but drop
+    // only the empty-relation propagation rule the silent-empty path
+    // runs through — the mitigation a production pipeline would ship
+    val aqeExclude = sys.env.get("GRAFT_STRESS_AQE_EXCLUDE").contains("true")
+    if (aqeExclude) spark.conf.set(
+      "spark.sql.adaptive.optimizer.excludedRules",
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
     Seq(noise, confNoise).foreach { t => t.setDaemon(true); t.start() }
     try {
       val runs = (1 to 12).map { _ =>
@@ -87,6 +94,8 @@ class ConcurrentStressSpec extends AnyFunSuite with SparkTestBase {
       confNoise.join(30000)
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", "true")
+      if (aqeExclude)
+        spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
     }
   }
 }
