@@ -149,4 +149,62 @@ object Retrieval {
         perQ.orderBy(desc("rrf_pico"), desc("n_runs"), asc("id"))).cast("int"))
       .filter(col("rank") <= topK)
   }
+
+  /** Per-rank nDCG gain weight, floor(10⁶ / log₂(rank+1)), for ranks
+    * 1..k — computed ONCE on the driver so the libm log never reaches
+    * either engine: ranks are bounded by k, and both the Spark plan and
+    * the SQL oracle embed the same integer literals. (The engine-side
+    * alternative — each engine calling its own log2 — risks ULP
+    * disagreement exactly where floor lands on a boundary.)
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** IR evaluation metrics for a ranked retrieval run against binary
+    * qrels — the eval harness every retrieval/embedding pipeline needs
+    * next to its index: per query, hits@k, recall@k, MRR and nDCG@k,
+    * all in exact fixed-point (micro/bp integers) so a second engine —
+    * or a later re-run — reproduces every metric bit-for-bit.
+    *
+    * `run`: (query_id, doc_id, rank) with rank 1-based; `qrels`:
+    * (query_id, doc_id) relevant pairs. Output one row per query with
+    * ≥1 relevant doc.
+    *
+    * Distributed shape: one equi-join of the rank≤k run slice against
+    * qrels (both sides narrow), one per-query aggregation with map-side
+    * partials, one join to the qrels counts — no windows, no
+    * per-metric re-scans; DCG folds as a SUM of per-rank integer
+    * weights ([[ndcgWeights]]), so the reduction is order-free.
+    */
+  def evalMetrics(run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    val w = ndcgWeights(k)
+    val idcgPrefix = w.scanLeft(0L)(_ + _).tail
+    val wArr = array(w.map(lit): _*)
+    val pArr = array(idcgPrefix.map(lit): _*)
+    val rel = qrels.select(col("query_id"), col("doc_id"),
+      lit(true).as("_rel"))
+    val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    run.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("_rel"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("_rel"), col("rank"))).as("_fr"),
+        sum(when(col("_rel"), element_at(wArr, col("rank")))
+          .otherwise(0L)).as("dcg_micro"))
+      .join(nrel, "query_id")
+      .withColumn("first_rank", coalesce(col("_fr"), lit(0)))
+      .withColumn("recall_bp",
+        expr("(10000 * n_hits) div n_rel").cast("long"))
+      .withColumn("mrr_micro",
+        when(col("_fr").isNull, 0L)
+          .otherwise(expr("1000000 div _fr")).cast("long"))
+      .withColumn("idcg_micro",
+        element_at(pArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+      .withColumn("ndcg_bp",
+        expr("(10000 * dcg_micro) div idcg_micro").cast("long"))
+      .select("query_id", "n_rel", "n_hits", "first_rank", "recall_bp",
+        "mrr_micro", "dcg_micro", "idcg_micro", "ndcg_bp")
+  }
 }

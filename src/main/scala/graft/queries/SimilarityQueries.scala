@@ -236,6 +236,81 @@ object SimilarityQueries extends QueryGroup {
               |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // IR evaluation harness: brute-force cosine top-10 as the run,
+    // same-label vectors as binary qrels — per query recall@10 / MRR /
+    // nDCG@10 in exact fixed point. The nDCG rank weights are integer
+    // literals computed once on the driver (floor(1e6/log2(r+1))), so
+    // no libm call reaches either engine; DuckDB replays the run, the
+    // qrels, and every metric bit-for-bit.
+    "q_sim_retrieval_eval" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val run = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+            k = 10)
+          .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+        val qrels = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+          .join(e.select(col("vec_id").as("doc_id"), col("label").as("_cl")),
+            col("_ql") === col("_cl") && col("query_id") =!= col("doc_id"))
+          .select("query_id", "doc_id")
+        graft.ops.Retrieval.evalMetrics(run, qrels, k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        val w = graft.ops.Retrieval.ndcgWeights(10)
+        val wVals = w.zipWithIndex
+          .map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")
+        val pVals = w.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 50),
+           |run AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos_bp DESC, doc_id)
+           |      AS INTEGER) AS rank
+           |  FROM scored),
+           |qrels AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.label = c.label AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 50),
+           |nrel AS (SELECT query_id, count(*) AS n_rel
+           |         FROM qrels GROUP BY query_id),
+           |weights AS (SELECT * FROM (VALUES $wVals) AS t(rank, wt)),
+           |prefixes AS (SELECT * FROM (VALUES $pVals) AS p(n, idcg)),
+           |labeled AS (
+           |  SELECT r.query_id, r.rank, (qr.doc_id IS NOT NULL) AS rel
+           |  FROM run r LEFT JOIN qrels qr
+           |    ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+           |  WHERE r.rank <= 10),
+           |agg AS (
+           |  SELECT l.query_id,
+           |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_hits,
+           |    min(CASE WHEN rel THEN l.rank END) AS fr,
+           |    CAST(sum(CASE WHEN rel THEN w.wt ELSE 0 END) AS BIGINT)
+           |      AS dcg_micro
+           |  FROM labeled l JOIN weights w ON w.rank = l.rank
+           |  GROUP BY l.query_id)
+           |SELECT a.query_id, n.n_rel, a.n_hits,
+           |  CAST(coalesce(a.fr, 0) AS INTEGER) AS first_rank,
+           |  CAST((10000 * a.n_hits) // n.n_rel AS BIGINT) AS recall_bp,
+           |  CAST(CASE WHEN a.fr IS NULL THEN 0 ELSE 1000000 // a.fr END
+           |    AS BIGINT) AS mrr_micro,
+           |  a.dcg_micro,
+           |  CAST(p.idcg AS BIGINT) AS idcg_micro,
+           |  CAST((10000 * a.dcg_micro) // CAST(p.idcg AS BIGINT)
+           |    AS BIGINT) AS ndcg_bp
+           |FROM agg a JOIN nrel n USING (query_id)
+           |JOIN prefixes p ON p.n = least(n.n_rel, 10)
+           |ORDER BY a.query_id""".stripMargin
+      }
+    ),
+
     // SemDeDup: k-means cells fence the pairwise work, within-cell
     // cosine pairs ≥ 0.4 form duplicate groups, each keeps its LEAST
     // centroid-similar member (diversity policy, ties to lowest id).

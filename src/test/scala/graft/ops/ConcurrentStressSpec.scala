@@ -31,13 +31,18 @@ class ConcurrentStressSpec extends AnyFunSuite with SparkTestBase {
     * noise thread's `spark.catalog.clearCache()` landing mid-query —
     * i.e. an adversarial actor dropping ANOTHER thread's in-flight
     * cached plan, a hazard for any cached plan in any Spark app, not a
-    * graft-specific lifetime bug (the scope-tag fix removed those). The
-    * AQE-on/AQE-off split localizes the silent-empty path to adaptive
-    * re-planning consuming a transiently-empty cached-stage read;
-    * quiet-machine runs are stable with AQE on. Operational guidance:
-    * don't share one SparkSession between a pipeline and code that
-    * calls clearCache; if that can't be guaranteed, run curation
-    * pipelines with AQE's empty-relation propagation excluded.
+    * graft-specific lifetime bug (the scope-tag fix removed those).
+    *
+    * Second campaign (same round, idle machine, 5+ runs per mode):
+    * AQE on fails even idle (1/5, plus 2/2 ad-hoc runs with residual
+    * Spark-shutdown load — the first campaign's "quiet = stable" was a
+    * small sample); GRAFT_STRESS_AQE_EXCLUDE=true (AQE kept, only
+    * AQEPropagateEmptyRelation excluded) fails at the same rate (2/8) —
+    * so the silent-empty path is NOT just the empty-relation rule;
+    * AQE off stays 12/12 clean across both campaigns. Operational
+    * guidance, sharpened: never share a session with code that may
+    * clearCache mid-flight; failing that, disable AQE for those jobs —
+    * surgical rule exclusion is insufficient.
     */
   private def stressTest(name: String)(body: => Unit): Unit =
     if (sys.env.get("GRAFT_STRESS").contains("true")) test(name)(body)

@@ -31,8 +31,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_lm_perplexity", // 1-row vocab-size aggregate × bigram rows
     "q_text_temperature_mix", // two 1-row total aggregates × strata table
     "q_text_curriculum", // 1-row corpus-count aggregate × ranked docs
-    "q_sim_hybrid_rrf") // inherits bm25's 1-row stats aggregate + the
+    "q_sim_hybrid_rrf", // inherits bm25's 1-row stats aggregate + the
                         // 1-probe brute-force dense run
+    "q_sim_retrieval_eval") // brute-force run side (50 broadcast queries
+                            // × corpus); qrels/metrics joins are equi
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
