@@ -48,4 +48,34 @@ object TimeSeries {
         col("_filled").as(valueCol),
         col("_obs").isNull.as("is_gap"))
   }
+
+  /** One-sided CUSUM change-point statistic per key over an ordered
+    * integer series — the classic drift/burst detector (Page 1954),
+    * in its CLOSED WINDOW FORM: the textbook recursion
+    * `s_i = max(0, s_{i-1} + (x_i - ref - slack))` is not a frame
+    * Spark can window, but it equals `P_i - min(0, min_{j≤i} P_j)`
+    * where `P` is the running sum of the drifts — two cumulative
+    * windows per key, no recursion, no UDF, exact BIGINT arithmetic.
+    * An alarm fires where the statistic reaches `threshold`.
+    *
+    * In: one row per (key, step). Out: input keys/order plus
+    * `drift, cusum, alarm`. Keys stream independently — the same
+    * per-key-window scale law as resample/sessionize; a key's series
+    * length bounds its window work, corpus growth adds keys.
+    */
+  def cusum(
+      df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, ref: org.apache.spark.sql.Column,
+      slack: org.apache.spark.sql.Column,
+      threshold: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("drift", col(valueCol) - ref - slack)
+      .withColumn("_p", sum(col("drift")).over(w))
+      .withColumn("cusum",
+        col("_p") - least(lit(0L), min(col("_p")).over(w)))
+      .withColumn("alarm", col("cusum") >= threshold)
+      .drop("_p")
+  }
 }

@@ -120,6 +120,55 @@ object EventQueries extends QueryGroup {
              |FROM buckets""".stripMargin)
     ),
 
+    // CUSUM change-point detection over per-type hourly volumes — the
+    // drift/burst monitor in Page's one-sided form, computed as two
+    // cumulative windows per key (closed form: s = P - min(0, run-min P);
+    // the textbook recursion isn't windowable, this is). Reference level
+    // and slack derive from each type's own mean hourly rate in exact
+    // BIGINT division, so both engines replay every alarm bit-for-bit.
+    "q_events_cusum" -> QueryDef(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+              .as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val refs = hourly.groupBy("event_type")
+          .agg(expr("sum(n) div count(*)").as("ref"))
+        val joined = hourly.join(broadcast(refs), "event_type")
+        graft.ops.TimeSeries.cusum(joined, Seq("event_type"), "hour", "n",
+            col("ref"), expr("ref div 4"), col("ref") * 3)
+          .select("event_type", "hour", "n", "drift", "cusum", "alarm")
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |refs AS (
+             |  SELECT event_type,
+             |    CAST(sum(n) // count(*) AS BIGINT) AS ref
+             |  FROM hourly GROUP BY 1),
+             |d AS (
+             |  SELECT h.event_type, h.hour, h.n, r.ref,
+             |    h.n - r.ref - (r.ref // 4) AS drift
+             |  FROM hourly h JOIN refs r USING (event_type)),
+             |p AS (
+             |  SELECT *, CAST(sum(drift) OVER w AS BIGINT) AS pp FROM d
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             |               ROWS UNBOUNDED PRECEDING)),
+             |c AS (
+             |  SELECT event_type, hour, n, drift, ref,
+             |    pp - least(0, min(pp) OVER w) AS cusum
+             |  FROM p
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             |               ROWS UNBOUNDED PRECEDING))
+             |SELECT event_type, hour, n, drift, cusum,
+             |  (cusum >= 3 * ref) AS alarm
+             |FROM c ORDER BY event_type, hour""".stripMargin)
+    ),
+
     // SCD2 (slowly-changing-dimension) interval construction: each
     // user's event-type stream collapses into validity runs — one row
     // per CHANGE with [valid_from_ns, valid_to_ns) bounds, the open

@@ -26,4 +26,30 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out((2L, 0L)) == ((3.0, false))) // ts tie broken by event_id
     assert(out.size == 5) // user 2 spans a single bucket
   }
+
+  test("cusum: closed window form equals the textbook recursion per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two keys with different burst shapes, incl. a reset-to-zero dip
+    val series = Map(
+      "a" -> Seq(5L, 5L, 20L, 5L, 5L, 1L, 30L),
+      "b" -> Seq(2L, 2L, 2L, 2L))
+    val df = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }.toDF("key", "step", "x")
+    val (ref, slack, thr) = (5L, 1L, 10L)
+    val got = TimeSeries.cusum(df, Seq("key"), "step", "x",
+        lit(ref), lit(slack), lit(thr))
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("step")) ->
+        (r.getAs[Long]("cusum"), r.getAs[Boolean]("alarm"))).toMap
+    series.foreach { case (k, xs) =>
+      var s = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        s = math.max(0L, s + (x - ref - slack))
+        assert(got((k, i.toLong)) == ((s, s >= thr)),
+          s"key $k step $i: got ${got((k, i.toLong))} want ($s, ${s >= thr})")
+      }
+    }
+  }
 }
