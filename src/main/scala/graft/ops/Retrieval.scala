@@ -150,6 +150,37 @@ object Retrieval {
       .filter(col("rank") <= topK)
   }
 
+  /** Second-stage reranker — the retrieve-then-rerank architecture's
+    * expensive half: first-stage candidates (`query_id, doc_id, rank1`)
+    * are rescored by exact token-overlap F1 against the full documents
+    * and re-ranked, ties broken by first-stage order (so the rerank
+    * strictly refines, never scrambles, stage one). The F1 here is the
+    * deterministic stand-in at the exact slot where a cross-encoder
+    * model scorer would mount — same join shape, same per-pair batch.
+    *
+    * Scale shape: ALL work is proportional to |candidates| (queries ×
+    * topN), never the corpus — that asymmetry is the whole point of the
+    * two-stage architecture. Queries broadcast; the doc-side join is an
+    * equi-join on doc_id; the final window runs over ≤topN rows per
+    * query. F1 is exact integer bp, replayable anywhere.
+    */
+  def overlapRerank(
+      cands: DataFrame, queries: DataFrame, docs: DataFrame,
+      topK: Int = 5, qCol: String = "q_toks", dCol: String = "d_toks"
+  ): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("f1_bp"), asc("rank1"))
+    cands.join(broadcast(queries), "query_id")
+      .join(docs, "doc_id")
+      .withColumn("inter",
+        size(array_intersect(col(qCol), col(dCol))).cast("long"))
+      .withColumn("f1_bp",
+        expr(s"(20000 * inter) div (size($qCol) + size($dCol))"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "f1_bp", "rank1", "rank")
+  }
+
   /** Per-rank nDCG gain weight, floor(10⁶ / log₂(rank+1)), for ranks
     * 1..k — computed ONCE on the driver so the libm log never reaches
     * either engine: ranks are bounded by k, and both the Spark plan and

@@ -988,6 +988,80 @@ object TextQueries extends QueryGroup {
     // integer micro-units BEFORE the per-doc sum, so both engines sum in
     // any order and agree bit-for-bit. Oracle mirrors the association
     // order of every double op.
+    // Retrieve-then-rerank: stage 1 generates ≤20 candidates per query
+    // from a broadcast inverted-index token join (shared-token count,
+    // work ∝ matching postings); stage 2 rescores ONLY those candidates
+    // by exact token-overlap F1 and re-ranks, ties keeping stage-1
+    // order. Queries are 8-token prefixes of every 50th doc, so each
+    // query's own doc must rerank to the top — and the oracle replays
+    // both stages, the F1 arithmetic, and both tie-breaks.
+    "q_text_rerank" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+        val docToks = base.select(col("doc_id"),
+          array_distinct(col("toks")).as("d_toks"))
+        val queries = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 1000000L).as("query_id"),
+            array_distinct(slice(col("toks"), 1, 8)).as("q_toks"))
+        val qx = queries.select(col("query_id"),
+          explode(col("q_toks")).as("tok"))
+        val dx = docToks.select(col("doc_id"),
+          explode(col("d_toks")).as("tok"))
+        val w1 = Window.partitionBy("query_id")
+          .orderBy(desc("shared"), asc("doc_id"))
+        val cands = broadcast(qx).join(dx, "tok")
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("rank1", row_number().over(w1).cast("int"))
+          .filter(col("rank1") <= 20)
+          .select("query_id", "doc_id", "rank1")
+        graft.ops.Retrieval.overlapRerank(cands, queries, docToks, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) AS d_toks
+             |  FROM documents),
+             |queries AS (
+             |  SELECT doc_id + 1000000 AS query_id,
+             |    list_distinct((list_filter(string_split(text, ' '),
+             |      x -> x <> ''))[1:8]) AS q_toks
+             |  FROM documents WHERE doc_id % 50 = 0),
+             |qx AS (SELECT query_id, unnest(q_toks) AS tok FROM queries),
+             |dx AS (SELECT doc_id, unnest(d_toks) AS tok FROM base),
+             |c1 AS (
+             |  SELECT query_id, doc_id, count(*) AS shared
+             |  FROM qx JOIN dx USING (tok) GROUP BY 1, 2),
+             |cands AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY shared DESC, doc_id) AS INTEGER) AS rank1
+             |  FROM c1 QUALIFY rank1 <= 20),
+             |inter AS (
+             |  SELECT c.query_id, c.doc_id, count(*) AS n
+             |  FROM cands c
+             |  JOIN qx ON qx.query_id = c.query_id
+             |  JOIN dx ON dx.doc_id = c.doc_id AND dx.tok = qx.tok
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT c.query_id, c.doc_id, c.rank1,
+             |    CAST((20000 * coalesce(i.n, 0))
+             |      // (len(q.q_toks) + len(b.d_toks)) AS BIGINT) AS f1_bp
+             |  FROM cands c
+             |  JOIN queries q USING (query_id)
+             |  JOIN base b USING (doc_id)
+             |  LEFT JOIN inter i
+             |    ON i.query_id = c.query_id AND i.doc_id = c.doc_id)
+             |SELECT query_id, doc_id, f1_bp, rank1,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY f1_bp DESC, rank1) AS INTEGER) AS rank
+             |FROM scored QUALIFY rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)
+    ),
+
     "q_text_bm25" -> QueryDef(
       (s, d) =>
         graft.ops.Retrieval.bm25(Tables.documents(s, d),

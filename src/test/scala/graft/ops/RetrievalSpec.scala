@@ -171,4 +171,28 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       s"got ${got.toSeq}")
     assert(got.length == 5)
   }
+
+  test("overlapRerank: exact-overlap doc beats partial; ties keep stage-1 order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // query tokens {a b c d}; doc 1 = exact match, doc 2 = half overlap
+    // + noise, docs 3/4 = identical token sets (tie) in stage-1 order 4,3
+    val queries = Seq((100L, Seq("a", "b", "c", "d"))).toDF("query_id", "q_toks")
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "x", "y", "z", "w")),
+      (3L, Seq("a", "x")),
+      (4L, Seq("a", "x"))
+    ).toDF("doc_id", "d_toks")
+    // stage-1 order deliberately WRONG (doc 1 last) — rerank must fix it
+    val cands = Seq((100L, 2L, 1), (100L, 4L, 2), (100L, 3L, 3), (100L, 1L, 4))
+      .toDF("query_id", "doc_id", "rank1")
+    val got = Retrieval.overlapRerank(cands, queries, docs, topK = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("f1_bp")))
+    // f1: doc1 = 2·4/(4+4) = 1 → 10000; doc2 = 2·2/(4+6) = 0.4 → 4000;
+    // docs 3,4 = 2·1/(4+2) → 3333, tie broken by rank1 (4 before 3)
+    assert(got.toSeq == Seq((1L, 10000L), (2L, 4000L), (4L, 3333L),
+      (3L, 3333L)), s"got ${got.toSeq}")
+  }
 }
