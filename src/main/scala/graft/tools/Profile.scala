@@ -128,6 +128,50 @@ object Profile {
         println(f"FUZZY-SCALE x$m pairs=$n " +
           f"time=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
+    } else if (args.headOption.contains("--screen-scale")) {
+      // Bloom-screen growth curve: history AND fresh shard both scale ×m
+      // (disjoint token suffixes per copy keep content hashes distinct,
+      // so the filter load factor kN/m grows honestly). Expected: build
+      // linear in m but output bounded by mBits; probe linear in m with
+      // the bits join staying broadcast; false-positive count rising
+      // with load exactly as (1-e^(-kN/m))^k predicts — the curve shows
+      // WHEN a fixed-m filter saturates and the word-packed variant (or
+      // a bigger m) takes over.
+      import graft.ops.Sketches
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      val mBits = 65536
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(md5(col("text")).as("h"))
+        val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val t0 = System.nanoTime()
+        val bits = Sketches.bloomBits(hist, col("h"), mBits = mBits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nBits = bits.count()
+        val t1 = System.nanoTime()
+        val flaggedDf = Sketches.bloomScreen(fresh, "doc_id", col("h"), bits,
+            mBits = mBits)
+          .filter(col("might_contain"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val flagged = flaggedDf.count()
+        val probeT = (System.nanoTime() - t1) / 1e9
+        // true dups exist (the fixture has exact-duplicate texts within a
+        // copy); fp = flagged minus exact-membership hits
+        val trueDups = flaggedDf
+          .join(hist.distinct(), Seq("h"), "left_semi").count()
+        flaggedDf.unpersist()
+        println(f"SCREEN-SCALE x$m set_bits=$nBits/$mBits " +
+          f"flagged=$flagged fp=${flagged - trueDups} " +
+          f"build=${(t1 - t0) / 1e9}%.2f probe=$probeT%.2f")
+        bits.unpersist()
+      }
     } else if (args.headOption.contains("--audio-scale")) {
       // growth curve for constellation audio matching: m corpus copies,
       // each passed through a copy-specific alphabet permutation
