@@ -229,6 +229,50 @@ object Sketches {
         bloomBit(of, p, mBits)): _*)).as("bit"))
       .distinct()
 
+  /** The word-packed Bloom build — the 10⁸+-bit scale path the
+    * relational [[bloomBits]] documents: the same md5 probe family, but
+    * bits pack 64-per-row into `(word, bits)` via a `bit_or` aggregate,
+    * so a 10⁹-bit filter is ~16M rows / ~250 MB instead of ~10⁹ rows.
+    * Merge is `bit_or` by word (still exactly Bloom OR); [[packWords]]
+    * converts a relational bits table to this form, and the two builds
+    * are bit-identical (asserted in SketchesSpec).
+    */
+  def bloomWordsBits(
+      df: DataFrame, of: Column, k: Int = 7, mBits: Int = 65536
+  ): DataFrame =
+    packWords(df.select(explode(array((0 until k).map(p =>
+        bloomBit(of, p, mBits)): _*)).as("bit")))
+
+  /** Pack a relational `bit` table into 64-bit words: (word, bits). */
+  def packWords(bits: DataFrame): DataFrame =
+    bits.distinct()
+      .select(expr("bit div 64").as("word"),
+        expr("shiftleft(1L, cast(bit % 64 AS int))").as("_m"))
+      .groupBy("word")
+      .agg(expr("bit_or(_m)").as("bits"))
+
+  /** [[bloomScreen]] over the word-packed form: probes join on their
+    * word and test their mask bit; the all-k fold is unchanged. Same
+    * broadcast shape — the packed table is 64× smaller.
+    */
+  def bloomScreenWords(
+      df: DataFrame, keyCol: String, value: Column, words: DataFrame,
+      k: Int = 7, mBits: Int = 65536, flag: String = "might_contain"
+  ): DataFrame = {
+    val probes = df.select(col(keyCol).as("_bk"),
+      explode(array((0 until k).map(p => bloomBit(value, p, mBits)): _*))
+        .as("bit"))
+      .select(col("_bk"), expr("bit div 64").as("word"),
+        expr("shiftleft(1L, cast(bit % 64 AS int))").as("_m"))
+    val hits = probes
+      .join(broadcast(words), Seq("word"), "left")
+      .groupBy("_bk")
+      .agg((sum(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("_m")) === col("_m")), 1L)
+        .otherwise(0L)) === k).as(flag))
+    df.join(hits, df(keyCol) === hits("_bk")).drop("_bk")
+  }
+
   /** Screen `df` against a Bloom bits table: appends `might_contain` —
     * true iff ALL k probe positions of `value` are set. One k-way
     * explode joined against the broadcast bits table (left join + count

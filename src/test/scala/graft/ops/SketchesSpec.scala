@@ -218,5 +218,17 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val bitsOfUnion = Sketches.bloomBits(a.union(b), col("key"))
     assert(unionOfBits.except(bitsOfUnion).isEmpty &&
       bitsOfUnion.except(unionOfBits).isEmpty)
+
+    // the word-packed scale form is bit-identical to the relational one
+    // and screens to the same verdicts
+    val packed = Sketches.packWords(bits)
+    val direct = Sketches.bloomWordsBits(hist, col("key"))
+    assert(packed.except(direct).isEmpty && direct.except(packed).isEmpty)
+    val packedFlags =
+      Sketches.bloomScreenWords(probesDf, "id", col("key"), direct)
+        .collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("might_contain"))
+        .toMap
+    assert(flags.toMap == packedFlags)
   }
 }
