@@ -214,4 +214,68 @@ object DataSelect {
         (-sum(col("c") * col("lp_bp"))).as("nll_bp"))
       .withColumn("nll_per_tok_bp", expr("nll_bp div n_bigrams"))
   }
+
+  /** Engine-exact pseudo-exponential `E(x) = (1 + x/256)²⁵⁶` computed by
+    * eight squarings — every step a plain IEEE multiply, so any engine
+    * replays it bit-for-bit where a libm `exp` could differ in the last
+    * ulp exactly where a floor lands. Within 0.2% of eˣ for |x| ≤ 1.
+    */
+  def pseudoExp(x: Double): Double = {
+    var e = 1.0 + x / 256.0
+    var i = 0
+    while (i < 8) { e = e * e; i += 1 }
+    e
+  }
+
+  /** DoReMi-style mixture-weight optimization (Xie et al. 2023's
+    * multiplicative-weights core): domains with persistent excess loss
+    * get their sampling weight scaled up by `E(η·ℓ_d)` each round, then
+    * the weights renormalize — closing the data-selection family
+    * (DSIR resampling, classifier scores, perplexity gates) with the
+    * MIXTURE slot. The published method reads ℓ from a proxy-model
+    * training run; here ℓ is an input column, so any loss source mounts
+    * (the oracle query feeds per-source quality deficit).
+    *
+    * Determinism discipline: the multiplier uses [[pseudoExp]] (no libm),
+    * per-round weights re-quantize to integer micro-units BEFORE the
+    * normalization sum, and the normalization divides BIGINTs — so the
+    * whole trajectory is replayable arithmetic, round by round.
+    *
+    * Scale shape: ONE distributed aggregation folds the corpus to a
+    * domains-sized loss table (map-side partials); the T-round loop runs
+    * on the driver over that table — domains number tens, exactly like
+    * the k-means centroid loop — and the result broadcasts back wherever
+    * per-doc sampling needs it.
+    *
+    * Out: (domain, n_docs, loss_bp, weight_micro), weights summing to
+    * ≤10⁶ (floor rounding), one row per domain, ordered by domain.
+    */
+  def doremiMix(
+      docs: DataFrame, domainCol: String, lossBp: Column,
+      iters: Int = 4, etaBp: Long = 5000L
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // loss must be non-negative so integer division below is floor-safe
+    val stats = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(lossBp).as("_ls"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / r.getLong(1)))
+      .sortBy(_._1)
+    val mult = stats.map { case (_, _, l) =>
+      pseudoExp((etaBp.toDouble / 10000.0) * (l.toDouble / 10000.0))
+    }
+    var w = stats.map(_ => 1000000L / stats.length)
+    for (_ <- 0 until iters) {
+      val raw = w.zip(mult).map { case (wi, e) =>
+        math.floor(wi.toDouble * e).toLong
+      }
+      val tot = raw.sum
+      w = raw.map(r => 1000000L * r / tot)
+    }
+    spark.createDataset(stats.zip(w).toSeq.map { case ((d, n, l), wi) =>
+      (d, n, l, wi)
+    }).toDF("domain", "n_docs", "loss_bp", "weight_micro")
+  }
 }

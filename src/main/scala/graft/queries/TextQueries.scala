@@ -988,6 +988,76 @@ object TextQueries extends QueryGroup {
     // integer micro-units BEFORE the per-doc sum, so both engines sum in
     // any order and agree bit-for-bit. Oracle mirrors the association
     // order of every double op.
+    // DoReMi-style mixture optimization: per-source quality deficit as
+    // the excess-loss proxy, 4 multiplicative-weight rounds with the
+    // engine-exact pseudo-exponential (8 IEEE squarings, no libm) and
+    // integer re-quantization before every normalization sum — DuckDB
+    // replays the aggregation, all 8 squarings, and all 4 rounds.
+    "q_text_doremi_mix" -> QueryDef(
+      (s, d) =>
+        graft.ops.DataSelect.doremiMix(Tables.documents(s, d), "source",
+            lit(10000L) - floor(qualityScore(col("text")) * 10000)
+              .cast("long"),
+            iters = 4, etaBp = 5000L)
+          .orderBy("domain"),
+      Some("""WITH toksrc AS (
+             |  SELECT source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+             |  FROM documents),
+             |scored AS (
+             |  SELECT source,
+             |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+             |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM toksrc),
+             |stats AS (
+             |  SELECT source AS domain, count(*) AS n_docs,
+             |    CAST(sum(10000 - q) // count(*) AS BIGINT) AS loss_bp
+             |  FROM scored GROUP BY 1),
+             |nd AS (SELECT count(*) AS k FROM stats),
+             |m0 AS (SELECT domain, n_docs, loss_bp,
+             |    1.0 + ((5000.0 / 10000.0)
+             |      * (CAST(loss_bp AS DOUBLE) / 10000.0)) / 256.0 AS e
+             |  FROM stats),
+             |m1 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m0),
+             |m2 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m1),
+             |m3 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m2),
+             |m4 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m3),
+             |m5 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m4),
+             |m6 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m5),
+             |m7 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m6),
+             |m8 AS (SELECT domain, n_docs, loss_bp, e*e AS e FROM m7),
+             |r0 AS (SELECT *, 1000000 // (SELECT k FROM nd) AS w FROM m8),
+             |a1 AS (SELECT *,
+             |  CAST(floor(CAST(w AS DOUBLE) * e) AS BIGINT) AS raw FROM r0),
+             |r1 AS (SELECT domain, n_docs, loss_bp, e,
+             |  CAST(1000000 * raw
+             |    // (SELECT CAST(sum(raw) AS BIGINT) FROM a1) AS BIGINT)
+             |    AS w FROM a1),
+             |a2 AS (SELECT *,
+             |  CAST(floor(CAST(w AS DOUBLE) * e) AS BIGINT) AS raw FROM r1),
+             |r2 AS (SELECT domain, n_docs, loss_bp, e,
+             |  CAST(1000000 * raw
+             |    // (SELECT CAST(sum(raw) AS BIGINT) FROM a2) AS BIGINT)
+             |    AS w FROM a2),
+             |a3 AS (SELECT *,
+             |  CAST(floor(CAST(w AS DOUBLE) * e) AS BIGINT) AS raw FROM r2),
+             |r3 AS (SELECT domain, n_docs, loss_bp, e,
+             |  CAST(1000000 * raw
+             |    // (SELECT CAST(sum(raw) AS BIGINT) FROM a3) AS BIGINT)
+             |    AS w FROM a3),
+             |a4 AS (SELECT *,
+             |  CAST(floor(CAST(w AS DOUBLE) * e) AS BIGINT) AS raw FROM r3),
+             |r4 AS (SELECT domain, n_docs, loss_bp, e,
+             |  CAST(1000000 * raw
+             |    // (SELECT CAST(sum(raw) AS BIGINT) FROM a4) AS BIGINT)
+             |    AS w FROM a4)
+             |SELECT domain, n_docs, loss_bp, w AS weight_micro
+             |FROM r4 ORDER BY domain""".stripMargin)
+    ),
+
     // Retrieve-then-rerank: stage 1 generates ≤20 candidates per query
     // from a broadcast inverted-index token join (shared-token count,
     // work ∝ matching postings); stage 2 rescores ONLY those candidates

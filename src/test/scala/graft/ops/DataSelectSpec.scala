@@ -95,4 +95,33 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
     // scoring is train-table-driven: the train docs themselves score low
     assert(out(1L) < out(5L) && out(2L) < out(5L))
   }
+
+  test("doremiMix: weight mass flows monotonically toward the lossy domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pseudoExp tracks exp within 0.2% on the working range
+    for (x <- Seq(0.0, 0.1, 0.5, 1.0))
+      assert(math.abs(DataSelect.pseudoExp(x) - math.exp(x))
+        <= 0.002 * math.exp(x), s"pseudoExp($x)")
+    val docs = Seq.tabulate(300) { i =>
+      val dom = Seq("hard", "mid", "easy")(i % 3)
+      val loss = dom match {
+        case "hard" => 6000L; case "mid" => 3000L; case _ => 500L
+      }
+      (i.toLong, dom, loss)
+    }.toDF("doc_id", "source", "loss")
+    def weights(iters: Int): Map[String, Long] =
+      DataSelect.doremiMix(docs, "source", col("loss"), iters = iters)
+        .collect()
+        .map(r => r.getAs[String]("domain") -> r.getAs[Long]("weight_micro"))
+        .toMap
+    val w0 = weights(0); val w2 = weights(2); val w4 = weights(4)
+    assert(w0.values.toSet == Set(1000000L / 3)) // uniform start
+    // each extra round moves mass hard-ward, never past full mass
+    assert(w2("hard") > w0("hard") && w4("hard") > w2("hard"))
+    assert(w4("easy") < w2("easy") && w2("easy") < w0("easy"))
+    assert(w4("hard") > w4("mid") && w4("mid") > w4("easy"))
+    Seq(w2, w4).foreach(w => assert(w.values.sum <= 1000000L &&
+      w.values.sum > 999990L, s"floor-normalized mass: ${w.values.sum}"))
+  }
 }
