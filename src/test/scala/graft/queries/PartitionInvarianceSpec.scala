@@ -18,7 +18,12 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkTestBase {
     // multi-join funnel and vocabulary-join tf-idf
     "q_events_funnel", "q_text_tfidf",
     // checkpointed iteration, grid+ffill window, inverted-index verify
-    "q_text_textrank", "q_events_resample", "q_dedup_containment")
+    "q_text_textrank", "q_events_resample", "q_dedup_containment",
+    // round-5 second batch: bloom bit-set build + broadcast probe fold,
+    // per-key cumulative cusum windows, two-stage rerank windows, the
+    // quantized doremi driver loop, and the first-fail attrition funnel
+    "q_dedup_bloom_screen", "q_events_cusum", "q_text_rerank",
+    "q_text_doremi_mix", "q_pipeline_attrition")
 
   private def results(name: String): Seq[String] =
     Registry.all(name).build(spark, sf()).collect()
