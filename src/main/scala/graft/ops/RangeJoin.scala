@@ -32,4 +32,36 @@ object RangeJoin {
       .filter(col(timeCol) >= col(loCol) && col(timeCol) <= col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval×interval OVERLAP join — the third join shape (after as-of
+    * and point-in-range) Spark has no native operator for. Both sides
+    * replicate into every bucket they touch and equi-join on
+    * (key, bucket) with the residual overlap predicate
+    * `a.lo ≤ b.hi ∧ b.lo ≤ a.hi`; a pair overlapping across several
+    * buckets would emit once per shared bucket, so the join keeps only
+    * the FIRST common bucket — `bucket = ⌊max(a.lo, b.lo)/width⌋`, which
+    * both intervals provably contain — the textbook dedup that avoids a
+    * distinct over the output. Work = replicated rows, an equi-shuffle,
+    * and codegen filters; replication = interval_width/bucketWidth + 1
+    * per side, the caller's knob. Column names must be disjoint across
+    * the two inputs (same contract as [[intervalJoin]]).
+    */
+  def overlapJoin(
+      a: DataFrame, b: DataFrame, keyCol: String,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val ax = a.withColumn("_bucket",
+      explode(sequence(floor(col(aLo) / bucketWidth),
+        floor(col(aHi) / bucketWidth))))
+    val bx = b.withColumn("_bucket",
+      explode(sequence(floor(col(bLo) / bucketWidth),
+        floor(col(bHi) / bucketWidth))))
+    ax.join(bx, Seq(keyCol, "_bucket"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("_bucket") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth))
+      .drop("_bucket")
+  }
 }

@@ -120,6 +120,69 @@ object EventQueries extends QueryGroup {
              |FROM buckets""".stripMargin)
     ),
 
+    // Interval-OVERLAP join (the third non-native join shape, after
+    // as-of and point-in-range): per-user view-sessions × click-sessions
+    // that overlap in time (24 h activity-interval gap — the fixture's
+    // per-user event cadence is daily-scale, so 30-min web sessions are
+    // all single points and can never overlap; activity intervals do).
+    // Intervals replicate into 1-day buckets,
+    // equi-join on (user, bucket), residual overlap predicate, and the
+    // first-common-bucket rule dedups multi-bucket pairs without a
+    // distinct. The oracle replays sessionization and runs the naive
+    // theta join — agreement proves the bucketed plan emits exactly the
+    // overlap set, once per pair.
+    "q_events_interval_overlap" -> QueryDef(
+      (s, d) => {
+        val byKey = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts_ns", "event_id")
+        val sess = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .withColumn("prev", lag(col("ts_ns"), 1).over(byKey))
+          .withColumn("brk",
+            when(col("prev").isNull ||
+              col("ts_ns") - col("prev") > 86400L * 1000000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("brk").over(byKey.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "event_type", "sid")
+          .agg(min("ts_ns").as("lo"), max("ts_ns").as("hi"))
+        val views = sess.filter(col("event_type") === "view")
+          .select(col("user_id"), col("lo").as("v_lo"), col("hi").as("v_hi"))
+        val clicks = sess.filter(col("event_type") === "click")
+          .select(col("user_id"), col("lo").as("c_lo"), col("hi").as("c_hi"))
+        graft.ops.RangeJoin.overlapJoin(views, clicks, "user_id",
+            "v_lo", "v_hi", "c_lo", "c_hi", 86400L * 1000000000L)
+          .orderBy("user_id", "v_lo", "c_lo")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+             |      OR ts_ns - lag(ts_ns) OVER w > 86400000000000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id, event_type
+             |               ORDER BY ts_ns, event_id)),
+             |runs AS (
+             |  SELECT *, sum(brk) OVER
+             |    (PARTITION BY user_id, event_type ORDER BY ts_ns, event_id
+     |     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged),
+             |sess AS (
+             |  SELECT user_id, event_type, sid,
+             |    min(ts_ns) AS lo, max(ts_ns) AS hi
+             |  FROM runs GROUP BY 1, 2, 3),
+             |v AS (SELECT user_id, lo AS v_lo, hi AS v_hi FROM sess
+             |      WHERE event_type = 'view'),
+             |c AS (SELECT user_id, lo AS c_lo, hi AS c_hi FROM sess
+             |      WHERE event_type = 'click')
+             |SELECT v.user_id, v_lo, v_hi, c_lo, c_hi
+             |FROM v JOIN c ON v.user_id = c.user_id
+             |  AND v_lo <= c_hi AND c_lo <= v_hi
+             |ORDER BY v.user_id, v_lo, c_lo""".stripMargin)
+    ),
+
     // CUSUM change-point detection over per-type hourly volumes — the
     // drift/burst monitor in Page's one-sided form, computed as two
     // cumulative windows per key (closed form: s = P - min(0, run-min P);

@@ -35,4 +35,27 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
       .select("name").collect().map(_.getString(0)).toSet
     assert(matched == Set("lo-edge", "hi-edge"))
   }
+
+  test("overlapJoin equals the naive theta join; multi-bucket pairs emit once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // long intervals spanning many buckets (width 10) + edge touches
+    val a = Seq((1, 0L, 95L, "a0"), (1, 50L, 60L, "a1"), (1, 200L, 210L, "a2"),
+      (2, 0L, 5L, "a3")).toDF("k", "a_lo", "a_hi", "a_id")
+    val b = Seq((1, 90L, 150L, "b0"), (1, 55L, 56L, "b1"), (1, 211L, 220L, "b2"),
+      (2, 5L, 9L, "b3")).toDF("k", "b_lo", "b_hi", "b_id")
+    val got = RangeJoin.overlapJoin(a, b, "k", "a_lo", "a_hi", "b_lo", "b_hi", 10L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // exactly the naive pair set — no duplicates from shared buckets
+    // (a0×b0 share buckets 9; a0×b1 share 5-6; a3×b3 touch at t=5)
+    assert(got.sorted == naive.sorted && got.size == got.toSet.size,
+      s"got ${got.sorted} want ${naive.sorted}")
+    assert(got.toSet == Set(("a0", "b0"), ("a0", "b1"), ("a1", "b1"),
+      ("a3", "b3")))
+  }
 }
