@@ -120,6 +120,42 @@ object EventQueries extends QueryGroup {
              |FROM buckets""".stripMargin)
     ),
 
+    // Event-type transition matrix (Markov flow analysis): per-user
+    // consecutive event pairs fold into (prev_type, type) counts plus
+    // row-normalized probabilities in exact integer bp — one lag window
+    // per user, one small groupBy; the transitions table is
+    // |types|²-bounded at any event volume.
+    "q_events_transitions" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total",
+            sum("n").over(Window.partitionBy("prev_type")))
+          .withColumn("p_bp", expr("(10000 * n) div row_total").cast("long"))
+          .select("prev_type", "event_type", "n", "row_total", "p_bp")
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |t AS (
+             |  SELECT prev_type, event_type, count(*) AS n
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |w AS (
+             |  SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type)
+             |    AS BIGINT) AS row_total
+             |  FROM t)
+             |SELECT prev_type, event_type, n, row_total,
+             |  CAST((10000 * n) // row_total AS BIGINT) AS p_bp
+             |FROM w ORDER BY prev_type, event_type""".stripMargin)
+    ),
+
     // Interval-OVERLAP join (the third non-native join shape, after
     // as-of and point-in-range): per-user view-sessions × click-sessions
     // that overlap in time (24 h activity-interval gap — the fixture's

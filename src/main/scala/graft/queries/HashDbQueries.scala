@@ -82,6 +82,42 @@ object HashDbQueries extends QueryGroup {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Mask-attack candidate generation + hash: ?l?l?d expands to 6,760
+    // synthetic words as a pure codegen projection over spark.range
+    // (stride arithmetic per position — no input data, no shuffle, no
+    // driver materialization; a 10^10 mask streams the same way), then
+    // the md5 build summary with an order-free checksum. DuckDB replays
+    // the range decode and the hashing verbatim.
+    "q_hashdb_mask_build" -> QueryDef(
+      (s, _) => {
+        val words = graft.sources.MaskSource.expand(s, "?l?l?d")
+        words.select(col("word"), md5(col("word")).as("h"))
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum(conv(substring(col("h"), 1, 12), 16, 10).cast("long"))
+              .as("hash_checksum"),
+            min("word").as("first_word"),
+            max("word").as("last_word"))
+      },
+      Some("""WITH ids AS (SELECT range AS id FROM range(0, 6760)),
+             |words AS (
+             |  SELECT substr('abcdefghijklmnopqrstuvwxyz',
+             |      CAST(id // 260 % 26 AS INT) + 1, 1)
+             |    || substr('abcdefghijklmnopqrstuvwxyz',
+             |      CAST(id // 10 % 26 AS INT) + 1, 1)
+             |    || substr('0123456789', CAST(id % 10 AS INT) + 1, 1)
+             |    AS word
+             |  FROM ids),
+             |hashed AS (SELECT word, md5(word) AS h FROM words)
+             |SELECT count(*) AS n_candidates,
+             |  count(DISTINCT h) AS n_distinct,
+             |  CAST(sum(CAST(('0x' || substring(h, 1, 12)) AS BIGINT))
+             |    AS BIGINT) AS hash_checksum,
+             |  min(word) AS first_word, max(word) AS last_word
+             |FROM hashed""".stripMargin)
+    ),
+
     // Build pipeline output, limited by hash order (also covers O1+O2).
     "q_hashdb_build" -> QueryDef(
       (s, d) =>
