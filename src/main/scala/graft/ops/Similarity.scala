@@ -147,18 +147,20 @@ object Similarity {
   /** `iters` Lloyd rounds of k-means refinement over the deterministic
     * first-N seed. Each round is two DataFrame aggregations: (1) assign
     * every vector to its argmax-cosine cell (same tie rule as [[ivfCell]]),
-    * (2) per (cell, dimension), the member mean — computed as an ORDERED
-    * left-to-right fold over members sorted by id, so any engine replaying
-    * the same fold (DuckDB `list_reduce(list(x ORDER BY id))`) reproduces
-    * the centroids bit-for-bit; a plain `sum()` is order-nondeterministic
-    * across partitions, which would make assignment argmaxes — discrete
-    * decisions — engine-dependent. Cells that lose all members keep their
-    * previous centroid. Only the 16×64-double centroid table ever reaches
-    * the driver; member lists stay distributed.
-    *
-    * At corpus scale swap the fold for `sum()/count()` (codegen, no
-    * collect_list) when cross-engine bit-parity isn't required — same
-    * trade as the md5-vs-xxhash64 MinHash families.
+    * (2) per (cell, dimension), the member mean — computed on FIXED-POINT
+    * micro-units: each component floors to `⌊x·10⁶⌋` (one deterministic
+    * IEEE op) and the reduction is a plain BIGINT `sum()` — associative,
+    * commutative, partition-order-free — with the mean a floor division
+    * re-scaled to double. Any engine replays it exactly, and the
+    * aggregation is a codegen hash-agg with map-side partials. (The r5
+    * predecessor pinned float-sum order with a sort_array(collect_list)
+    * fold — ObjectHashAggregate, no partial aggregation, the same
+    * spill-prone shape the PageRank postmortem evicted; this is that
+    * lesson applied to the Lloyd loop. The ~1e-6 quantization of
+    * centroid components is noise three orders below the k=16 cell
+    * geometry.) Cells that lose all members keep their previous
+    * centroid. Only the 16×64-double centroid table ever reaches the
+    * driver; member lists stay distributed.
     */
   def kmeansCentroids(
       vectors: DataFrame, nCells: Int, iters: Int,
@@ -190,21 +192,23 @@ object Similarity {
           .agg(max(struct(col("_s"), col("_cell"))).as("_best"))
           .select(col("_id"), col("_best._cell").as("_cell"))
         val means = v.join(assigned, "_id")
-          .select(col("_id"), col("_cell"),
-            posexplode(col("_vec")).as(Seq("_dim", "_v")))
+          .select(col("_cell"), posexplode(col("_vec")).as(Seq("_dim", "_v")))
           .groupBy("_cell", "_dim")
           .agg(
-            sort_array(collect_list(struct(col("_id"), col("_v").cast("double").as("_v"))))
-              .as("_arr"),
+            sum(floor(col("_v").cast("double") * 1000000.0).cast("long"))
+              .as("_sq"),
             count(lit(1)).as("_n"))
-          .select(col("_cell"), col("_dim"),
-            (aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x.getField("_v"))
-              / col("_n")).as("_m"))
           .collect()
         // a cell with no members keeps its previous centroid (`next`
         // starts as a copy, so untouched cells already do)
         val next = cents.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        means.foreach { r =>
+          // plain Long division truncates toward zero — exactly DuckDB's
+          // `//` on integers (measured: (-7)//2 = -3, NOT floor's -4),
+          // which matters because component sums go negative
+          next(r.getInt(0))(r.getInt(1)) =
+            (r.getLong(2) / r.getLong(3)).toDouble / 1000000.0
+        }
         cents = next
       }
     } finally v.unpersist(false)

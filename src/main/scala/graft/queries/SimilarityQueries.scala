@@ -47,13 +47,16 @@ object SimilarityQueries extends QueryGroup {
            |    FROM score$k) WHERE rn = 1),
            |newc$k AS (
            |  SELECT a.cell, d.dim,
-           |    list_reduce(list(e.embedding[d.dim]::DOUBLE ORDER BY e.vec_id),
-           |      (s, v) -> s + v) / count(*) AS m
+           |    CAST(sum(CAST(floor(e.embedding[d.dim]::DOUBLE * 1000000.0)
+           |      AS BIGINT)) AS BIGINT) AS sq,
+           |    count(*) AS n
            |  FROM asg$k a JOIN embeddings e ON e.vec_id = a.vec_id,
            |       (SELECT unnest(generate_series(1, 64)) AS dim) d
            |  GROUP BY a.cell, d.dim),
            |cents${k + 1} AS (
-           |  SELECT cell, list(m ORDER BY dim) AS cv FROM newc$k GROUP BY cell
+           |  SELECT cell,
+           |    list(CAST(sq // n AS BIGINT) / 1000000.0 ORDER BY dim) AS cv
+           |  FROM newc$k GROUP BY cell
            |  UNION ALL
            |  SELECT cell, cv FROM cents$k
            |  WHERE cell NOT IN (SELECT cell FROM newc$k))""".stripMargin

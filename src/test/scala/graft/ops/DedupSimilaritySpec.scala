@@ -247,7 +247,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     info(f"IVF recall@nProbe=2: seed=$seed%.3f kmeans(3)=$refined%.3f")
   }
 
-  test("k-means centroids are the exact ordered-fold member means") {
+  test("k-means centroids are the exact fixed-point member means") {
     val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 1)
     val seed = Similarity.ivfCentroids(emb, 8)
     // recompute iteration 1 naively on the driver from collected data
@@ -268,9 +268,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
         case Some(ms) =>
           val dim = ms.head._2.length
           Array.tabulate(dim) { d =>
-            // ordered fold by vec_id, left to right, 0.0 seed — the spec
-            // of the portable centroid family
-            ms.foldLeft(0.0) { case (s, (_, v)) => s + v(d).toDouble } / ms.length
+            // fixed-point micro-unit sum + truncating division — the
+            // portable centroid family's spec (order-free BIGINT sum;
+            // `/` truncation mirrors DuckDB's `//`)
+            val sq = ms.foldLeft(0L) { case (s, (_, v)) =>
+              s + math.floor(v(d).toDouble * 1000000.0).toLong
+            }
+            (sq / ms.length).toDouble / 1000000.0
           }
       }
     }
