@@ -107,4 +107,65 @@ object Substring {
         sum("covered").as("covered_tokens"),
         sum("n_tokens").as("total_tokens"))
   }
+
+  /** Content-defined chunking (the rolling-hash boundary rule behind
+    * storage dedup and rsync-style delta transfer): a chunk boundary
+    * falls after every position whose trailing `w`-char window hashes
+    * into a fixed 1-in-64 mask, so boundaries — and therefore chunk
+    * identities — depend only on LOCAL content. Insert or delete bytes
+    * anywhere and only the chunks touching the edit change; everything
+    * downstream re-deduplicates, which fixed-size blocks structurally
+    * cannot do. The classic backup/dedup rule (Muhlestein's rsync
+    * rolling window; FastCDC's mask test) expressed relationally.
+    *
+    * One positions HOF inside a projection (no explode until the final
+    * per-chunk rows), then a single posexplode — corpus-linear, zero
+    * shuffle, embarrassingly parallel per document. The mask test uses
+    * md5 of each trailing window (O(len·w) hashing instead of a true
+    * O(len) rolling update — the price of staying inside codegen'd
+    * engine-replayable expressions; w is small and the constant is the
+    * same class as the shingle ops). No min/max chunk-size clamps: the
+    * pure mask rule keeps every boundary decision independent, so the
+    * operator stays stateless and exactly replayable (FastCDC's clamps
+    * make each boundary depend on the previous one — a sequential
+    * scan no engine parallelizes within a document).
+    *
+    * Emits (id, chunk_idx, chunk_start, chunk_len, chunk_md5) — 1-based
+    * char offsets; the md5 is the chunk's dedup identity.
+    */
+  def cdcChunks(
+      docs: DataFrame, w: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"
+  ): DataFrame = {
+    require(w >= 4, s"window too small for a stable mask rule: w=$w")
+    val t = col(textCol)
+    def isBoundary(i: org.apache.spark.sql.Column) = {
+      val h = md5(t.substr(i - (w - 1), lit(w)))
+      // 1-in-64 mask on the hex digest: mean chunk ≈ 64 chars
+      h.substr(lit(1), lit(1)) === "0" &&
+        h.substr(lit(2), lit(1)).isin("0", "1", "2", "3")
+    }
+    val withChunks = docs
+      // window-end positions w..len ([] when the doc is shorter than w —
+      // sequence() would DESCEND there, so guard explicitly)
+      .withColumn("_bpos",
+        when(length(t) >= w,
+          filter(
+            transform(sequence(lit(w), length(t)), i => when(isBoundary(i), i)),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("_starts",
+        concat(array(lit(1)), transform(col("_bpos"), b => b + 1)))
+      .withColumn("_ends", concat(col("_bpos"), array(length(t))))
+      .withColumn("_chunks",
+        filter(
+          zip_with(col("_starts"), col("_ends"),
+            (s1, e1) => struct(s1.as("cs"), (e1 - s1 + 1).as("cl"))),
+          c => c.getField("cl") > 0))
+    withChunks
+      .select(col(idCol), t, posexplode(col("_chunks")).as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_c.cs").as("chunk_start"), col("_c.cl").as("chunk_len"),
+        md5(t.substr(col("_c.cs"), col("_c.cl"))).as("chunk_md5"))
+  }
 }

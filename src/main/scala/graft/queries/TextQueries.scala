@@ -10,6 +10,16 @@ import graft.util.Tables
   */
 object TextQueries extends QueryGroup {
 
+
+  /** Shared-passage fixture for q_text_cdc_dedup — long enough to carry
+    * several 1-in-64 mask boundaries, apostrophe-free for SQL literals.
+    */
+  private val CdcBoiler =
+    "This dataset is distributed under the open corpus agreement and " +
+    "every mirrored shard must preserve attribution records, checksum " +
+    "manifests, and the revision ledger of the originating archive " +
+    "before redistribution."
+
   val defs: Map[String, QueryDef] = Map(
 
     // Context-window chunking: 16-token windows advancing by 12 (4-token
@@ -1898,6 +1908,163 @@ object TextQueries extends QueryGroup {
              |    AND n_hex_blobs = 0 AND n_b64_blobs = 0 AND NOT autogen)
              |    AS pass_code
              |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Order-0 character entropy as an information-density quality gate:
+    // template spam and repetition-stuffed text sit far below natural
+    // language's ~4 bits/char, and the fixed-point square-and-shift log2
+    // (TextAnalysis.withPseudoLog2) keeps every value — not just the
+    // verdict — exact BIGINT, so DuckDB replays the 16-bit mantissa
+    // recursion and the entropy itself bit-for-bit. Low-entropy spam is
+    // injected at doc_id % 31 (a 1.58-bit/char 'ab ' loop) and must be
+    // the exact flagged set.
+    "q_text_entropy" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(31)) === 0, repeat(lit("ab "), 60))
+            .otherwise(col("text")).as("text"))
+        graft.ops.TextAnalysis.charEntropy(docs)
+          .withColumn("flag_low_entropy", col("h_millibits") < 3000)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 31 = 0 THEN repeat('ab ', 60)
+             |         ELSE text END AS text
+             |  FROM documents),
+             |counts AS MATERIALIZED (
+             |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+             |    FROM docs)
+             |  GROUP BY 1, 2),
+             |perdoc AS MATERIALIZED (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             |    count(*) AS n_distinct
+             |  FROM counts GROUP BY 1),
+             |vals AS (
+             |  -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB
+             |  -- treats any CTE containing UNION as union-style and skips
+             |  -- the cross-branch dedup a plain UNION would do
+             |  SELECT DISTINCT x FROM (
+             |    SELECT c AS x FROM counts
+             |    UNION ALL SELECT n_chars FROM perdoc)),
+             |base AS (
+             |  SELECT x, CAST(length(bin(x)) - 1 AS BIGINT) AS e,
+             |    (x << 20) // (1::BIGINT << (length(bin(x)) - 1)) AS m
+             |  FROM vals),
+             |it AS (
+             |  SELECT x, e, m, 0 AS i, 0::BIGINT AS fr FROM base
+             |  UNION ALL
+             |  SELECT x, e,
+             |    CASE WHEN (m*m) // 1048576 >= 2097152
+             |         THEN ((m*m) // 1048576) // 2 ELSE (m*m) // 1048576 END,
+             |    i + 1,
+             |    CASE WHEN (m*m) // 1048576 >= 2097152
+             |         THEN fr*2 + 1 ELSE fr*2 END
+             |  FROM it WHERE i < 16),
+             |ltab AS MATERIALIZED (
+             |  SELECT x, e * 65536 + fr AS lfix FROM it WHERE i = 16),
+             |s2 AS (
+             |  SELECT c.doc_id, CAST(sum(c.c * l.lfix) AS BIGINT) AS s2
+             |  FROM counts c JOIN ltab l ON c.c = l.x GROUP BY 1)
+             |SELECT p.doc_id, p.n_chars, p.n_distinct,
+             |  ln.lfix - (s2.s2 // p.n_chars) AS h_fix,
+             |  (ln.lfix - (s2.s2 // p.n_chars)) * 1000 // 65536 AS h_millibits,
+             |  ((ln.lfix - (s2.s2 // p.n_chars)) * 1000 // 65536) < 3000
+             |    AS flag_low_entropy
+             |FROM perdoc p
+             |JOIN ltab ln ON p.n_chars = ln.x
+             |JOIN s2 ON s2.doc_id = p.doc_id
+             |ORDER BY p.doc_id""".stripMargin)
+    ),
+
+    // Content-defined chunking dedup accounting — the storage-dedup /
+    // delta-sync primitive: boundaries fall where a trailing 16-char
+    // window's md5 hits a 1-in-64 mask, so shared passages dedup at the
+    // CHUNK level no matter what offset they sit at. The fixture plants
+    // one boilerplate paragraph at the END of doc_id%13 docs and the
+    // FRONT of doc_id%17 docs — fixed-size blocks would never line up;
+    // CDC chunks of the shared passage carry identical md5s from both
+    // positions, and the per-source + corpus dedup ledger proves it.
+    "q_text_cdc_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" " + CdcBoiler)))
+            .when(pmod(col("doc_id"), lit(17)) === 0,
+              concat(lit(CdcBoiler + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        val chunks = graft.ops.Substring.cdcChunks(docs)
+          .join(docs.select("doc_id", "source"), "doc_id")
+        val perKey = chunks.groupBy(col("source"), col("chunk_md5"))
+          .agg(count(lit(1)).as("copies"), max(col("chunk_len")).as("clen"))
+        val perSrc = perKey.groupBy("source").agg(
+          sum("copies").as("total_chunks"), count(lit(1)).as("uniq_chunks"),
+          sum(expr("copies * clen")).as("total_bytes"),
+          sum("clen").as("uniq_bytes"))
+        val glob = chunks.groupBy(col("chunk_md5"))
+          .agg(count(lit(1)).as("copies"), max(col("chunk_len")).as("clen"))
+          .agg(sum("copies").as("total_chunks"), count(lit(1)).as("uniq_chunks"),
+            sum(expr("copies * clen")).as("total_bytes"),
+            sum("clen").as("uniq_bytes"))
+          .withColumn("source", lit("*"))
+        perSrc.unionByName(glob)
+          .withColumn("dup_bp",
+            expr("(total_bytes - uniq_bytes) * 10000 div total_bytes"))
+          .select("source", "total_chunks", "uniq_chunks", "total_bytes",
+            "uniq_bytes", "dup_bp")
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 13 = 0 THEN text || ' $CdcBoiler'
+             |         WHEN doc_id % 17 = 0 THEN '$CdcBoiler ' || text
+             |         ELSE text END AS text
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, source, text,
+             |    CASE WHEN length(text) >= 16 THEN
+             |      list_filter(list_transform(range(16, length(text)::INT + 1),
+             |        i -> CASE WHEN substr(md5(substr(text, i-15, 16)), 1, 1) = '0'
+             |                   AND substr(md5(substr(text, i-15, 16)), 2, 1)
+             |                     IN ('0','1','2','3')
+             |              THEN i END), x -> x IS NOT NULL)
+             |      ELSE [] END AS bpos
+             |  FROM docs),
+             |ch AS (
+             |  SELECT doc_id, source, text,
+             |    list_prepend(1::BIGINT, list_transform(bpos, b -> b + 1)) AS starts,
+             |    list_append(bpos, length(text)::BIGINT) AS ends
+             |  FROM pos),
+             |chunks AS (
+             |  SELECT doc_id, source,
+             |    md5(substr(text, starts[j]::INT, (ends[j] - starts[j] + 1)::INT))
+             |      AS chunk_md5,
+             |    ends[j] - starts[j] + 1 AS clen
+             |  FROM ch, unnest(generate_series(1, len(starts))) AS g(j)
+             |  WHERE ends[j] - starts[j] + 1 > 0),
+             |perkey AS (
+             |  SELECT source, chunk_md5, count(*) AS copies, max(clen) AS clen
+             |  FROM chunks GROUP BY 1, 2),
+             |persrc AS (
+             |  SELECT source, CAST(sum(copies) AS BIGINT) AS total_chunks,
+             |    count(*) AS uniq_chunks,
+             |    CAST(sum(copies * clen) AS BIGINT) AS total_bytes,
+             |    CAST(sum(clen) AS BIGINT) AS uniq_bytes
+             |  FROM perkey GROUP BY 1),
+             |gkey AS (
+             |  SELECT chunk_md5, count(*) AS copies, max(clen) AS clen
+             |  FROM chunks GROUP BY 1),
+             |gtot AS (
+             |  SELECT '*' AS source, CAST(sum(copies) AS BIGINT) AS total_chunks,
+             |    count(*) AS uniq_chunks,
+             |    CAST(sum(copies * clen) AS BIGINT) AS total_bytes,
+             |    CAST(sum(clen) AS BIGINT) AS uniq_bytes
+             |  FROM gkey),
+             |u AS (SELECT * FROM persrc UNION ALL SELECT * FROM gtot)
+             |SELECT source, total_chunks, uniq_chunks, total_bytes, uniq_bytes,
+             |  (total_bytes - uniq_bytes) * 10000 // total_bytes AS dup_bp
+             |FROM u ORDER BY source""".stripMargin)
     )
   )
 

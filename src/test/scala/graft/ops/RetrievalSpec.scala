@@ -195,4 +195,44 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((1L, 10000L), (2L, 4000L), (4L, 3333L),
       (3L, 3333L)), s"got ${got.toSeq}")
   }
+
+  test("cdcChunks: lossless reconstruction; shared passage dedups across offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random body long enough to carry boundaries
+    def noise(seed: String, n: Int): String =
+      Iterator.iterate(seed)(s => s + " " + s.hashCode.toHexString)
+        .dropWhile(_.length < n).next().take(n)
+    val shared = noise("shared-passage", 400)
+    val docs = Seq(
+      (1L, noise("alpha", 150) + " " + shared),
+      (2L, noise("betabeta-prefix-of-different-length", 310) + " " + shared),
+      (3L, noise("gamma", 500)),
+      (4L, "short")  // below the window size → one whole-doc chunk
+    ).toDF("doc_id", "text")
+    val chunks = Substring.cdcChunks(docs).collect()
+
+    // reconstruction: chunks tile [1, len] in order with no gaps
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, txt) =>
+      val cs = chunks.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+      assert(cs.head.getInt(2) == 1)
+      assert(cs.map(_.getInt(3)).sum == txt.length, s"doc $id coverage")
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getInt(2) == a.getInt(2) + a.getInt(3), s"doc $id gap")
+        case _ =>
+      }
+    }
+    assert(chunks.count(_.getLong(0) == 4L) == 1)
+
+    // content-defined: the shared 400-char tail yields identical chunk
+    // md5s from BOTH docs despite different prefix lengths — the
+    // property fixed-size blocking cannot have
+    val m1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val m2 = chunks.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    val m3 = chunks.filter(_.getLong(0) == 3L).map(_.getString(4)).toSet
+    assert((m1 & m2).nonEmpty, "shared passage must dedup across offsets")
+    assert((m1 & m3).isEmpty && (m2 & m3).isEmpty, "disjoint docs share nothing")
+  }
 }

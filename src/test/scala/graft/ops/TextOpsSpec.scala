@@ -550,4 +550,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       3L -> List("a"),
       4L -> List("x", "y", "z")), s"got $got")
   }
+
+  test("pseudoLog2: fixed-point log2 tracks the real log2 to ~2^-10") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 7L, 10L, 100L, 1024L, 999983L)
+    val got = TextAnalysis.withPseudoLog2(xs.toDF("x"), "x", "lfix")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val approx = got(x).toDouble / 65536.0
+      val exact = math.log(x.toDouble) / math.log(2.0)
+      // one-sided truncation: the recursion floors, never rounds up
+      assert(approx <= exact + 1e-9 && exact - approx < 1e-3,
+        s"log2($x): $approx vs $exact")
+    }
+    assert(got(1L) == 0L && got(2L) == 65536L && got(1024L) == 10 * 65536L)
+  }
+
+  test("charEntropy: degenerate, two-symbol, and natural text separate cleanly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaa"),                         // H = 0
+      (2L, "ababababab"),                         // H = 1 bit/char
+      (3L, "the quick brown fox jumps over the lazy dog")  // natural
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1L) == ((10L, 1L, 0L)))
+    val (n2, d2, h2) = out(2L)
+    assert(n2 == 10L && d2 == 2L && math.abs(h2 - 1000L) <= 1,
+      s"two-symbol entropy $h2 millibits")
+    val (_, _, h3) = out(3L)
+    assert(h3 > 3500L && h3 < 4700L, s"natural-text entropy $h3 millibits")
+  }
 }
