@@ -78,4 +78,48 @@ object TimeSeries {
       .withColumn("alarm", col("cusum") >= threshold)
       .drop("_p")
   }
+
+  /** Exponentially-weighted moving average with a dyadic half-life
+    * (α = 1/2) truncated at `lags` terms — the smoothing/forecast
+    * primitive, kept EXACT: weights are the powers 2^(lags-1-j), the
+    * weighted sum and the present-weight mass are plain BIGINT columns,
+    * and the only division is one integer div at the end. Truncation at
+    * 16 lags discards < 2^-16 of the weight mass — below the micro-unit
+    * output quantum, so this IS the infinite EWMA at the precision
+    * emitted, while staying windowable (the textbook recursion is not).
+    *
+    * Appends `ewma_micro` (smoothed level, value-units × 1e6, current
+    * row included) and `ewma_prior_micro` (the PRE-observation forecast
+    * from lags 1..`lags` — null on a key's first row): current ÷ prior
+    * is the burst test a monitor wants, with no self-inclusion bias.
+    *
+    * One window pass per key computes all 2·`lags` lag terms; keys
+    * stream independently — the same per-key-window scale law as
+    * cusum/resample: corpus growth adds keys, not per-key work.
+    */
+  def ewma(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, lags: Int = 16
+  ): DataFrame = {
+    require(lags >= 2 && lags <= 32, s"lags out of range: $lags")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    def chain(first: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val terms = (first until first + lags).map { j =>
+        val weight = 1L << (lags - 1 - (j - first))
+        val lv = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+        (when(lv.isNotNull, lv * weight).otherwise(lit(0L)),
+          when(lv.isNotNull, lit(weight)).otherwise(lit(0L)))
+      }
+      (terms.map(_._1).reduce(_ + _), terms.map(_._2).reduce(_ + _))
+    }
+    val (sInc, wInc) = chain(0)
+    val (sPri, wPri) = chain(1)
+    df.withColumn("_si", sInc).withColumn("_wi", wInc)
+      .withColumn("_sp", sPri).withColumn("_wp", wPri)
+      .withColumn("ewma_micro", expr("_si * 1000000 div _wi"))
+      .withColumn("ewma_prior_micro",
+        when(col("_wp") > 0, expr("_sp * 1000000 div _wp")))
+      .drop("_si", "_wi", "_sp", "_wp")
+  }
 }

@@ -268,6 +268,30 @@ object EventQueries extends QueryGroup {
              |FROM c ORDER BY event_type, hour""".stripMargin)
     ),
 
+    // Truncated-exact EWMA smoothing + pre-observation burst test: the
+    // dyadic (α=1/2) exponential moving average as 16 windowed lag
+    // terms — weights are powers of two, the mass below the truncation
+    // is under the micro-unit output quantum, and the only division is
+    // one integer div, so both engines replay level, forecast, and
+    // every spike verdict bit-for-bit. Complements CUSUM: this is the
+    // per-event anomaly view, CUSUM the drift view.
+    "q_events_ewma" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(50)) === 0)
+          .select(col("event_id"), col("user_id"), col("ts_ns"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        graft.ops.TimeSeries.ewma(ev, Seq("user_id"),
+            Seq("ts_ns", "event_id"), "cents")
+          .withColumn("spike",
+            coalesce(
+              col("cents") * 1000000L > lit(3L) * col("ewma_prior_micro"),
+              lit(false)))
+          .orderBy("user_id", "ts_ns", "event_id")
+      },
+      Some(ewmaSql)
+    ),
+
     // SCD2 (slowly-changing-dimension) interval construction: each
     // user's event-type stream collapses into validity runs — one row
     // per CHANGE with [valid_from_ns, valid_to_ns) bounds, the open
@@ -762,4 +786,48 @@ object EventQueries extends QueryGroup {
              |ORDER BY q""".stripMargin)
     )
   )
+
+  /** DuckDB replay of [[graft.ops.TimeSeries.ewma]]: the same 2×16 lag
+    * terms spelled out — power-of-two weights, present-weight mass, one
+    * integer division. Generated so the weights provably match the
+    * Spark chain's `1L << (lags-1-j)`.
+    */
+  private def ewmaSql: String = {
+    val lags = 16
+    val termsIncl = (0 until lags).map { j =>
+      val wt = 1L << (lags - 1 - j)
+      if (j == 0) s"cents * $wt"
+      else s"COALESCE(lag(cents, $j) OVER w * $wt, 0)"
+    }.mkString("\n      + ")
+    val massIncl = (0 until lags).map { j =>
+      val wt = 1L << (lags - 1 - j)
+      if (j == 0) s"$wt"
+      else s"CASE WHEN lag(cents, $j) OVER w IS NULL THEN 0 ELSE $wt END"
+    }.mkString("\n      + ")
+    val termsPri = (1 to lags).map { j =>
+      val wt = 1L << (lags - j)
+      s"COALESCE(lag(cents, $j) OVER w * $wt, 0)"
+    }.mkString("\n      + ")
+    val massPri = (1 to lags).map { j =>
+      val wt = 1L << (lags - j)
+      s"CASE WHEN lag(cents, $j) OVER w IS NULL THEN 0 ELSE $wt END"
+    }.mkString("\n      + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+       |    CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE user_id % 50 = 0),
+       |l AS (
+       |  SELECT event_id, user_id, ts_ns, cents,
+       |    CAST($termsIncl AS BIGINT) AS si,
+       |    CAST($massIncl AS BIGINT) AS wi,
+       |    CAST($termsPri AS BIGINT) AS sp,
+       |    CAST($massPri AS BIGINT) AS wp
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+       |SELECT event_id, user_id, ts_ns, cents,
+       |  si * 1000000 // wi AS ewma_micro,
+       |  CASE WHEN wp > 0 THEN sp * 1000000 // wp END AS ewma_prior_micro,
+       |  COALESCE(cents * 1000000 >
+       |    3 * (CASE WHEN wp > 0 THEN sp * 1000000 // wp END), FALSE) AS spike
+       |FROM l ORDER BY user_id, ts_ns, event_id""".stripMargin
+  }
 }

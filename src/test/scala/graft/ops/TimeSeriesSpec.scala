@@ -52,4 +52,43 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("ewma: matches the truncated weighted mean; prior is null on first row") {
+    import spark.implicits._
+    val series = Map(
+      "a" -> Seq(100L, 120L, 80L, 100L, 3000L, 110L),  // one burst
+      "b" -> Seq(50L)                                   // singleton key
+    )
+    val rows = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }
+    val out = TimeSeries.ewma(rows.toDF("k", "i", "v"), Seq("k"), Seq("i"), "v",
+        lags = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+
+    def ref(xs: Seq[Long], t: Int, inclusive: Boolean): Option[Long] = {
+      val lags = if (inclusive) 0 to 15 else 1 to 16
+      val terms = lags.flatMap { j =>
+        val idx = t - j
+        val wt = if (inclusive) 1L << (15 - j) else 1L << (16 - j)
+        if (idx >= 0) Some((xs(idx) * wt, wt)) else None
+      }
+      if (terms.isEmpty) None
+      else Some(terms.map(_._1).sum * 1000000L / terms.map(_._2).sum)
+    }
+    series.foreach { case (k, xs) =>
+      xs.indices.foreach { t =>
+        val (gotE, gotP) = out((k, t.toLong))
+        assert(gotE == ref(xs, t, inclusive = true).get, s"$k[$t] level")
+        assert(gotP == ref(xs, t, inclusive = false), s"$k[$t] prior")
+      }
+    }
+    // the burst row's observation dwarfs its own forecast
+    val (_, priorAtBurst) = out(("a", 4L))
+    assert(3000L * 1000000L > 3L * priorAtBurst.get, "burst must trip the test")
+    assert(out(("b", 0L))._2.isEmpty, "singleton key has no forecast")
+  }
 }
