@@ -731,6 +731,80 @@ object DedupQueries extends QueryGroup {
              |JOIN embeddings b ON b.vec_id = cand.j
              |WHERE cos_bp >= 4000
              |ORDER BY i, j""".stripMargin)
+    ),
+
+    // Record linkage via phonetic blocking — the name-key dedup family
+    // LSH shingles mis-serve: candidates from an equi-join on a
+    // Soundex-class key, exact Levenshtein verify on candidates only.
+    // The fixture derives a two-token "name" per document and adds one
+    // variant record per entity under key-preserving corruptions
+    // (vowel substitution / adjacent duplication / exact copy), so
+    // every true pair shares a block BY CONSTRUCTION and the oracle
+    // replays key, candidates, and distances bit-for-bit.
+    "q_dedup_er_phonetic" -> QueryDef(
+      (s, d) => {
+        import graft.ops.{EntityResolution, TextAnalysis}
+        val nm0 = array_join(
+          slice(filter(TextAnalysis.tokens(lower(col("text"))),
+            t => t.rlike("^[a-z]+$")), 1, 2), " ")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id").as("pk"), nm0.as("nm"))
+          .filter(length(col("nm")) >= 4)
+        val opos = instr(col("nm").substr(lit(2), length(col("nm"))), "o")
+        val orig = base.select((col("pk") * 2).as("rec_id"),
+          col("nm").as("name"))
+        val variant = base.select((col("pk") * 2 + 1).as("rec_id"),
+          when(pmod(col("pk"), lit(3)) === 0 && opos > 0,
+            concat(col("nm").substr(lit(1), opos), lit("a"),
+              col("nm").substr(opos + 2, length(col("nm")))))
+            .when(pmod(col("pk"), lit(3)) === 1 && length(col("nm")) >= 4,
+              concat(col("nm").substr(lit(1), lit(4)),
+                col("nm").substr(lit(4), lit(1)),
+                col("nm").substr(lit(5), length(col("nm")))))
+            .otherwise(col("nm")).as("name"))
+        EntityResolution.blockedMatches(
+            orig.unionByName(variant), "rec_id", "name", maxDist = 2)
+          .select("pkey", "id1", "id2", "name1", "name2", "dist")
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS pk,
+             |    array_to_string((list_filter(
+             |      list_filter(string_split(lower(text), ' '), x -> x <> ''),
+             |      t -> regexp_matches(t, '^[a-z]+$')))[1:2], ' ') AS nm
+             |  FROM documents),
+             |b2 AS (SELECT pk, nm FROM base WHERE length(nm) >= 4),
+             |orig AS (SELECT pk * 2 AS rec_id, nm AS name FROM b2),
+             |var AS (
+             |  SELECT pk * 2 + 1 AS rec_id,
+             |    CASE
+             |      WHEN pk % 3 = 0 AND strpos(substr(nm, 2), 'o') > 0 THEN
+             |        substr(nm, 1, strpos(substr(nm, 2), 'o')) || 'a'
+             |        || substr(nm, strpos(substr(nm, 2), 'o') + 2)
+             |      WHEN pk % 3 = 1 AND length(nm) >= 4 THEN
+             |        substr(nm, 1, 4) || substr(nm, 4, 1) || substr(nm, 5)
+             |      ELSE nm END AS name
+             |  FROM b2),
+             |recs AS (SELECT * FROM orig UNION ALL SELECT * FROM var),
+             |keyed AS (
+             |  SELECT rec_id, name,
+             |    upper(substr(name, 1, 1)) || rpad(substr(
+             |      regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(regexp_replace(
+             |        regexp_replace(translate(upper(substr(name, 2)),
+             |          'BFPVCGJKQSXZDTLMNRAEIOUYHW ', '111122222222334556'),
+             |          '[^1-6]', '', 'g'),
+             |        '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+             |        '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g'),
+             |      1, 3), 3, '0') AS pkey
+             |  FROM recs)
+             |SELECT a.pkey, a.rec_id AS id1, b.rec_id AS id2,
+             |  a.name AS name1, b.name AS name2,
+             |  levenshtein(a.name, b.name) AS dist
+             |FROM keyed a JOIN keyed b
+             |  ON a.pkey = b.pkey AND a.rec_id < b.rec_id
+             |WHERE levenshtein(a.name, b.name) <= 2
+             |ORDER BY id1, id2""".stripMargin)
     )
   )
 }
