@@ -268,6 +268,39 @@ object EventQueries extends QueryGroup {
              |FROM c ORDER BY event_type, hour""".stripMargin)
     ),
 
+    // k-anonymity / l-diversity release audit: after PII scrubbing the
+    // residual risk is linkage — quasi-identifier combos shared by few
+    // subjects. One QI groupBy with two distinct aggregates; output is
+    // QI-domain-sized. Flags: <5 subjects (k) / <2 sensitive values (l).
+    "q_events_k_anonymity" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_type"),
+          expr("(ts_ns div 3600000000000) % 24").as("hod"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("user_id"))
+          .withColumn("vb", least(expr("cents div 2000"), lit(9L)))
+        graft.ops.Privacy.kAnonymity(ev, Seq("event_type", "hod", "vb"),
+            "user_id", "cents", k = 5, l = 2)
+          .orderBy("event_type", "hod", "vb")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents, user_id
+             |  FROM events),
+             |b AS (
+             |  SELECT event_type, hod,
+             |    least(cents // 2000, 9) AS vb, user_id, cents
+             |  FROM e)
+             |SELECT event_type, hod, vb, count(*) AS n_rows,
+             |  count(DISTINCT user_id) AS n_subjects,
+             |  count(DISTINCT cents) AS n_sensitive,
+             |  count(DISTINCT user_id) < 5 AS at_risk,
+             |  count(DISTINCT cents) < 2 AS low_div
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
     // Truncated-exact EWMA smoothing + pre-observation burst test: the
     // dyadic (α=1/2) exponential moving average as 16 windowed lag
     // terms — weights are powers of two, the mass below the truncation

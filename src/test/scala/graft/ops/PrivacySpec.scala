@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class PrivacySpec extends AnyFunSuite with SparkTestBase {
+
+  test("kAnonymity: subject counts drive k-risk; sensitive spread drives l-risk") {
+    import spark.implicits._
+    val rows = Seq(
+      // ("zip", "age") QI; subject; diagnosis sensitive
+      ("10001", 30, "u1", "flu"), ("10001", 30, "u2", "cold"),
+      ("10001", 30, "u3", "flu"),                         // 3 subjects ≥ k
+      ("10002", 40, "u4", "flu"), ("10002", 40, "u4", "flu"), // 1 subject, uniform
+      ("10003", 50, "u5", "flu"), ("10003", 50, "u6", "flu"),
+      ("10003", 50, "u7", "flu")                          // k ok, l fails
+    ).toDF("zip", "age", "subject", "diag")
+    val got = Privacy.kAnonymity(rows, Seq("zip", "age"), "subject", "diag",
+        k = 3, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+          r.getBoolean(6)))
+      .toMap
+    assert(got(("10001", 30)) == ((3L, 3L, 2L, false, false)))
+    // two rows but ONE subject — row count must not mask the risk
+    assert(got(("10002", 40)) == ((2L, 1L, 1L, true, true)))
+    assert(got(("10003", 50)) == ((3L, 3L, 1L, false, true)))
+  }
+}
