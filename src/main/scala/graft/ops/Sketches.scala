@@ -48,6 +48,36 @@ object Sketches {
       .withColumn("approx_distinct", estimate(col("sketch")))
       .drop("sketch")
 
+  /** Rolling distinct cardinality — "unique users in the trailing
+    * `window` buckets, per bucket" — at sketch cost: ONE corpus pass
+    * builds a per-bucket HLL table (bucket-count-sized, tiny), then
+    * `hll_union_agg` runs as a WINDOW aggregate over a RANGE frame of
+    * the trailing buckets, so gaps in the bucket axis shorten the
+    * frame instead of silently widening it (a ROWS frame would span
+    * 24 *present* rows, not 24 hours). The trailing union re-merges
+    * each frame — cost = buckets × window sketch merges, all on the
+    * tiny table, never the corpus. The exact twin (offset-explode +
+    * count distinct) pays corpus × window rows; this pays corpus × 1.
+    *
+    * In: rows with a BIGINT `bucketCol`. Out: one row per observed
+    * bucket with `rolling_distinct` (estimate over [bucket-window+1,
+    * bucket]).
+    */
+  def rollingDistinct(
+      df: DataFrame, bucketCol: String, of: Column, window: Int = 24,
+      lgK: Int = 12
+  ): DataFrame = {
+    require(window >= 1)
+    val hourly = distinctSketch(df, of, Seq(col(bucketCol)), lgK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bucketCol))
+      .rangeBetween(-(window.toLong - 1), 0)
+    hourly
+      .withColumn("rolling_distinct",
+        estimate(hll_union_agg(col("sketch")).over(w)))
+      .drop("sketch")
+  }
+
   /** Pairwise set-overlap estimates between groups from their HLL
     * sketches alone — inclusion-exclusion over the union estimate:
     * |A∩B| ≈ est(A) + est(B) − est(A∪B). The input is one sketch row

@@ -268,6 +268,44 @@ object EventQueries extends QueryGroup {
              |FROM c ORDER BY event_type, hour""".stripMargin)
     ),
 
+    // Rolling 24 h distinct users + volume per hour — the trailing-
+    // window cardinality a live dashboard shows. Window count-distinct
+    // is not a frame aggregate either engine runs exactly, so the exact
+    // form is the offset-explode: each (user, hour, n) contributes to
+    // the 24 windows it falls in, then ONE groupBy per window end.
+    // Work = hourly-pair volume × window, linear in the corpus. The
+    // sketch-cost variant (corpus × 1 + tiny-table window merges) is
+    // Sketches.rollingDistinct, estimate-vs-exact-gated in its spec.
+    "q_events_rolling_distinct" -> QueryDef(
+      (s, d) => {
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 3600000000000").as("h"))
+          .groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+        val bounds = pairs.agg(max("h").as("hmax"))
+        pairs
+          .withColumn("off", explode(sequence(lit(0L), lit(23L))))
+          .withColumn("wend", col("h") + col("off"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("wend") <= col("hmax"))
+          .groupBy("wend")
+          .agg(countDistinct(col("user_id")).as("n_users_24h"),
+            sum("n").as("n_events_24h"))
+          .orderBy("wend")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |mx AS (SELECT max(h) AS hmax FROM p),
+             |x AS (
+             |  SELECT user_id, h + g.off AS wend, n
+             |  FROM p, unnest(generate_series(0, 23)) AS g(off))
+             |SELECT wend, count(DISTINCT user_id) AS n_users_24h,
+             |  CAST(sum(n) AS BIGINT) AS n_events_24h
+             |FROM x, mx WHERE wend <= hmax
+             |GROUP BY wend ORDER BY wend""".stripMargin)
+    ),
+
     // k-anonymity / l-diversity release audit: after PII scrubbing the
     // residual risk is linkage — quasi-identifier combos shared by few
     // subjects. One QI groupBy with two distinct aggregates; output is

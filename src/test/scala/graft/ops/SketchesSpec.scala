@@ -231,4 +231,28 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
         .toMap
     assert(flags.toMap == packedFlags)
   }
+
+  test("rollingDistinct: RANGE frame honors bucket gaps; estimates track exact") {
+    import spark.implicits._
+    // hours 0..5 densely populated, then a gap, then hour 40 alone
+    val rows = (for {
+      h <- 0L to 5L
+      u <- 0L until 50L + h * 10L
+    } yield (h, s"u${u + h * 7L}")) ++ (0L until 30L).map(i => (40L, s"g$i"))
+    val df = rows.toDF("h", "user")
+    val got = Sketches.rollingDistinct(df, "h", col("user"), window = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+
+    val byHour = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def exact(wend: Long): Int =
+      (wend - 3 to wend).flatMap(byHour.get).flatten.toSet.size
+    (0L to 5L).foreach { h =>
+      val e = exact(h)
+      assert(math.abs(got(h) - e) <= math.max(2.0, 0.05 * e),
+        s"hour $h: est ${got(h)} vs exact $e")
+    }
+    // hour 40: the trailing RANGE covers 37..40 — only hour 40 exists.
+    // A ROWS frame would wrongly reach back to the dense prefix.
+    assert(math.abs(got(40L) - 30.0) <= 2.0, s"gap window: ${got(40L)}")
+  }
 }
