@@ -374,6 +374,129 @@ object AnalyticsQueries extends QueryGroup {
              |  UNION ALL
              |  (SELECT o_custkey AS k FROM orders
              |   EXCEPT SELECT c_custkey FROM customer))""".stripMargin)
+    ),
+
+    // Data-quality audit (the dbt-test/Deequ shape): key uniqueness,
+    // FK orphans, null discipline, range and accepted-value rules —
+    // each one independent single-pass aggregation returning a uniform
+    // (check, n_checked, n_violations, pass) row; the report is
+    // checks-sized however large the tables. The acctbal lower bound is
+    // deliberately 0 so the check catches TPC-H's negative balances —
+    // a live violation path, not a vacuous all-pass.
+    "q_dq_audit" -> QueryDef(
+      (s, d) => {
+        import graft.ops.DataQuality._
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        Seq(
+          unique(cust, "c_custkey", "unique:customer.c_custkey"),
+          unique(ord, "o_orderkey", "unique:orders.o_orderkey"),
+          unique(Tables.part(s, d), "p_partkey", "unique:part.p_partkey"),
+          orphans(ord, "o_custkey", cust, "c_custkey",
+            "fk:orders.o_custkey->customer"),
+          orphans(li, "l_orderkey", ord, "o_orderkey",
+            "fk:lineitem.l_orderkey->orders"),
+          orphans(li, "l_partkey", Tables.part(s, d), "p_partkey",
+            "fk:lineitem.l_partkey->part"),
+          orphans(li, "l_suppkey", Tables.supplier(s, d), "s_suppkey",
+            "fk:lineitem.l_suppkey->supplier"),
+          notNull(ord, "o_orderdate", "notnull:orders.o_orderdate"),
+          inRange(li, "l_quantity", lit(1.0), lit(50.0),
+            "range:lineitem.l_quantity[1,50]"),
+          inRange(li, "l_discount", lit(0.0), lit(0.1),
+            "range:lineitem.l_discount[0,0.1]"),
+          inRange(cust, "c_acctbal", lit(0.0), lit(10000.0),
+            "range:customer.c_acctbal[0,10000]"),
+          accepted(li, "l_returnflag", Seq("R", "A", "N"),
+            "accepted:lineitem.l_returnflag")
+        ).reduce(_ unionByName _).orderBy("check_name")
+      },
+      Some("""SELECT 'unique:customer.c_custkey' AS check_name, count(*) AS n_checked,
+             |  count(c_custkey) - count(DISTINCT c_custkey) AS n_violations,
+             |  count(c_custkey) - count(DISTINCT c_custkey) = 0 AS pass
+             |FROM customer
+             |UNION ALL
+             |SELECT 'unique:orders.o_orderkey', count(*),
+             |  count(o_orderkey) - count(DISTINCT o_orderkey),
+             |  count(o_orderkey) - count(DISTINCT o_orderkey) = 0 FROM orders
+             |UNION ALL
+             |SELECT 'unique:part.p_partkey', count(*),
+             |  count(p_partkey) - count(DISTINCT p_partkey),
+             |  count(p_partkey) - count(DISTINCT p_partkey) = 0 FROM part
+             |UNION ALL
+             |SELECT 'fk:orders.o_custkey->customer', count(*),
+             |  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c._pk IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN o_custkey IS NOT NULL AND c._pk IS NULL
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM orders LEFT JOIN
+             |  (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+             |  ON o_custkey = c._pk
+             |UNION ALL
+             |SELECT 'fk:lineitem.l_orderkey->orders', count(*),
+             |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o._pk IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_orderkey IS NOT NULL AND o._pk IS NULL
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM lineitem LEFT JOIN
+             |  (SELECT DISTINCT o_orderkey AS _pk FROM orders) o
+             |  ON l_orderkey = o._pk
+             |UNION ALL
+             |SELECT 'fk:lineitem.l_partkey->part', count(*),
+             |  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p._pk IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_partkey IS NOT NULL AND p._pk IS NULL
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM lineitem LEFT JOIN
+             |  (SELECT DISTINCT p_partkey AS _pk FROM part) p
+             |  ON l_partkey = p._pk
+             |UNION ALL
+             |SELECT 'fk:lineitem.l_suppkey->supplier', count(*),
+             |  CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND su._pk IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_suppkey IS NOT NULL AND su._pk IS NULL
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM lineitem LEFT JOIN
+             |  (SELECT DISTINCT s_suppkey AS _pk FROM supplier) su
+             |  ON l_suppkey = su._pk
+             |UNION ALL
+             |SELECT 'notnull:orders.o_orderdate', count(*),
+             |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+             |FROM orders
+             |UNION ALL
+             |SELECT 'range:lineitem.l_quantity[1,50]', count(*),
+             |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'range:lineitem.l_discount[0,0.1]', count(*),
+             |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'range:customer.c_acctbal[0,10000]', count(*),
+             |  CAST(sum(CASE WHEN c_acctbal < 0.0 OR c_acctbal > 10000.0
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN c_acctbal < 0.0 OR c_acctbal > 10000.0
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM customer
+             |UNION ALL
+             |SELECT 'accepted:lineitem.l_returnflag', count(*),
+             |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+             |    AND l_returnflag NOT IN ('R', 'A', 'N')
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_returnflag IS NOT NULL
+             |    AND l_returnflag NOT IN ('R', 'A', 'N')
+             |    THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |ORDER BY check_name""".stripMargin)
     )
   )
 }

@@ -268,6 +268,45 @@ object EventQueries extends QueryGroup {
              |FROM c ORDER BY event_type, hour""".stripMargin)
     ),
 
+    // Item-item co-occurrence similarity (neighborhood collaborative
+    // filtering): distinct (user, item) purchases → within-user pairs →
+    // exact squared-cosine in basis points (squaring instead of rooting
+    // keeps the score integer and rank-equivalent to cosine). Power
+    // users above the degree cap are dropped whole — the standard CF
+    // guard, exercised here (a few users exceed 64 distinct items).
+    "q_events_item_cooccurrence" -> QueryDef(
+      (s, d) => {
+        val inter = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+        graft.ops.CoOccurrence.itemSimilarity(inter, "user_id", "item",
+            minSupport = 2L, maxItemsPerUser = 64)
+          .orderBy("i", "j")
+      },
+      Some("""WITH ui AS (
+             |  SELECT DISTINCT user_id AS u,
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+             |  FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |elig AS (
+             |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
+             |kept AS (SELECT ui.* FROM ui JOIN elig USING (u)),
+             |ic AS (SELECT it, count(*) AS c FROM kept GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.it AS i, b.it AS j, count(*) AS c_ij
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT i, j, ci.c AS c_i, cj.c AS c_j, c_ij,
+             |  c_ij * c_ij * 10000 // (ci.c * cj.c) AS cos2_bp
+             |FROM pairs
+             |JOIN ic ci ON ci.it = pairs.i
+             |JOIN ic cj ON cj.it = pairs.j
+             |ORDER BY i, j""".stripMargin)
+    ),
+
     // Rolling 24 h distinct users + volume per hour — the trailing-
     // window cardinality a live dashboard shows. Window count-distinct
     // is not a frame aggregate either engine runs exactly, so the exact
