@@ -678,4 +678,134 @@ object Similarity {
       .filter(col("margin_bp") >= minMarginBp)
       .select("src_id", "tgt_id", "cos_bp", "margin_bp")
   }
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the d-dim space splits
+    * into `m` contiguous subspaces of d/m dims, and each subspace trains
+    * its own `kCodes`-codeword quantizer — here the same spherical
+    * k-means [[kmeansCentroids]] runs (first-k seed, fixed-point Lloyd
+    * means), just on the sliced sub-vectors. The combined quantizer
+    * addresses kCodes^m cells with only m·kCodes stored codewords — the
+    * whole point of the product structure. Codebooks are driver-sized
+    * (m × kCodes × d/m doubles) exactly like the IVF centroid table.
+    */
+  def pqCodebooks(
+      vectors: DataFrame, m: Int, kCodes: Int, lloydIters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64
+  ): Seq[Seq[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subLen = dim / m
+    (0 until m).map { s =>
+      val sub = vectors.select(col(idCol),
+        slice(col(vecCol), s * subLen + 1, subLen).as("_sv"))
+      kmeansCentroids(sub, kCodes, lloydIters, idCol, "_sv")
+    }
+  }
+
+  /** The m×kCodes codebook table all PQ passes join against: one
+    * broadcast DataFrame (sub, code, codeword, codeword-norm) — the same
+    * stable-codegen form the IVF loop uses (literal-array argmax plans
+    * recompile per run; a join compiles once).
+    */
+  private def pqCodebookDf(
+      spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    broadcast(books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cv, c) =>
+        (s, c, cv.toSeq, math.sqrt(cv.map(x => x * x).sum))
+      }
+    }.toDF("sub", "code", "_cv", "_cn"))
+  }
+
+  /** Melt vectors into (id, sub, sub-vector) rows — one row per subspace,
+    * a pure projection (the explode factor is m, not the corpus).
+    */
+  private def pqMelt(
+      vectors: DataFrame, m: Int, dim: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val subLen = dim / m
+    val subs = (0 until m).map(s => slice(col(vecCol), s * subLen + 1, subLen))
+    vectors.select(col(idCol).as("_id"),
+      posexplode(array(subs: _*)).as(Seq("sub", "_sv")))
+  }
+
+  /** PQ encoding: every vector becomes m small code ids — the argmax-
+    * cosine codeword per subspace, same struct-max tie rule (ties to the
+    * higher code) as every quantizer here. Output (id, sub, code): the
+    * compressed representation is m·⌈log2 kCodes⌉ bits per vector vs
+    * 32·d for the raw floats — at m=4, kCodes=8 that is 12 bits vs 2048.
+    * One melt + one broadcast join + one map-side-combinable argmax
+    * groupBy; nothing corpus-quadratic.
+    */
+  def pqEncode(
+      vectors: DataFrame, books: Seq[Seq[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64
+  ): DataFrame = {
+    val cb = pqCodebookDf(vectors.sparkSession, books)
+    pqMelt(vectors, books.size, dim, idCol, vecCol)
+      .join(cb, "sub")
+      .withColumn("_s", dot(col("_sv"), col("_cv")) / col("_cn"))
+      .groupBy(col("_id"), col("sub"))
+      .agg(max(struct(col("_s"), col("code"))).as("_b"))
+      .select(col("_id").as(idCol), col("sub"), col("_b.code").as("code"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query stays
+    * un-quantized; its exact dot product against every codeword of every
+    * subspace forms an m×kCodes lookup table, and a candidate's
+    * approximate inner product is the SUM of the m entries its codes
+    * select — table lookups and integer adds instead of d multiplies.
+    * Each subspace term floors to micro-units (⌊dot·10⁶⌋, one IEEE op)
+    * before the sum, so the reduction is order-free BIGINT and any
+    * engine replays it bit-exactly.
+    *
+    * The ADC order is a SHORTLIST, not the answer: codes address only
+    * kCodes^m cells, so the top `overfetch`·k by ADC then rerank by
+    * exact full-dimension cosine — the standard IVFADC+rerank contract
+    * (same two-stage shape as [[rpTopK]]).
+    *
+    * Scale shape: codebooks and the per-query LUT (queries × m × kCodes)
+    * broadcast; the corpus-sized work is the encode (one narrow pass,
+    * done ONCE and stored in production — here inline for the oracle)
+    * plus an (N·m)-row equi-join against the LUT and a per-(query, cand)
+    * m-term sum. The exact pass touches overfetch·k rows per query. No
+    * shuffle grows with kCodes^m; ranking is the standard per-query
+    * top-k window. ADC approximates raw inner product (PQ-IP) — the
+    * per-query norm it drops would not change shortlist membership.
+    */
+  def pqTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 4, kCodes: Int = 8, lloydIters: Int = 1, overfetch: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64
+  ): DataFrame = {
+    val books = pqCodebooks(candidates, m, kCodes, lloydIters, idCol, vecCol, dim)
+    val codes = pqEncode(candidates, books, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "cand_id")
+    val cb = pqCodebookDf(candidates.sparkSession, books)
+    val lut = pqMelt(queries, m, dim, idCol, vecCol)
+      .join(cb, "sub")
+      .select(col("_id").as("query_id"), col("sub"), col("code"),
+        floor(dot(col("_sv"), col("_cv")) * 1000000.0).cast("long")
+          .as("_lut"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("_lut").as("adc_bp"))
+    val preW = Window.partitionBy("query_id").orderBy(desc("adc_bp"), col("cand_id"))
+    val shortlist = scored.withColumn("_prn", row_number().over(preW))
+      .filter(col("_prn") <= k * overfetch)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_bp"), col("cand_id"))
+    shortlist.join(q, "query_id").join(c, "cand_id")
+      .withColumn("cos_bp",
+        floor(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "adc_bp", "cos_bp", "rank")
+  }
 }

@@ -65,6 +65,74 @@ object SimilarityQueries extends QueryGroup {
     sb.toString
   }
 
+  /** CTE chain replaying one PQ subspace in DuckDB: the sliced sub-vector
+    * view, the first-k seed, `iters` Lloyd rounds (same fixed-point means
+    * as [[kmeansCentsCtes]], just `len`-dim), the final code assignment,
+    * and the per-query ADC lookup-table entries (⌊dot·10⁶⌋ per codeword).
+    */
+  private def pqSubCtes(s: Int, start1: Int, len: Int, k: Int,
+      iters: Int, queryPred: String): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""sub$s AS (
+         |  SELECT vec_id, list_transform(
+         |      list_slice(embedding, $start1, ${start1 + len - 1}),
+         |      x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |s${s}_cents0 AS (
+         |  SELECT vec_id AS cell, v AS cv
+         |  FROM (SELECT vec_id, v FROM sub$s ORDER BY vec_id LIMIT $k))""".stripMargin
+    def score(j: Int): String =
+      s"""s${s}_score$j AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_reduce(list_transform(generate_series(1, $len),
+         |        x -> e.v[x] * c.cv[x]), (a, b) -> a + b)
+         |      / sqrt(list_reduce(list_transform(generate_series(1, $len),
+         |        x -> c.cv[x] * c.cv[x]), (a, b) -> a + b)) AS s
+         |  FROM sub$s e, s${s}_cents$j c)""".stripMargin
+    for (j <- 0 until iters) {
+      sb ++= ",\n" + score(j) + ",\n"
+      sb ++=
+        s"""s${s}_asg$j AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY s DESC, cell DESC) AS rn
+           |    FROM s${s}_score$j) WHERE rn = 1),
+           |s${s}_newc$j AS (
+           |  SELECT a.cell, d.dim,
+           |    CAST(sum(CAST(floor(e.v[d.dim] * 1000000.0) AS BIGINT))
+           |      AS BIGINT) AS sq,
+           |    count(*) AS n
+           |  FROM s${s}_asg$j a JOIN sub$s e ON e.vec_id = a.vec_id,
+           |       (SELECT unnest(generate_series(1, $len)) AS dim) d
+           |  GROUP BY a.cell, d.dim),
+           |s${s}_cents${j + 1} AS (
+           |  SELECT cell,
+           |    list(CAST(sq // n AS BIGINT) / 1000000.0 ORDER BY dim) AS cv
+           |  FROM s${s}_newc$j GROUP BY cell
+           |  UNION ALL
+           |  SELECT cell, cv FROM s${s}_cents$j
+           |  WHERE cell NOT IN (SELECT cell FROM s${s}_newc$j))""".stripMargin
+    }
+    sb ++= ",\n" + score(iters) + ",\n"
+    sb ++=
+      s"""s${s}_enc AS (
+         |  SELECT vec_id, $s AS sub, cell AS code FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY s DESC, cell DESC) AS rn
+         |    FROM s${s}_score$iters) WHERE rn = 1),
+         |s${s}_lut AS (
+         |  SELECT q.vec_id AS query_id, $s AS sub, c.cell AS code,
+         |    CAST(floor(list_reduce(list_transform(generate_series(1, $len),
+         |        x -> q.v[x] * c.cv[x]), (a, b) -> a + b) * 1000000.0)
+         |      AS BIGINT) AS lut
+         |  FROM (SELECT vec_id, v FROM sub$s WHERE $queryPred) q,
+         |       s${s}_cents$iters c)""".stripMargin
+    sb.toString
+  }
+
   private val cosineSql: String =
     """list_reduce(list_transform(generate_series(1, len(q.embedding)),
       |      x -> q.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)
@@ -661,6 +729,70 @@ object SimilarityQueries extends QueryGroup {
              |      x -> embedding[x]::DOUBLE * embedding[x]::DOUBLE),
              |    (s, v) -> s + v))) * 10000) AS BIGINT) AS avg_norm_bp
              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 8
+    // spherical-k-means codewords each (1 Lloyd round), candidates
+    // encoded to 4 code ids, queries answered by asymmetric distance —
+    // the per-query m×k lookup table of exact subspace dots, candidate
+    // score = order-free BIGINT sum of the 4 selected micro-unit
+    // entries — then the top 50 ADC shortlist reranked by exact cosine
+    // (the IVFADC+rerank contract). The oracle replays all four
+    // subspace trainings, the encoding, the LUT, the ADC shortlist, and
+    // the exact rerank bit-for-bit.
+    "q_sim_pq_topk" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10,
+            m = 4, kCodes = 8, lloydIters = 1, overfetch = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${(0 until 4).map(s =>
+                 pqSubCtes(s, s * 16 + 1, 16, 8, 1, "vec_id < 5"))
+                 .mkString(",\n")},
+             |enc AS (${(0 until 4).map(s => s"SELECT * FROM s${s}_enc")
+                 .mkString(" UNION ALL ")}),
+             |lut AS (${(0 until 4).map(s => s"SELECT * FROM s${s}_lut")
+                 .mkString(" UNION ALL ")}),
+             |adc AS (
+             |  SELECT l.query_id, e.vec_id AS cand_id,
+             |    CAST(sum(l.lut) AS BIGINT) AS adc_bp
+             |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+             |  WHERE l.query_id <> e.vec_id
+             |  GROUP BY 1, 2),
+             |shortlist AS (
+             |  SELECT query_id, cand_id, adc_bp FROM (
+             |    SELECT query_id, cand_id, adc_bp,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY adc_bp DESC, cand_id) AS prn
+             |    FROM adc) WHERE prn <= 50),
+             |norms AS (
+             |  SELECT vec_id, sqrt(list_reduce(list_transform(
+             |      generate_series(1, len(embedding)),
+             |      x -> embedding[x]::DOUBLE * embedding[x]::DOUBLE),
+             |      (s, v) -> s + v)) AS nrm
+             |  FROM embeddings),
+             |rer AS (
+             |  SELECT sl.query_id, sl.cand_id, sl.adc_bp,
+             |    CAST(floor(
+             |      list_reduce(list_transform(generate_series(1, len(q.embedding)),
+             |          x -> q.embedding[x]::DOUBLE * t.embedding[x]::DOUBLE),
+             |        (s, v) -> s + v)
+             |      / (nq.nrm * nt.nrm) * 10000) AS BIGINT) AS cos_bp
+             |  FROM shortlist sl
+             |  JOIN embeddings q ON q.vec_id = sl.query_id
+             |  JOIN embeddings t ON t.vec_id = sl.cand_id
+             |  JOIN norms nq ON nq.vec_id = sl.query_id
+             |  JOIN norms nt ON nt.vec_id = sl.cand_id),
+             |ranked AS (
+             |  SELECT query_id, cand_id, adc_bp, cos_bp,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_bp DESC, cand_id)
+             |      AS rank_raw
+             |  FROM rer)
+             |SELECT query_id, cand_id, adc_bp, cos_bp,
+             |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
+             |WHERE rank_raw <= 10 ORDER BY query_id, rank""".stripMargin)
     )
   )
 }

@@ -565,4 +565,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val folds = out.values.map(_._2).toSet
     assert(folds == Set("train", "val", "test"), s"folds seen: $folds")
   }
+
+  test("PQ encode: every vector gets exactly m in-range codes") {
+    val books = Similarity.pqCodebooks(emb, m = 4, kCodes = 8, lloydIters = 1)
+    assert(books.size == 4 && books.forall(_.size == 8))
+    assert(books.forall(_.forall(_.length == 16))) // 64 / 4 dims each
+    val codes = Similarity.pqEncode(emb, books).collect()
+    val n = emb.count()
+    assert(codes.length == 4 * n, "one code per (vector, subspace)")
+    assert(codes.forall { r =>
+      val c = r.getInt(2); c >= 0 && c < 8
+    })
+    val perVec = codes.groupBy(_.getLong(0)).values
+    assert(perVec.forall(_.map(_.getInt(1)).toSet == Set(0, 1, 2, 3)))
+  }
+
+  test("PQ ADC top-k: usable recall vs brute force from 12-bit codes") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(q, emb, k = 10, m = 4, kCodes = 8,
+        lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4096 addressable cells from 32 stored codewords; the ADC
+    // shortlist (5×k) + exact rerank is the standard PQ contract —
+    // recall is bounded by shortlist coverage, not ADC rank fidelity
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    // every query returns a full shortlist
+    val perQ = pq.groupBy(_._1).map(_._2.size)
+    assert(perQ.forall(_ == 10))
+  }
 }

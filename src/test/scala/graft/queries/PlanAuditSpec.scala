@@ -33,8 +33,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_curriculum", // 1-row corpus-count aggregate × ranked docs
     "q_sim_hybrid_rrf", // inherits bm25's 1-row stats aggregate + the
                         // 1-probe brute-force dense run
-    "q_sim_retrieval_eval") // brute-force run side (50 broadcast queries
+    "q_sim_retrieval_eval", // brute-force run side (50 broadcast queries
                             // × corpus); qrels/metrics joins are equi
+    "q_events_rolling_distinct") // 1-row max-hour aggregate × hourly pairs
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
