@@ -168,4 +168,85 @@ object Substring {
         col("_c.cs").as("chunk_start"), col("_c.cl").as("chunk_len"),
         md5(t.substr(col("_c.cs"), col("_c.cl"))).as("chunk_md5"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * core): hash every token `k`-gram, then in every window of `w`
+    * consecutive gram positions keep the minimum hash, ties to the
+    * RIGHTMOST position (the paper's robust-winnowing rule). Guarantees:
+    * any shared run of ≥ w+k-1 tokens yields at least one shared
+    * fingerprint, and the density of selected positions is ~2/(w+1) —
+    * a tunable sample with a matching guarantee, which raw modular
+    * sampling (0 mod p) lacks.
+    *
+    * The min-with-rightmost-tie is ONE window aggregate: hash and
+    * position pack into a single sortable key, `md5hex ‖ '|' ‖
+    * zero-padded (9999999 − pos)` — lexicographic min = (min hash,
+    * max pos). Both engines evaluate the identical `min() OVER (ROWS
+    * CURRENT ROW .. w-1 FOLLOWING)` frame, so selection is bit-exact.
+    * Docs shorter than k+w−1 tokens have no full window and emit no
+    * fingerprints (documented edge rule).
+    *
+    * Scale: one narrow gram explode (factor ≈ tokens/doc), one per-doc
+    * window scan (partitions by doc_id — no global sort), one distinct.
+    * Emits (doc_id, fp_hash, fp_pos).
+    */
+  def winnowFingerprints(
+      docs: DataFrame, k: Int = 5, w: Int = 4
+  ): DataFrame = {
+    require(k >= 2 && w >= 2, s"degenerate params: k=$k w=$w")
+    val t = col("_toks")
+    val grams = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", split(col("text"), " "))
+      .filter(size(t) >= k + w - 1)
+      .select(col("doc_id"), size(t).as("_nt"),
+        posexplode(transform(sequence(lit(0), size(t) - k), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+          .as(Seq("pos", "gram")))
+      .withColumn("_key", concat(md5(col("gram")), lit("|"),
+        lpad((lit(9999999) - col("pos")).cast("string"), 7, "0")))
+    val wdw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("_wkey", min(col("_key")).over(wdw))
+      // only full windows select: start positions 0 .. nGrams - w
+      .filter(col("pos") <= col("_nt") - (k + w - 1))
+      .select(col("doc_id"),
+        substring(col("_wkey"), 1, 32).as("fp_hash"),
+        (lit(9999999) - substring(col("_wkey"), 34, 7).cast("int"))
+          .as("fp_pos"))
+      .distinct()
+  }
+
+  /** Winnowing match pairs — the MOSS report: docs ranked by shared
+    * fingerprints. Fingerprints seen in more than `maxDf` docs are
+    * dropped BEFORE the self-join (the boilerplate guard — the same
+    * bucket-cap logic every candidate generator here applies, keeping
+    * join fan-out ∝ df² of surviving hashes, never corpus²). Overlap is
+    * |shared| / min(|A|, |B|) in integer basis points over the kept
+    * fingerprint sets.
+    */
+  def winnowMatches(
+      docs: DataFrame, k: Int = 5, w: Int = 4,
+      maxDf: Int = 8, minShared: Long = 2L
+  ): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+      .select("doc_id", "fp_hash").distinct()
+    val kept = graft.util.AutoUnpersist.persistScoped(
+      fps.join(
+        fps.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf),
+        "fp_hash"))
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("fp_hash"), col("doc_id").as("i"))
+      .join(kept.select(col("fp_hash"), col("doc_id").as("j")), "fp_hash")
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(cnt.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
+      .join(cnt.select(col("doc_id").as("j"), col("n").as("n_j")), "j")
+      .select(col("i"), col("j"), col("n_shared"), col("n_i"), col("n_j"),
+        expr("n_shared * 10000 div least(n_i, n_j)").as("overlap_bp"))
+  }
 }

@@ -805,6 +805,55 @@ object DedupQueries extends QueryGroup {
              |  ON a.pkey = b.pkey AND a.rec_id < b.rec_id
              |WHERE levenshtein(a.name, b.name) <= 2
              |ORDER BY id1, id2""".stripMargin)
+    ),
+
+    // Winnowing fingerprint matching (Schleimer et al. 2003 — the MOSS
+    // plagiarism-detection core): min-hash-per-window selection with
+    // the rightmost-tie rule, ~2/(w+1) of gram positions kept with a
+    // GUARANTEE that any shared run of ≥ w+k-1 tokens is caught. The
+    // single sortable key (md5 ‖ inverted zero-padded pos) makes the
+    // window minimum replayable bit-for-bit; the df cap drops
+    // boilerplate hashes before the pair join.
+    "q_dedup_winnow" -> QueryDef(
+      (s, d) =>
+        graft.ops.Substring.winnowMatches(Tables.documents(s, d),
+            k = 5, w = 4, maxDf = 8, minShared = 3L)
+          .orderBy("i", "j"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id, len(t) AS nt, i - 1 AS pos,
+             |    md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+             |        || t[i+3] || ' ' || t[i+4])
+             |      || '|' || lpad(CAST(9999999 - (i - 1) AS VARCHAR), 7, '0')
+             |      AS key
+             |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS gs(i)
+             |  WHERE len(t) >= 8),
+             |wmin AS (
+             |  SELECT doc_id, nt, pos,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+             |      AS wkey
+             |  FROM g),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, substring(wkey, 1, 32) AS fp_hash
+             |  FROM wmin WHERE pos <= nt - 8),
+             |dfq AS (
+             |  SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) <= 8),
+             |kept AS (SELECT fp.* FROM fp JOIN dfq USING (fp_hash)),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM kept a JOIN kept b
+             |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT i, j, n_shared, ci.n AS n_i, cj.n AS n_j,
+             |  n_shared * 10000 // least(ci.n, cj.n) AS overlap_bp
+             |FROM pairs
+             |JOIN cnt ci ON ci.doc_id = pairs.i
+             |JOIN cnt cj ON cj.doc_id = pairs.j
+             |ORDER BY i, j""".stripMargin)
     )
   )
 }

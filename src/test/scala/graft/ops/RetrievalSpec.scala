@@ -235,4 +235,50 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert((m1 & m2).nonEmpty, "shared passage must dedup across offsets")
     assert((m1 & m3).isEmpty && (m2 & m3).isEmpty, "disjoint docs share nothing")
   }
+
+  test("winnowing: shared run >= w+k-1 tokens guarantees a shared " +
+      "fingerprint; density lands near 2/(w+1)") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val run = (1 to (w + k - 1)).map(i => s"r$i").mkString(" ") // 8 tokens
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a", 20)} $run ${filler("b", 20)}"),
+      (2L, s"${filler("c", 30)} $run"),
+      (3L, filler("z", 60))
+    ).toDF("doc_id", "text")
+    val fps = Substring.winnowFingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the paper's guarantee: the 8-token shared run contains a full
+    // window of grams, so docs 1 and 2 must share >= 1 fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run missed")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs share nothing")
+    // density: selected positions per doc ≈ 2/(w+1) of gram positions
+    // (random md5 order), loosely bounded here
+    val d1 = fps.count(_._1 == 1L).toDouble / (48 - k + 1)
+    assert(d1 > 0.15 && d1 < 0.75, s"implausible winnow density $d1")
+    // fp_pos always a valid gram position
+    assert(fps.forall { case (_, _, p) => p >= 0 && p < 60 })
+  }
+
+  test("winnowing: rightmost-minimum tie rule and boilerplate df cap") {
+    import spark.implicits._
+    // every token identical: every gram hash identical, so each window's
+    // min must resolve to its RIGHTMOST position — fingerprints are
+    // exactly the positions eligible as a rightmost member
+    val docs = Seq((1L, (1 to 20).map(_ => "x").mkString(" "))).toDF("doc_id", "text")
+    val fps = Substring.winnowFingerprints(docs, k = 5, w = 4).collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    val positions = fps.map(_._2).sorted
+    // grams 0..15, window starts 0..12; window p selects pos p+3
+    assert(positions.toSeq == (3 to 15).toSeq,
+      s"rightmost rule broken: ${positions.toSeq}")
+    // df cap: a fingerprint present in more docs than maxDf never pairs
+    val many = (1L to 10L).map(i => (i, s"${(1 to 8).map(j => s"s$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val matches = Substring.winnowMatches(many, k = 5, w = 4, maxDf = 8,
+      minShared = 1L).collect()
+    assert(matches.isEmpty, "df cap must drop 10-doc boilerplate hashes")
+  }
 }
