@@ -110,4 +110,63 @@ object Graph {
       .groupBy("u", "v").agg(sum(col("w")).as("w"))
     pageRank(edges, iters, damping)
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected edge list (columns `u`, `v`) — the community-structure
+    * signal (how clique-like each node's neighborhood is) behind spam
+    * subgraph detection and graph-feature engineering.
+    *
+    * Algorithm: degree-ordered orientation (Suri & Vassilvitskii 2011,
+    * "Counting Triangles and the Curse of the Last Reducer"). Each
+    * undirected edge orients from the endpoint with the smaller
+    * (degree, id) to the larger; every triangle then has exactly ONE
+    * node with two out-edges, so wedges enumerate as a self-join of the
+    * oriented list on the source and close with one more equi-join.
+    * The orientation is the scale lever: a degree-D hub fans out
+    * wedges only through its (few) higher-degree out-neighbors —
+    * Σ out-deg² is O(m^1.5) for any graph, where the naive id-ordering
+    * is Θ(D²) per hub. All joins are equi-joins; no step is ever
+    * nodes × nodes.
+    *
+    * clustering_bp = ⌊2·T(v)·10⁴ / (d(v)·(d(v)−1))⌋, 0 where degree < 2.
+    * Pure integer arithmetic — any engine replays it exactly.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set (dedup both directions + self-loops)
+    val e = graft.util.AutoUnpersist.persistScoped(
+      edges.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct())
+    val deg = graft.util.AutoUnpersist.persistScoped(
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
+    // orient by (deg, id): lo → hi
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = graft.util.AutoUnpersist.persistScoped(
+      e.join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(fwd, col("a")).otherwise(col("b")).as("lo"),
+          when(fwd, col("b")).otherwise(col("a")).as("hi"),
+          when(fwd, col("db")).otherwise(col("da")).as("hd")))
+    // wedges from each lo's out-neighborhood, ordered by (deg, id) so
+    // the closing edge is oriented w1.hi → w2.hi
+    val w1 = o.select(col("lo"), col("hi").as("x"), col("hd").as("dx"))
+    val w2 = o.select(col("lo"), col("hi").as("y"), col("hd").as("dy"))
+    val tri = w1.join(w2, "lo")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(o.select(col("lo").as("x"), col("hi").as("y")), Seq("x", "y"))
+      .select(col("lo").as("ta"), col("x").as("tb"), col("y").as("tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          expr("coalesce(n_triangles, 0) * 20000 div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("clustering_bp"))
+  }
 }

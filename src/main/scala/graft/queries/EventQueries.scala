@@ -307,6 +307,72 @@ object EventQueries extends QueryGroup {
              |ORDER BY i, j""".stripMargin)
     ),
 
+    // Triangle counting + local clustering coefficient over the
+    // co-purchase item graph (edges = the co-occurrence pair table) via
+    // degree-ordered orientation (Suri & Vassilvitskii 2011) — every
+    // triangle found once, hub fan-out bounded by the orientation, all
+    // equi-joins. The oracle replays the pair construction, the
+    // orientation, the wedge closure, and the integer coefficients.
+    "q_events_copurchase_triangles" -> QueryDef(
+      (s, d) => {
+        val inter = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+        val edges = graft.ops.CoOccurrence.itemSimilarity(inter,
+            "user_id", "item", minSupport = 2L, maxItemsPerUser = 64)
+          .select(col("i").as("u"), col("j").as("v"))
+        graft.ops.Graph.triangles(edges).orderBy("node")
+      },
+      Some("""WITH ui AS (
+             |  SELECT DISTINCT user_id AS u,
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+             |  FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |elig AS (
+             |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
+             |kept AS (SELECT ui.* FROM ui JOIN elig USING (u)),
+             |e AS (
+             |  SELECT a.it AS ea, b.it AS eb
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (
+             |  SELECT n, count(*) AS d FROM (
+             |    SELECT ea AS n FROM e UNION ALL SELECT eb FROM e)
+             |  GROUP BY 1),
+             |o AS (
+             |  SELECT
+             |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+             |         THEN e.ea ELSE e.eb END AS lo,
+             |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+             |         THEN e.eb ELSE e.ea END AS hi,
+             |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+             |         THEN db.d ELSE da.d END AS hd
+             |  FROM e
+             |  JOIN deg da ON da.n = e.ea
+             |  JOIN deg db ON db.n = e.eb),
+             |tri AS (
+             |  SELECT w1.lo AS ta, w1.hi AS tb, w2.hi AS tc
+             |  FROM o w1
+             |  JOIN o w2 ON w1.lo = w2.lo
+             |    AND (w1.hd < w2.hd OR (w1.hd = w2.hd AND w1.hi < w2.hi))
+             |  JOIN o e3 ON e3.lo = w1.hi AND e3.hi = w2.hi),
+             |tn AS (
+             |  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+             |    SELECT ta AS n FROM tri UNION ALL SELECT tb FROM tri
+             |    UNION ALL SELECT tc FROM tri)
+             |  GROUP BY 1)
+             |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+             |  coalesce(tn.t, 0) AS n_triangles,
+             |  CASE WHEN deg.d >= 2
+             |       THEN coalesce(tn.t, 0) * 20000 // (deg.d * (deg.d - 1))
+             |       ELSE 0 END AS clustering_bp
+             |FROM deg LEFT JOIN tn ON tn.n = deg.n
+             |ORDER BY node""".stripMargin)
+    ),
+
     // Rolling 24 h distinct users + volume per hour — the trailing-
     // window cardinality a live dashboard shows. Window count-distinct
     // is not a frame aggregate either engine runs exactly, so the exact

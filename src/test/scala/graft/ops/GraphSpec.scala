@@ -65,4 +65,27 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(ranks.keySet == Set("rare", "alpha", "beta", "gamma", "delta",
       "loud", "noise"))
   }
+
+  test("triangles: 4-clique with a pendant — counts, coefficients, " +
+      "and edge normalization") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, 3 per node), node 5 pendant off 1;
+    // edges deliberately messy: reversed duplicates + a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (1L, 5L), (3L, 3L)
+    ).toDF("u", "v")
+    val got = graft.ops.Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // node 1: degree 4 (2,3,4,5), 3 triangles, C = 2*3/(4*3) = 0.5
+    assert(got(1L) == (4L, 3L, 5000L), s"node1: ${got(1L)}")
+    // nodes 2-4: degree 3, 3 triangles, C = 2*3/(3*2) = 1.0
+    Seq(2L, 3L, 4L).foreach(n =>
+      assert(got(n) == (3L, 3L, 10000L), s"node$n: ${got(n)}"))
+    // pendant: degree 1, no triangles, coefficient 0 (no div-by-zero)
+    assert(got(5L) == (1L, 0L, 0L), s"node5: ${got(5L)}")
+    // total distinct triangles = Σ per-node / 3 = 4
+    assert(got.values.map(_._2).sum == 12L)
+  }
 }
