@@ -774,6 +774,92 @@ object Similarity {
     * top-k window. ADC approximates raw inner product (PQ-IP) — the
     * per-query norm it drops would not change shortlist membership.
     */
+  /** Top principal component by power iteration, engine-replayable: the
+    * embedding-space direction of maximum variance — the whitening /
+    * quality-probe axis (outlier embeddings project extreme on it), and
+    * the 1-D shadow of the PCA front-end retrieval stacks put before
+    * quantization.
+    *
+    * Distributed part: per-dim fixed-point means, then the d×d
+    * covariance as ONE narrow projection — each row emits its 64×64
+    * centered outer product as a flattened array (pure codegen, no
+    * self-join of the exploded frame), summed map-side into d² = 4096
+    * integer micro-unit cells and floor-divided by n. Only that
+    * 4096-row table reaches the driver (the k-means-centroid pattern).
+    * Dividing by n INSIDE the fixed point keeps every magnitude
+    * corpus-size-free: covariances of bounded vectors are bounded, so
+    * the arithmetic never overflows however many rows contribute.
+    *
+    * Driver part: `iters` rounds of x ← C·x / ‖C·x‖ from the exact
+    * start x₀ = 1/8 (unit-norm for d = 64, exactly representable).
+    * Each matvec term floors to BIGINT before an order-free sum; the
+    * norm folds in dim order — every step replayable bit-for-bit.
+    *
+    * Output: (vec_id, proj_micro) — the per-vector projection
+    * ⌊(v−μ)·x · 10⁶⌋-summed, computed as a zero-shuffle array fold.
+    */
+  def pcaTopProjection(
+      vectors: DataFrame, iters: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64
+  ): DataFrame = {
+    val v0 = vectors.select(col(idCol), col(vecCol))
+    // per-dim fixed-point means: (Σ⌊v·10⁶⌋) / n, Long division
+    val meanRows = v0
+      .select(posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+      .groupBy("_dim")
+      .agg(sum(floor(col("_v").cast("double") * 1000000.0).cast("long"))
+        .as("_s"), count(lit(1)).as("_n"))
+      .collect()
+    val mu = new Array[Double](dim)
+    meanRows.foreach(r =>
+      mu(r.getInt(0)) = (r.getLong(1) / r.getLong(2)).toDouble / 1000000.0)
+    val muCol = array(mu.map(lit).toSeq: _*)
+    val centered = vectors
+      .select(col(idCol), col(vecCol),
+        transform(col(vecCol), (x, i) =>
+          x.cast("double") - element_at(muCol, i + 1)).as("_c"))
+    // covariance: every row's flattened outer product, micro-floored —
+    // _c is a materialized column (HOF lambdas re-evaluate closed-over
+    // expressions per element), pos = i·dim + j
+    val covRows = centered
+      .select(posexplode(flatten(transform(col("_c"), vi =>
+        transform(col("_c"), vj =>
+          floor(vi * vj * 1000000.0).cast("long"))))).as(Seq("_pos", "_t")))
+      .groupBy("_pos")
+      .agg(sum("_t").as("_s"), count(lit(1)).as("_n"))
+      .collect()
+    val cov = Array.ofDim[Long](dim, dim)
+    covRows.foreach { r =>
+      val p = r.getInt(0)
+      cov(p / dim)(p % dim) = r.getLong(1) / r.getLong(2)
+    }
+    // power iteration, all arithmetic mirrored in the oracle
+    var x = Array.fill(dim)(0.125)
+    for (_ <- 0 until iters) {
+      val y = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) {
+          acc += math.floor(cov(i)(j).toDouble * x(j)).toLong; j += 1
+        }
+        acc
+      }
+      val s = y.foldLeft(0.0)((a, yi) => {
+        val yd = yi.toDouble / 1000000.0; a + yd * yd
+      })
+      val nrm = math.sqrt(s)
+      x = y.map(yi => (yi.toDouble / 1000000.0) / nrm)
+    }
+    val xCol = array(x.map(lit).toSeq: _*)
+    centered
+      .withColumn("proj_micro",
+        aggregate(
+          zip_with(col("_c"), xCol, (c, xc) =>
+            floor(c * xc * 1000000.0).cast("long")),
+          lit(0L), (acc, t) => acc + t))
+      .select(col(idCol), col("proj_micro"))
+  }
+
   def pqTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       m: Int = 4, kCodes: Int = 8, lloydIters: Int = 1, overfetch: Int = 5,

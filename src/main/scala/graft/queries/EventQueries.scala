@@ -307,6 +307,58 @@ object EventQueries extends QueryGroup {
              |ORDER BY i, j""".stripMargin)
     ),
 
+    // Sequential pattern mining, n-gram support form: per-user
+    // event-time-ordered journeys → sliding event-type trigrams (two
+    // LEADs over the per-user window — no explode, no self-join) →
+    // per-pattern total occurrences and DISTINCT-user support. The
+    // pattern table is alphabet-bounded (≤ |event_types|³ rows however
+    // big the corpus), so the support ranking is a tiny-table sort; the
+    // corpus pass shards by user_id like every journey query here. The
+    // deeper-pattern generalization is PrefixSpan's candidate growth —
+    // this fixed-k form is the scale-stable report a pipeline publishes.
+    "q_events_journey_patterns" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        val grams = Tables.events(s, d)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            col("event_type"))
+          .withColumn("_t2", lead("event_type", 1).over(w))
+          .withColumn("_t3", lead("event_type", 2).over(w))
+          .filter(col("_t2").isNotNull && col("_t3").isNotNull)
+          .select(col("user_id"),
+            concat_ws(">", col("event_type"), col("_t2"), col("_t3"))
+              .as("pattern"))
+        val sup = grams.groupBy("pattern")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct("user_id").as("n_users"))
+          .filter(col("n_users") >= 5)
+        val rw = Window.orderBy(desc("n_occ"), col("pattern"))
+        sup.withColumn("rank", row_number().over(rw))
+          .filter(col("rank") <= 20)
+          .orderBy("rank")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER w AS t2,
+             |    lead(event_type, 2) OVER w AS t3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY epoch_ns(ts), event_id)),
+             |p AS (
+             |  SELECT user_id, event_type || '>' || t2 || '>' || t3 AS pattern
+             |  FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+             |a AS (
+             |  SELECT pattern, CAST(count(*) AS BIGINT) AS n_occ,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM p GROUP BY 1 HAVING count(DISTINCT user_id) >= 5),
+             |r AS (
+             |  SELECT pattern, n_occ, n_users,
+             |    CAST(row_number() OVER (ORDER BY n_occ DESC, pattern)
+             |      AS INTEGER) AS rank
+             |  FROM a)
+             |SELECT * FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
+    ),
+
     // Triangle counting + local clustering coefficient over the
     // co-purchase item graph (edges = the co-occurrence pair table) via
     // degree-ordered orientation (Suri & Vassilvitskii 2011) — every

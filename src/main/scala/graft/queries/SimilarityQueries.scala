@@ -133,6 +133,58 @@ object SimilarityQueries extends QueryGroup {
     sb.toString
   }
 
+  /** CTE chain replaying [[Similarity.pcaTopProjection]]: fixed-point
+    * means, the n-divided integer covariance, `iters` power-iteration
+    * rounds (order-free BIGINT matvec + dim-ordered norm fold), and the
+    * per-vector micro-unit projection.
+    */
+  private def pcaCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """means AS (
+        |  SELECT d.i AS i,
+        |    (CAST(sum(CAST(floor(e.embedding[d.i]::DOUBLE * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) // count(*)) / 1000000.0 AS mu
+        |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) d
+        |  GROUP BY d.i),
+        |cov AS (
+        |  SELECT di.i AS i, dj.i AS j,
+        |    CAST(sum(CAST(floor((e.embedding[di.i]::DOUBLE - mi.mu)
+        |      * (e.embedding[dj.i]::DOUBLE - mj.mu) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) // count(*) AS c
+        |  FROM embeddings e,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) di,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) dj,
+        |       means mi, means mj
+        |  WHERE mi.i = di.i AND mj.i = dj.i
+        |  GROUP BY di.i, dj.i),
+        |x0 AS (SELECT unnest(generate_series(1, 64)) AS i, 0.125 AS x)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= ",\n" +
+        s"""y$t AS (
+           |  SELECT c.i, CAST(sum(CAST(floor(c.c * p.x) AS BIGINT))
+           |    AS BIGINT) AS y
+           |  FROM cov c JOIN x${t - 1} p ON p.i = c.j GROUP BY c.i),
+           |x$t AS (
+           |  SELECT i, (y / 1000000.0) / sqrt((
+           |    SELECT list_reduce(
+           |      list_prepend(0.0, list(y / 1000000.0 ORDER BY i)),
+           |      (a, b) -> a + b * b) FROM y$t)) AS x
+           |  FROM y$t)""".stripMargin
+    }
+    sb ++= ",\n" +
+      s"""proj AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CAST(floor((e.embedding[d.i]::DOUBLE - m.mu)
+         |      * xx.x * 1000000.0) AS BIGINT)) AS BIGINT) AS proj_micro
+         |  FROM embeddings e,
+         |       (SELECT unnest(generate_series(1, 64)) AS i) d,
+         |       means m, x$iters xx
+         |  WHERE m.i = d.i AND xx.i = d.i
+         |  GROUP BY e.vec_id)""".stripMargin
+    sb.toString
+  }
+
   private val cosineSql: String =
     """list_reduce(list_transform(generate_series(1, len(q.embedding)),
       |      x -> q.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)
@@ -729,6 +781,24 @@ object SimilarityQueries extends QueryGroup {
              |      x -> embedding[x]::DOUBLE * embedding[x]::DOUBLE),
              |    (s, v) -> s + v))) * 10000) AS BIGINT) AS avg_norm_bp
              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // Top principal component by power iteration: fixed-point means +
+    // n-divided integer covariance (one narrow outer-product
+    // projection, 4096-row driver table), 6 replayable x ← Cx/‖Cx‖
+    // rounds, per-vector projection as a zero-shuffle array fold. The
+    // oracle replays means, covariance, all 6 iterations, and every
+    // projection bit-for-bit.
+    "q_sim_pca_projection" -> QueryDef(
+      (s, d) =>
+        Similarity.pcaTopProjection(Tables.embeddings(s, d), iters = 6)
+          .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+          .select(col("vec_id"), col("label"), col("proj_micro"))
+          .orderBy("vec_id"),
+      Some(s"""WITH ${pcaCtes(6)}
+             |SELECT p.vec_id, e.label, p.proj_micro
+             |FROM proj p JOIN embeddings e USING (vec_id)
+             |ORDER BY vec_id""".stripMargin)
     ),
 
     // Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 8

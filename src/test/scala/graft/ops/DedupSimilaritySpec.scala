@@ -580,6 +580,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(perVec.forall(_.map(_.getInt(1)).toSet == Set(0, 1, 2, 3)))
   }
 
+  test("PCA power iteration: recovers a planted variance axis; " +
+      "projections are centered") {
+    import spark.implicits._
+    // dim 7 carries all the variance (±2 alternating); everything else
+    // is a constant 0.25 — the top component must align with dim 7
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(64)(0.25f)
+      v(7) = if (i % 2 == 0) 2.0f else -2.0f
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.pcaTopProjection(df, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same sign within parity class, opposite across, large magnitude
+    val evens = (0L until 40L by 2).map(proj)
+    val odds = (1L until 40L by 2).map(proj)
+    assert(evens.toSet.size == 1 && odds.toSet.size == 1,
+      "identical vectors must project identically")
+    assert(evens.head * odds.head < 0, "parity classes must oppose")
+    assert(math.abs(evens.head) > 1500000L, // |proj| ≈ 2.0 in micro
+      s"planted axis not recovered: ${evens.head}")
+    // centered: projections sum to ~0 (quantization leaves < 1 unit/row)
+    val total = proj.values.sum
+    assert(math.abs(total) <= 40L * 64L, s"not centered: $total")
+  }
+
   test("PQ ADC top-k: usable recall vs brute force from 12-bit codes") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(q, emb, k = 3).collect()
