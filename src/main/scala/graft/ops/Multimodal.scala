@@ -222,10 +222,19 @@ object Multimodal {
     * Out: `doc_id, d1..d16, phash` (the [[graft.ops.Dedup.simhashWide]]
     * wide-nibble layout, media_id AS doc_id for the shared pair ops).
     */
-  def aHashWide(media: DataFrame): DataFrame = {
-    val chars = media
-      .select(col("media_id").as("doc_id"),
-        expr(s"substring(media, ${HeaderLen + 1}, length(media))").as("_pay"))
+  def aHashWide(media: DataFrame): DataFrame =
+    aHashBits(media.select(col("media_id").as("doc_id"),
+      expr(s"substring(media, ${HeaderLen + 1}, length(media))").as("_pay")))
+
+  /** The shared 64-segment average-hash core over (doc_id, _pay binary)
+    * rows — [[aHashWide]] feeds whole payloads, [[frameAHash]] feeds
+    * per-frame slices. Zero-byte payloads are dropped (no segments to
+    * vote; the SQL replay's empty generate_series drops them the same
+    * way).
+    */
+  private def aHashBits(pays: DataFrame): DataFrame = {
+    val chars = pays
+      .filter(length(col("_pay")) > 0)
       .select(col("doc_id"), decode(col("_pay"), "UTF-8").as("_s"))
       .withColumn("_n", length(col("_s")).cast("long"))
       .select(col("doc_id"), col("_n"),
@@ -248,6 +257,37 @@ object Multimodal {
       .withColumn("phash",
         concat((1 to 16).map(p =>
           expr(s"substring('0123456789abcdef', d$p + 1, 1)")): _*))
+  }
+
+  /** Per-FRAME perceptual average-hash: every sampled frame of every
+    * video gets its own 64-bit aHash, keyed `doc_id = media_id·1000 +
+    * frame_idx` so the shared Hamming pair ops (`Dedup.
+    * bandedHammingPairs` at scale, `exactHammingPairs` as the oracle
+    * twin) apply unchanged — the frame-level candidate generator video
+    * near-dup detection needs (re-uploads, re-encodes, clips share
+    * FRAMES, not whole-file bytes). Frame ranges use the exact integer
+    * tiling of [[frameFeatures]] (⌊i·P/n⌋ boundaries — BIGINT, engine-
+    * replayable); the hash is the same cross-multiplied integer voting
+    * as [[aHashWide]]. One explode (frames per video) + the bounded
+    * segment aggregations; nothing corpus-quadratic until the pair op,
+    * which brings its own banding/caps.
+    */
+  def frameAHash(media: DataFrame, everyNth: Int = 1): DataFrame = {
+    val meta = describe(col("media"))
+    aHashBits(media
+      .withColumn("n_frames", meta.getField("n_frames").cast("long"))
+      .filter(col("n_frames") >= 1)
+      .withColumn("p_len", (length(col("media")) - HeaderLen).cast("long"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0L), col("n_frames") - 1),
+          f => f % everyNth === 0)))
+      .select(
+        (col("media_id") * 1000 + col("frame_idx")).as("doc_id"),
+        expr(s"""substring(media,
+                 CAST($HeaderLen + 1 + (frame_idx * p_len) DIV n_frames AS INT),
+                 CAST(((frame_idx + 1) * p_len) DIV n_frames
+                      - (frame_idx * p_len) DIV n_frames AS INT))""")
+          .as("_pay")))
   }
 
   /** Constellation-style audio fingerprints (the landmark scheme of

@@ -65,6 +65,102 @@ object MultimodalQueries extends QueryGroup {
               |FROM dig GROUP BY media_id ORDER BY media_id""".stripMargin)
     ),
 
+    // Video near-dup detection at FRAME granularity: originals + a
+    // "re-upload" variant set (same frame count; the payload edit
+    // REPLACES the last char, so length — and therefore every tile
+    // boundary — is preserved and all but the final frame stay
+    // byte-identical: the clips-share-frames structure the op exists
+    // for), per-frame aHash via exact integer tiling, exact Hamming
+    // pairs (oracle twin of the banded path), rolled up to video pairs
+    // by shared-frame votes. The ≥400-char floor keeps frames long
+    // enough for a 64-segment hash to discriminate (measured: below it,
+    // degenerate few-char segments collide across unrelated videos; at
+    // it, recovery is exact — every reupload pair, zero background).
+    // DuckDB resynthesizes both sets, re-tiles, re-hashes, and replays
+    // every pair and vote.
+    "q_multimodal_video_dedup" -> QueryDef(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 400)
+        val orig = Multimodal.synthesize(base)
+        val reup = Multimodal.synthesize(
+          base.withColumn("doc_id", col("doc_id") + 3000)
+            .withColumn("text",
+              concat(expr("substring(text, 1, length(text) - 1)"), lit("#"))))
+        val fa = Multimodal.frameAHash(orig.unionByName(reup), everyNth = 1)
+        graft.ops.Dedup.exactHammingPairs(fa, maxHamming = 2)
+          .withColumn("vid_i", expr("i div 1000"))
+          .withColumn("vid_j", expr("j div 1000"))
+          .filter(col("vid_i") =!= col("vid_j"))
+          .groupBy("vid_i", "vid_j")
+          .agg(count(lit(1)).as("n_frame_pairs"),
+            min("hamming").as("min_hamming"),
+            max("hamming").as("max_hamming"))
+          .filter(col("n_frame_pairs") >= 3)
+          .orderBy("vid_i", "vid_j")
+      },
+      Some {
+        val dcols = (1 to 16).map(p =>
+          s"sum(CASE WHEN p = ${p - 1} THEN d ELSE 0 END) AS d$p")
+          .mkString(",\n    ")
+        val ham = (1 to 16).map(p =>
+          s"bit_count(xor(a.d$p, b.d$p))").mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 3 = 2 AND length(text) >= 400),
+           |vids AS (
+           |  SELECT doc_id AS media_id, text AS s, 4 + doc_id % 8 AS nf
+           |  FROM base
+           |  UNION ALL
+           |  SELECT doc_id + 3000,
+           |    substring(text, 1, length(text) - 1) || '#', 4 + doc_id % 8
+           |  FROM base),
+           |frames AS (
+           |  SELECT media_id, f.fi AS frame_idx,
+           |    substring(s,
+           |      CAST((fi * length(s)::BIGINT) // nf AS INTEGER) + 1,
+           |      CAST(((fi + 1) * length(s)::BIGINT) // nf
+           |           - (fi * length(s)::BIGINT) // nf AS INTEGER)) AS fs
+           |  FROM vids, unnest(generate_series(0, nf - 1)) AS f(fi)),
+           |chars AS (
+           |  SELECT media_id, frame_idx, length(fs)::BIGINT AS n,
+           |    i - 1 AS pos, ascii(substring(fs, i, 1))::BIGINT AS v
+           |  FROM frames, unnest(generate_series(1, length(fs))) AS g(i)
+           |  WHERE length(fs) > 0),
+           |segd AS (
+           |  SELECT media_id, frame_idx, (pos * 64) // n AS seg,
+           |    sum(v) AS ssum, count(*)::BIGINT AS slen
+           |  FROM chars GROUP BY 1, 2, 3),
+           |tot AS (
+           |  SELECT media_id, frame_idx, sum(ssum) AS tsum,
+           |    sum(slen) AS tlen
+           |  FROM segd GROUP BY 1, 2),
+           |bits AS (
+           |  SELECT s.media_id, s.frame_idx, s.seg,
+           |    (s.ssum * t.tlen > t.tsum * s.slen) AS bit
+           |  FROM segd s JOIN tot t USING (media_id, frame_idx)),
+           |dig AS (
+           |  SELECT media_id, frame_idx, seg // 4 AS p,
+           |    sum(CASE WHEN bit THEN 1 << CAST(3 - seg % 4 AS INTEGER)
+           |        ELSE 0 END) AS d
+           |  FROM bits GROUP BY 1, 2, 3),
+           |wide AS (
+           |  SELECT media_id, frame_idx, media_id * 1000 + frame_idx AS pid,
+           |    $dcols
+           |  FROM dig GROUP BY 1, 2),
+           |fpairs AS (
+           |  SELECT a.media_id AS vid_i, b.media_id AS vid_j,
+           |    CAST($ham AS BIGINT) AS h
+           |  FROM wide a JOIN wide b ON a.pid < b.pid
+           |  WHERE a.media_id <> b.media_id)
+           |SELECT vid_i, vid_j, CAST(count(*) AS BIGINT) AS n_frame_pairs,
+           |  min(h) AS min_hamming, max(h) AS max_hamming
+           |FROM fpairs WHERE h <= 2
+           |GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY vid_i, vid_j""".stripMargin
+      }
+    ),
+
     // Perceptual near-dup pairs by exact Hamming distance over the
     // aHash (blocked equi-join — the oracle twin of the banded LSH path,
     // which MultimodalSpec bounds against this). DuckDB computes the

@@ -270,4 +270,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       else assert(matched && bp >= 9990, s"$id should pass: $bp")
     }
   }
+
+  test("frameAHash: one hash per frame; a tail rewrite inside the final " +
+      "frame flips only that frame's hash") {
+    import spark.implicits._
+    // doc_id ≡ 2 (mod 3) → video container; ≡ 0 (mod 8) → 4 frames
+    val text = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((8L, text)).toDF("doc_id", "text")
+    // same length (tile boundaries preserved), but the tail 100 chars —
+    // inside the final frame — rewritten far from letter byte values
+    val edited = Seq((3008L, text.dropRight(100) + "#" * 100))
+      .toDF("doc_id", "text")
+    val fa = Multimodal.frameAHash(
+      Multimodal.synthesize(docs.unionByName(edited)), everyNth = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(17)).toMap
+    // 4 frames per video, packed keys media_id*1000 + frame_idx
+    assert(fa.keySet == Set(8000L, 8001L, 8002L, 8003L,
+      3008000L, 3008001L, 3008002L, 3008003L), fa.keySet.toString)
+    // identical tiles → identical hashes on frames 0-2; frame 3 differs
+    (0 to 2).foreach(f =>
+      assert(fa(8000L + f) == fa(3008000L + f), s"frame $f must match"))
+    assert(fa(8003L) != fa(3008003L), "edited final frame must differ")
+  }
 }
