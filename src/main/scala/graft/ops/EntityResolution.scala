@@ -64,4 +64,59 @@ object EntityResolution {
       .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995 — the
+    * merge/purge method): records rank globally by (name, id); every
+    * pair within `w` rank positions is a candidate; exact Levenshtein
+    * verifies. The complementary generator to [[blockedMatches]]:
+    * blocking misses corruptions that change the phonetic CLASS, the
+    * sorted window misses corruptions in the first characters — real
+    * merge/purge runs multiple passes with different keys; both passes
+    * here share the verify kernel and output shape.
+    *
+    * The global rank is built WITHOUT a global sort: fixed first-char
+    * boundaries partition the key domain (a range partition with known
+    * split points — no sampled partitioner, so the rank is
+    * deterministic and engine-replayable), rank = per-prefix
+    * row_number + prefix offset, offsets from one prefix-sized
+    * aggregation (alphabet-bounded) cumulated on the driver. Candidate
+    * pairs come from a NEIGHBOR-BUCKET equi-join (bucket = rank div w;
+    * one side explodes to {b, b−1}), which finds each |Δrank| < w pair
+    * exactly once — work is corpus × 2 join rows, never corpus².
+    */
+  def sortedNeighborhood(
+      recs: DataFrame, idCol: String, nameCol: String,
+      w: Int = 6, maxDist: Int = 2
+  ): DataFrame = {
+    require(w >= 2, s"window too small: w=$w")
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val keyed = recs.select(col(idCol).as("rid"), col(nameCol).as("nm"))
+      .withColumn("pfx", substring(col("nm"), 1, 1))
+    val offsets = {
+      val counts = keyed.groupBy("pfx").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("pfx", "off"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("pfx").orderBy("nm", "rid")
+    val ranked = graft.util.AutoUnpersist.persistScoped(
+      keyed.join(offDf, "pfx")
+        .withColumn("rk", row_number().over(wnd).cast("long") + col("off")))
+    val l = ranked.select(col("rid").as("id1"), col("nm").as("name1"),
+        col("rk").as("r1"))
+      .withColumn("bkt", expr(s"r1 div $w"))
+    val r = ranked.select(col("rid").as("id2"), col("nm").as("name2"),
+        col("rk").as("r2"))
+      .withColumn("bkt", explode(array(expr(s"r2 div $w"),
+        expr(s"r2 div $w - 1"))))
+    l.join(r, "bkt")
+      .filter(col("r2") > col("r1") && col("r2") - col("r1") <= w - 1)
+      .withColumn("gap", col("r2") - col("r1"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "name1", "name2", "gap", "dist")
+  }
 }

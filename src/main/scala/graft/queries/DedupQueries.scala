@@ -807,6 +807,71 @@ object DedupQueries extends QueryGroup {
              |ORDER BY id1, id2""".stripMargin)
     ),
 
+    // Sorted-neighborhood record linkage over the same corrupted-name
+    // fixture as the phonetic pass (Hernández & Stolfo 1995 merge/
+    // purge): deterministic global rank (fixed first-char partitions +
+    // driver-cumulated offsets — no sampled partitioner), neighbor-
+    // bucket candidate join (each |Δrank| < w pair exactly once), exact
+    // edit verify. The oracle states the SAME rank as one global
+    // row_number — the two formulations must agree exactly.
+    "q_dedup_er_sorted" -> QueryDef(
+      (s, d) => {
+        import graft.ops.{EntityResolution, TextAnalysis}
+        val nm0 = array_join(
+          slice(filter(TextAnalysis.tokens(lower(col("text"))),
+            t => t.rlike("^[a-z]+$")), 1, 2), " ")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id").as("pk"), nm0.as("nm"))
+          .filter(length(col("nm")) >= 4)
+        val opos = instr(col("nm").substr(lit(2), length(col("nm"))), "o")
+        val orig = base.select((col("pk") * 2).as("rec_id"),
+          col("nm").as("name"))
+        val variant = base.select((col("pk") * 2 + 1).as("rec_id"),
+          when(pmod(col("pk"), lit(3)) === 0 && opos > 0,
+            concat(col("nm").substr(lit(1), opos), lit("a"),
+              col("nm").substr(opos + 2, length(col("nm")))))
+            .when(pmod(col("pk"), lit(3)) === 1 && length(col("nm")) >= 4,
+              concat(col("nm").substr(lit(1), lit(4)),
+                col("nm").substr(lit(4), lit(1)),
+                col("nm").substr(lit(5), length(col("nm")))))
+            .otherwise(col("nm")).as("name"))
+        EntityResolution.sortedNeighborhood(
+            orig.unionByName(variant), "rec_id", "name",
+            w = 6, maxDist = 2)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS pk,
+             |    array_to_string((list_filter(
+             |      list_filter(string_split(lower(text), ' '), x -> x <> ''),
+             |      t -> regexp_matches(t, '^[a-z]+$')))[1:2], ' ') AS nm
+             |  FROM documents),
+             |b2 AS (SELECT pk, nm FROM base WHERE length(nm) >= 4),
+             |orig AS (SELECT pk * 2 AS rec_id, nm AS name FROM b2),
+             |var AS (
+             |  SELECT pk * 2 + 1 AS rec_id,
+             |    CASE
+             |      WHEN pk % 3 = 0 AND strpos(substr(nm, 2), 'o') > 0 THEN
+             |        substr(nm, 1, strpos(substr(nm, 2), 'o')) || 'a'
+             |        || substr(nm, strpos(substr(nm, 2), 'o') + 2)
+             |      WHEN pk % 3 = 1 AND length(nm) >= 4 THEN
+             |        substr(nm, 1, 4) || substr(nm, 4, 1) || substr(nm, 5)
+             |      ELSE nm END AS name
+             |  FROM b2),
+             |recs AS (SELECT * FROM orig UNION ALL SELECT * FROM var),
+             |ranked AS (
+             |  SELECT rec_id, name,
+             |    row_number() OVER (ORDER BY name, rec_id) AS rk
+             |  FROM recs)
+             |SELECT a.rec_id AS id1, b.rec_id AS id2,
+             |  a.name AS name1, b.name AS name2,
+             |  b.rk - a.rk AS gap, levenshtein(a.name, b.name) AS dist
+             |FROM ranked a JOIN ranked b
+             |  ON b.rk > a.rk AND b.rk - a.rk <= 5
+             |WHERE levenshtein(a.name, b.name) <= 2
+             |ORDER BY id1, id2""".stripMargin)
+    ),
+
     // Winnowing fingerprint matching (Schleimer et al. 2003 — the MOSS
     // plagiarism-detection core): min-hash-per-window selection with
     // the rightmost-tie rule, ~2/(w+1) of gram positions kept with a

@@ -53,4 +53,46 @@ class EntityResolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(keyed.distinct.length == 1, s"fixture must collide: $keyed")
     assert(EntityResolution.blockedMatches(recs, "rec_id", "name").count() == 0)
   }
+
+  test("sortedNeighborhood: neighbor-bucket join finds every |Δrank|<w " +
+      "pair exactly once (no-edit-gate census vs direct ranks)") {
+    import spark.implicits._
+    val names = Seq("alice", "alicf", "bob", "carol", "carom", "dave",
+      "erin", "frank", "gina", "hank", "alic", "boc")
+    val recs = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("rec_id", "name")
+    // maxDist large = no verification gate: output is the pure window
+    // census, comparable against the direct global-rank definition
+    val got = EntityResolution.sortedNeighborhood(recs, "rec_id", "name",
+        w = 3, maxDist = 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ranked = names.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, id), rk) => (id, rk.toLong) }
+    val expected = (for {
+      (i1, r1) <- ranked; (i2, r2) <- ranked
+      if r2 > r1 && r2 - r1 <= 2
+    } yield (i1, i2)).sorted
+    assert(got.toSeq == expected.toSeq,
+      s"window census mismatch: got ${got.length}, want ${expected.length}")
+    assert(got.length == expected.toSet.size, "each pair exactly once")
+  }
+
+  test("sortedNeighborhood catches a class-changing typo that phonetic " +
+      "blocking misses") {
+    import spark.implicits._
+    // 'jonsen' → 'jonden': s (class 2) → d (class 3) breaks the
+    // phonetic key; sort order keeps them adjacent
+    val recs = Seq((1L, "jonsen"), (2L, "jonden"), (3L, "zzz unrelated"))
+      .toDF("rec_id", "name")
+    val phonetic = EntityResolution.blockedMatches(recs, "rec_id", "name")
+      .collect()
+    assert(!phonetic.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L),
+      "fixture must defeat the phonetic block")
+    val snm = EntityResolution.sortedNeighborhood(recs, "rec_id", "name",
+        w = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.contains((2L, 1L)) || snm.contains((1L, 2L)),
+      s"sorted window must catch the pair: $snm")
+  }
 }
