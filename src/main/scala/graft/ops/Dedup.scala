@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, all shuffle-aware:
@@ -556,5 +557,49 @@ object Dedup {
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
     verifyJaccard(cands, sh)
+  }
+
+  /** Exact set-similarity join with a COMPLETENESS guarantee via prefix
+    * filtering (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs
+    * Similarity Search"; the candidate scheme PPJoin builds on): order
+    * the shingle universe by (df asc, shingle) — rarest first — and
+    * index only each doc's PREFIX, its first n − ⌈t·n⌉ + 1 shingles in
+    * that order. Two sets with Jaccard ≥ t overlap in ≥ ⌈t·max(n)⌉
+    * elements, so skipping the last ⌈t·n⌉ − 1 of either set cannot
+    * erase the overlap: any qualifying pair MUST collide on a prefix
+    * shingle. This makes the third candidate family here exact-recall —
+    * unlike maxDf rarity (heuristic recall) or MinHash banding
+    * (probabilistic recall) — while candidate volume still collapses,
+    * because the global order puts the RARE shingles in every prefix.
+    *
+    * All arithmetic is integer: ⌈t·n⌉ at t = thresholdBp/10⁴ is
+    * (thresholdBp·n + 9999) div 10⁴; the per-doc prefix rank is one
+    * doc-partitioned window over (df, shingle) — a consistent global
+    * total order applied locally, no global sort. Verification is the
+    * shared exact-count [[verifyJaccard]].
+    */
+  def prefixFilterJaccard(
+      docs: DataFrame, thresholdBp: Long = 8000, shingleSize: Int = 3
+  ): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000, s"bad t: $thresholdBp")
+    val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
+    val dfc = sh.groupBy("w").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wnd = Window.partitionBy("doc_id").orderBy("df", "w")
+    val pref = graft.util.AutoUnpersist.persistScoped(
+      sh.join(dfc, "w")
+        .join(sizes, "doc_id")
+        .withColumn("_rnk", row_number().over(wnd))
+        .filter(col("_rnk") <=
+          col("n") - expr(s"($thresholdBp * n + 9999) div 10000") + 1)
+        .select("doc_id", "w"))
+    val cands = pref.select(col("doc_id").as("i"), col("w"))
+      .join(pref.select(col("doc_id").as("j"), col("w")), "w")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    verifyJaccard(cands, sh)
+      .select(col("i"), col("j"),
+        floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= thresholdBp)
   }
 }

@@ -807,6 +807,36 @@ object DedupQueries extends QueryGroup {
              |ORDER BY id1, id2""".stripMargin)
     ),
 
+    // Exact set-similarity join via prefix filtering (Bayardo et al.
+    // 2007): rarest-first global shingle order, per-doc prefix of
+    // n − ⌈t·n⌉ + 1 shingles, candidates ONLY from prefix collisions —
+    // complete by the pigeonhole bound, no probabilistic recall — then
+    // the shared exact-count verify. DuckDB replays the df order, the
+    // prefix ranks, the candidate join, and every Jaccard.
+    "q_dedup_prefix_filter" -> QueryDef(
+      (s, d) =>
+        Dedup.prefixFilterJaccard(Tables.documents(s, d),
+            thresholdBp = 8000)
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+             |dfc AS (SELECT w, count(*) AS df FROM shd GROUP BY w),
+             |pref AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT s.doc_id, s.w, c.n,
+             |      row_number() OVER (PARTITION BY s.doc_id
+             |                         ORDER BY d.df, s.w) AS rnk
+             |    FROM shd s JOIN dfc d ON d.w = s.w
+             |    JOIN cnt c ON c.doc_id = s.doc_id)
+             |  WHERE rnk <= n - (8000 * n + 9999) // 10000 + 1),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM pref a JOIN pref b
+             |    ON a.w = b.w AND a.doc_id < b.doc_id),
+             |$jaccardSql
+             |SELECT i, j, jaccard_bp FROM jac
+             |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
+    ),
+
     // Sorted-neighborhood record linkage over the same corrupted-name
     // fixture as the phonetic pass (Hernández & Stolfo 1995 merge/
     // purge): deterministic global rank (fixed first-char partitions +

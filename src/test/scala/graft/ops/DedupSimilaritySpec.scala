@@ -580,6 +580,41 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(perVec.forall(_.map(_.getInt(1)).toSet == Set(0, 1, 2, 3)))
   }
 
+  test("prefix filtering: complete vs brute force at t=0.8, and " +
+      "strictly fewer candidates than the full inverted index") {
+    val sh = Dedup.shingles(docs, 3)
+    // brute force: every pair sharing ANY shingle, exact Jaccard
+    val all = sh.select(col("doc_id").as("i"), col("w"))
+      .join(sh.select(col("doc_id").as("j"), col("w")), "w")
+      .filter(col("i") < col("j")).select("i", "j").distinct()
+    val exact = Dedup.verifyJaccard(all, sh)
+      .filter(floor(col("jaccard") * 10000) >= 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.prefixFilterJaccard(docs, thresholdBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the completeness guarantee: NOT probabilistic, NOT heuristic —
+    // the prefix-collision candidates must reproduce brute force exactly
+    assert(got == exact, s"missed: ${exact -- got}; extra: ${got -- exact}")
+    assert(exact.nonEmpty, "fixture must contain >= t pairs")
+    // and the candidate set must actually shrink vs the full index:
+    // rebuild the prefix (same (df, w) order and ⌈t·n⌉ arithmetic)
+    // and count its collision pairs
+    val dfc = sh.groupBy("w").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "w")
+    val pref = sh.join(dfc, "w").join(sizes, "doc_id")
+      .withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= col("n") - expr("(8000 * n + 9999) div 10000") + 1)
+      .select("doc_id", "w")
+    val prefCands = pref.select(col("doc_id").as("i"), col("w"))
+      .join(pref.select(col("doc_id").as("j"), col("w")), "w")
+      .filter(col("i") < col("j")).select("i", "j").distinct().count()
+    val fullCands = all.count()
+    assert(prefCands < fullCands / 5,
+      s"prefix index must collapse candidates: $prefCands vs $fullCands")
+  }
+
   test("PCA power iteration: recovers a planted variance axis; " +
       "projections are centered") {
     import spark.implicits._
