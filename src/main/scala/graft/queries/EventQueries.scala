@@ -307,6 +307,70 @@ object EventQueries extends QueryGroup {
              |ORDER BY i, j""".stripMargin)
     ),
 
+    // Frequent 3-itemsets over purchase baskets by A-Priori pruning
+    // (Agrawal & Srikant 1994): L1-restricted baskets → frequent pairs
+    // → F₂⋈F₂ prefix-join candidates pruned by the (b,c)-frequent rule
+    // → one exact counting pass, all at RELATIVE support 2% of baskets
+    // (floor 3) so the lattice stays sparse at every SF. A planted
+    // cohort itemset (every 7th purchaser also "buys" items
+    // 1001-1003) is the association the miner must — and does —
+    // surface at all three SFs. The oracle replays the planting, every
+    // lattice level, and the final supports.
+    "q_events_itemsets3" -> QueryDef(
+      (s, d) => {
+        val nat = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+        val planted = nat.select("user_id").distinct()
+          .filter(pmod(col("user_id"), lit(7)) === 0)
+          .select(col("user_id"),
+            explode(array(lit(1001L), lit(1002L), lit(1003L))).as("item"))
+        graft.ops.CoOccurrence.frequentTriples(
+            nat.unionByName(planted), "user_id", "item",
+            minSupport = 3L, maxItemsPerUser = 64, relPerMille = 20L)
+          .orderBy("a", "b", "c")
+      },
+      Some("""WITH nat AS (
+             |  SELECT DISTINCT user_id AS u,
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+             |  FROM events
+             |  WHERE event_type = 'purchase'
+             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |pl AS (
+             |  SELECT u, 1000 + g.i AS it
+             |  FROM (SELECT DISTINCT u FROM nat WHERE u % 7 = 0),
+             |       unnest(generate_series(1, 3)) AS g(i)),
+             |ui AS (SELECT * FROM nat UNION SELECT * FROM pl),
+             |elig AS (
+             |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
+             |b0 AS (SELECT ui.* FROM ui JOIN elig USING (u)),
+             |thr AS (
+             |  SELECT greatest(3, count(DISTINCT u) * 20 // 1000) AS t
+             |  FROM b0),
+             |l1 AS (
+             |  SELECT it FROM b0 GROUP BY it
+             |  HAVING count(*) >= (SELECT t FROM thr)),
+             |kept AS (SELECT b0.* FROM b0 JOIN l1 USING (it)),
+             |l2 AS (
+             |  SELECT a.it AS i, b.it AS j
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it
+             |  GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr)),
+             |cand AS (
+             |  SELECT x.i AS a, x.j AS b, y.j AS c
+             |  FROM l2 x JOIN l2 y ON x.i = y.i AND x.j < y.j
+             |  JOIN l2 z ON z.i = x.j AND z.j = y.j),
+             |sup AS (
+             |  SELECT t.a, t.b, t.c, CAST(count(*) AS BIGINT) AS c_abc
+             |  FROM cand t
+             |  JOIN kept ka ON ka.it = t.a
+             |  JOIN kept kb ON kb.it = t.b AND kb.u = ka.u
+             |  JOIN kept kc ON kc.it = t.c AND kc.u = ka.u
+             |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT t FROM thr))
+             |SELECT a, b, c, c_abc FROM sup ORDER BY a, b, c""".stripMargin)
+    ),
+
     // Sequential pattern mining, n-gram support form: per-user
     // event-time-ordered journeys → sliding event-type trigrams (two
     // LEADs over the per-user window — no explode, no self-join) →

@@ -27,4 +27,24 @@ class CoOccurrenceSpec extends AnyFunSuite with SparkTestBase {
     // cos² = 3²·10⁴/(3·3) = 10000 — a perfect co-occurrence
     assert(got(("A", "B")) == ((3L, 3L, 3L, 10000L)))
   }
+
+  test("frequentTriples: A-Priori lattice — exact supports, subset " +
+      "pruning, and candidate generation blocked by an infrequent pair") {
+    import spark.implicits._
+    // users 1-3 buy {10,20,30} (triple support 3); user 4 buys {10,20}
+    // (pair (10,20) support 4); items 40/50 frequent alone but the pair
+    // (40,50) has support 2 < 3, so no triple containing both can even
+    // be a candidate; {10,20,40} reaches candidacy (all three pairs
+    // frequent? (10,40): users 5,6 only = 2 — NOT frequent → pruned)
+    val rows =
+      Seq(1, 2, 3).flatMap(u => Seq((u.toLong, 10L), (u.toLong, 20L), (u.toLong, 30L))) ++
+      Seq((4L, 10L), (4L, 20L)) ++
+      Seq((5L, 40L), (5L, 50L), (6L, 40L), (6L, 50L), (7L, 40L), (8L, 50L))
+    val inter = rows.toDF("user_id", "item")
+    val got = CoOccurrence.frequentTriples(inter, "user_id", "item",
+        minSupport = 3L, maxItemsPerUser = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(got == Map((10L, 20L, 30L) -> 3L), s"got $got")
+  }
 }

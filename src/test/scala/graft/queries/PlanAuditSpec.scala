@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
                         // 1-probe brute-force dense run
     "q_sim_retrieval_eval", // brute-force run side (50 broadcast queries
                             // × corpus); qrels/metrics joins are equi
-    "q_events_rolling_distinct") // 1-row max-hour aggregate × hourly pairs
+    "q_events_rolling_distinct", // 1-row max-hour aggregate × hourly pairs
+    "q_events_itemsets3") // 1-row basket-count (relative-support) aggregate
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
