@@ -607,6 +607,52 @@ object TextAnalysis {
     * evenly (unlike SQL ntile's front-loading), and ties break on doc_id
     * — fully deterministic, any engine replays it.
     */
+  /** Cross-source quantile normalization (the Bolstad et al. 2003
+    * microarray technique applied to corpus curation): every source's
+    * quality-score distribution is mapped onto the POOLED distribution
+    * by rank, so a threshold or mixing policy downstream compares
+    * sources on one scale — source-specific score inflation (one crawl
+    * scoring systematically high) stops distorting the mix.
+    *
+    * norm(doc) = pooled score at global rank 1 + ⌊(r−1)(N−1)/(n_s−1)⌋,
+    * r the doc's rank within its source — integer arithmetic, ties by
+    * doc_id, so both engines replay it bit-exactly. The global rank
+    * uses the same value-domain decomposition as [[curriculum]]
+    * (≤10001-row cumulative table + per-value tie window — no global
+    * single-partition sort); the target lookup is then an EQUI-join on
+    * rank, because every computed target position hits exactly one
+    * pooled rank. Single-member sources map to the pooled median.
+    *
+    * Out: (doc_id, source, q_bp, r, n_s, norm_q_bp).
+    */
+  def quantileNormalize(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    val q = graft.util.AutoUnpersist.persistScoped(
+      docs.select(col("doc_id"), col(srcCol).as("source"),
+        floor(qualityScore(col("text")) * 10000).cast("long").as("q_bp")))
+    val ws = Window.partitionBy("source").orderBy("q_bp", "doc_id")
+    val withR = q.withColumn("r", row_number().over(ws).cast("long"))
+      .join(q.groupBy("source").agg(count(lit(1)).as("n_s")), "source")
+    val dist = q.groupBy("q_bp").agg(count(lit(1)).as("n_q"))
+    val below = Window.orderBy("q_bp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("n_below", coalesce(sum("n_q").over(below), lit(0L)))
+      .select("q_bp", "n_below")
+    val tot = q.agg(count(lit(1)).as("n_total"))
+    val pooled = q.join(broadcast(cum), "q_bp")
+      .withColumn("_tie", row_number().over(
+        Window.partitionBy("q_bp").orderBy("doc_id")).cast("long"))
+      .select((col("n_below") + col("_tie")).as("grank"),
+        col("q_bp").as("norm_q_bp"))
+    withR.crossJoin(broadcast(tot))
+      .withColumn("p",
+        when(col("n_s") > 1,
+          expr("1 + (r - 1) * (n_total - 1) div (n_s - 1)"))
+          .otherwise(expr("1 + (n_total - 1) div 2")))
+      .join(pooled, col("p") === col("grank"))
+      .select("doc_id", "source", "q_bp", "r", "n_s", "norm_q_bp")
+  }
+
   def curriculum(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
     val q = docs.select(col("doc_id"),

@@ -444,6 +444,48 @@ object TextQueries extends QueryGroup {
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Cross-source quantile normalization of quality scores (the
+    // Bolstad et al. 2003 microarray technique at the corpus-mixing
+    // slot): each source's distribution maps onto the pooled one by
+    // rank — 1 + ⌊(r−1)(N−1)/(n_s−1)⌋ — all integer, ties by doc_id.
+    // DuckDB states the pooled rank as one global row_number; the
+    // value-domain decomposition must agree exactly.
+    "q_text_quantile_norm" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.quantileNormalize(Tables.documents(s, d))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+             |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000)
+             |      AS BIGINT) AS q_bp
+             |  FROM t),
+             |r AS (
+             |  SELECT doc_id, source, q_bp,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY q_bp, doc_id) AS r,
+             |    count(*) OVER (PARTITION BY source) AS n_s,
+             |    count(*) OVER () AS n_total,
+             |    row_number() OVER (ORDER BY q_bp, doc_id) AS grank
+             |  FROM q),
+             |tgt AS (
+             |  SELECT doc_id, source, q_bp, r, n_s,
+             |    CASE WHEN n_s > 1
+             |         THEN 1 + (r - 1) * (n_total - 1) // (n_s - 1)
+             |         ELSE 1 + (n_total - 1) // 2 END AS p
+             |  FROM r)
+             |SELECT tgt.doc_id, tgt.source, tgt.q_bp, tgt.r, tgt.n_s,
+             |  pool.q_bp AS norm_q_bp
+             |FROM tgt JOIN r pool ON pool.grank = tgt.p
+             |ORDER BY tgt.doc_id""".stripMargin)
+    ),
+
     // Exact phrase search on the positional inverted index: postings of
     // the phrase terms only, aligned by (doc_id, pos − offset) equi-joins.
     "q_text_phrase_search" -> QueryDef(

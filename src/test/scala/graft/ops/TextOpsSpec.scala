@@ -583,4 +583,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val (_, _, h3) = out(3L)
     assert(h3 > 3500L && h3 < 4700L, s"natural-text entropy $h3 millibits")
   }
+
+  test("quantileNormalize: equal-size sources land on identical " +
+      "normalized multisets; order within source preserved") {
+    import spark.implicits._
+    // source A: short low-quality docs; source B: long diverse docs —
+    // wildly different raw score distributions, same size (4 each)
+    def doc(i: Long, src: String, text: String) = (i, src, text)
+    val rows = Seq(
+      doc(1, "a", "x x x x"),
+      doc(2, "a", "y y y y y y"),
+      doc(3, "a", "z z w w q q"),
+      doc(4, "a", "m n m n m n m n"),
+      doc(5, "b", (1 to 80).map(i => s"tok$i").mkString(" ")),
+      doc(6, "b", (1 to 60).map(i => s"word$i").mkString(" ")),
+      doc(7, "b", (1 to 40).map(i => s"term$i").mkString(" ")),
+      doc(8, "b", (1 to 90).map(i => s"item$i").mkString(" ")))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = graft.ops.TextAnalysis.quantileNormalize(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    val bySrc = out.groupBy(_._2)
+    // identical normalized multisets across equal-size sources — the
+    // defining property of quantile normalization
+    val normA = bySrc("a").map(_._5).sorted.toSeq
+    val normB = bySrc("b").map(_._5).sorted.toSeq
+    assert(normA == normB, s"a=$normA b=$normB")
+    // raw distributions genuinely differed
+    assert(bySrc("a").map(_._3).max < bySrc("b").map(_._3).min)
+    // monotone within source: higher within-source rank → >= norm value
+    Seq("a", "b").foreach { s =>
+      val byRank = bySrc(s).sortBy(_._4).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y },
+        s"non-monotone in $s: ${byRank.toSeq}")
+    }
+  }
 }

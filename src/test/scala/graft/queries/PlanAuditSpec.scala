@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_sim_retrieval_eval", // brute-force run side (50 broadcast queries
                             // × corpus); qrels/metrics joins are equi
     "q_events_rolling_distinct", // 1-row max-hour aggregate × hourly pairs
-    "q_events_itemsets3") // 1-row basket-count (relative-support) aggregate
+    "q_events_itemsets3", // 1-row basket-count (relative-support) aggregate
+    "q_text_quantile_norm") // 1-row pooled-count aggregate × ranked docs
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
