@@ -38,4 +38,59 @@ object Privacy {
       .withColumn("at_risk", col("n_subjects") < k)
       .withColumn("low_div", col("n_sensitive") < l)
   }
+
+  /** Right-to-be-forgotten purge over a stored corpus AND its derived
+    * signature index, with CONTENT expansion: a deletion request names
+    * doc ids, but the same content may live under other ids (mirrors,
+    * re-crawls, exact dups) — erasure that stops at the requested id
+    * leaves the content in the corpus. The forget set therefore
+    * expands through the content fingerprint (md5 of text): every doc
+    * sharing a requested doc's fingerprint is purged, from the corpus
+    * and the index in the same anti-join pass, so the two stored
+    * artifacts never diverge.
+    *
+    * Returns (purgedCorpus, purgedIndex, audit) — the audit is ONE row
+    * a compliance log stores: before/after volumes for both artifacts,
+    * request and expansion counts, and two invariants that must read
+    * zero: residual docs carrying forgotten content, and index entries
+    * for ids no longer in the corpus.
+    *
+    * Scale shape: fingerprint expansion is two equi-joins on the
+    * (requests-sized, broadcastable) fingerprint set; the purges are
+    * LeftAnti joins — shuffle on id, no full rewrite until the sink
+    * chooses to compact. At 100 TB the anti-join output IS the
+    * retained corpus rewrite, which is what GDPR erasure costs on
+    * immutable storage; partition pruning on an id-range layout bounds
+    * the rewrite to affected files.
+    */
+  def forgetByContent(
+      corpus: DataFrame, index: DataFrame, requests: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val reqs = requests.select(col(idCol)).distinct()
+    val fps = graft.util.AutoUnpersist.persistScoped(
+      corpus.join(reqs, idCol)
+        .select(md5(col(textCol)).as("_fp")).distinct())
+    val expanded = graft.util.AutoUnpersist.persistScoped(
+      corpus.select(col(idCol), md5(col(textCol)).as("_fp"))
+        .join(fps, "_fp")
+        .select(idCol).distinct())
+    val purgedCorpus = corpus.join(expanded, Seq(idCol), "left_anti")
+    val purgedIndex = index.join(expanded, Seq(idCol), "left_anti")
+    def one(df: DataFrame, name: String) =
+      broadcast(df.agg(count(lit(1)).as(name)))
+    val residual = purgedCorpus
+      .select(md5(col(textCol)).as("_fp")).join(fps, "_fp")
+    val orphans = purgedIndex.select(col(idCol))
+      .join(purgedCorpus.select(col(idCol)), Seq(idCol), "left_anti")
+    val audit = one(corpus, "n_corpus_before")
+      .crossJoin(one(reqs, "n_requests"))
+      .crossJoin(one(expanded, "n_forgotten"))
+      .crossJoin(one(purgedCorpus, "n_corpus_after"))
+      .crossJoin(one(index, "n_index_before"))
+      .crossJoin(one(purgedIndex, "n_index_after"))
+      .crossJoin(one(residual, "n_residual_content"))
+      .crossJoin(one(orphans, "n_index_orphans"))
+    (purgedCorpus, purgedIndex, audit)
+  }
 }

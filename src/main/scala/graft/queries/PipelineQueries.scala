@@ -247,6 +247,67 @@ object PipelineQueries extends QueryGroup {
              |FROM gated
              |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Right-to-be-forgotten purge over the stored history corpus AND
+    // its minhash signature index, with CONTENT expansion: requests
+    // name ids (every 11th ≡ 3), but erasure must also catch the same
+    // text under OTHER ids — the corpus carries planted mirrors (every
+    // 13th ≡ 1 history doc re-appears under id+10000, the re-crawl/
+    // mirror case; the natural dup pairs all straddle the fixture's
+    // fresh/history boundary, so without the mirrors expansion never
+    // fires) and the forget set expands through the md5 content
+    // fingerprint before the anti-join purge hits both artifacts. The
+    // one-row audit carries before/after volumes and two must-be-zero
+    // invariants (residual forgotten content, index orphans — the
+    // index covers only the natural history, a strict id-subset of the
+    // corpus, so purging both with the same expanded set keeps them
+    // aligned). DuckDB replays the split, the mirrors, the index
+    // membership rule, the expansion, both purges, and every count.
+    "q_pipeline_forget" -> QueryDef(
+      (s, d) => {
+        val hist = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select("doc_id", "text")
+        val corpus = hist.unionByName(
+          hist.filter(pmod(col("doc_id"), lit(13)) === 1)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val (_, _, audit) = graft.ops.Privacy.forgetByContent(
+          corpus,
+          Tables.historyMinhashSigs(s, d),
+          corpus.filter(pmod(col("doc_id"), lit(11)) === 3))
+        audit
+      },
+      Some("""WITH hist AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |corp AS (
+             |  SELECT * FROM hist
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM hist WHERE doc_id % 13 = 1),
+             |idx AS (
+             |  SELECT doc_id FROM hist
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |reqs AS (SELECT doc_id FROM corp WHERE doc_id % 11 = 3),
+             |fps AS (
+             |  SELECT DISTINCT md5(h.text) AS fp
+             |  FROM corp h JOIN reqs USING (doc_id)),
+             |expd AS (
+             |  SELECT DISTINCT h.doc_id
+             |  FROM corp h JOIN fps ON md5(h.text) = fps.fp),
+             |pc AS (SELECT h.* FROM corp h ANTI JOIN expd USING (doc_id)),
+             |pi AS (SELECT i.doc_id FROM idx i ANTI JOIN expd USING (doc_id)),
+             |resid AS (
+             |  SELECT 1 AS x FROM pc JOIN fps ON md5(pc.text) = fps.fp),
+             |orph AS (SELECT 1 AS x FROM pi ANTI JOIN pc USING (doc_id))
+             |SELECT
+             |  (SELECT count(*) FROM corp) AS n_corpus_before,
+             |  (SELECT count(*) FROM reqs) AS n_requests,
+             |  (SELECT count(*) FROM expd) AS n_forgotten,
+             |  (SELECT count(*) FROM pc) AS n_corpus_after,
+             |  (SELECT count(*) FROM idx) AS n_index_before,
+             |  (SELECT count(*) FROM pi) AS n_index_after,
+             |  (SELECT count(*) FROM resid) AS n_residual_content,
+             |  (SELECT count(*) FROM orph) AS n_index_orphans""".stripMargin)
     )
   )
 

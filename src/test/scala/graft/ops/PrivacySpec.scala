@@ -27,4 +27,29 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(got(("10002", 40)) == ((2L, 1L, 1L, true, true)))
     assert(got(("10003", 50)) == ((3L, 3L, 1L, false, true)))
   }
+
+  test("forgetByContent: request purges the id, its content mirrors, " +
+      "and the index rows; unrelated docs survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the secret document"),
+      (2L, "the secret document"), // mirror of 1 under another id
+      (3L, "an innocent doc"),
+      (4L, "another innocent doc")).toDF("doc_id", "text")
+    val index = Seq((1L, "sigA"), (2L, "sigA"), (3L, "sigB"), (4L, "sigC"))
+      .toDF("doc_id", "m0")
+    val requests = Seq(Tuple1(1L)).toDF("doc_id")
+    val (pc, pi, audit) =
+      graft.ops.Privacy.forgetByContent(corpus, index, requests)
+    // mirror 2 purged via content expansion despite never being named
+    assert(pc.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L))
+    assert(pi.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L))
+    val a = audit.collect().head
+    // (before, requests, forgotten, after, idx_before, idx_after,
+    //  residual, orphans)
+    assert((0 to 7).map(a.getLong).toSeq
+      == Seq(4L, 1L, 2L, 2L, 4L, 2L, 0L, 0L), a.toString)
+  }
 }

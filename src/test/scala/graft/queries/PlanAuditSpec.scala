@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
                             // × corpus); qrels/metrics joins are equi
     "q_events_rolling_distinct", // 1-row max-hour aggregate × hourly pairs
     "q_events_itemsets3", // 1-row basket-count (relative-support) aggregate
-    "q_text_quantile_norm") // 1-row pooled-count aggregate × ranked docs
+    "q_text_quantile_norm", // 1-row pooled-count aggregate × ranked docs
+    "q_pipeline_forget") // crossJoin of eight 1-row audit-count aggregates
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
