@@ -559,6 +559,58 @@ object Dedup {
     verifyJaccard(cands, sh)
   }
 
+  /** Character n-gram shingle sets over whitespace-STRIPPED text — the
+    * shingling for scripts word tokenization mis-serves (CJK, Thai have
+    * no spaces; the same content re-segmented differently is the same
+    * content) and for robustness to spacing/formatting edits generally.
+    * Stripping whitespace BEFORE gramming is the point: a re-spaced
+    * copy has the identical gram set, where word shingles see disjoint
+    * token streams. Codegen position-explode + substr, NOT a HOF
+    * transform (the cdcChunks lesson — interpreted per-element lambdas
+    * cost ~3× on corpus-character streams); the explode is a pure
+    * projection and only the distinct shuffles.
+    */
+  def charShingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    val ct = col("_ct")
+    graft.util.Partitioning.fanOut(docs)
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("_ct"))
+      .filter(length(ct) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(ct) - n + 1)).as("_i"), ct)
+      .select(col("doc_id"), ct.substr(col("_i"), lit(n)).as("w"))
+      .distinct()
+  }
+
+  /** [[minhashLsh]] on character shingles — same signature/banding/
+    * verify machinery, different feature space. The scale arguments
+    * transfer verbatim; the char vocabulary is larger (≈ chars per doc
+    * vs tokens per doc), which the portable-vs-xxhash64 family trade
+    * and the vocabulary-distinct hashing already account for.
+    */
+  def minhashLshChars(
+      docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.8, n: Int = 5,
+      portable: Boolean = true, maxBucket: Int = 5000
+  ): DataFrame = {
+    val sh = graft.util.AutoUnpersist.persistScoped(charShingles(docs, n))
+    // char grams are nearly all unique (occurrences ≈ vocabulary), so
+    // the word path's vocabulary-distinct + join-back md5 amortization
+    // only COSTS here — hash every (already per-doc-distinct) row
+    // directly into ONE map-side-combined groupBy. Same md5 family,
+    // bit-identical signatures; measured 8.3 s → 5.9 s at sf0.1 (the
+    // remainder is the gram distinct + the k·grams md5 stream itself —
+    // the xxhash64 family is the production lever beyond that).
+    val sigs =
+      if (portable) {
+        def fam(s: Int) = md5(concat(lit(s.toString), lit("|"), col("w")))
+        sh.groupBy("doc_id").agg(
+          min(fam(0)).as("m0"),
+          (1 until k).map(s => min(fam(s)).as(s"m$s")): _*)
+      } else minhashSignaturesWith(sh, k, portable = false)
+    val cands = lshCandidates(sigs, k, rowsPerBand, maxBucket)
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
   /** Exact set-similarity join with a COMPLETENESS guarantee via prefix
     * filtering (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs
     * Similarity Search"; the candidate scheme PPJoin builds on): order

@@ -807,6 +807,70 @@ object DedupQueries extends QueryGroup {
              |ORDER BY id1, id2""".stripMargin)
     ),
 
+    // Character-shingle MinHash+LSH over the zh slice — the
+    // no-whitespace-script dedup path: grams are taken over
+    // whitespace-STRIPPED text, so a re-segmented re-post (planted:
+    // every zh doc re-appears under id+5000 with all spaces removed —
+    // the same content under a different tokenization, which word
+    // shingles see as DISJOINT token streams) has the identical gram
+    // set and verifies at jaccard 1.0. Same signature/banding/verify
+    // machinery as the word path; DuckDB replays grams, signatures,
+    // bands, and every Jaccard.
+    "q_dedup_minhash_char" -> QueryDef(
+      (s, d) => {
+        val zh = Tables.documents(s, d).filter(col("lang") === "zh")
+          .select("doc_id", "text")
+        val respaced = zh.select((col("doc_id") + 5000).as("doc_id"),
+          regexp_replace(col("text"), " ", "").as("text"))
+        Dedup.minhashLshChars(zh.unionByName(respaced), threshold = 0.0)
+          .select(col("i"), col("j"),
+            floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+          .filter(col("jaccard_bp") >= 8000)
+          .orderBy("i", "j")
+      },
+      Some("""WITH zh AS (
+             |  SELECT doc_id, text FROM documents WHERE lang = 'zh'
+             |  UNION ALL
+             |  SELECT doc_id + 5000, replace(text, ' ', '')
+             |  FROM documents WHERE lang = 'zh'),
+             |nrm AS (
+             |  SELECT doc_id, replace(text, ' ', '') AS ct FROM zh),
+             |shd AS (
+             |  SELECT DISTINCT doc_id, substring(ct, i, 5) AS w
+             |  FROM nrm, unnest(generate_series(1, length(ct) - 4)) AS g(i)
+             |  WHERE length(ct) >= 5),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+             |mh AS (
+             |  SELECT doc_id,
+             |    min(md5('0' || '|' || w)) AS m0, min(md5('1' || '|' || w)) AS m1,
+             |    min(md5('2' || '|' || w)) AS m2, min(md5('3' || '|' || w)) AS m3,
+             |    min(md5('4' || '|' || w)) AS m4, min(md5('5' || '|' || w)) AS m5,
+             |    min(md5('6' || '|' || w)) AS m6, min(md5('7' || '|' || w)) AS m7
+             |  FROM shd GROUP BY doc_id),
+             |banded AS (
+             |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+             |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+             |  FROM mh),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+             |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+             |common AS (
+             |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS c
+             |  FROM cand JOIN shd x ON x.doc_id = cand.i
+             |            JOIN shd y ON y.doc_id = cand.j AND y.w = x.w
+             |  GROUP BY x.doc_id, y.doc_id),
+             |jac AS (
+             |  SELECT i, j,
+             |    CAST(floor(c::DOUBLE / (ci.n + cj.n - c) * 10000) AS BIGINT)
+             |      AS jaccard_bp
+             |  FROM common
+             |  JOIN cnt ci ON ci.doc_id = i
+             |  JOIN cnt cj ON cj.doc_id = j)
+             |SELECT i, j, jaccard_bp FROM jac
+             |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
+    ),
+
     // Exact set-similarity join via prefix filtering (Bayardo et al.
     // 2007): rarest-first global shingle order, per-doc prefix of
     // n − ⌈t·n⌉ + 1 shingles, candidates ONLY from prefix collisions —

@@ -580,6 +580,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(perVec.forall(_.map(_.getInt(1)).toSet == Set(0, 1, 2, 3)))
   }
 
+  test("char-shingle minhash catches a re-segmented copy that word " +
+      "shingles structurally miss") {
+    import spark.implicits._
+    val zh = "深度 学习 模型 在 大规模 语料 上 训练 需要 去重 处理 以 避免 记忆 效应"
+    val fixture = Seq(
+      (1L, zh),
+      (2L, zh.replace(" ", "")), // same content, no segmentation
+      (3L, "完全 不同 的 文本 内容 没有 任何 重叠 部分 存在 这里")
+    ).toDF("doc_id", "text")
+    val charPairs = Dedup.minhashLshChars(fixture, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(charPairs.contains((1L, 2L)), s"char path must catch: $charPairs")
+    assert(!charPairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the word path sees disjoint token streams — zero similarity
+    val wordPairs = Dedup.minhashLsh(fixture, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!wordPairs.contains((1L, 2L)),
+      s"fixture must defeat word shingles: $wordPairs")
+    // and the char-gram sets are literally identical after stripping
+    val sh = Dedup.charShingles(fixture).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(sh(1L) == sh(2L))
+  }
+
   test("prefix filtering: complete vs brute force at t=0.8, and " +
       "strictly fewer candidates than the full inverted index") {
     val sh = Dedup.shingles(docs, 3)
