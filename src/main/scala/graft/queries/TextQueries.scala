@@ -20,7 +20,149 @@ object TextQueries extends QueryGroup {
     "manifests, and the revision ledger of the originating archive " +
     "before redistribution."
 
+  /** The fixed-point log2 recursion block (16 square-and-shift rounds)
+    * over the distinct values of `valsCte`, as `lg$tag(x, l)`.
+    */
+  private def pseudoLog2Sql(tag: String, valsCte: String): String =
+    s"""base$tag AS (
+       |  SELECT x, CAST(length(bin(x)) - 1 AS BIGINT) AS e,
+       |    (x << 20) // (1::BIGINT << (length(bin(x)) - 1)) AS m
+       |  FROM $valsCte),
+       |it$tag AS (
+       |  SELECT x, e, m, 0 AS i, 0::BIGINT AS fr FROM base$tag
+       |  UNION ALL
+       |  SELECT x, e,
+       |    CASE WHEN (m*m) // 1048576 >= 2097152
+       |         THEN ((m*m) // 1048576) // 2 ELSE (m*m) // 1048576 END,
+       |    i + 1,
+       |    CASE WHEN (m*m) // 1048576 >= 2097152
+       |         THEN fr*2 + 1 ELSE fr*2 END
+       |  FROM it$tag WHERE i < 16),
+       |lg$tag AS MATERIALIZED (
+       |  SELECT x, e * 65536 + fr AS l FROM it$tag WHERE i = 16)""".stripMargin
+
+  /** One Viterbi round as chained CTEs: the 36-column cost pivot
+    * `pv$r` from scores `sc$r`, dp/seg steps `v${r}_1..v${r}_12`, and
+    * the length-dispatched result `fin$r(word, freq, cost, seg)`.
+    * Mirrors [[graft.ops.UnigramTokenizer]] op for op (ties prefer the
+    * longer piece — k checked descending).
+    */
+  private def unigramViterbiSql(r: Int, W: Int = 12, P: Int = 3): String = {
+    val pivotCols = (for { i <- 1 to W; k <- 1 to P if k <= i } yield
+      s"max(CASE WHEN i=$i AND k=$k THEN cost END) AS c_${i}_$k")
+      .mkString(",\n    ")
+    val sb = new StringBuilder
+    sb ++=
+      s"""wc$r AS (
+         |  SELECT m.word, m.freq, m.i, m.k, s.cost
+         |  FROM melt m JOIN sc$r s USING (piece)),
+         |pv$r AS (
+         |  SELECT word, freq,
+         |    $pivotCols
+         |  FROM wc$r GROUP BY word, freq),
+         |v${r}_0 AS (SELECT *, 0::BIGINT AS dp_0, '' AS seg_0 FROM pv$r)""".stripMargin
+    for (i <- 1 to W) {
+      val ks = (1 to P).filter(_ <= i)
+      def cand(k: Int) = s"dp_${i - k} + c_${i}_$k"
+      val dpE =
+        if (ks.size == 1) cand(ks.head)
+        else s"least(${ks.map(cand).mkString(", ")})"
+      val segCase = ks.reverse.map { k =>
+        s"""WHEN ${cand(k)} IS NOT NULL AND ${cand(k)} = $dpE
+           |         THEN seg_${i - k} || '|' || substring(word, ${i - k + 1}, $k)""".stripMargin
+      }.mkString("\n    ")
+      sb ++= ",\n" +
+        s"""v${r}_$i AS (
+           |  SELECT *, $dpE AS dp_$i,
+           |    CASE $segCase
+           |    END AS seg_$i
+           |  FROM v${r}_${i - 1})""".stripMargin
+    }
+    val pickDp = (1 to W).map(i => s"WHEN $i THEN dp_$i").mkString(" ")
+    val pickSeg = (1 to W).map(i => s"WHEN $i THEN seg_$i").mkString(" ")
+    sb ++= ",\n" +
+      s"""fin$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE length(word) $pickDp END AS cost,
+         |    CASE length(word) $pickSeg END AS seg
+         |  FROM v${r}_$W)""".stripMargin
+    sb.toString
+  }
+
+  /** Full unigram-training oracle (2 Viterbi-EM rounds). */
+  private def unigramTrainSql: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '),
+       |      x -> x <> '')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND 12 AND word NOT LIKE '%|%'
+       |  GROUP BY word),
+       |melt AS MATERIALIZED (
+       |  SELECT word, freq, gi.i AS i, gk.k AS k,
+       |    substring(word, gi.i - gk.k + 1, gk.k) AS piece
+       |  FROM words,
+       |       unnest(generate_series(1, length(word))) AS gi(i),
+       |       unnest(generate_series(1, least(3, gi.i))) AS gk(k)),
+       |chars AS (SELECT DISTINCT piece FROM melt WHERE k = 1),
+       |seed AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM melt GROUP BY piece
+       |  HAVING sum(freq) >= 3 OR length(piece) = 1),
+       |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+       |vals0 AS (
+       |  SELECT DISTINCT x FROM (
+       |    SELECT cnt AS x FROM seed UNION ALL SELECT t FROM tot0)),
+       |${pseudoLog2Sql("0", "vals0")},
+       |sc0 AS (
+       |  SELECT s.piece,
+       |    (SELECT l FROM lg0 WHERE x = (SELECT t FROM tot0)) - l0.l
+       |      AS cost
+       |  FROM seed s JOIN lg0 l0 ON l0.x = s.cnt),
+       |${unigramViterbiSql(0)},
+       |use1 AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(string_split(substring(seg, 2), '|'))
+       |      AS piece
+       |    FROM fin0)
+       |  GROUP BY piece),
+       |cnt1 AS (
+       |  SELECT * FROM use1
+       |  UNION ALL
+       |  SELECT c.piece, 1::BIGINT FROM chars c
+       |  ANTI JOIN use1 u ON u.piece = c.piece),
+       |tot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt1),
+       |vals1 AS (
+       |  SELECT DISTINCT x FROM (
+       |    SELECT cnt AS x FROM cnt1 UNION ALL SELECT t FROM tot1)),
+       |${pseudoLog2Sql("1", "vals1")},
+       |sc1 AS (
+       |  SELECT s.piece,
+       |    (SELECT l FROM lg1 WHERE x = (SELECT t FROM tot1)) - l1.l
+       |      AS cost
+       |  FROM cnt1 s JOIN lg1 l1 ON l1.x = s.cnt),
+       |${unigramViterbiSql(1)}
+       |SELECT word, freq,
+       |  CAST(len(string_split(substring(seg, 2), '|')) AS INTEGER)
+       |    AS n_pieces,
+       |  substring(seg, 2) AS seg, cost AS cost_l16
+       |FROM fin1 ORDER BY word""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    // model) in Viterbi hard-EM form: substring seed → fixed-point
+    // log2 piece costs → per-word min-cost segmentation by an
+    // UNROLLED forward DP that carries the path (ties → longer piece)
+    // → usage recount with char floor → re-score → final segmentation.
+    // The oracle replays the seed, both log recursions, both 12-step
+    // DP chains, and every word's segmentation and cost bit-for-bit.
+    "q_text_unigram_train" -> QueryDef(
+      (s, d) =>
+        graft.ops.UnigramTokenizer.train(Tables.documents(s, d))
+          .orderBy("word"),
+      Some(unigramTrainSql)
+    ),
 
     // Context-window chunking: 16-token windows advancing by 12 (4-token
     // overlap) — pure explode projection, no shuffle.
