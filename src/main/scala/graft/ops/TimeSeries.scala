@@ -122,4 +122,45 @@ object TimeSeries {
         when(col("_wp") > 0, expr("_sp * 1000000 div _wp")))
       .drop("_si", "_wi", "_sp", "_wp")
   }
+
+  /** Per-key ordinary-least-squares trend line over (x, y) integer
+    * observations, in closed form on exact BIGINT sums — the
+    * volume-trend / drift report per series:
+    *
+    *   slope·10⁶ = 10⁶·(n·Σxy − Σx·Σy) div (n·Σx² − (Σx)²)
+    *   r²·10⁴    = 10⁴·(n·Σxy − Σx·Σy)² div ((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    *
+    * with r² computed divide-early — (num·10⁴ div dx)·num div dy — so
+    * no intermediate squares a BIGINT (truncation lands inside the
+    * emitted basis point; both engines evaluate the identical
+    * expression, so the value is still bit-exact). ONE map-side-
+    * combinable aggregation per key (five sums + a count) — no
+    * windows, no joins. Overflow bound: num·10⁴ ≲ 9·10¹⁸ ⇒
+    * n·max\|x\|·max\|y\| ≲ 10¹⁴ (rescale units past that). Keys with
+    * < 2 points or degenerate x-variance emit NULL slope/r².
+    */
+  def trend(
+      df: DataFrame, keyCol: String, xCol: String, yCol: String
+  ): DataFrame = {
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum(col(xCol) * col(yCol)).as("sxy"),
+        sum(col(xCol) * col(xCol)).as("sxx"),
+        sum(col(yCol) * col(yCol)).as("syy"))
+    agg
+      .withColumn("_num", expr("n * sxy - sx * sy"))
+      .withColumn("_dx", expr("n * sxx - sx * sx"))
+      .withColumn("_dy", expr("n * syy - sy * sy"))
+      .withColumn("slope_micro",
+        when(col("_dx") > 0, expr("_num * 1000000 div _dx")))
+      .withColumn("intercept_micro",
+        when(col("_dx") > 0,
+          expr("(sy * 1000000 - (_num * 1000000 div _dx) * sx) div n")))
+      .withColumn("r2_bp",
+        when(col("_dx") > 0 && col("_dy") > 0,
+          expr("(_num * 10000 div _dx) * _num div _dy")))
+      .select(col(keyCol), col("n"), col("slope_micro"),
+        col("intercept_micro"), col("r2_bp"))
+  }
 }

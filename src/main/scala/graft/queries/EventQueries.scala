@@ -307,6 +307,120 @@ object EventQueries extends QueryGroup {
              |ORDER BY i, j""".stripMargin)
     ),
 
+    // Position-based (U-shaped) multi-touch attribution: each user's
+    // first purchase distributes exactly 10000 bp of credit over the
+    // touches before it — 40/40 to first and last, the middle 2000
+    // split by integer division with the remainder pinned to the
+    // first middle touch (so every conversion's credit sums to
+    // exactly 10000 — an auditable invariant float attribution
+    // models lack). Two per-user windows, one groupBy; channel =
+    // event_type.
+    "q_events_attribution" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(min(struct(col("ts_ns"), col("event_id"))).as("_c"))
+          .select(col("user_id"), col("_c.ts_ns").as("_cts"),
+            col("_c.event_id").as("_cid"))
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .join(conv, "user_id")
+          .filter(col("ts_ns") < col("_cts") ||
+            (col("ts_ns") === col("_cts") && col("event_id") < col("_cid")))
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("user_id")))
+        val credited = touches.withColumn("credit_bp",
+          when(col("n") === 1, lit(10000L))
+            .when(col("n") === 2, lit(5000L))
+            .when(col("r") === 1, lit(4000L))
+            .when(col("r") === col("n"), lit(4000L))
+            .otherwise(expr("2000 div (n - 2) + " +
+              "if(r = 2, 2000 - (n - 2) * (2000 div (n - 2)), 0)")))
+        credited.groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct("user_id").as("n_users"),
+            sum("credit_bp").as("credit_bp_total"))
+          .orderBy("event_type")
+      },
+      Some("""WITH conv AS (
+             |  SELECT user_id, cts, cid FROM (
+             |    SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid,
+             |      row_number() OVER (PARTITION BY user_id
+             |                         ORDER BY epoch_ns(ts), event_id)
+             |        AS rn
+             |    FROM events WHERE event_type = 'purchase')
+             |  WHERE rn = 1),
+             |touches AS (
+             |  SELECT e.user_id, e.event_type,
+             |    row_number() OVER (PARTITION BY e.user_id
+             |                       ORDER BY epoch_ns(e.ts), e.event_id)
+             |      AS r,
+             |    count(*) OVER (PARTITION BY e.user_id) AS n
+             |  FROM events e JOIN conv c USING (user_id)
+             |  WHERE e.event_type <> 'purchase'
+             |    AND (epoch_ns(e.ts) < c.cts
+             |         OR (epoch_ns(e.ts) = c.cts AND e.event_id < c.cid))),
+             |cr AS (
+             |  SELECT event_type, user_id,
+             |    CASE WHEN n = 1 THEN 10000
+             |         WHEN n = 2 THEN 5000
+             |         WHEN r = 1 THEN 4000
+             |         WHEN r = n THEN 4000
+             |         ELSE 2000 // (n - 2)
+             |              + CASE WHEN r = 2
+             |                     THEN 2000 - (n - 2) * (2000 // (n - 2))
+             |                     ELSE 0 END
+             |    END AS credit_bp
+             |  FROM touches)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(sum(credit_bp) AS BIGINT) AS credit_bp_total
+             |FROM cr GROUP BY 1 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Per-type volume trend line: daily counts → closed-form OLS on
+    // exact BIGINT sums (slope/intercept in micro-units, r² in basis
+    // points, divide-early so nothing squares out of BIGINT). One
+    // aggregation per series; both engines replay the divisions
+    // bit-for-bit.
+    "q_events_trend" -> QueryDef(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 86400000000000").as("x"))
+          .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+        graft.ops.TimeSeries.trend(daily, "event_type", "x", "y")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS x,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM daily GROUP BY 1),
+             |b AS (
+             |  SELECT event_type, n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+             |    sx, sy
+             |  FROM a)
+             |SELECT event_type, n,
+             |  CASE WHEN dx > 0 THEN num * 1000000 // dx END AS slope_micro,
+             |  CASE WHEN dx > 0
+             |       THEN (sy * 1000000 - (num * 1000000 // dx) * sx) // n
+             |       END AS intercept_micro,
+             |  CASE WHEN dx > 0 AND dy > 0
+             |       THEN (num * 10000 // dx) * num // dy END AS r2_bp
+             |FROM b ORDER BY event_type""".stripMargin)
+    ),
+
     // Frequent 3-itemsets over purchase baskets by A-Priori pruning
     // (Agrawal & Srikant 1994): L1-restricted baskets → frequent pairs
     // → F₂⋈F₂ prefix-join candidates pruned by the (b,c)-frequent rule

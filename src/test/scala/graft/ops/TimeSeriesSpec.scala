@@ -91,4 +91,27 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(3000L * 1000000L > 3L * priorAtBurst.get, "burst must trip the test")
     assert(out(("b", 0L))._2.isEmpty, "singleton key has no forecast")
   }
+
+  test("trend: exact line recovered with r2=10000; noise drops r2; " +
+      "degenerate x yields nulls") {
+    import spark.implicits._
+    val rows =
+      (0L to 9L).map(x => ("lin", x, 3 * x + 7)) ++          // exact line
+      Seq(("noisy", 0L, 10L), ("noisy", 1L, 0L), ("noisy", 2L, 10L),
+        ("noisy", 3L, 0L)) ++                                 // zigzag
+      Seq(("flat", 5L, 1L), ("flat", 5L, 9L))                 // no x-variance
+    val out = TimeSeries.trend(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toMap
+    val (n, slope, icept, r2) = out("lin")
+    assert(n == 10 && slope.contains(3000000L) &&
+      icept.contains(7000000L) && r2.contains(10000L),
+      s"lin: ${out("lin")}")
+    assert(out("noisy")._4.exists(_ <= 2000L), s"noisy r2: ${out("noisy")}")
+    assert(out("flat")._2.isEmpty && out("flat")._4.isEmpty)
+  }
 }
