@@ -131,6 +131,78 @@ object Graph {
     * clustering_bp = ⌊2·T(v)·10⁴ / (d(v)·(d(v)−1))⌋, 0 where degree < 2.
     * Pure integer arithmetic — any engine replays it exactly.
     */
+  /** k-core decomposition by iterative peeling (Seidman 1983): rounds
+    * of "drop nodes with degree < k, recompute" until stable — the
+    * densest-substructure filter behind spam-ring and community-core
+    * detection. Each round is one degree aggregation + two semi-joins;
+    * a FIXED `rounds` count keeps the computation engine-replayable
+    * (peeling is idempotent once converged, so extra rounds are
+    * no-ops — the bounded-rounds discipline of the label propagation
+    * loop). Edges normalize/dedup like [[triangles]]. Returns the
+    * surviving nodes with their in-core degree.
+    *
+    * Scale: per round, degree is a map-side-combinable count and the
+    * filters are broadcast-able once the core shrinks; lineage is cut
+    * per round with localCheckpoint so round count never grows the
+    * plan.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      e = e.join(keep.select(col("n").as("a")), "a")
+        .join(keep.select(col("n").as("b")), "b")
+        .select("a", "b")
+        .localCheckpoint(true)
+    }
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), deterministic form: labels start as node ids; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label; fixed `rounds` rounds (the
+    * usual 3-5 suffice on social-style graphs, and a fixed count is
+    * what makes the run engine-replayable — asynchronous/random-order
+    * LPA is not). Unlike connected components, dense local structure
+    * beats mere reachability, so bridged clusters separate.
+    *
+    * Each round: one edges×labels equi-join, one (node, label) count,
+    * one argmax — all map-side-combinable; labels localCheckpoint per
+    * round (flat lineage). Returns (node, community).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val both = e.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+      .localCheckpoint(true)
+    var labels = both.select(col("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = both
+        .join(labels.select(col("n").as("m"), col("lbl")), "m")
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("n")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("_b"))
+        .select(col("n"), col("_b.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("n").as("node"), col("lbl").as("community"))
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     // canonical undirected edge set (dedup both directions + self-loops)
     val e = graft.util.AutoUnpersist.persistScoped(

@@ -13,6 +13,86 @@ import graft.util.Tables
   */
 object EventQueries extends QueryGroup {
 
+  /** The 5-NN co-purchase item-similarity graph both graph-analytics
+    * queries build on: co-occurrence scores → per-node top-5 by
+    * (cos2_bp desc, neighbor) → directed edge list (u, v).
+    */
+  private def copurchaseKnn(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val inter = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    val sim = graft.ops.CoOccurrence.itemSimilarity(inter,
+      "user_id", "item", minSupport = 2L, maxItemsPerUser = 64)
+    val sym = sim.select(col("i").as("n"), col("j").as("m"), col("cos2_bp"))
+      .unionByName(sim.select(col("j").as("n"), col("i").as("m"),
+        col("cos2_bp")))
+    val w = Window.partitionBy("n").orderBy(desc("cos2_bp"), col("m"))
+    sym.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 5)
+      .select(col("n").as("u"), col("m").as("v"))
+  }
+
+  /** DuckDB CTEs for [[copurchaseKnn]], ending in `knn(n, m)`. */
+  private val knnEdgeSql: String =
+    """ui AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |elig AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
+      |kept AS (SELECT ui.* FROM ui JOIN elig USING (u)),
+      |ic AS (SELECT it, count(*) AS c FROM kept GROUP BY 1),
+      |prs AS (
+      |  SELECT a.it AS i, b.it AS j, count(*) AS c_ij
+      |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |scq AS (
+      |  SELECT i, j, c_ij * c_ij * 10000 // (ci.c * cj.c) AS cos2_bp
+      |  FROM prs JOIN ic ci ON ci.it = prs.i
+      |           JOIN ic cj ON cj.it = prs.j),
+      |symq AS (
+      |  SELECT i AS n, j AS m, cos2_bp FROM scq
+      |  UNION ALL SELECT j, i, cos2_bp FROM scq),
+      |knn AS (
+      |  SELECT n, m FROM (
+      |    SELECT n, m, row_number() OVER (PARTITION BY n
+      |        ORDER BY cos2_bp DESC, m) AS rn
+      |    FROM symq) WHERE rn <= 5)""".stripMargin
+
+  /** `rounds` k-core peel rounds from `e0` — each MATERIALIZED (plain
+    * DuckDB CTEs inline at every reference; six chained self-referential
+    * rounds would re-evaluate the whole prefix exponentially).
+    */
+  private def kcoreRoundsSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         |  GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN k$r ka ON ka.n = e.a
+         |  JOIN k$r kb ON kb.n = e.b)""".stripMargin
+    }.mkString(",\n")
+
+  /** `rounds` label-propagation rounds from `nb`/`l0` (MATERIALIZED for
+    * the same inlining reason).
+    */
+  private def lpaRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT n, lbl FROM (
+         |    SELECT bo.n, l.lbl,
+         |      row_number() OVER (PARTITION BY bo.n
+         |          ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM nb bo JOIN l${r - 1} l ON l.n = bo.m
+         |    GROUP BY bo.n, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
   val defs: Map[String, QueryDef] = Map(
 
     // Tumbling 1-hour windows per event type (windowed aggregation).
@@ -305,6 +385,63 @@ object EventQueries extends QueryGroup {
              |JOIN ic ci ON ci.it = pairs.i
              |JOIN ic cj ON cj.it = pairs.j
              |ORDER BY i, j""".stripMargin)
+    ),
+
+    // k-core spam-ring isolation: the 5-NN item-similarity graph (a
+    // regular, organically-thin structure) + a planted 8-clique of
+    // synthetic items (the coordinated ring: every member co-occurs
+    // with every other). Peeling at k=7 cascades the ENTIRE natural
+    // graph away — no organic node sustains degree 7 among degree-7
+    // survivors — and leaves exactly the ring, at every SF. The oracle
+    // replays the similarity graph, the kNN selection, the planted
+    // clique, and all six peel rounds.
+    "q_events_kcore_ring" -> QueryDef(
+      (s, d) => {
+        val ring = {
+          import s.implicits._
+          (0 until 8).flatMap(i => (i + 1 until 8).map(j =>
+            (900L + i, 900L + j))).toDF("u", "v")
+        }
+        graft.ops.Graph.kCore(
+            copurchaseKnn(s, d).unionByName(ring), k = 7, rounds = 6)
+          .orderBy("n")
+      },
+      Some(s"""WITH $knnEdgeSql,
+             |ring AS (
+             |  SELECT 900 + x.i AS n, 900 + y.j AS m
+             |  FROM unnest(generate_series(0, 7)) x(i),
+             |       unnest(generate_series(0, 7)) y(j)
+             |  WHERE x.i < y.j),
+             |e0 AS MATERIALIZED (
+             |  SELECT DISTINCT least(n, m) AS a, greatest(n, m) AS b
+             |  FROM (SELECT n, m FROM knn UNION ALL SELECT n, m FROM ring)),
+             |${kcoreRoundsSql(7, 6)}
+             |SELECT n, CAST(count(*) AS BIGINT) AS core_degree
+             |FROM (SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6)
+             |GROUP BY n ORDER BY n""".stripMargin)
+    ),
+
+    // Community detection on the 5-NN item-similarity graph by
+    // deterministic synchronous label propagation (Raghavan et al.
+    // 2007): 4 rounds, most-frequent neighbor label, ties to the
+    // smallest — dense local structure separates clusters that mere
+    // connectivity (connected components) cannot. The oracle replays
+    // the graph build and all 4 rounds.
+    "q_events_communities" -> QueryDef(
+      (s, d) =>
+        graft.ops.Graph.labelPropagation(copurchaseKnn(s, d), rounds = 4)
+          .orderBy("node"),
+      Some(s"""WITH $knnEdgeSql,
+             |e0 AS MATERIALIZED (
+             |  SELECT DISTINCT least(n, m) AS a, greatest(n, m) AS b
+             |  FROM knn),
+             |nb AS MATERIALIZED (
+             |  SELECT a AS n, b AS m FROM e0
+             |  UNION ALL SELECT b, a FROM e0),
+             |l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM nb),
+             |${lpaRoundsSql(4)}
+             |SELECT n AS node, lbl AS community FROM l4
+             |ORDER BY node""".stripMargin)
     ),
 
     // Position-based (U-shaped) multi-touch attribution: each user's

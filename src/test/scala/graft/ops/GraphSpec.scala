@@ -66,6 +66,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       "loud", "noise"))
   }
 
+  test("kCore: peeling strips a tail chain and keeps the clique; " +
+      "converged rounds are no-ops") {
+    import spark.implicits._
+    // K4 on 1-4 plus a chain 4-5-6-7: the chain can never sustain
+    // degree 3, the clique can
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = graft.ops.Graph.kCore(edges, k = 3, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // k above the clique degree empties the graph
+    assert(graft.ops.Graph.kCore(edges, k = 4, rounds = 6).count() == 0)
+  }
+
+  test("labelPropagation: two cliques over one bridge resolve to two " +
+      "communities; connected components would see one") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for { i <- ids; j <- ids if i < j } yield (i, j)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("u", "v")
+    val got = graft.ops.Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Seq(1L, 2L, 3L, 4L).map(got).toSet
+    val c2 = Seq(10L, 11L, 12L, 13L).map(got).toSet
+    assert(c1.size == 1 && c2.size == 1, s"cliques must be uniform: $got")
+    assert(c1 != c2, s"bridge must not merge the communities: $got")
+    // one component — what plain connectivity would report
+    import org.apache.spark.sql.functions.{col => c}
+    assert(graft.ops.Dedup.duplicateClusters(
+      edges.select(c("u").as("i"), c("v").as("j")))
+      .select("cluster_id").distinct().count() == 1)
+  }
+
   test("triangles: 4-clique with a pendant — counts, coefficients, " +
       "and edge normalization") {
     import spark.implicits._
