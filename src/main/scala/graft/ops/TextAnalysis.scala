@@ -607,6 +607,29 @@ object TextAnalysis {
     * evenly (unlike SQL ntile's front-loading), and ties break on doc_id
     * — fully deterministic, any engine replays it.
     */
+  /** Per-group Zipf-law fit: the slope of log-frequency vs log-rank
+    * over each group's vocabulary — natural language sits near −1
+    * (Zipf 1949), and a corpus slice that doesn't is machine-generated,
+    * templated, or mis-parsed, which makes the exponent a cheap
+    * corpus-health signal per language/source. Both axes use the
+    * fixed-point square-and-shift log2 ([[withPseudoLog2]]) and the fit
+    * is the exact-integer OLS of [[TimeSeries.trend]] — slope_micro ≈
+    * −10⁶·α, engine-replayable end to end. Work: one token count, one
+    * per-group rank window (vocabulary-sized), one aggregation.
+    */
+  def zipfFit(docs: DataFrame, byCol: String = "lang"): DataFrame = {
+    val vf = docs
+      .select(col(byCol).as("grp"), explode(tokens(col("text"))).as("w"))
+      .groupBy("grp", "w").agg(count(lit(1)).as("f"))
+    val wnd = Window.partitionBy("grp").orderBy(desc("f"), col("w"))
+    val ranked = vf.withColumn("r", row_number().over(wnd).cast("long"))
+    val logged = withPseudoLog2(withPseudoLog2(ranked, "r", "x"), "f", "y")
+    TimeSeries.trend(logged.select(col("grp"), col("x"), col("y")),
+        "grp", "x", "y")
+      .withColumnRenamed("grp", byCol)
+      .withColumnRenamed("n", "n_vocab")
+  }
+
   /** Cross-source quantile normalization (the Bolstad et al. 2003
     * microarray technique applied to corpus curation): every source's
     * quality-score distribution is mapped onto the POOLED distribution

@@ -147,4 +147,23 @@ object UnigramTokenizer {
       expr("substring(seg, 2)").as("seg"),
       col("cost").as("cost_l16"))
   }
+
+  /** Apply a trained model to a corpus: per doc, word and piece totals
+    * plus fertility (pieces per word, basis points) — the context-
+    * budget number a tokenizer change moves. Segmentation is a
+    * function of the WORD, so the corpus pays ONE equi-join against
+    * the trained table plus a per-doc count; words outside the model
+    * (longer than the training cap, or containing '|') fall back to
+    * one piece per character — the same char-fallback rule training
+    * guarantees, applied by rule.
+    */
+  def encode(docs: DataFrame, trained: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(trained.select(col("word"), col("n_pieces")), Seq("word"), "left")
+      .withColumn("_p",
+        coalesce(col("n_pieces").cast("long"), length(col("word")).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("_p").as("n_pieces"))
+      .withColumn("fertility_bp", expr("n_pieces * 10000 div n_words"))
 }

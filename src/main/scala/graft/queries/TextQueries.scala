@@ -90,7 +90,10 @@ object TextQueries extends QueryGroup {
   }
 
   /** Full unigram-training oracle (2 Viterbi-EM rounds). */
-  private def unigramTrainSql: String =
+  /** The CTE chain of the unigram-training oracle up to `fin1(word,
+    * freq, cost, seg)` — shared by the train and encode oracles.
+    */
+  private def unigramCtes: String =
     s"""WITH RECURSIVE words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '),
@@ -141,7 +144,10 @@ object TextQueries extends QueryGroup {
        |    (SELECT l FROM lg1 WHERE x = (SELECT t FROM tot1)) - l1.l
        |      AS cost
        |  FROM cnt1 s JOIN lg1 l1 ON l1.x = s.cnt),
-       |${unigramViterbiSql(1)}
+       |${unigramViterbiSql(1)}""".stripMargin
+
+  private def unigramTrainSql: String =
+    s"""$unigramCtes
        |SELECT word, freq,
        |  CAST(len(string_split(substring(seg, 2), '|')) AS INTEGER)
        |    AS n_pieces,
@@ -162,6 +168,89 @@ object TextQueries extends QueryGroup {
         graft.ops.UnigramTokenizer.train(Tables.documents(s, d))
           .orderBy("word"),
       Some(unigramTrainSql)
+    ),
+
+    // Per-language Zipf exponent: log-frequency vs log-rank over each
+    // language's vocabulary, both axes on the fixed-point log2, fit by
+    // the exact-integer OLS — slope_micro ≈ −10⁶·α. A slice far from
+    // Zipf is templated/machine text. Oracle: one log recursion over
+    // ranks ∪ frequencies + the closed-form sums.
+    "q_text_zipf" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.zipfFit(Tables.documents(s, d))
+          .orderBy("lang"),
+      Some(s"""WITH RECURSIVE vf AS (
+             |  SELECT grp, word, CAST(count(*) AS BIGINT) AS f FROM (
+             |    SELECT lang AS grp,
+             |      unnest(list_filter(string_split(text, ' '),
+             |        x -> x <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT grp, f,
+             |    CAST(row_number() OVER (PARTITION BY grp
+             |        ORDER BY f DESC, word) AS BIGINT) AS r
+             |  FROM vf),
+             |valsz AS (
+             |  SELECT DISTINCT x FROM (
+             |    SELECT f AS x FROM ranked UNION ALL SELECT r FROM ranked)),
+             |${pseudoLog2Sql("z", "valsz")},
+             |xy AS (
+             |  SELECT grp, lr.l AS x, lf.l AS y
+             |  FROM ranked
+             |  JOIN lgz lr ON lr.x = ranked.r
+             |  JOIN lgz lf ON lf.x = ranked.f),
+             |a AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM xy GROUP BY 1),
+             |b AS (
+             |  SELECT grp, n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+             |    sx, sy
+             |  FROM a)
+             |SELECT grp AS lang, n AS n_vocab,
+             |  CASE WHEN dx > 0 THEN num * 1000000 // dx END AS slope_micro,
+             |  CASE WHEN dx > 0
+             |       THEN (sy * 1000000 - (num * 1000000 // dx) * sx) // n
+             |       END AS intercept_micro,
+             |  CASE WHEN dx > 0 AND dy > 0
+             |       THEN (num * 10000 // dx) * num // dy END AS r2_bp
+             |FROM b ORDER BY lang""".stripMargin)
+    ),
+
+    // The trained unigram model applied back to the corpus: per-doc
+    // word/piece totals and fertility — segmentation is a function of
+    // the WORD (one equi-join), with the char-per-piece fallback for
+    // out-of-model words. The oracle re-trains end-to-end and replays
+    // the join and every per-doc fold.
+    "q_text_unigram_encode" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.UnigramTokenizer.encode(docs,
+            graft.ops.UnigramTokenizer.train(docs))
+          .orderBy("doc_id")
+      },
+      Some(s"""$unigramCtes,
+             |toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |    x -> x <> '')) AS word
+             |  FROM documents),
+             |enc AS (
+             |  SELECT t.doc_id,
+             |    coalesce(
+             |      CAST(len(string_split(substring(f.seg, 2), '|'))
+             |        AS BIGINT),
+             |      CAST(length(t.word) AS BIGINT)) AS p
+             |  FROM toks t LEFT JOIN fin1 f ON f.word = t.word)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(p) AS BIGINT) AS n_pieces,
+             |  CAST(sum(p) AS BIGINT) * 10000 // count(*) AS fertility_bp
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
     // Context-window chunking: 16-token windows advancing by 12 (4-token

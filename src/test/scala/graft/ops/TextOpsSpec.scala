@@ -584,6 +584,28 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(h3 > 3500L && h3 < 4700L, s"natural-text entropy $h3 millibits")
   }
 
+  test("zipfFit: a planted 1/r frequency law fits slope ≈ −1e6 with " +
+      "high r²; a uniform vocabulary reads slope 0") {
+    import spark.implicits._
+    // group 'z': freq(w_r) = 240/r for ranks 1..16; group 'u': all equal
+    val zWords = (1 to 16).flatMap(r => Seq.fill(240 / r)(s"w$r"))
+    val uWords = (1 to 12).flatMap(r => Seq.fill(7)(s"v$r"))
+    val docs = Seq((1L, "z", zWords.mkString(" ")),
+      (2L, "u", uWords.mkString(" "))).toDF("doc_id", "lang", "text")
+    val out = graft.ops.TextAnalysis.zipfFit(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    val (nz, slopeZ, r2Z) = out("z")
+    assert(nz == 16)
+    assert(slopeZ.exists(s => s > -1150000L && s < -850000L),
+      s"zipf slope: $slopeZ")
+    assert(r2Z.exists(_ >= 9000L), s"zipf r2: $r2Z")
+    val (_, slopeU, r2U) = out("u")
+    assert(slopeU.contains(0L), s"uniform slope: $slopeU")
+    assert(r2U.isEmpty, "zero y-variance must yield NULL r2")
+  }
+
   test("quantileNormalize: equal-size sources land on identical " +
       "normalized multisets; order within source preserved") {
     import spark.implicits._
