@@ -53,13 +53,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (errors.nonEmpty) {
-      val ejson = errors
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/verify_errors.json"), ejson)
+    // ALWAYS write the error map (empty on success): a clean re-run
+    // into the same outDir must supersede a previous run's failures,
+    // or the compare double-reports from the stale file
+    val ejson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), ejson)
+    if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: " +
         errors.keys.mkString(", "))
-    }
     spark.stop()
   }
 }

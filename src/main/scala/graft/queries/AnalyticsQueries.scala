@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
@@ -381,6 +382,101 @@ object AnalyticsQueries extends QueryGroup {
     // each one independent single-pass aggregation returning a uniform
     // (check, n_checked, n_violations, pass) row; the report is
     // checks-sized however large the tables. The acctbal lower bound is
+    // Market-concentration (Herfindahl-Hirschman) index per nation
+    // over supplier revenue, the textbook integer-share form: each
+    // supplier's share in basis points (rev·10⁴ div market total),
+    // HHI_bp = Σshare² div 10⁴ — bounded by 10⁴·10⁴, so NOTHING
+    // depends on revenue magnitude (a direct Σrev²·10⁴ overflows
+    // BIGINT on real money columns). One join + a per-market window
+    // total + two aggregations.
+    "q_analytics_hhi" -> QueryDef(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .select(col("l_suppkey"),
+            floor(round(col("l_extendedprice") * 100) / 100).cast("long")
+              .as("_d"))
+          .groupBy("l_suppkey").agg(sum("_d").as("rev"))
+          .join(Tables.supplier(s, d)
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")), "l_suppkey")
+          .join(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+            "s_nationkey")
+        val w = Window.partitionBy("n_name")
+        rev
+          .withColumn("_tot", sum("rev").over(w))
+          .withColumn("_share_bp", expr("rev * 10000 div _tot"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_suppliers"),
+            max("_tot").as("total_rev"),
+            expr("sum(_share_bp * _share_bp) div 10000").as("hhi_bp"))
+          .orderBy("n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT n.n_name,
+             |    CAST(sum(CAST(floor(round(l_extendedprice * 100) / 100)
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem li
+             |  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |  GROUP BY n.n_name, li.l_suppkey),
+             |sh AS (
+             |  SELECT n_name, rev,
+             |    CAST(sum(rev) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+             |  FROM rev),
+             |sb AS (SELECT n_name, rev * 10000 // tot AS s_bp, tot FROM sh)
+             |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+             |  max(tot) AS total_rev,
+             |  CAST(sum(s_bp * s_bp) AS BIGINT) // 10000 AS hhi_bp
+             |FROM sb GROUP BY 1 ORDER BY n_name""".stripMargin)
+    ),
+
+    // Join-key skew report — the pre-flight diagnostic before a big
+    // shuffle: per candidate key, cardinality, hot-key share, and the
+    // max/mean skew factor (10000 = perfectly balanced). Three
+    // single-pass aggregations unioned; all integer.
+    "q_analytics_skew_report" -> QueryDef(
+      (s, d) => {
+        def report(df: org.apache.spark.sql.DataFrame, rel: String,
+            key: String) =
+          df.select(col(key).cast("long").as("_k"))
+            .groupBy("_k").agg(count(lit(1)).as("_n"))
+            .agg(count(lit(1)).as("n_keys"), sum("_n").as("n_rows"),
+              max("_n").as("max_rows_per_key"))
+            .select(lit(rel).as("relation"), lit(key).as("key"),
+              col("n_keys"), col("n_rows"), col("max_rows_per_key"),
+              expr("max_rows_per_key * 10000 div n_rows")
+                .as("hot_key_share_bp"),
+              expr("max_rows_per_key * n_keys * 10000 div n_rows")
+                .as("skew_x_bp"))
+        report(Tables.events(s, d), "events", "user_id")
+          .unionByName(report(Tables.lineitem(s, d), "lineitem", "l_orderkey"))
+          .unionByName(report(Tables.lineitem(s, d), "lineitem", "l_suppkey"))
+          .orderBy("relation", "key")
+      },
+      Some("""WITH k1 AS (
+             |  SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+             |k2 AS (
+             |  SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+             |k3 AS (
+             |  SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+             |r AS (
+             |  SELECT 'events' AS relation, 'user_id' AS key,
+             |    CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(n) AS BIGINT) AS n_rows,
+             |    CAST(max(n) AS BIGINT) AS max_rows_per_key
+             |  FROM k1
+             |  UNION ALL
+             |  SELECT 'lineitem', 'l_orderkey', CAST(count(*) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT) FROM k2
+             |  UNION ALL
+             |  SELECT 'lineitem', 'l_suppkey', CAST(count(*) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT) FROM k3)
+             |SELECT relation, key, n_keys, n_rows, max_rows_per_key,
+             |  max_rows_per_key * 10000 // n_rows AS hot_key_share_bp,
+             |  max_rows_per_key * n_keys * 10000 // n_rows AS skew_x_bp
+             |FROM r ORDER BY relation, key""".stripMargin)
+    ),
+
     // deliberately 0 so the check catches TPC-H's negative balances —
     // a live violation path, not a vacuous all-pass.
     "q_dq_audit" -> QueryDef(

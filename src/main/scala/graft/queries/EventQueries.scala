@@ -387,6 +387,52 @@ object EventQueries extends QueryGroup {
              |ORDER BY i, j""".stripMargin)
     ),
 
+    // Seasonal anomaly flags: hourly volumes per type compared against
+    // that (type, hour-of-week) slot's historical MEDIAN — the
+    // calendar-aware baseline a flat threshold lacks (Monday 9am is
+    // not Sunday 3am). Exact continuous median floored to integer;
+    // flags at ≥2.5× (integer cross-multiplication, no doubles) or
+    // ≤0.25×. Hour-of-week from pure epoch arithmetic, no calendar lib.
+    "q_events_seasonal_anomaly" -> QueryDef(
+      (s, d) => {
+        val vols = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 86400000000000").as("day"),
+            expr("(ts_ns div 3600000000000) % 24").as("hour"))
+          .groupBy("event_type", "day", "hour")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("how", expr("(day % 7) * 24 + hour"))
+        val base = vols.groupBy("event_type", "how")
+          .agg(floor(expr("percentile(n, 0.5)")).cast("long").as("med"),
+            count(lit(1)).as("n_obs"))
+        vols.join(base, Seq("event_type", "how"))
+          .withColumn("flag",
+            when(col("n") * 10 >= col("med") * 25, lit("high"))
+              .when(col("n") * 4 <= col("med"), lit("low")))
+          .filter(col("flag").isNotNull)
+          .select("event_type", "day", "hour", "n", "med", "n_obs", "flag")
+          .orderBy("event_type", "day", "hour")
+      },
+      Some("""WITH vols AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day,
+             |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |v2 AS (SELECT *, (day % 7) * 24 + hour AS how FROM vols),
+             |base AS (
+             |  SELECT event_type, how,
+             |    CAST(floor(quantile_cont(n, 0.5)) AS BIGINT) AS med,
+             |    CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM v2 GROUP BY 1, 2)
+             |SELECT v.event_type, v.day, v.hour, v.n, b.med, b.n_obs,
+             |  CASE WHEN v.n * 10 >= b.med * 25 THEN 'high'
+             |       WHEN v.n * 4 <= b.med THEN 'low' END AS flag
+             |FROM v2 v JOIN base b USING (event_type, how)
+             |WHERE v.n * 10 >= b.med * 25 OR v.n * 4 <= b.med
+             |ORDER BY v.event_type, v.day, v.hour""".stripMargin)
+    ),
+
     // k-core spam-ring isolation: the 5-NN item-similarity graph (a
     // regular, organically-thin structure) + a planted 8-clique of
     // synthetic items (the coordinated ring: every member co-occurs
