@@ -51,6 +51,33 @@ object Profile {
         }.reduce(_ unionByName _)
         time(s"minhash-scale-x$m")(noop(Dedup.minhashLsh(docs)))
       }
+    } else if (args.headOption.contains("--dedup2-scale")) {
+      // corpus-growth curves for the round-5 candidate generators:
+      // winnowing fingerprint matching, prefix-filter set-similarity,
+      // and char-shingle minhash — same disjoint-copy harness as
+      // --minhash-scale (suffixed tokens, so work is honestly m× and
+      // cross-copy pairs are impossible)
+      import graft.ops.{Dedup, Substring}
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        time(s"winnow-x$m")(noop(
+          Substring.winnowMatches(docs, k = 5, w = 4, maxDf = 8,
+            minShared = 3L)))
+        time(s"prefix-filter-x$m")(noop(
+          Dedup.prefixFilterJaccard(docs, thresholdBp = 8000)))
+        // production hash family (xxhash64): the md5 family exists for
+        // cross-engine oracle replay and costs ~17× on char-gram volume
+        // (measured 99 s vs ~6 s at x1 full-corpus) — at scale nobody
+        // runs the portable family
+        time(s"char-minhash-x$m")(noop(
+          Dedup.minhashLshChars(docs, threshold = 0.0, portable = false)))
+      }
     } else if (args.headOption.contains("--ann-scale")) {
       // recall-at-scale curve for the ANN paths: m disjoint corpus copies,
       // each perturbed per-dimension (deterministic sin offset, cast back
