@@ -901,6 +901,59 @@ object DedupQueries extends QueryGroup {
              |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
     ),
 
+    // Per-source duplication dashboard: exact-dup accounting by the
+    // battery's content key (md5 of the first 5 tokens — the same key
+    // q_dedup_exact groups on; raw full-text hashing finds nothing in
+    // this corpus because the planted dups vary their tails), split
+    // into within-source and cross-source duplication — the triage
+    // numbers that decide which crawl gets re-scoped before any
+    // near-dup machinery runs. One hash groupBy + one join back; rates
+    // in integer basis points.
+    "q_dedup_source_report" -> QueryDef(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val h = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(concat_ws(" ",
+              (1 to 5).map(i => element_at(toks, i)): _*)).as("fp"))
+        val groups = h.groupBy("fp")
+          .agg(count(lit(1)).as("g_n"),
+            countDistinct("source").as("g_srcs"))
+        h.join(groups, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("fp").as("n_distinct"),
+            sum(when(col("g_n") > 1, 1L).otherwise(0L)).as("n_duped"),
+            sum(when(col("g_srcs") > 1, 1L).otherwise(0L))
+              .as("n_cross_source"))
+          .withColumn("dup_rate_bp", expr("n_duped * 10000 div n_docs"))
+          .withColumn("cross_rate_bp",
+            expr("n_cross_source * 10000 div n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |    md5(array_to_string(string_split(text, ' ')[1:5], ' '))
+             |      AS fp
+             |  FROM documents),
+             |g AS (
+             |  SELECT fp, CAST(count(*) AS BIGINT) AS g_n,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS g_srcs
+             |  FROM h GROUP BY fp)
+             |SELECT h.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT h.fp) AS BIGINT) AS n_distinct,
+             |  CAST(sum(CASE WHEN g.g_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_duped,
+             |  CAST(sum(CASE WHEN g.g_srcs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_cross_source,
+             |  CAST(sum(CASE WHEN g.g_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 10000 // count(*) AS dup_rate_bp,
+             |  CAST(sum(CASE WHEN g.g_srcs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 10000 // count(*) AS cross_rate_bp
+             |FROM h JOIN g ON g.fp = h.fp
+             |GROUP BY h.source ORDER BY h.source""".stripMargin)
+    ),
+
     // Sorted-neighborhood record linkage over the same corrupted-name
     // fixture as the phonetic pass (Hernández & Stolfo 1995 merge/
     // purge): deterministic global rank (fixed first-char partitions +
