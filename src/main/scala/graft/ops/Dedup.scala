@@ -477,6 +477,15 @@ object Dedup {
       converged = changed == 0
       iter += 2
     }
+    // an exit at maxIter with labels still moving means some component's
+    // diameter exceeds the propagation horizon (min-label moves one hop
+    // per round): the labels are then an over-segmentation of the true
+    // components — near-dup chains longer than ~2·maxIter hops (heavily
+    // templated corpora) come back as several clusters. Signal it (WARN +
+    // observed metric) instead of returning silently.
+    if (!converged)
+      graft.util.ConvergenceMetrics.unconvergedExit("duplicateClusters",
+        iter, "labels still changing; long-diameter component suspected")
     // the returned frame is checkpointed — it no longer depends on this
     // (p's checkpoint blocks are reclaimed by the ContextCleaner on GC)
     edges.unpersist(false)
@@ -547,6 +556,20 @@ object Dedup {
   /** Inverted-index candidates: pairs sharing a shingle that occurs in at
     * most `maxDf` documents (rare-feature join — bounded fan-out, no cross
     * product), verified with exact Jaccard.
+    *
+    * ==Recall trade — prefer [[prefixFilterJaccard]] for exact recall==
+    * The `maxDf` rarity filter makes this op RECALL-INCOMPLETE BY
+    * CONSTRUCTION: two documents whose every shared shingle occurs in
+    * more than `maxDf` documents are NEVER paired, no matter how similar
+    * they are — e.g. boilerplate-heavy near-duplicates built entirely
+    * from corpus-common phrases (see the "ngramJaccard misses what
+    * prefix filtering finds" DedupSimilaritySpec fixture). Use this op
+    * only when that trade is wanted (rare-feature linkage, cheap
+    * screening of distinctive content). For a candidate set that is
+    * COMPLETE at a Jaccard threshold — guaranteed by the pigeonhole
+    * prefix bound (Bayardo et al. 2007), no df cap, no probability —
+    * use [[prefixFilterJaccard]]; it is the default recommendation for
+    * dedup decisions that feed deletion.
     */
   def ngramJaccard(docs: DataFrame, maxDf: Int = 3, shingleSize: Int = 3): DataFrame = {
     val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
@@ -565,15 +588,23 @@ object Dedup {
     * content) and for robustness to spacing/formatting edits generally.
     * Stripping whitespace BEFORE gramming is the point: a re-spaced
     * copy has the identical gram set, where word shingles see disjoint
-    * token streams. Codegen position-explode + substr, NOT a HOF
-    * transform (the cdcChunks lesson — interpreted per-element lambdas
-    * cost ~3× on corpus-character streams); the explode is a pure
-    * projection and only the distinct shuffles.
+    * token streams. "Whitespace" is the FULL class — tab, newline, CR,
+    * FF, VT, and every Unicode separator (\\p{Z}: NBSP, U+3000
+    * ideographic space, …) — spelled as an explicit character class
+    * because Java's `\\s` and RE2's `\\s` disagree on VT and both are
+    * ASCII-only; a copy re-spaced with tabs or CJK full-width spaces
+    * must still gram identically. Codegen position-explode + substr,
+    * NOT a HOF transform (the cdcChunks lesson — interpreted
+    * per-element lambdas cost ~3× on corpus-character streams); the
+    * explode is a pure projection and only the distinct shuffles.
     */
+  val WhitespaceClass = "[\\t\\n\\u000B\\f\\r\\p{Z}]+"
+
   def charShingles(docs: DataFrame, n: Int = 5): DataFrame = {
     val ct = col("_ct")
     graft.util.Partitioning.fanOut(docs)
-      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("_ct"))
+      .select(col("doc_id"),
+        regexp_replace(col("text"), WhitespaceClass, "").as("_ct"))
       .filter(length(ct) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(ct) - n + 1)).as("_i"), ct)

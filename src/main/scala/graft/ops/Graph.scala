@@ -132,28 +132,37 @@ object Graph {
     * Pure integer arithmetic — any engine replays it exactly.
     */
   /** k-core decomposition by iterative peeling (Seidman 1983): rounds
-    * of "drop nodes with degree < k, recompute" until stable — the
-    * densest-substructure filter behind spam-ring and community-core
+    * of "drop nodes with degree < k, recompute" until a FIXED POINT —
+    * the densest-substructure filter behind spam-ring and community-core
     * detection. Each round is one degree aggregation + two semi-joins;
-    * a FIXED `rounds` count keeps the computation engine-replayable
-    * (peeling is idempotent once converged, so extra rounds are
-    * no-ops — the bounded-rounds discipline of the label propagation
-    * loop). Edges normalize/dedup like [[triangles]]. Returns the
-    * surviving nodes with their in-core degree.
+    * the loop stops when a round removes no edge (peeling is monotone,
+    * so an unchanged edge count IS convergence: degrees are then stable
+    * and every further round is the identity). `maxRounds` is a safety
+    * cap for pathological long-chain cascades (a length-L path at k=2
+    * peels ~L/2 rounds); hitting it unconverged records an observed
+    * metric + WARN via [[graft.util.ConvergenceMetrics]] — the result
+    * is then a SUPERSET of the true k-core, never an undercount.
+    * An engine replaying a fixed round count ≥ the convergence round
+    * reproduces the result exactly (idempotence). Edges normalize/dedup
+    * like [[triangles]]. Returns surviving nodes with in-core degree.
     *
     * Scale: per round, degree is a map-side-combinable count and the
     * filters are broadcast-able once the core shrinks; lineage is cut
     * per round with localCheckpoint so round count never grows the
-    * plan.
+    * plan, and the convergence check is a count on the just-checkpointed
+    * (already materialized) frame — no extra lineage replay.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
-    require(k >= 1 && rounds >= 1)
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
     var e = edges.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var prev = e.count()
+    var rounds = 0
+    var converged = prev == 0L
+    while (!converged && rounds < maxRounds) {
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
@@ -161,7 +170,14 @@ object Graph {
         .join(keep.select(col("n").as("b")), "b")
         .select("a", "b")
         .localCheckpoint(true)
+      val cur = e.count()
+      converged = cur == prev || cur == 0L
+      prev = cur
+      rounds += 1
     }
+    if (!converged)
+      graft.util.ConvergenceMetrics.unconvergedExit("kCore", maxRounds,
+        s"k=$k, ${prev} edges still peeling")
     e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_degree"))
   }

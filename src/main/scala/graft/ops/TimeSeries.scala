@@ -131,9 +131,16 @@ object TimeSeries {
     *   r²·10⁴    = 10⁴·(n·Σxy − Σx·Σy)² div ((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
     *
     * with r² computed divide-early — (num·10⁴ div dx)·num div dy — so
-    * no intermediate squares a BIGINT (truncation lands inside the
-    * emitted basis point; both engines evaluate the identical
-    * expression, so the value is still bit-exact). ONE map-side-
+    * no intermediate squares a BIGINT. Both engines evaluate the
+    * identical expression, so the value is bit-exact CROSS-ENGINE, but
+    * the divide-early truncation error vs true r²·10⁴ is bounded by
+    * num/dy ≤ √(dx/dy) basis points — within 1 bp only when dx ≲ dy.
+    * When the x-spread far exceeds the y-spread (near-flat series
+    * sampled over a long index range), r2_bp can UNDERSTATE true r² by
+    * up to √(dx/dy) bp: treat it as a replayable fixed-point fit
+    * statistic, not a ±1 bp estimate of r². (Callers needing tight
+    * error on flat series should rescale x into units comparable to y
+    * before calling.) ONE map-side-
     * combinable aggregation per key (five sums + a count) — no
     * windows, no joins. Overflow bound: num·10⁴ ≲ 9·10¹⁸ ⇒
     * n·max\|x\|·max\|y\| ≲ 10¹⁴ (rescale units past that). Keys with

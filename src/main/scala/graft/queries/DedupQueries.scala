@@ -809,19 +809,21 @@ object DedupQueries extends QueryGroup {
 
     // Character-shingle MinHash+LSH over the zh slice — the
     // no-whitespace-script dedup path: grams are taken over
-    // whitespace-STRIPPED text, so a re-segmented re-post (planted:
-    // every zh doc re-appears under id+5000 with all spaces removed —
-    // the same content under a different tokenization, which word
-    // shingles see as DISJOINT token streams) has the identical gram
-    // set and verifies at jaccard 1.0. Same signature/banding/verify
-    // machinery as the word path; DuckDB replays grams, signatures,
-    // bands, and every Jaccard.
+    // whitespace-STRIPPED text (the FULL class incl. tabs and U+3000,
+    // see Dedup.WhitespaceClass), so a re-segmented re-post (planted:
+    // every zh doc re-appears under id+10^9 — an offset provably
+    // disjoint from real doc_ids at ANY SF — re-spaced with TABS, the
+    // adversarial variant plain space-stripping misses; word shingles
+    // see DISJOINT token streams) has the identical gram set and
+    // verifies at jaccard 1.0. Same signature/banding/verify machinery
+    // as the word path; DuckDB replays grams, signatures, bands, and
+    // every Jaccard.
     "q_dedup_minhash_char" -> QueryDef(
       (s, d) => {
         val zh = Tables.documents(s, d).filter(col("lang") === "zh")
           .select("doc_id", "text")
-        val respaced = zh.select((col("doc_id") + 5000).as("doc_id"),
-          regexp_replace(col("text"), " ", "").as("text"))
+        val respaced = zh.select((col("doc_id") + 1000000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "\t").as("text"))
         Dedup.minhashLshChars(zh.unionByName(respaced), threshold = 0.0)
           .select(col("i"), col("j"),
             floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
@@ -831,10 +833,12 @@ object DedupQueries extends QueryGroup {
       Some("""WITH zh AS (
              |  SELECT doc_id, text FROM documents WHERE lang = 'zh'
              |  UNION ALL
-             |  SELECT doc_id + 5000, replace(text, ' ', '')
+             |  SELECT doc_id + 1000000000, replace(text, ' ', chr(9))
              |  FROM documents WHERE lang = 'zh'),
              |nrm AS (
-             |  SELECT doc_id, replace(text, ' ', '') AS ct FROM zh),
+             |  SELECT doc_id,
+             |    regexp_replace(text, '[\t\n\x0B\f\r\p{Z}]+', '', 'g') AS ct
+             |  FROM zh),
              |shd AS (
              |  SELECT DISTINCT doc_id, substring(ct, i, 5) AS w
              |  FROM nrm, unnest(generate_series(1, length(ct) - 4)) AS g(i)

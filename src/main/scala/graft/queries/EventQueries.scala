@@ -41,7 +41,8 @@ object EventQueries extends QueryGroup {
       |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
       |  FROM events
       |  WHERE event_type = 'purchase'
-      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |        IS NOT NULL),
       |elig AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
       |kept AS (SELECT ui.* FROM ui JOIN elig USING (u)),
       |ic AS (SELECT it, count(*) AS c FROM kept GROUP BY 1),
@@ -370,7 +371,8 @@ object EventQueries extends QueryGroup {
              |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
              |  FROM events
              |  WHERE event_type = 'purchase'
-             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |        IS NOT NULL),
              |elig AS (
              |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
              |kept AS (SELECT ui.* FROM ui JOIN elig USING (u)),
@@ -438,9 +440,11 @@ object EventQueries extends QueryGroup {
     // synthetic items (the coordinated ring: every member co-occurs
     // with every other). Peeling at k=7 cascades the ENTIRE natural
     // graph away — no organic node sustains degree 7 among degree-7
-    // survivors — and leaves exactly the ring, at every SF. The oracle
-    // replays the similarity graph, the kNN selection, the planted
-    // clique, and all six peel rounds.
+    // survivors — and leaves exactly the ring, at every SF. The Spark
+    // side peels to its fixed point; the oracle replays the similarity
+    // graph, the kNN selection, the planted clique, and 16 peel rounds —
+    // peeling is idempotent once converged, so a fixed replay count ≥
+    // the convergence round (≤6 observed at every SF) is exact.
     "q_events_kcore_ring" -> QueryDef(
       (s, d) => {
         val ring = {
@@ -449,7 +453,7 @@ object EventQueries extends QueryGroup {
             (900L + i, 900L + j))).toDF("u", "v")
         }
         graft.ops.Graph.kCore(
-            copurchaseKnn(s, d).unionByName(ring), k = 7, rounds = 6)
+            copurchaseKnn(s, d).unionByName(ring), k = 7)
           .orderBy("n")
       },
       Some(s"""WITH $knnEdgeSql,
@@ -461,9 +465,9 @@ object EventQueries extends QueryGroup {
              |e0 AS MATERIALIZED (
              |  SELECT DISTINCT least(n, m) AS a, greatest(n, m) AS b
              |  FROM (SELECT n, m FROM knn UNION ALL SELECT n, m FROM ring)),
-             |${kcoreRoundsSql(7, 6)}
+             |${kcoreRoundsSql(7, 16)}
              |SELECT n, CAST(count(*) AS BIGINT) AS core_degree
-             |FROM (SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6)
+             |FROM (SELECT a AS n FROM e16 UNION ALL SELECT b FROM e16)
              |GROUP BY n ORDER BY n""".stripMargin)
     ),
 
@@ -634,7 +638,8 @@ object EventQueries extends QueryGroup {
              |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
              |  FROM events
              |  WHERE event_type = 'purchase'
-             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |        IS NOT NULL),
              |pl AS (
              |  SELECT u, 1000 + g.i AS it
              |  FROM (SELECT DISTINCT u FROM nat WHERE u % 7 = 0),
@@ -743,7 +748,8 @@ object EventQueries extends QueryGroup {
              |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
              |  FROM events
              |  WHERE event_type = 'purchase'
-             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |        IS NOT NULL),
              |elig AS (
              |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
              |kept AS (SELECT ui.* FROM ui JOIN elig USING (u)),

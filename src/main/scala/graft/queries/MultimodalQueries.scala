@@ -83,8 +83,14 @@ object MultimodalQueries extends QueryGroup {
         val base = Tables.documents(s, d)
           .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 400)
         val orig = Multimodal.synthesize(base)
+        // reupload ids at +960,000,000 (= 192 × 5M): disjoint from real
+        // doc_ids at any SF (a low offset collides once the corpus
+        // outgrows it and merges planted/organic frame sets identically
+        // in both engines), and ≡ 0 mod lcm(3,8,64,48) = 192 so every
+        // synthesize() header congruence (modality, n_frames, w, h) is
+        // preserved on the shifted ids
         val reup = Multimodal.synthesize(
-          base.withColumn("doc_id", col("doc_id") + 3000)
+          base.withColumn("doc_id", col("doc_id") + 960000000L)
             .withColumn("text",
               concat(expr("substring(text, 1, length(text) - 1)"), lit("#"))))
         val fa = Multimodal.frameAHash(orig.unionByName(reup), everyNth = 1)
@@ -112,7 +118,7 @@ object MultimodalQueries extends QueryGroup {
            |  SELECT doc_id AS media_id, text AS s, 4 + doc_id % 8 AS nf
            |  FROM base
            |  UNION ALL
-           |  SELECT doc_id + 3000,
+           |  SELECT doc_id + 960000000,
            |    substring(text, 1, length(text) - 1) || '#', 4 + doc_id % 8
            |  FROM base),
            |frames AS (

@@ -253,7 +253,7 @@ object PipelineQueries extends QueryGroup {
     // its minhash signature index, with CONTENT expansion: requests
     // name ids (every 11th ≡ 3), but erasure must also catch the same
     // text under OTHER ids — the corpus carries planted mirrors (every
-    // 13th ≡ 1 history doc re-appears under id+10000, the re-crawl/
+    // 13th ≡ 1 history doc re-appears under id+10^9, the re-crawl/
     // mirror case; the natural dup pairs all straddle the fixture's
     // fresh/history boundary, so without the mirrors expansion never
     // fires) and the forget set expands through the md5 content
@@ -269,9 +269,12 @@ object PipelineQueries extends QueryGroup {
         val hist = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(5)) =!= 0)
           .select("doc_id", "text")
+        // mirror ids live at +10^9 — disjoint from real doc_ids at any
+        // SF (a low offset like +10000 collides once the corpus outgrows
+        // it, silently merging planted and organic rows in BOTH engines)
         val corpus = hist.unionByName(
           hist.filter(pmod(col("doc_id"), lit(13)) === 1)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
         val (_, _, audit) = graft.ops.Privacy.forgetByContent(
           corpus,
           Tables.historyMinhashSigs(s, d),
@@ -283,7 +286,7 @@ object PipelineQueries extends QueryGroup {
              |corp AS (
              |  SELECT * FROM hist
              |  UNION ALL
-             |  SELECT doc_id + 10000, text FROM hist WHERE doc_id % 13 = 1),
+             |  SELECT doc_id + 1000000000, text FROM hist WHERE doc_id % 13 = 1),
              |idx AS (
              |  SELECT doc_id FROM hist
              |  WHERE len(string_split(text, ' ')) >= 3),

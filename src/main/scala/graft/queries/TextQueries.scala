@@ -1609,28 +1609,36 @@ object TextQueries extends QueryGroup {
         val docs = Tables.documents(s, d)
         val pairs = graft.ops.Dedup.minhashLsh(docs, portable = false)
           .select("i", "j").localCheckpoint(true)
-        val safe = graft.ops.Dedup.clusterSafeSplit(docs, pairs)
-          .select(col("doc_id"), col("split"))
+        // ONE assignment frame carrying BOTH policies (safe = cluster-id
+        // hash, naive = doc-id hash), checkpointed eagerly: the count agg
+        // and the pair audit's two probe sides all reuse the materialized
+        // 3-column frame instead of re-running the docs←labels join per
+        // consumer, and the safe/naive audits fold into a single pass
+        // over the pair table (one join pair, two conditional sums) —
+        // the r5 shape joined pairs×assignment twice per policy.
         val naiveBucket = pmod(
           conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
             .cast("long"), lit(10L))
-        val naive = docs.select(col("doc_id"),
-          when(naiveBucket < 8, "train").when(naiveBucket === 8, "val")
-            .otherwise("test").as("split"))
-        def crossPairs(assign: org.apache.spark.sql.DataFrame, out: String) =
-          pairs
-            .join(assign.select(col("doc_id").as("i"), col("split").as("_si")),
-              "i")
-            .join(assign.select(col("doc_id").as("j"), col("split").as("_sj")),
-              "j")
-            .agg(coalesce(sum(when(col("_si") =!= col("_sj"), 1L)
-              .otherwise(0L)), lit(0L)).as(out))
-        safe.agg(
-            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
-            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-          .crossJoin(crossPairs(safe, "cross_pairs_safe"))
-          .crossJoin(crossPairs(naive, "cross_pairs_naive"))
+        val assign = graft.ops.Dedup.clusterSafeSplit(docs, pairs)
+          .select(col("doc_id"), col("split").as("_safe"),
+            when(naiveBucket < 8, "train").when(naiveBucket === 8, "val")
+              .otherwise("test").as("_naive"))
+          .localCheckpoint(true)
+        val counts = assign.agg(
+          sum(when(col("_safe") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("_safe") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("_safe") === "test", 1L).otherwise(0L)).as("n_test"))
+        val crosses = pairs
+          .join(assign.select(col("doc_id").as("i"),
+            col("_safe").as("_si"), col("_naive").as("_ni")), "i")
+          .join(assign.select(col("doc_id").as("j"),
+            col("_safe").as("_sj"), col("_naive").as("_nj")), "j")
+          .agg(
+            coalesce(sum(when(col("_si") =!= col("_sj"), 1L)
+              .otherwise(0L)), lit(0L)).as("cross_pairs_safe"),
+            coalesce(sum(when(col("_ni") =!= col("_nj"), 1L)
+              .otherwise(0L)), lit(0L)).as("cross_pairs_naive"))
+        counts.crossJoin(crosses)
       },
       Some(s"""WITH RECURSIVE ${PipelineQueries.minhashPairsCte},
               |edges AS (SELECT i AS a, j AS b FROM pairs

@@ -587,7 +587,12 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val fixture = Seq(
       (1L, zh),
       (2L, zh.replace(" ", "")), // same content, no segmentation
-      (3L, "完全 不同 的 文本 内容 没有 任何 重叠 部分 存在 这里")
+      (3L, "完全 不同 的 文本 内容 没有 任何 重叠 部分 存在 这里"),
+      // same content re-spaced with tabs, newlines, and U+3000
+      // ideographic space — the variants a bare ' '-strip misses
+      (4L, zh.replace(" ", "\t")),
+      (5L, zh.replace(" ", "　")),
+      (6L, zh.replace(" ", "\n"))
     ).toDF("doc_id", "text")
     val charPairs = Dedup.minhashLshChars(fixture, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -598,10 +603,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!wordPairs.contains((1L, 2L)),
       s"fixture must defeat word shingles: $wordPairs")
-    // and the char-gram sets are literally identical after stripping
+    // and the char-gram sets are literally identical after stripping —
+    // for the unspaced copy AND the tab / U+3000 / newline re-spacings
     val sh = Dedup.charShingles(fixture).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
-    assert(sh(1L) == sh(2L))
+    Seq(2L, 4L, 5L, 6L).foreach(id =>
+      assert(sh(1L) == sh(id), s"doc $id must gram identically to doc 1"))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("ngramJaccard misses what prefix filtering finds: common-shingle " +
+      "near-dups are invisible to the rarity-filtered index") {
+    import spark.implicits._
+    // six identical copies of one boilerplate text: every shingle's df is
+    // 6 > maxDf=3, so the rarity-filtered inverted index generates ZERO
+    // candidates — while every copy pair is an exact duplicate at
+    // jaccard 1.0, which the pigeonhole-complete prefix filter reports
+    val boiler = "subscribe to our newsletter for updates " +
+      "copyright all rights reserved terms of service apply here"
+    val fixture = (1L to 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val ngramPairs = Dedup.ngramJaccard(fixture, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngramPairs.isEmpty,
+      s"rarity filter must blind the index here (the documented trade): $ngramPairs")
+    val prefixPairs = Dedup.prefixFilterJaccard(fixture, thresholdBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixPairs.contains((1L, 2L)) && prefixPairs.size == 15,
+      s"prefix filter must find all 15 duplicate pairs: $prefixPairs")
   }
 
   test("prefix filtering: complete vs brute force at t=0.8, and " +

@@ -73,11 +73,56 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // degree 3, the clique can
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v")
-    val got = graft.ops.Graph.kCore(edges, k = 3, rounds = 6).collect()
+    val got = graft.ops.Graph.kCore(edges, k = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
     // k above the clique degree empties the graph
-    assert(graft.ops.Graph.kCore(edges, k = 4, rounds = 6).count() == 0)
+    assert(graft.ops.Graph.kCore(edges, k = 4).count() == 0)
+  }
+
+  test("kCore: long-chain cascade peels to the TRUE (empty) 2-core past " +
+      "the old fixed 6 rounds; a too-low cap signals unconverged") {
+    import spark.implicits._
+    // 24-node path at k=2: every peel round only strips the two current
+    // endpoints, so full dissolution takes ~11 rounds — the structure the
+    // old rounds=6 default silently returned a superset for
+    val path = (1L until 24L).map(i => (i, i + 1)).toDF("u", "v")
+    graft.util.ConvergenceMetrics.reset("kCore")
+    assert(graft.ops.Graph.kCore(path, k = 2).count() == 0,
+      "a path has no 2-core; fixed-point peeling must dissolve it fully")
+    assert(graft.util.ConvergenceMetrics.unconvergedCount("kCore") == 0,
+      "default cap must converge without a signal")
+    // with a deliberately-too-low cap, the superset comes back AND the
+    // unconverged exit is signalled
+    graft.util.ConvergenceMetrics.reset("kCore")
+    assert(graft.ops.Graph.kCore(path, k = 2, maxRounds = 3).count() > 0)
+    assert(graft.util.ConvergenceMetrics.unconvergedCount("kCore") == 1,
+      "capped exit must record an unconverged-exit metric")
+    graft.util.ConvergenceMetrics.reset("kCore")
+  }
+
+  test("duplicateClusters: a chain with diameter past the propagation " +
+      "horizon signals an unconverged exit; a short chain does not") {
+    import spark.implicits._
+    // 30-node path: min-label moves one hop per propagation round, and
+    // maxIter=10 allows 10 rounds — node 30 cannot see label 1, so the
+    // loop exits with labels still moving and MUST say so
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("i", "j")
+    graft.util.ConvergenceMetrics.reset("duplicateClusters")
+    val labels = graft.ops.Dedup.duplicateClusters(longChain, maxIter = 10)
+    assert(labels.select("cluster_id").distinct().count() > 1,
+      "past-horizon chain must come back over-segmented (that's the hazard)")
+    assert(
+      graft.util.ConvergenceMetrics.unconvergedCount("duplicateClusters") == 1,
+      "unconverged exit must be recorded, not silent")
+    // a near-clique blob (the normal dedup shape) converges silently
+    graft.util.ConvergenceMetrics.reset("duplicateClusters")
+    val blob = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("i", "j")
+    val got = graft.ops.Dedup.duplicateClusters(blob, maxIter = 10)
+    assert(got.select("cluster_id").distinct().count() == 1)
+    assert(
+      graft.util.ConvergenceMetrics.unconvergedCount("duplicateClusters") == 0)
+    graft.util.ConvergenceMetrics.reset("duplicateClusters")
   }
 
   test("labelPropagation: two cliques over one bridge resolve to two " +
