@@ -428,9 +428,18 @@ object Dedup {
 
   /** Resolve near-dup pairs into duplicate clusters (connected components)
     * and pick a survivor per cluster (min id). Iterative min-label
-    * propagation over the pair edges — each round is one shuffle join;
-    * rounds needed = graph diameter, which for dedup clusters (near-clique
-    * blobs of mutual near-dups) is tiny. `maxIter` bounds the worst case.
+    * propagation over the pair edges — each round is one shuffle join —
+    * PLUS a pointer-doubling shortcut per convergence cycle
+    * (label(v) ← label(label(v)), one labels×labels equi-join on the
+    * doc-sized label table): labels only ever decrease, so the shortcut
+    * composes two already-known reachability maps and the min's horizon
+    * roughly DOUBLES per cycle instead of advancing two hops — O(log
+    * diameter) cycles on chain-shaped components (the large-star/
+    * small-star convergence law of Kiveris et al. 2014, via the cheaper
+    * shortcut formulation), while near-clique dedup blobs still converge
+    * in one cycle. `maxIter` (propagation rounds) bounds the worst case;
+    * an unconverged exit is signalled via
+    * [[graft.util.ConvergenceMetrics]].
     *
     * Returns (doc_id, cluster_id) for every node that appears in a pair;
     * docs absent from `pairs` are implicitly their own cluster.
@@ -460,6 +469,16 @@ object Dedup {
       .join(l, "doc_id")
       .select(col("doc_id"),
         least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
+    // pointer doubling: labels satisfy label(v) ≤ v and only decrease,
+    // so label(label(v)) is a same-component id no larger than label(v)
+    // — safe to adopt, and it squares the reachability map. Left join:
+    // every label value is a node that appears in `labels` (labels cover
+    // all edge endpoints), but coalesce keeps the op total regardless.
+    def shortcut(l: DataFrame): DataFrame = l
+      .join(l.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("_gp")), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_gp"), col("cluster_id")).as("cluster_id"))
     while (iter < maxIter && !converged) {
       // two propagation rounds per convergence check: dedup clusters are
       // near-cliques (diameter ≤ 2 is the norm), so checking every round
@@ -470,7 +489,7 @@ object Dedup {
       // cost). Checkpoint blocks are reclaimed by the ContextCleaner when
       // superseded frames go out of scope; the label frame is one row per
       // paired doc — tiny relative to the edge data.
-      val next = propagate(propagate(labels)).localCheckpoint(true)
+      val next = shortcut(propagate(propagate(labels))).localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
       labels = next

@@ -71,12 +71,115 @@ object Profile {
             minShared = 3L)))
         time(s"prefix-filter-x$m")(noop(
           Dedup.prefixFilterJaccard(docs, thresholdBp = 8000)))
-        // production hash family (xxhash64): the md5 family exists for
-        // cross-engine oracle replay and costs ~17× on char-gram volume
-        // (measured 99 s vs ~6 s at x1 full-corpus) — at scale nobody
-        // runs the portable family
-        time(s"char-minhash-x$m")(noop(
-          Dedup.minhashLshChars(docs, threshold = 0.0, portable = false)))
+        // char-shingle minhash on THIS corpus is measured at x1 only:
+        // the 31-word vocabulary makes every doc maximally self-similar
+        // at char level (4.3% of ALL pairs become genuine mid-Jaccard
+        // candidates — the documented banding-dial pathology, not a
+        // plan defect), so scaling THIS fixture measures the pathology,
+        // not the op. The honest growth curve runs on the diverse
+        // hex-chain corpus of --charminhash-scale. x1 is kept as the
+        // pathology anchor, in both the default 4×2 banding and the
+        // diversity-compensated 2×4 config SCALING.md prescribes here.
+        if (m == 1) {
+          time(s"char-minhash-x$m")(noop(
+            Dedup.minhashLshChars(docs, threshold = 0.0, portable = false)))
+          time(s"char-minhash-r4-x$m")(noop(
+            Dedup.minhashLshChars(docs, rowsPerBand = 4, threshold = 0.0,
+              portable = false)))
+        } else
+          println(s"SKIP char-minhash-x$m: degenerate 31-word-vocab " +
+            "fixture (see --charminhash-scale for the fair curve)")
+      }
+    } else if (args.headOption.contains("--charminhash-scale")) {
+      // growth curve for char-shingle minhash on a DIVERSE char-gram
+      // corpus: each doc's text is 5 chained md5 hexes of its id (160
+      // chars ⇒ 156 char-5-grams, nearly all corpus-unique — the
+      // natural-language diversity regime the banding defaults target,
+      // which the 31-word dedup2 fixture inverts), plus a planted
+      // near-dup for 10% of docs (one char appended ⇒ jaccard 156/157)
+      // so banding and verify do real work at every scale.
+      import graft.ops.Dedup
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      val baseN = 5000L
+      mults.foreach { m =>
+        val text = concat((1 to 5).map(i =>
+          md5(concat(col("doc_id").cast("string"), lit(s"|$i")))): _*)
+        val docs = spark.range(baseN * m)
+          .select(col("id").as("doc_id")).select(col("doc_id"), text.as("text"))
+        val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            concat(col("text"), lit("z")).as("text"))
+        val corpus = docs.unionByName(planted).localCheckpoint(true)
+        time(s"charminhash-scale-x$m")(noop(
+          Dedup.minhashLshChars(corpus, threshold = 0.8, portable = false)))
+      }
+    } else if (args.headOption.contains("--semdedup-scale")) {
+      // growth curves for SemDeDup: m perturbed corpus copies (per-copy
+      // deterministic sin offset of ±0.02/dim, so the m copies of each
+      // base vector form one true duplicate group at cosine ≥ 0.9 —
+      // the re-crawl/re-encode mode where duplicate-group size grows
+      // WITH the corpus). Two arms per m: fixed nCells (within-cell
+      // pairwise work Σ|cell|² grows m² — the quadratic fence made
+      // visible) and nCells ∝ m (constant cell occupancy — the
+      // documented knob, per-unit cost stays flat; recall trade is
+      // cross-cell misses, reported via grouped_docs).
+      import graft.ops.Similarity
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+      mults.foreach { m =>
+        val corpus = (0 until m).map { cpy =>
+          base.select((col("vec_id") + lit(cpy * 10000000L)).as("vec_id"),
+            (if (cpy == 0) col("embedding")
+             else transform(col("embedding"), (x, i) =>
+               (x + sin(col("vec_id") * 0.37 + i * 1.13 + cpy * 2.7) * 0.02)
+                 .cast("float"))).as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        def run(tag: String, cells: Int): Unit = {
+          val t0 = System.nanoTime()
+          val r = Similarity.semanticDedup(corpus, nCells = cells,
+              minCosBp = 9000L)
+            .agg(count(lit(1)).as("g"), sum("cluster_size").as("d"))
+            .collect()(0)
+          val (ng, nd) =
+            (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          println(f"SEMDEDUP-SCALE x$m $tag cells=$cells groups=$ng " +
+            f"grouped_docs=$nd time=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        run("fixed", 16)
+        run("scaled", 16 * m)
+      }
+    } else if (args.headOption.contains("--lsh-skew")) {
+      // planted-skew stress for the banding self-join: at each m the
+      // corpus is m disjoint-vocabulary copies of the sf docs EXCEPT
+      // that every 10th doc of EVERY copy is replaced by one shared
+      // boilerplate text (no copy suffix) — so 10% of the whole corpus
+      // (500·m docs) shares every band signature: the degenerate bucket
+      // in its worst form. Arms: unguarded (cap above any bucket) pays
+      // the k² candidate blowup + quadratic verify; guarded (cap 1000)
+      // drops the bucket inside the query (lazy observed metric, no
+      // extra job) and stays corpus-linear. Identical content is the
+      // EXACT dedup pass's job — dropping it from the near-dup
+      // candidate join loses nothing a correct pipeline needs.
+      import graft.ops.Dedup
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val boiler = Seq.fill(8)(
+        "subscribe newsletter banner cookie policy accept terms privacy")
+        .mkString(" ")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 0, lit(boiler))
+              .otherwise(regexp_replace(col("text"), "(\\S+)", s"$$1~c$k"))
+              .as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        time(s"lsh-skew-x$m-guarded-cap1000")(noop(
+          Dedup.minhashLsh(docs, portable = false, maxBucket = 1000)))
+        time(s"lsh-skew-x$m-unguarded")(noop(
+          Dedup.minhashLsh(docs, portable = false, maxBucket = Int.MaxValue)))
       }
     } else if (args.headOption.contains("--ann-scale")) {
       // recall-at-scale curve for the ANN paths: m disjoint corpus copies,

@@ -101,13 +101,15 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.util.ConvergenceMetrics.reset("kCore")
   }
 
-  test("duplicateClusters: a chain with diameter past the propagation " +
-      "horizon signals an unconverged exit; a short chain does not") {
+  test("duplicateClusters: a chain past the propagation horizon signals " +
+      "an unconverged exit; pointer doubling converges it in log rounds") {
     import spark.implicits._
-    // 30-node path: min-label moves one hop per propagation round, and
-    // maxIter=10 allows 10 rounds — node 30 cannot see label 1, so the
-    // loop exits with labels still moving and MUST say so
-    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("i", "j")
+    // 2000-node path, the pathological templated-corpus shape. With the
+    // per-cycle shortcut the min's horizon is ~156 hops at maxIter=10
+    // (reach follows r → 2(r+2) per cycle) — far past the OLD linear
+    // law's 10 hops, but still short of diameter 1999: the loop must
+    // exit signalling unconverged, and the labels are over-segmented.
+    val longChain = (1L until 2000L).map(i => (i, i + 1)).toDF("i", "j")
     graft.util.ConvergenceMetrics.reset("duplicateClusters")
     val labels = graft.ops.Dedup.duplicateClusters(longChain, maxIter = 10)
     assert(labels.select("cluster_id").distinct().count() > 1,
@@ -115,8 +117,17 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(
       graft.util.ConvergenceMetrics.unconvergedCount("duplicateClusters") == 1,
       "unconverged exit must be recorded, not silent")
-    // a near-clique blob (the normal dedup shape) converges silently
+    // doubling makes the fix CHEAP: 24 propagation rounds (12 cycles)
+    // fully resolve the 1999-diameter chain — the linear law would need
+    // ~4000 rounds. One cluster, no signal.
     graft.util.ConvergenceMetrics.reset("duplicateClusters")
+    val full = graft.ops.Dedup.duplicateClusters(longChain, maxIter = 24)
+    assert(full.select("cluster_id").distinct().count() == 1,
+      "log-round propagation must resolve the full chain")
+    assert(full.filter("cluster_id <> 1").count() == 0)
+    assert(
+      graft.util.ConvergenceMetrics.unconvergedCount("duplicateClusters") == 0)
+    // a near-clique blob (the normal dedup shape) converges silently
     val blob = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("i", "j")
     val got = graft.ops.Dedup.duplicateClusters(blob, maxIter = 10)
     assert(got.select("cluster_id").distinct().count() == 1)

@@ -135,6 +135,101 @@ class FooterMetaSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(out).count() == 60L)
   }
 
+  test("whole-footer interop: graft output and an independently-assembled " +
+      "reference-style footer for the same words are byte-equivalent") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("interopfooter").toFile + "/db"
+    val words = (1 to 64).map(i => s"iw$i").toDS()
+    val res = BuildJob.run(spark, words, out,
+      BuildJob.Config(algorithms = Seq("md5"), sourceName = "interop.txt",
+        numFiles = Some(1)),
+      contentHash = Some("cafe01"))
+    assert(res.written && res.records == 64L)
+    assert(FooterMeta.writeBlooms(spark, out, minCapacity = 500) == 1)
+
+    def kvOf(path: String): Map[String, String] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(path), spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+      finally r.close()
+    }
+    val dataFile = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .head
+    val graftKv = kvOf(dataFile.toString).filter(_._1.startsWith("shaha:"))
+
+    // assemble the SAME file's footer the way the reference writes it
+    // (parquet.rs:444-461 formats), independently of graft's writers:
+    // scalar keys from the build inputs, the bloom bitmap rebuilt from
+    // scratch by an in-spec reimplementation of the bloomfilter-crate
+    // layout — sip-1-3 over 8-byte-LE length-framed bytes, probes
+    // g(i) = h0 + i·h1 mod the largest 64-bit prime, MSB-first bit
+    // packing, base64. Only the pinned SipHash core (reference-vector
+    // tested in SipHashSpec) is shared. Sip keys and bitmap geometry
+    // ride in the footer in both engines (the reference draws keys
+    // randomly), so the twin uses the file's own.
+    val hashes = spark.read.parquet(out).select("hash").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(hashes.length == 64)
+    val keyParts = graftKv("shaha:bloom_keys").split(',')
+      .map(java.lang.Long.parseUnsignedLong)
+    val bitmapLen = java.util.Base64.getDecoder
+      .decode(graftKv("shaha:bloom_bitmap")).length
+    val bitmap = new Array[Byte](bitmapLen)
+    val prime = 0xffffffffffffffc5L
+    hashes.foreach { h =>
+      val framed = new Array[Byte](8 + h.length)
+      var j = 0
+      while (j < 8) {
+        framed(j) = ((h.length.toLong >>> (8 * j)) & 0xff).toByte; j += 1
+      }
+      System.arraycopy(h, 0, framed, 8, h.length)
+      val h0 = graft.core.SipHash.hash13(keyParts(0), keyParts(1), framed)
+      val h1 = graft.core.SipHash.hash13(keyParts(2), keyParts(3), framed)
+      (0 until 7).foreach { i =>
+        val g =
+          if (i == 0) h0
+          else if (i == 1) h1
+          else java.lang.Long.remainderUnsigned(h0 + i.toLong * h1, prime)
+        val idx = java.lang.Long.remainderUnsigned(g, bitmapLen * 8L)
+        bitmap((idx >>> 3).toInt) =
+          (bitmap((idx >>> 3).toInt) | (1 << (7 - (idx & 7)).toInt)).toByte
+      }
+    }
+    val refKv = Map(
+      "shaha:total_records" -> "64",
+      "shaha:algorithms" -> "md5",
+      "shaha:sources" -> "interop.txt",
+      "shaha:source_hashes" -> "[\"cafe01\"]",
+      "shaha:bloom_bitmap" ->
+        java.util.Base64.getEncoder.encodeToString(bitmap),
+      "shaha:bloom_keys" -> graftKv("shaha:bloom_keys"),
+      "shaha:bloom_items" -> "64")
+
+    // THE whole-footer assertion: identical key set, every value
+    // string-equal — including the base64 bitmap (bit-level bloom
+    // compatibility, not just probe-level agreement)
+    assert(graftKv.keySet == refKv.keySet,
+      s"key sets differ: graft-only ${graftKv.keySet -- refKv.keySet}, " +
+        s"ref-only ${refKv.keySet -- graftKv.keySet}")
+    refKv.foreach { case (k, v) =>
+      assert(graftKv(k) == v, s"footer value for $k differs:\n" +
+        s"  graft: ${graftKv(k).take(80)}\n  ref:   ${v.take(80)}")
+    }
+
+    // and a physical file carrying that reference footer reads back
+    // through graft's fast paths identically
+    val refDir = Files.createTempDirectory("interopref").toFile
+    writeFixture(refDir, "ref.parquet", refKv, nRows = 1)
+    val m = FooterMeta.read(spark, s"$refDir/ref.parquet").get
+    assert(m.totalRecords == 64L && m.algorithms == Seq("md5") &&
+      m.sources == Seq("interop.txt") && m.sourceHashes == Seq("cafe01"))
+    val bloom = FooterBloom.fromKv(refKv).get
+    assert(hashes.forall(bloom.mightContain),
+      "every stored hash must pass the reference-footer bloom")
+  }
+
   test("a sidecar catalog wins over footer metadata") {
     val dir = Files.createTempDirectory("precedence").toFile
     writeFixture(dir, "db.parquet", Map(

@@ -65,6 +65,49 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(stored == good.toLowerCase)
   }
 
+  test("curateBatch: crash between corpus and index appends self-heals, " +
+      "and the ledger still adds up") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-scurate-crash").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+
+    // crash injection: a previous curateBatch died AFTER appending the
+    // curated doc to the corpus but BEFORE appending its signatures —
+    // the corpus holds gate-OUTPUT text (normalized), no index exists.
+    // This is byte-for-byte the state StreamingCurate.run leaves when
+    // the driver dies between admitBatch's two writes.
+    Seq((1L, good.toLowerCase)).toDF("doc_id", "text")
+      .write.format("parquet").save(corpus)
+
+    // recovery batch: redelivery of doc 1 (at-least-once source), a
+    // near-dup of the orphaned doc, and a wrong-lang doc. Healing must
+    // (a) not duplicate doc 1, (b) backfill its signatures, (c) reject
+    // the near-dup AGAINST the healed index, (d) keep the ledger
+    // arithmetic (gated == admitted + rejectedNearDup) intact.
+    val r = StreamingCurate.curateBatch(
+      Seq((1L, "en", good), (4L, "en", nearDup), (9L, "zz", good))
+        .toDF("doc_id", "lang", "text"),
+      corpus, index)
+    assert(r == StreamingCurate.CurateResult(
+      ingested = 3, gated = 2, admitted = 0, rejectedNearDup = 2),
+      s"redelivered orphan + its near-dup must both reject: $r")
+    assert(spark.read.parquet(corpus).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "redelivery must not duplicate the orphaned doc")
+    assert(spark.read.parquet(index).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L),
+      "healing must backfill the orphan's signatures")
+
+    // a later batch behaves normally against the healed state
+    val r2 = StreamingCurate.curateBatch(
+      Seq((5L, "en", goodText("novel"))).toDF("doc_id", "lang", "text"),
+      corpus, index)
+    assert(r2 == StreamingCurate.CurateResult(1, 1, 1, 0))
+    assert(spark.read.parquet(corpus).count() == 2)
+    assert(spark.read.parquet(index).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
   test("curateBatch counts: ingested/gated/admitted ledger adds up") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-scurate-b").toString
