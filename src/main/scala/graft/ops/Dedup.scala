@@ -85,7 +85,9 @@ object Dedup {
     * ~an order of magnitude cheaper per shingle — the production default
     * when cross-engine replay isn't required. Same LSH semantics.
     */
-  def minhashSignaturesWith(sh: DataFrame, k: Int, portable: Boolean): DataFrame = {
+  def minhashSignaturesWith(sh: DataFrame, k: Int, portable: Boolean,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+  ): DataFrame = {
     def family(s: Int): Column =
       if (portable) md5(concat(lit(s.toString), lit("|"), col("w")))
       else xxhash64(lit(s), col("w")) // numeric min; banding concat coerces
@@ -96,7 +98,9 @@ object Dedup {
       // cost less than 50× the md5s
       val vocabHashes = sh.select("w").distinct().select(
         col("w") +: (0 until k).map(s => family(s).as(s"h$s")): _*)
-      sh.join(vocabHashes, "w")
+      // the vocabulary is corpus-scaled — partitioned join unless the
+      // caller proved the corpus small (see Partitioning.indexSideFor)
+      sh.join(side(vocabHashes), "w")
         .groupBy("doc_id")
         .agg(
           min(col("h0")).as("m0"),
@@ -142,14 +146,18 @@ object Dedup {
   }
 
   def lshCandidates(
-      sigs: DataFrame, k: Int, rowsPerBand: Int, maxBucket: Int = 5000
+      sigs: DataFrame, k: Int, rowsPerBand: Int, maxBucket: Int = 5000,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
   ): DataFrame = {
     val melted = bandMelt(sigs, k, rowsPerBand)
     val meltedP = graft.util.AutoUnpersist.persistScoped(melted)
     val capped = graft.util.AutoUnpersist.persistScoped(
-      LshGuard.capBuckets(meltedP, Seq("band", "sig"), maxBucket))
+      LshGuard.capBuckets(meltedP, Seq("band", "sig"), maxBucket, side))
+    // the band table is corpus-scaled (docs × bands): the self-join
+    // stays partitioned unless the corpus anchor proves it small
     capped.select(col("doc_id").as("i"), col("band"), col("sig"))
-      .join(capped.select(col("doc_id").as("j"), col("band"), col("sig")),
+      .join(side(
+        capped.select(col("doc_id").as("j"), col("band"), col("sig"))),
         Seq("band", "sig"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
@@ -165,15 +173,23 @@ object Dedup {
     * materialized candidate table (e.g. [[incrementalMinhash]], which
     * checkpoints its phases) can pre-filter `sh` themselves.
     */
-  def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+  def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+  ): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // every sh/counts side is corpus-scaled and explode-descended, so
+    // their estimates cannot be trusted: the default `side` forces
+    // partitioned joins unconditionally (see Partitioning.indexSide for
+    // the measured broadcast-OOM hazard); ops that hold the corpus
+    // anchor pass Partitioning.indexSideFor(docs), which keeps
+    // Catalyst's (broadcast-friendly) choices at provably-small scale
     val common = cands
-      .join(sh.select(col("doc_id").as("i"), col("w")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+      .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
+      .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     common
-      .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
+      .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
       .select(col("i"), col("j"),
         (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
   }
@@ -193,21 +209,24 @@ object Dedup {
       docs: DataFrame, threshold: Double = 0.9, maxDf: Int = 3,
       shingleSize: Int = 3
   ): DataFrame = {
+    val side = graft.util.Partitioning.indexSideFor(docs)
     val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
+    // rare/sh/counts are vocabulary-/corpus-scaled: partitioned joins
+    // unless the corpus anchor proves them small (Partitioning.indexSideFor)
     val rare = sh.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    val rareSh = sh.join(rare.select("w"), "w")
+    val rareSh = sh.join(side(rare.select("w")), "w")
     val cands = rareSh.select(col("doc_id").as("i"), col("w"))
-      .join(rareSh.select(col("doc_id").as("j"), col("w")), "w")
+      .join(side(rareSh.select(col("doc_id").as("j"), col("w"))), "w")
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
-      .join(sh.select(col("doc_id").as("i"), col("w")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+      .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
+      .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     common
-      .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
+      .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
       .select(col("i"), col("j"), col("c"), col("ni"), col("nj"),
         (col("c").cast("double") / col("ni")).as("containment_i"),
         (col("c").cast("double") / col("nj")).as("containment_j"),
@@ -238,9 +257,10 @@ object Dedup {
     //    extra join cancels the smaller-side savings.
     // The cached sh is simply cheap to re-read; callers that already hold
     // materialized candidates (incrementalMinhash) still pre-filter.
-    val cands =
-      lshCandidates(minhashSignaturesWith(sh, k, portable), k, rowsPerBand, maxBucket)
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    val side = graft.util.Partitioning.indexSideFor(docs)
+    val cands = lshCandidates(minhashSignaturesWith(sh, k, portable, side),
+      k, rowsPerBand, maxBucket, side)
+    verifyJaccard(cands, sh, side).filter(col("jaccard") >= threshold)
   }
 
   /** Incremental near-dedup: a NEW shard against a stored signature index
@@ -280,19 +300,21 @@ object Dedup {
     // eagerly checkpoint the tiny (docs × bands)-row band table once and
     // fan out from the materialized copy.
     val melted =
-      bandMelt(minhashSignaturesWith(shNew, k, portable), k, rowsPerBand)
+      bandMelt(minhashSignaturesWith(shNew, k, portable,
+        graft.util.Partitioning.indexSideFor(newDocs)), k, rowsPerBand)
         .withColumn("_new", lit(true))
         .unionByName(bandMelt(historySigs, k, rowsPerBand)
           .withColumn("_new", lit(false)))
     // the guard sees the union, so degenerate buckets are capped exactly
     // as a full run over the same corpus would cap them
+    val side = graft.util.Partitioning.indexSideFor(historyDocs)
     val capped = LshGuard.capBuckets(melted.localCheckpoint(true),
-      Seq("band", "sig"), maxBucket).localCheckpoint(true)
+      Seq("band", "sig"), maxBucket, side).localCheckpoint(true)
     val cands = capped
       .select(col("doc_id").as("i"), col("_new").as("_ni"),
         col("band"), col("sig"))
-      .join(capped.select(col("doc_id").as("j"), col("_new").as("_nj"),
-        col("band"), col("sig")), Seq("band", "sig"))
+      .join(side(capped.select(col("doc_id").as("j"), col("_new").as("_nj"),
+        col("band"), col("sig"))), Seq("band", "sig"))
       .filter(col("i") < col("j") && (col("_ni") || col("_nj")))
       .select("i", "j").distinct()
     // history docs needing re-shingling for the verify = exactly those
@@ -311,7 +333,7 @@ object Dedup {
     // the i/j joins) — same multi-branch race as above, so materialize it
     // once too; only shard + candidate-history shingles, not the corpus
     val shAll = shNew.unionByName(shHist).localCheckpoint(true)
-    verifyJaccard(cands, shAll).filter(col("jaccard") >= threshold)
+    verifyJaccard(cands, shAll, side).filter(col("jaccard") >= threshold)
   }
 
   /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature.
@@ -364,9 +386,10 @@ object Dedup {
     * Same equi-join-only shape as MinHash banding.
     */
   def simhashPairs(
-      sh: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000
+      sh: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
   ): DataFrame =
-    bandedHammingPairs(simhashWide(sh), maxHamming, maxBucket)
+    bandedHammingPairs(simhashWide(sh), maxHamming, maxBucket, side)
 
   /** Banded Hamming pairs over ANY 64-bit fingerprint in wide nibble form
     * (`doc_id, d1..d16` — the [[simhashWide]] layout, also produced by
@@ -377,7 +400,8 @@ object Dedup {
     * formulation is the oracle twin at test scale.
     */
   def bandedHammingPairs(
-      wideIn: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000
+      wideIn: DataFrame, maxHamming: Int = 12, maxBucket: Int = 5000,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
   ): DataFrame = {
     val wide = graft.util.AutoUnpersist.persistScoped(wideIn)
     val melted = graft.util.AutoUnpersist.persistScoped(
@@ -388,9 +412,9 @@ object Dedup {
         }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key")))
     val capped = graft.util.AutoUnpersist.persistScoped(
-      LshGuard.capBuckets(melted, Seq("band", "key"), maxBucket))
+      LshGuard.capBuckets(melted, Seq("band", "key"), maxBucket, side))
     val cands = capped.select(col("doc_id").as("i"), col("band"), col("key"))
-      .join(capped.select(col("doc_id").as("j"), col("band"), col("key")),
+      .join(side(capped.select(col("doc_id").as("j"), col("band"), col("key"))),
         Seq("band", "key"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
@@ -429,16 +453,17 @@ object Dedup {
   /** Resolve near-dup pairs into duplicate clusters (connected components)
     * and pick a survivor per cluster (min id). Iterative min-label
     * propagation over the pair edges — each round is one shuffle join —
-    * PLUS a pointer-doubling shortcut per convergence cycle
-    * (label(v) ← label(label(v)), one labels×labels equi-join on the
-    * doc-sized label table): labels only ever decrease, so the shortcut
-    * composes two already-known reachability maps and the min's horizon
-    * roughly DOUBLES per cycle instead of advancing two hops — O(log
-    * diameter) cycles on chain-shaped components (the large-star/
-    * small-star convergence law of Kiveris et al. 2014, via the cheaper
-    * shortcut formulation), while near-clique dedup blobs still converge
-    * in one cycle. `maxIter` (propagation rounds) bounds the worst case;
-    * an unconverged exit is signalled via
+    * PLUS a pointer-doubling shortcut per convergence cycle from cycle
+    * 3 on (label(v) ← label(label(v)), one labels×labels equi-join on
+    * the doc-sized label table): labels only ever decrease, so the
+    * shortcut composes two already-known reachability maps and the
+    * min's horizon roughly DOUBLES per cycle instead of advancing two
+    * hops — O(log diameter) cycles on chain-shaped components (the
+    * large-star/small-star convergence law of Kiveris et al. 2014, via
+    * the cheaper shortcut formulation). Near-clique dedup blobs — the
+    * norm — converge in cycle 1 and verify in cycle 2, so they never
+    * pay the shortcut join at all. `maxIter` (propagation rounds)
+    * bounds the worst case; an unconverged exit is signalled via
     * [[graft.util.ConvergenceMetrics]].
     *
     * Returns (doc_id, cluster_id) for every node that appears in a pair;
@@ -489,7 +514,16 @@ object Dedup {
       // cost). Checkpoint blocks are reclaimed by the ContextCleaner when
       // superseded frames go out of scope; the label frame is one row per
       // paired doc — tiny relative to the edge data.
-      val next = shortcut(propagate(propagate(labels))).localCheckpoint(true)
+      // the shortcut only pays off on components deeper than the hops
+      // plain cycles walk, so it stays off until cycle 3: near-clique
+      // corpora (the dedup norm) fully resolve in cycle 1 and verify in
+      // cycle 2 — they never pay the extra join at all (measured r5
+      // parity on the clusters-derived battery queries) — while
+      // chain-shaped components still get the O(log diameter) law from
+      // cycle 3 on (reach 2, 4, then r → 2(r+2) per cycle).
+      val stepped = propagate(propagate(labels))
+      val next = (if (iter >= 4) shortcut(stepped) else stepped)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
       labels = next
@@ -591,14 +625,17 @@ object Dedup {
     * dedup decisions that feed deletion.
     */
   def ngramJaccard(docs: DataFrame, maxDf: Int = 3, shingleSize: Int = 3): DataFrame = {
+    val side = graft.util.Partitioning.indexSideFor(docs)
     val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
     val rare = sh.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    val rareSh = sh.join(rare.select("w"), "w")
+    // rare ≈ the vocabulary on diverse corpora — partitioned join unless
+    // the corpus anchor proves it small (see Partitioning.indexSideFor)
+    val rareSh = sh.join(side(rare.select("w")), "w")
     val cands = rareSh.select(col("doc_id").as("i"), col("w"))
-      .join(rareSh.select(col("doc_id").as("j"), col("w")), "w")
+      .join(side(rareSh.select(col("doc_id").as("j"), col("w"))), "w")
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    verifyJaccard(cands, sh)
+    verifyJaccard(cands, sh, side)
   }
 
   /** Character n-gram shingle sets over whitespace-STRIPPED text — the
@@ -642,6 +679,7 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 5,
       portable: Boolean = true, maxBucket: Int = 5000
   ): DataFrame = {
+    val side = graft.util.Partitioning.indexSideFor(docs)
     val sh = graft.util.AutoUnpersist.persistScoped(charShingles(docs, n))
     // char grams are nearly all unique (occurrences ≈ vocabulary), so
     // the word path's vocabulary-distinct + join-back md5 amortization
@@ -656,9 +694,9 @@ object Dedup {
         sh.groupBy("doc_id").agg(
           min(fam(0)).as("m0"),
           (1 until k).map(s => min(fam(s)).as(s"m$s")): _*)
-      } else minhashSignaturesWith(sh, k, portable = false)
-    val cands = lshCandidates(sigs, k, rowsPerBand, maxBucket)
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+      } else minhashSignaturesWith(sh, k, portable = false, side)
+    val cands = lshCandidates(sigs, k, rowsPerBand, maxBucket, side)
+    verifyJaccard(cands, sh, side).filter(col("jaccard") >= threshold)
   }
 
   /** Exact set-similarity join with a COMPLETENESS guarantee via prefix
@@ -684,22 +722,25 @@ object Dedup {
       docs: DataFrame, thresholdBp: Long = 8000, shingleSize: Int = 3
   ): DataFrame = {
     require(thresholdBp > 0 && thresholdBp <= 10000, s"bad t: $thresholdBp")
+    val side = graft.util.Partitioning.indexSideFor(docs)
     val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
+    // df table ≈ vocabulary, sizes ≈ docs: both corpus-scaled —
+    // partitioned joins unless the corpus anchor proves them small
     val dfc = sh.groupBy("w").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val wnd = Window.partitionBy("doc_id").orderBy("df", "w")
     val pref = graft.util.AutoUnpersist.persistScoped(
-      sh.join(dfc, "w")
-        .join(sizes, "doc_id")
+      sh.join(side(dfc), "w")
+        .join(side(sizes), "doc_id")
         .withColumn("_rnk", row_number().over(wnd))
         .filter(col("_rnk") <=
           col("n") - expr(s"($thresholdBp * n + 9999) div 10000") + 1)
         .select("doc_id", "w"))
     val cands = pref.select(col("doc_id").as("i"), col("w"))
-      .join(pref.select(col("doc_id").as("j"), col("w")), "w")
+      .join(side(pref.select(col("doc_id").as("j"), col("w"))), "w")
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    verifyJaccard(cands, sh)
+    verifyJaccard(cands, sh, side)
       .select(col("i"), col("j"),
         floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
       .filter(col("jaccard_bp") >= thresholdBp)

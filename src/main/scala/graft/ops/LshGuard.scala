@@ -44,7 +44,9 @@ object LshGuard {
     * candidate pairs, and both part of the consuming query's plan (no
     * separate job).
     */
-  def capBuckets(melted: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  def capBuckets(melted: DataFrame, keyCols: Seq[String], cap: Int,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+  ): DataFrame = {
     installListener(melted.sparkSession)
     val keep = melted.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bucket_n"))
@@ -55,7 +57,11 @@ object LshGuard {
         max(col("_bucket_n")).as("largest"))
       .filter(col("_bucket_n") <= cap)
       .drop("_bucket_n")
-    melted.join(keep, keyCols)
+    // keep ≈ one row per bucket key — corpus-scaled, so the join-back
+    // stays partitioned unless the caller's corpus anchor proves it
+    // small (see Partitioning.indexSide/indexSideFor for the
+    // explode-descended-estimate broadcast hazard)
+    melted.join(side(keep), keyCols)
   }
 
   private def installListener(spark: SparkSession): Unit =

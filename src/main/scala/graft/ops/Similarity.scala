@@ -343,9 +343,14 @@ object Similarity {
         .select(col("vid"),
           posexplode(bucketsFromProj(col("_proj"), nTables, nPlanes))
             .as(Seq("t", "b"))))
-    val capped = LshGuard.capBuckets(melted, Seq("t", "b"), maxBucket)
+    // band table and its self-join side are vector-scaled and explode-
+    // descended (untrustworthy estimates — see Partitioning.indexSideFor);
+    // the vectors frame anchors the small-vs-corpus decision
+    val side = graft.util.Partitioning.indexSideFor(v)
+    val capped = LshGuard.capBuckets(melted, Seq("t", "b"), maxBucket, side)
     val cands = capped.select(col("vid").as("i"), col("t"), col("b"))
-      .join(capped.select(col("vid").as("j"), col("t"), col("b")), Seq("t", "b"))
+      .join(side(capped.select(col("vid").as("j"), col("t"), col("b"))),
+        Seq("t", "b"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
     cands

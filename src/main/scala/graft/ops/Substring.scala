@@ -52,7 +52,10 @@ object Substring {
     val freq = windows.groupBy("gram")
       .agg(count(lit(1)).as("rep"))
       .filter(col("rep") >= minRep)
-    val occ = windows.join(freq, "gram")
+    // freq is gram-vocabulary-scaled — partitioned join unless the
+    // corpus anchor proves it small (see Partitioning.indexSideFor)
+    val occ = windows.join(
+      graft.util.Partitioning.indexSideFor(docs)(freq), "gram")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rep"))
     // gaps-and-islands: windows sorted by start; a window opens a NEW
     // span iff its start clears the running max end (pos + n) of all
@@ -98,7 +101,8 @@ object Substring {
     val cov = repeatedSpans(docs, n, minRep)
       .groupBy("doc_id")
       .agg(sum(col("span_end") - col("span_start")).as("covered"))
-    lens.join(cov, Seq("doc_id"), "left")
+    lens.join(graft.util.Partitioning.indexSideFor(docs)(cov),
+      Seq("doc_id"), "left")
       .withColumn("covered", coalesce(col("covered"), lit(0L)))
       .withColumn("cov_decile",
         expr("(covered * 10000 div n_tokens) div 1000"))
@@ -161,7 +165,8 @@ object Substring {
       }
       .groupBy("_bid").agg(sort_array(collect_list(col("_i"))).as("_bpos"))
     val withChunks = docs
-      .join(bnds, col(idCol) === col("_bid"), "left")
+      .join(graft.util.Partitioning.indexSideFor(docs)(bnds),
+        col(idCol) === col("_bid"), "left")
       .drop("_bid")
       .withColumn("_bpos",
         coalesce(col("_bpos"), array().cast("array<int>")))
@@ -243,20 +248,28 @@ object Substring {
   ): DataFrame = {
     val fps = winnowFingerprints(docs, k, w)
       .select("doc_id", "fp_hash").distinct()
+    // the df table and every join side below are fingerprint-/doc-
+    // scaled — partitioned joins unless the corpus anchor proves them
+    // small (see Partitioning.indexSideFor)
+    val side = graft.util.Partitioning.indexSideFor(docs)
     val kept = graft.util.AutoUnpersist.persistScoped(
       fps.join(
-        fps.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDf),
+        side(
+          fps.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= maxDf)),
         "fp_hash"))
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("fp_hash"), col("doc_id").as("i"))
-      .join(kept.select(col("fp_hash"), col("doc_id").as("j")), "fp_hash")
+      .join(side(
+        kept.select(col("fp_hash"), col("doc_id").as("j"))), "fp_hash")
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     pairs
-      .join(cnt.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
-      .join(cnt.select(col("doc_id").as("j"), col("n").as("n_j")), "j")
+      .join(side(
+        cnt.select(col("doc_id").as("i"), col("n").as("n_i"))), "i")
+      .join(side(
+        cnt.select(col("doc_id").as("j"), col("n").as("n_j"))), "j")
       .select(col("i"), col("j"), col("n_shared"), col("n_i"), col("n_j"),
         expr("n_shared * 10000 div least(n_i, n_j)").as("overlap_bp"))
   }

@@ -489,7 +489,8 @@ object DedupQueries extends QueryGroup {
     // SimHash near-dup pairs: 8×2-hex-digit LSH bands → exact bit-hamming.
     "q_dedup_simhash_pairs" -> QueryDef(
       (s, d) =>
-        Dedup.simhashPairs(Dedup.shingles(Tables.documents(s, d)))
+        Dedup.simhashPairs(Dedup.shingles(Tables.documents(s, d)),
+            side = graft.util.Partitioning.indexSideFor(Tables.documents(s, d)))
           .orderBy("i", "j"),
       Some(s"""WITH $shCte,
               |bits AS (

@@ -15,7 +15,8 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("GRAFT_PROFILE_LOG", "ERROR"))
 
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -92,19 +93,25 @@ object Profile {
       }
     } else if (args.headOption.contains("--charminhash-scale")) {
       // growth curve for char-shingle minhash on a DIVERSE char-gram
-      // corpus: each doc's text is 5 chained md5 hexes of its id (160
-      // chars ⇒ 156 char-5-grams, nearly all corpus-unique — the
-      // natural-language diversity regime the banding defaults target,
-      // which the 31-word dedup2 fixture inverts), plus a planted
-      // near-dup for 10% of docs (one char appended ⇒ jaccard 156/157)
-      // so banding and verify do real work at every scale.
+      // corpus: each doc's text is 5 chained md5 digests of its id,
+      // BASE64-coded (~120 chars ⇒ ~116 char-5-grams, nearly all
+      // corpus-unique — the natural-language diversity regime the
+      // banding defaults target, which the 31-word dedup2 fixture
+      // inverts), plus a planted near-dup for 10% of docs (one char
+      // appended) so banding and verify do real work at every scale.
+      // Base64, NOT hex: the hex alphabet's 5-gram space is 16⁵ = 1M,
+      // which the corpus SATURATES past ~x10 (every gram df ≫ 1 ⇒
+      // band collisions between unrelated docs grow quadratically —
+      // measured as a 4×-per-doubling step and a broadcast-build OOM
+      // at x40). 64⁵ ≈ 1.1e9 keeps grams diverse through x40+.
       import graft.ops.Dedup
       val mults =
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
       val baseN = 5000L
       mults.foreach { m =>
         val text = concat((1 to 5).map(i =>
-          md5(concat(col("doc_id").cast("string"), lit(s"|$i")))): _*)
+          base64(unhex(md5(concat(col("doc_id").cast("string"),
+            lit(s"|$i")))))): _*)
         val docs = spark.range(baseN * m)
           .select(col("id").as("doc_id")).select(col("doc_id"), text.as("text"))
         val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -121,9 +128,12 @@ object Profile {
       // the re-crawl/re-encode mode where duplicate-group size grows
       // WITH the corpus). Two arms per m: fixed nCells (within-cell
       // pairwise work Σ|cell|² grows m² — the quadratic fence made
-      // visible) and nCells ∝ m (constant cell occupancy — the
+      // visible), nCells ∝ m (constant cell occupancy — the
       // documented knob, per-unit cost stays flat; recall trade is
-      // cross-cell misses, reported via grouped_docs).
+      // cross-cell misses, reported via grouped_docs), and nCells ∝ √n
+      // (the nCells·n + n²/nCells optimum SCALING.md prescribes —
+      // assignment and pair work grow at the SAME n^1.5 rate, the arm
+      // that wins at every scale).
       import graft.ops.Similarity
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val mults =
@@ -148,7 +158,13 @@ object Profile {
             f"grouped_docs=$nd time=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
         run("fixed", 16)
-        run("scaled", 16 * m)
+        // the ∝m arm's assignment term is m² total — measured to x10
+        // (where it already dominates); past that it only re-measures
+        // the known quadratic, so the harness stops paying for it
+        if (m <= 10) run("scaled", 16 * m)
+        // √n arm: 2000·m vectors at sf0.1 ⇒ 16·√m keeps cells ≈ √n
+        // (16 ≈ √(2000)/2.8 anchors the x1 arm to the fixed one)
+        run("sqrt", math.max(16, (16 * math.sqrt(m)).round.toInt))
       }
     } else if (args.headOption.contains("--lsh-skew")) {
       // planted-skew stress for the banding self-join: at each m the

@@ -35,7 +35,14 @@ object AutoUnpersist {
   private val nextScope = new java.util.concurrent.atomic.AtomicLong()
 
   /** Persist `df` (MEMORY_AND_DISK) and release it after the first query
-    * that consumes it completes. Returns the persisted frame.
+    * that consumes it completes. Returns the persisted frame. LAZY by
+    * contract — op construction launches no jobs (pinned by
+    * DedupSimilaritySpec), and a constructed-but-never-consumed pipeline
+    * costs nothing. The flip side: at planning time the cache is cold,
+    * so Catalyst sees the UNDERLYING estimate, and for the explode-
+    * derived frames this library persists that estimate is badly low
+    * (see [[graft.util.Partitioning.indexSide]] for the measured
+    * broadcast-OOM hazard and the join-site mitigation).
     *
     * The frame is tagged with a uniquely-named no-op `observe` INSIDE the
     * persisted plan, which makes its cache entry canonically unique. Two

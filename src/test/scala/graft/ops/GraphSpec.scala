@@ -105,10 +105,11 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       "an unconverged exit; pointer doubling converges it in log rounds") {
     import spark.implicits._
     // 2000-node path, the pathological templated-corpus shape. With the
-    // per-cycle shortcut the min's horizon is ~156 hops at maxIter=10
-    // (reach follows r → 2(r+2) per cycle) — far past the OLD linear
-    // law's 10 hops, but still short of diameter 1999: the loop must
-    // exit signalling unconverged, and the labels are over-segmented.
+    // shortcut active from cycle 3 the min's horizon is ~60 hops at
+    // maxIter=10 (reach 2, 4, then r → 2(r+2) per cycle) — far past
+    // the OLD linear law's 10 hops, but still short of diameter 1999:
+    // the loop must exit signalling unconverged, and the labels are
+    // over-segmented.
     val longChain = (1L until 2000L).map(i => (i, i + 1)).toDF("i", "j")
     graft.util.ConvergenceMetrics.reset("duplicateClusters")
     val labels = graft.ops.Dedup.duplicateClusters(longChain, maxIter = 10)
@@ -117,9 +118,10 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(
       graft.util.ConvergenceMetrics.unconvergedCount("duplicateClusters") == 1,
       "unconverged exit must be recorded, not silent")
-    // doubling makes the fix CHEAP: 24 propagation rounds (12 cycles)
-    // fully resolve the 1999-diameter chain — the linear law would need
-    // ~4000 rounds. One cluster, no signal.
+    // doubling makes the fix CHEAP: 24 propagation rounds (12 cycles;
+    // reach 2, 4, 12, 28, 60, 124, 252, 508, 1020, 2044 — crosses 1999
+    // by cycle 10) fully resolve the 1999-diameter chain — the linear
+    // law would need ~4000 rounds. One cluster, no signal.
     graft.util.ConvergenceMetrics.reset("duplicateClusters")
     val full = graft.ops.Dedup.duplicateClusters(longChain, maxIter = 24)
     assert(full.select("cluster_id").distinct().count() == 1,
