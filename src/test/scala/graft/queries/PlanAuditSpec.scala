@@ -70,6 +70,72 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(q1.contains("LessThan"), q1)
   }
 
+  test("indexSideFor trusts only small file-backed corpora") {
+    import org.apache.spark.sql.functions._
+    // parquet scan ≤ bound: identity (Catalyst keeps its broadcasts)
+    val parquetDocs = graft.util.Tables.documents(spark, sf())
+    val probe = parquetDocs.select("doc_id")
+    assert(graft.util.Partitioning.indexSideFor(parquetDocs)(probe) eq probe,
+      "small parquet corpus must not be force-partitioned")
+    // projections/filters/unions over file scans keep the anchor
+    val derived = parquetDocs.filter(col("doc_id") % 2 === 0)
+      .unionByName(parquetDocs.filter(col("doc_id") % 2 === 1))
+    assert(graft.util.Partitioning.indexSideFor(derived)(probe) eq probe)
+    // a range-generated corpus: estimates count strings at 20 bytes —
+    // untrusted, partitioned join forced
+    val synth = spark.range(100).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("text"))
+    assert(graft.util.Partitioning.indexSideFor(synth)(probe) ne probe,
+      "non-file-backed corpus must force the partitioned side")
+    // a checkpointed corpus: stats carry the origin estimate — untrusted
+    val ckpt = parquetDocs.localCheckpoint(true)
+    assert(graft.util.Partitioning.indexSideFor(ckpt)(probe) ne probe)
+  }
+
+  test("gram-derived sides are never broadcast-built for a non-file " +
+      "corpus (the explode-estimate OOM regression gate)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // the corpus shape that reproduced the 2.9 GB broadcast build: a
+    // generated (non-file) frame whose string column estimates at 20
+    // bytes while holding ~120 chars
+    val text = concat((1 to 5).map(i =>
+      base64(unhex(md5(concat(col("doc_id").cast("string"),
+        lit(s"|$i")))))): _*)
+    val docs = spark.range(2000)
+      .select(col("id").as("doc_id"))
+      .select(col("doc_id"), text.as("text"))
+    val ops = Seq(
+      "minhashLsh" -> graft.ops.Dedup.minhashLsh(docs, portable = false),
+      "minhashLsh-portable" -> graft.ops.Dedup.minhashLsh(docs),
+      "minhashLshChars" ->
+        graft.ops.Dedup.minhashLshChars(docs, threshold = 0.8,
+          portable = false),
+      "prefixFilterJaccard" -> graft.ops.Dedup.prefixFilterJaccard(docs),
+      "ngramJaccard" -> graft.ops.Dedup.ngramJaccard(docs),
+      "containment" -> graft.ops.Dedup.containment(docs),
+      "winnowMatches" -> graft.ops.Substring.winnowMatches(docs))
+    val offenders = ops.flatMap { case (name, df) =>
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      // a broadcast build whose subtree scans an exploded or cached
+      // (gram/band/count) frame is the OOM shape — corpus-scaled data
+      // funneling into one hash relation
+      root.collect {
+        case b: BroadcastExchangeExec if b.exists(n =>
+          n.isInstanceOf[GenerateExec] ||
+            n.isInstanceOf[InMemoryTableScanExec]) => name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"corpus-derived broadcast builds planned in: $offenders")
+  }
+
   test("JSON extraction and tf-idf keep column pruning intact") {
     def readSchema(name: String): String = {
       val plan = Registry.all(name).build(spark, sf())
