@@ -31,6 +31,38 @@ object DataSelect {
     pmod(conv(substring(md5(concat(lit("dsir:"), gram)), 1, 6), 16, 10)
       .cast("long"), lit(buckets.toLong))
 
+  /** Deterministic per-stratum hash sampling — the eval-carve-out /
+    * per-source-downsampling primitive: keep a row iff the first 8 hex
+    * digits of md5(id), taken mod 10⁴, fall under its stratum's
+    * `rate_bp`. Membership is a pure function of the id, so the sample
+    * is STABLE under corpus growth, reordering, and re-runs — the
+    * property an eval split needs so yesterday's held-out docs don't
+    * drift into today's train set (`rand()`-based sampling has none of
+    * these guarantees, and Bernoulli `sample()` isn't stratified).
+    *
+    * `rates` is `(keyCol, rate_bp)`, one row per stratum — a
+    * stratum-domain-sized table (sources/languages/shards: at most
+    * thousands of rows at any corpus size), so Catalyst's broadcast of
+    * the equi-join is correct at 100 TB; rows whose stratum has no rate
+    * row are dropped (inner join = explicit allowlist). The whole op is
+    * scan → broadcast-join → filter: no shuffle of the corpus at all,
+    * and the filter's md5 is codegen.
+    *
+    * The 8-digit bucket (2³² domain) mod 10⁴ carries a relative
+    * non-uniformity of ~2⁻³², i.e. exact to far below one basis point —
+    * unlike a 4-digit bucket (65536 % 10⁴ leaves residues 0–5535 ~8%
+    * overweighted). Buckets replay digit-exactly in any engine with md5.
+    */
+  def stratifiedSample(rows: DataFrame, rates: DataFrame,
+      idCol: String = "doc_id", keyCol: String = "source"): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10000L))
+    rows.join(rates, keyCol)
+      .filter(bucket < col("rate_bp"))
+      .select(rows.columns.map(col) :+ col("rate_bp"): _*)
+  }
+
   /** DSIR importance weights over hashed unigram+bigram features.
     *
     * The target distribution is learned from the rows where `isTarget`

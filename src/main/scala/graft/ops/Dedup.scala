@@ -721,9 +721,25 @@ object Dedup {
   def prefixFilterJaccard(
       docs: DataFrame, thresholdBp: Long = 8000, shingleSize: Int = 3
   ): DataFrame = {
-    require(thresholdBp > 0 && thresholdBp <= 10000, s"bad t: $thresholdBp")
     val side = graft.util.Partitioning.indexSideFor(docs)
     val sh = graft.util.AutoUnpersist.persistScoped(shingles(docs, shingleSize))
+    prefixFilterJaccardOn(sh, thresholdBp, side)
+  }
+
+  /** [[prefixFilterJaccard]] over an ALREADY-SHINGLED (and ideally
+    * persisted) frame `(doc_id, w)` — the composition point for callers
+    * that feed several candidate generators from one shingle explode
+    * (e.g. the LSH-recall audit, which runs this exact-recall join and
+    * MinHash banding over the SAME gram frame; re-exploding the corpus
+    * per generator would double the dominant scan+explode cost).
+    * `side` must carry the caller's corpus-size evidence — pass
+    * [[graft.util.Partitioning.indexSideFor]] of the source corpus.
+    */
+  def prefixFilterJaccardOn(
+      sh: DataFrame, thresholdBp: Long,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+  ): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000, s"bad t: $thresholdBp")
     // df table ≈ vocabulary, sizes ≈ docs: both corpus-scaled —
     // partitioned joins unless the corpus anchor proves them small
     val dfc = sh.groupBy("w").agg(count(lit(1)).as("df"))

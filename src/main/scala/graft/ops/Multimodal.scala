@@ -401,6 +401,34 @@ object Multimodal {
       .agg(count(lit(1)).as("votes"))
       .filter(col("votes") >= minVotes)
 
+  /** Stop-token removal for the constellation index — the published
+    * defense (Wang 2003 §loud-token pruning; the same move as stopword
+    * removal in text retrieval) against HUB tokens: a token emitted by
+    * a large fraction of all frames joins every probe against most of
+    * the catalog, turning the [[audioMatch]] equi-join into a skewed
+    * near-cross-product while contributing no discrimination (its votes
+    * spread across all Δw). Dropping tokens whose document frequency
+    * exceeds `maxDfBp` basis points of the index caps the join's
+    * per-token fan-out by construction.
+    *
+    * RELATIVE cap (share of index entries), not absolute: token df
+    * scales with corpus size, so a fixed count would drop everything at
+    * 100 TB and nothing in a test fixture; a share threshold keeps the
+    * semantics scale-invariant. The df table is TOKEN-DOMAIN-sized
+    * (bands²·|deltas| here; ≈2²⁰ with a real FFT frontend — KBs either
+    * way), so the keep-list join is broadcastable regardless of corpus
+    * size, and the comparison is pure integer (df·10⁴ ≤ total·maxDfBp).
+    */
+  def dropHubTokens(fps: DataFrame, maxDfBp: Long = 200L): DataFrame = {
+    require(maxDfBp > 0 && maxDfBp <= 10000, s"bad maxDfBp: $maxDfBp")
+    val dfs = fps.groupBy("token").agg(count(lit(1)).as("_df"))
+    val tot = dfs.agg(sum("_df").as("_tot"))
+    val keep = dfs.crossJoin(broadcast(tot))
+      .filter(col("_df") * 10000 <= col("_tot") * maxDfBp)
+      .select("token")
+    fps.join(keep, Seq("token"), "left_semi")
+  }
+
   /** CLIP-style image–text alignment scoring — the LAION filter slot,
     * where a web-scale corpus of (image, caption) pairs is cut to the
     * pairs whose two modalities actually describe each other.

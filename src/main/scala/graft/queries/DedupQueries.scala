@@ -906,6 +906,92 @@ object DedupQueries extends QueryGroup {
              |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
     ),
 
+    // LSH-recall audit: the probabilistic candidate generator (MinHash
+    // banding, 8 hashes × 4 bands) measured against EXACT ground truth
+    // from the prefix-filter join (complete at the threshold by the
+    // pigeonhole argument) — the number a pipeline owner needs before
+    // trusting banded LSH at 100 TB, computed as a query instead of
+    // assumed from the (1-(1-s^r)^b) curve. Both generators run over
+    // ONE persisted shingle frame (the corpus is scanned and exploded
+    // once); truth ∪ LSH pairs meet in a single full-outer join and
+    // collapse to one audit row. n_lsh_only is a structural invariant
+    // (both sides verify exact Jaccard on the same sets, so LSH can
+    // never contain a pair truth lacks) — emitted so a violation would
+    // hash-mismatch rather than pass silently.
+    "q_dedup_lsh_recall" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val side = graft.util.Partitioning.indexSideFor(docs)
+        val sh = graft.util.AutoUnpersist.persistScoped(
+          Dedup.shingles(docs, 3))
+        val truth = Dedup.prefixFilterJaccardOn(sh, 8000, side)
+          .select(col("i"), col("j"), lit(1L).as("_t"))
+        val lsh = Dedup.verifyJaccard(
+            Dedup.lshCandidates(
+              Dedup.minhashSignaturesWith(sh, 8, portable = true, side),
+              8, 2, 5000, side),
+            sh, side)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("i"), col("j"), lit(1L).as("_l"))
+        truth.join(lsh, Seq("i", "j"), "full_outer")
+          .agg(
+            sum(coalesce(col("_t"), lit(0L))).as("n_truth"),
+            sum(coalesce(col("_l"), lit(0L))).as("n_lsh"),
+            sum(when(col("_t").isNotNull && col("_l").isNotNull, 1L)
+              .otherwise(0L)).as("n_both"),
+            sum(when(col("_l").isNotNull && col("_t").isNull, 1L)
+              .otherwise(0L)).as("n_lsh_only"))
+          .withColumn("recall_bp",
+            when(col("n_truth") > 0, expr("n_both * 10000 div n_truth")))
+      },
+      Some(s"""WITH ${PipelineQueries.minhashPairsCte},
+             |pdfc AS (SELECT w, count(*) AS df FROM shd GROUP BY w),
+             |ppref AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT s.doc_id, s.w, c.n,
+             |      row_number() OVER (PARTITION BY s.doc_id
+             |                         ORDER BY d.df, s.w) AS rnk
+             |    FROM shd s JOIN pdfc d ON d.w = s.w
+             |    JOIN cnt c ON c.doc_id = s.doc_id)
+             |  WHERE rnk <= n - (8000 * n + 9999) // 10000 + 1),
+             |pcand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM ppref a JOIN ppref b
+             |    ON a.w = b.w AND a.doc_id < b.doc_id),
+             |pcommon AS (
+             |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS c
+             |  FROM pcand JOIN shd x ON x.doc_id = pcand.i
+             |             JOIN shd y ON y.doc_id = pcand.j AND y.w = x.w
+             |  GROUP BY 1, 2),
+             |truth AS (
+             |  SELECT i, j FROM pcommon
+             |  JOIN cnt ci ON ci.doc_id = i
+             |  JOIN cnt cj ON cj.doc_id = j
+             |  WHERE CAST(floor(c::DOUBLE / (ci.n + cj.n - c) * 10000)
+             |             AS BIGINT) >= 8000),
+             |m AS (
+             |  SELECT (t.i IS NOT NULL) AS in_truth,
+             |         (p.i IS NOT NULL) AS in_lsh
+             |  FROM truth t FULL OUTER JOIN pairs p
+             |    ON p.i = t.i AND p.j = t.j)
+             |SELECT
+             |  CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_truth,
+             |  CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_lsh,
+             |  CAST(sum(CASE WHEN in_truth AND in_lsh THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_both,
+             |  CAST(sum(CASE WHEN in_lsh AND NOT in_truth THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_lsh_only,
+             |  CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0
+             |    THEN CAST(sum(CASE WHEN in_truth AND in_lsh THEN 1 ELSE 0
+             |      END) AS BIGINT) * 10000
+             |      // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END)
+             |           AS BIGINT)
+             |  END AS recall_bp
+             |FROM m""".stripMargin)
+    ),
+
     // Per-source duplication dashboard: exact-dup accounting by the
     // battery's content key (md5 of the first 5 tokens — the same key
     // q_dedup_exact groups on; raw full-text hashing finds nothing in

@@ -454,6 +454,107 @@ object MultimodalQueries extends QueryGroup {
              |WHERE rk = 1 ORDER BY probe_id""".stripMargin)
     ),
 
+    // Audio matching with stop-token pruning — the same fixture as
+    // q_multimodal_audio_match, but the track index first drops HUB
+    // tokens (df > 0.6% of all index entries, the published skew defense:
+    // a token shared by most frames joins every probe against most of
+    // the catalog while voting for no particular Δw). Matching must
+    // still resolve every probe to its origin track at delta_w = 4 on
+    // the surviving tokens, and n_stop_tokens rides every row so the
+    // hash pins the stop-list size itself. DuckDB replays the df
+    // accounting, the relative cap, and the pruned vote join end to end.
+    "q_multimodal_audio_stoptok" -> QueryDef(
+      (s, d) => {
+        val sam = graft.util.AutoUnpersist.persistScoped(
+          Multimodal.synthesize(Tables.documents(s, d))
+            .filter(col("modality") === "audio")
+            .select(col("media_id"),
+              decode(expr(s"substring(media, ${Multimodal.HeaderLen + 1}, " +
+                "length(media))"), "UTF-8").as("s")))
+        val probes = sam
+          .filter(col("media_id") % 5 === 0 && length(col("s")) >= 192)
+          .select(col("media_id"), expr("substring(s, 65)").as("s"))
+        // the track fingerprints feed BOTH the pruned index and the
+        // stop-list audit — one persisted frame, two bounded aggs
+        val fpsT = graft.util.AutoUnpersist.persistScoped(
+          Multimodal.audioFingerprints(sam))
+        val hits = Multimodal.audioMatch(
+          Multimodal.dropHubTokens(fpsT, maxDfBp = 60),
+          Multimodal.audioFingerprints(probes))
+        val dfs = fpsT.groupBy("token").agg(count(lit(1)).as("_df"))
+        val nStop = dfs.crossJoin(broadcast(dfs.agg(sum("_df").as("_tot"))))
+          .agg(sum(when(col("_df") * 10000 > col("_tot") * 60, 1L)
+            .otherwise(0L)).as("n_stop_tokens"))
+        hits.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+              .orderBy(col("votes").desc, col("media_id").asc,
+                col("delta_w").asc)))
+          .filter(col("rk") === 1)
+          .select(col("probe_id"), col("media_id").as("track_id"),
+            col("delta_w"), col("votes"))
+          .crossJoin(broadcast(nStop))
+          .orderBy("probe_id")
+      },
+      Some("""WITH sam AS (
+             |  SELECT doc_id AS media_id, text AS s
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |streams AS (
+             |  SELECT 'T' AS side, media_id, s FROM sam
+             |  UNION ALL
+             |  SELECT 'P' AS side, media_id, substring(s, 65) AS s
+             |  FROM sam WHERE media_id % 5 = 0 AND length(s) >= 192),
+             |chars AS (
+             |  SELECT side, media_id, CAST(i - 1 AS BIGINT) AS pos,
+             |    ascii(substring(s, i, 1))::BIGINT AS v
+             |  FROM streams,
+             |    unnest(generate_series(1, CAST(length(s) AS INTEGER))) AS g(i)),
+             |energy AS (
+             |  SELECT side, media_id, pos // 16 AS w,
+             |    CAST(pos % 8 AS INTEGER) AS b, sum(v) AS e
+             |  FROM chars GROUP BY 1, 2, 3, 4),
+             |peaks AS (
+             |  SELECT side, media_id, w, b AS peak FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY side, media_id, w
+             |      ORDER BY e DESC, b ASC) AS rk FROM energy)
+             |  WHERE rk = 1),
+             |tok AS (
+             |  SELECT side, media_id, w, token FROM (
+             |    SELECT side, media_id, w,
+             |      unnest([peak * 32 + l1 * 4 + 1,
+             |              peak * 32 + l2 * 4 + 2,
+             |              peak * 32 + l3 * 4 + 3]) AS token
+             |    FROM (
+             |      SELECT side, media_id, w, peak,
+             |        lead(peak, 1) OVER win AS l1,
+             |        lead(peak, 2) OVER win AS l2,
+             |        lead(peak, 3) OVER win AS l3
+             |      FROM peaks
+             |      WINDOW win AS (PARTITION BY side, media_id ORDER BY w)))
+             |  WHERE token IS NOT NULL),
+             |tdf AS (
+             |  SELECT token, count(*)::BIGINT AS df
+             |  FROM tok WHERE side = 'T' GROUP BY token),
+             |ttot AS (SELECT sum(df)::BIGINT AS tot FROM tdf),
+             |keep AS (
+             |  SELECT token FROM tdf, ttot WHERE df * 10000 <= tot * 60),
+             |nstop AS (
+             |  SELECT CAST(count(*) - (SELECT count(*) FROM keep) AS BIGINT)
+             |    AS n_stop_tokens FROM tdf),
+             |votes AS (
+             |  SELECT p.media_id AS probe_id, t.media_id AS track_id,
+             |    t.w - p.w AS delta_w, count(*)::BIGINT AS votes
+             |  FROM (SELECT * FROM tok WHERE side = 'P') p
+             |  JOIN (SELECT tok.* FROM tok JOIN keep USING (token)
+             |        WHERE side = 'T') t USING (token)
+             |  GROUP BY 1, 2, 3 HAVING count(*) >= 8)
+             |SELECT probe_id, track_id, delta_w, votes, n_stop_tokens
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY votes DESC, track_id ASC, delta_w ASC) AS rk
+             |  FROM votes) v, nstop
+             |WHERE rk = 1 ORDER BY probe_id""".stripMargin)
+    ),
+
     // CLIP-style image–text alignment filtering (the LAION slot): every
     // doc becomes an (image payload, caption) pair, captions of doc_id%7
     // docs are SWAPPED with their neighbor's, and the Pearson-correlation

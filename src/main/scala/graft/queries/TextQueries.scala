@@ -860,6 +860,57 @@ object TextQueries extends QueryGroup {
               |FROM assigned GROUP BY split ORDER BY split""".stripMargin)
     ),
 
+    // Rate-table sampling: each source gets its own rate_bp from a
+    // name-ordered ladder (5%, 10%, … capped at 100%), and a doc is
+    // kept iff its md5(doc_id) 2³²-bucket mod 10⁴ falls under the
+    // stratum rate — per-source downsampling / eval carve-outs whose
+    // membership is stable under corpus growth and reordering, and
+    // NESTED under rate growth (raising a rate only adds members —
+    // DataSelectSpec pins it). Generalizes q_text_sample_stratified's
+    // fixed keep-1-in-4 rule to an arbitrary per-stratum rate TABLE
+    // with allowlist semantics. The audit row per source carries
+    // target vs observed rate; the whole sample is scan →
+    // broadcast-join → filter (zero corpus shuffle).
+    "q_text_rate_sample" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // stratum-domain table (one row per source — bounded), so the
+        // unpartitioned rank window is driver-safe by construction
+        val rates = docs.select("source").distinct()
+          .withColumn("rate_bp", least(lit(10000L),
+            dense_rank().over(
+              org.apache.spark.sql.expressions.Window.orderBy("source"))
+              .cast("long") * 500))
+        val sampled = graft.ops.DataSelect.stratifiedSample(docs, rates)
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(rates, "source")
+          .join(sampled.groupBy("source").agg(count(lit(1)).as("n_sampled")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("rate_bp"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .withColumn("observed_bp", expr("n_sampled * 10000 div n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH rates AS (
+              |  SELECT source,
+              |    least(10000, CAST(dense_rank() OVER (ORDER BY source)
+              |      AS BIGINT) * 500) AS rate_bp
+              |  FROM (SELECT DISTINCT source FROM documents)),
+              |samp AS (
+              |  SELECT d.source FROM documents d JOIN rates r USING (source)
+              |  WHERE ${hex8Sql("md5(doc_id::VARCHAR)")} % 10000 < r.rate_bp),
+              |tot AS (SELECT source, count(*)::BIGINT AS n_docs
+              |        FROM documents GROUP BY source)
+              |SELECT t.source, t.n_docs, r.rate_bp,
+              |  coalesce(sm.n_sampled, 0)::BIGINT AS n_sampled,
+              |  coalesce(sm.n_sampled, 0)::BIGINT * 10000 // t.n_docs
+              |    AS observed_bp
+              |FROM tot t JOIN rates r USING (source)
+              |LEFT JOIN (SELECT source, count(*)::BIGINT AS n_sampled
+              |           FROM samp GROUP BY source) sm USING (source)
+              |ORDER BY t.source""".stripMargin)
+    ),
+
     // Pre-tokenization normalization: the corpus is already clean, so
     // deterministic byte-level noise (case, tabs, CR/LF, doubled spaces,
     // a control char) is injected identically on both engines and the
@@ -2461,6 +2512,15 @@ object TextQueries extends QueryGroup {
   private def hex4Sql(h: String): String =
     s"(${hexDigitSql(h, 1)} * 4096 + ${hexDigitSql(h, 2)} * 256 + " +
       s"${hexDigitSql(h, 3)} * 16 + ${hexDigitSql(h, 4)})"
+
+  /** Value of the first 8 hex digits of md5 expression `h` — DuckDB
+    * replay of Spark's `conv(substring(md5(x), 1, 8), 16, 10)`; the 2³²
+    * bucket domain [[graft.ops.DataSelect.stratifiedSample]] draws from.
+    */
+  private def hex8Sql(h: String): String =
+    (1 to 8).map(i =>
+      s"${hexDigitSql(h, i)} * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
 
   /** DuckDB replay of [[graft.ops.Sketches.cmsBucket]]: first 6 hex digits
     * of md5("cms:row:tok") mod 1024.

@@ -197,6 +197,47 @@ object Profile {
         time(s"lsh-skew-x$m-unguarded")(noop(
           Dedup.minhashLsh(docs, portable = false, maxBucket = Int.MaxValue)))
       }
+    } else if (args.headOption.contains("--recall-scale")) {
+      // LSH-recall audit (q_dedup_lsh_recall shape) at m× corpus, two
+      // arms: SHARED — one persisted shingle frame feeds both candidate
+      // generators via prefixFilterJaccardOn (what the query does) —
+      // vs INDEP — each generator re-explodes the corpus itself (what a
+      // naive composition would do). The delta is the measured value of
+      // the composition point; both arms end in the same one-row audit.
+      import graft.ops.Dedup
+      import org.apache.spark.sql.DataFrame
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 10)
+      def auditRow(truth: DataFrame, lsh: DataFrame): DataFrame =
+        truth.select(col("i"), col("j"), lit(1L).as("_t"))
+          .join(lsh.select(col("i"), col("j"), lit(1L).as("_l")),
+            Seq("i", "j"), "full_outer")
+          .agg(sum(coalesce(col("_t"), lit(0L))).as("n_truth"),
+            sum(coalesce(col("_l"), lit(0L))).as("n_lsh"),
+            sum(when(col("_t").isNotNull && col("_l").isNotNull, 1L)
+              .otherwise(0L)).as("n_both"))
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        time(s"recall-shared-x$m") {
+          val side = graft.util.Partitioning.indexSideFor(docs)
+          val sh = graft.util.AutoUnpersist.persistScoped(
+            Dedup.shingles(docs, 3))
+          noop(auditRow(
+            Dedup.prefixFilterJaccardOn(sh, 8000, side),
+            Dedup.verifyJaccard(
+              Dedup.lshCandidates(
+                Dedup.minhashSignaturesWith(sh, 8, portable = true, side),
+                8, 2, 5000, side),
+              sh, side).filter(col("jaccard") >= 0.8)))
+        }
+        time(s"recall-indep-x$m")(noop(auditRow(
+          Dedup.prefixFilterJaccard(docs, 8000),
+          Dedup.minhashLsh(docs))))
+      }
     } else if (args.headOption.contains("--ann-scale")) {
       // recall-at-scale curve for the ANN paths: m disjoint corpus copies,
       // each perturbed per-dimension (deterministic sin offset, cast back

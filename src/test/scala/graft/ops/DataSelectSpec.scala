@@ -124,4 +124,33 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
     Seq(w2, w4).foreach(w => assert(w.values.sum <= 1000000L &&
       w.values.sum > 999990L, s"floor-normalized mass: ${w.values.sum}"))
   }
+
+  test("stratifiedSample: deterministic, nested across rates, allowlist-gated") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val rates = Seq(("a", 2000L), ("b", 10000L)).toDF("source", "rate_bp")
+    val s1 = DataSelect.stratifiedSample(rows, rates)
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    // rate 10000 keeps every row of its stratum; the hash gate only bites below it
+    assert(rows.filter(col("source") === "b").count() ==
+      s1.filter(col("source") === "b").count())
+    // a-side is a strict subsample
+    val aKept = s1.filter(col("source") === "a").count()
+    assert(aKept > 0 && aKept < 500, s"a kept $aKept of 500")
+    // determinism: same input, same sample — including under repartition
+    val ids2 = DataSelect.stratifiedSample(rows.repartition(7), rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2, "sample must be a pure function of ids")
+    // nesting: raising a stratum rate only ADDS members (threshold sampling),
+    // so yesterday's 20% eval set is a subset of today's 50% one
+    val wider = DataSelect.stratifiedSample(rows,
+      Seq(("a", 5000L), ("b", 10000L)).toDF("source", "rate_bp"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1.subsetOf(wider), "rate growth must never evict a member")
+    // allowlist: strata with no rate row are dropped entirely
+    val gated = DataSelect.stratifiedSample(rows,
+      Seq(("a", 10000L)).toDF("source", "rate_bp"))
+    assert(gated.filter(col("source") === "b").count() == 0L)
+  }
 }

@@ -292,4 +292,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(fa(8000L + f) == fa(3008000L + f), s"frame $f must match"))
     assert(fa(8003L) != fa(3008003L), "edited final frame must differ")
   }
+
+  test("dropHubTokens: relative-df cap drops the hub, keeps the tail") {
+    import spark.implicits._
+    // token 1 carries 50/59 of the index (a hub); tokens 2..10 once each
+    val fps = ((1 to 50).map(w => (1L, w.toLong, 1L)) ++
+      (2 to 10).map(t => (2L, t.toLong, t.toLong)))
+      .toDF("media_id", "w", "token")
+    val kept = Multimodal.dropHubTokens(fps, maxDfBp = 5000)
+      .select("token").as[Long].collect().toSeq.sorted
+    assert(kept == (2L to 10L), s"hub must drop, tail must survive: $kept")
+    // a cap above the hub's share keeps everything (boundary is <=)
+    assert(Multimodal.dropHubTokens(fps, maxDfBp = 8500).count() == 59L)
+  }
 }

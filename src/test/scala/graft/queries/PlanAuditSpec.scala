@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_events_rolling_distinct", // 1-row max-hour aggregate × hourly pairs
     "q_events_itemsets3", // 1-row basket-count (relative-support) aggregate
     "q_text_quantile_norm", // 1-row pooled-count aggregate × ranked docs
-    "q_pipeline_forget") // crossJoin of eight 1-row audit-count aggregates
+    "q_pipeline_forget", // crossJoin of eight 1-row audit-count aggregates
+    "q_multimodal_audio_stoptok") // 1-row stop-list-size aggregate (and
+                                  // its 1-row df-total feed) × match rows
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
