@@ -604,6 +604,74 @@ object Similarity {
         col("_k.c").as("keep_csim_bp"), col("cluster_size"))
   }
 
+  /** Cluster-prototype difficulty pruning — the data-selection rule of
+    * Sorscher et al. (NeurIPS 2022, "Beyond neural scaling laws"): embed,
+    * cluster, score every example by its distance to the assigned cluster
+    * prototype, and in the data-abundant regime KEEP THE HARD examples
+    * (far from their prototype) while dropping the easy redundant core.
+    * Per cluster, the `keepHardBp`/10⁴ hardest members survive — per
+    * cluster, not globally, so a tight cluster can't flood the kept set
+    * with its periphery while a diffuse one is erased.
+    *
+    * Prototypes come from [[kmeansCentroids]] (fixed-point Lloyd over the
+    * deterministic first-`nCells` seed); assignment and the centroid
+    * cosine reuse the exact `greatest(struct(s, cell))` argmax
+    * [[semanticDedup]] and [[ivfCell]] perform, floored to basis points —
+    * so difficulty ranks replay digit-exactly in any engine.
+    *
+    * Distributed shape (the [[graft.ops.TextAnalysis.curriculum]]
+    * value-domain decomposition, per cell): the per-cell rank of each
+    * member is n_harder(cell, csim_bp) — a cumulative window over the
+    * BOUNDED (cell × basis-point) distribution table, ≤ nCells·10⁰⁴ rows —
+    * plus a tie rank inside the single (cell, csim_bp) group. No
+    * corpus-sized window ever sorts a whole cell, which is what makes the
+    * op survive cells holding 1/nCells of a 100 TB corpus. Ceil keep
+    * count: every non-empty cell keeps at least one member, so no cluster
+    * (= no data mode) is ever erased outright.
+    *
+    * Returns `(vec_id, cell, csim_bp, cell_rank, cell_n)` for the kept
+    * (hard) members; `cell_rank` 1 = hardest in its cell.
+    */
+  def prototypePrune(
+      vectors: DataFrame, nCells: Int = 16, lloydIters: Int = 3,
+      keepHardBp: Long = 2500L,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    require(keepHardBp > 0 && keepHardBp <= 10000, s"bad keep: $keepHardBp")
+    val cents = kmeansCentroids(vectors, nCells, lloydIters, idCol, vecCol)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("_vec"), array(c.toSeq.map(lit): _*)) / cNorm).as("s"),
+        lit(i).as("cell"))
+    }
+    // csim divides the argmax score by the vector's OWN norm too: the
+    // argmax is |v|-invariant, but difficulty compares ACROSS vectors of
+    // one cell, where an unnormalized |v| would masquerade as centrality
+    val asg = graft.util.AutoUnpersist.persistScoped(
+      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("_vec"))
+        .withColumn("_best", greatest(scored: _*))
+        .select(col("vec_id"),
+          col("_best").getField("cell").cast("long").as("cell"),
+          floor(col("_best").getField("s") / norm(col("_vec")) * 10000)
+            .cast("long").as("csim_bp")))
+    // value-domain tables: bounded by nCells × 10001 regardless of corpus
+    val dist = asg.groupBy("cell", "csim_bp").agg(count(lit(1)).as("_n"))
+    val harder = Window.partitionBy("cell").orderBy("csim_bp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("_n_harder", coalesce(sum("_n").over(harder), lit(0L)))
+      .select("cell", "csim_bp", "_n_harder")
+    val sizes = asg.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    asg.join(broadcast(cum), Seq("cell", "csim_bp"))
+      .join(broadcast(sizes), Seq("cell"))
+      .withColumn("cell_rank", col("_n_harder") + row_number().over(
+        Window.partitionBy("cell", "csim_bp").orderBy("vec_id"))
+        .cast("long"))
+      .filter(col("cell_rank") <=
+        expr(s"(cell_n * $keepHardBp + 9999) div 10000"))
+      .select("vec_id", "cell", "csim_bp", "cell_rank", "cell_n")
+  }
+
   /** Margin-based parallel-pair (bitext) mining between two embedding
     * collections A and B — the corpus-curation op that aligns two
     * monolingual (or cross-modal) sides by embedding similarity, in the

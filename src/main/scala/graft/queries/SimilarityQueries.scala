@@ -476,6 +476,55 @@ object SimilarityQueries extends QueryGroup {
               |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin)
     ),
 
+    // Cluster-prototype difficulty pruning (Sorscher et al. 2022): after
+    // the same fixed-point Lloyd the IVF/semantic-dedup queries train,
+    // every embedding's difficulty is its centroid cosine in basis
+    // points, and each cell keeps only its hardest 25% (ceil — a
+    // non-empty cell never empties, so no data mode is erased). The
+    // per-cell rank uses the curriculum value-domain decomposition, so
+    // no corpus-sized window exists in the plan. The oracle replays
+    // Lloyd, the argmax assignment, and the rank; `cell` surfaces in the
+    // output, so the oracle densifies its seed-id cells to the 0-based
+    // vec_id-order index the Spark side uses (a monotone remap — argmax
+    // ties are unaffected).
+    "q_sim_prototype_prune" -> QueryDef(
+      (s, d) =>
+        Similarity.prototypePrune(Tables.embeddings(s, d),
+            nCells = 16, lloydIters = IvfLloydIters, keepHardBp = 2500L)
+          .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE ${kmeansCentsCtes(IvfLloydIters)},
+              |cellmap AS (
+              |  SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS cell_ix
+              |  FROM cents0),
+              |asg AS (
+              |  SELECT q.vec_id, m.cell_ix AS cell,
+              |    CAST(floor(q.s
+              |      / sqrt(list_reduce(list_transform(
+              |          generate_series(1, len(e.embedding)),
+              |          x -> e.embedding[x]::DOUBLE * e.embedding[x]::DOUBLE),
+              |          (s, v) -> s + v))
+              |      * 10000) AS BIGINT) AS csim_bp
+              |  FROM (
+              |    SELECT vec_id, cell, s,
+              |      row_number() OVER (PARTITION BY vec_id
+              |                         ORDER BY s DESC, cell DESC) AS rn
+              |    FROM score$IvfLloydIters) q
+              |  JOIN cellmap m USING (cell)
+              |  JOIN embeddings e ON e.vec_id = q.vec_id
+              |  WHERE rn = 1),
+              |ranked AS (
+              |  SELECT vec_id, cell, csim_bp,
+              |    row_number() OVER (PARTITION BY cell
+              |                       ORDER BY csim_bp ASC, vec_id ASC)
+              |      AS cell_rank,
+              |    count(*) OVER (PARTITION BY cell) AS cell_n
+              |  FROM asg)
+              |SELECT vec_id, cell, csim_bp, cell_rank, cell_n
+              |FROM ranked
+              |WHERE cell_rank <= (cell_n * 2500 + 9999) // 10000
+              |ORDER BY vec_id""".stripMargin)
+    ),
+
     // Margin-based bitext mining between the even-label and odd-label
     // halves of the corpus (stand-ins for two monolingual sides): top-2
     // matches per source vector, margin-normalized by both 4-NN

@@ -131,6 +131,36 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       s"keep must be least centroid-similar, got ${got.toSeq}")
   }
 
+  test("prototypePrune: hardest kept per cell, ceil floor, norm-invariant") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // lloydIters = 0 pins prototypes at the first-2 seed (ids 0, 1), so
+    // difficulty is exactly the cosine to an axis: cell0 = {0 easy,
+    // 2 near, 4 hard}, cell1 = {1 easy, 5 easy-but-unnormalized, 6 hard}
+    val vecs = Seq(
+      (0L, v(1, 0)), (1L, v(0, 1)),
+      (2L, v(1, 0.1)), (4L, v(0.9, 0.45)),
+      (5L, v(0, 2)), (6L, v(0.3, 0.95))
+    ).toDF("vec_id", "embedding")
+    def kept(bp: Long): Map[Long, (Long, Long)] = graft.ops.Similarity
+      .prototypePrune(vecs, nCells = 2, lloydIters = 0, keepHardBp = bp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // keep half (ceil 1.5 -> 2 of 3 per cell): the hardest two, never
+    // the prototype-exact members; |v|=2 on id 5 must still read "easy"
+    val half = kept(5000L)
+    assert(half.keySet == Set(2L, 4L, 6L, 1L),
+      s"hardest-per-cell expected: $half")
+    assert(half(4L)._1 == 1L && half(2L)._1 == 2L,
+      s"cell0 ranks hardest-first: $half")
+    assert(half(6L)._1 == 1L && half(1L)._1 == 2L,
+      s"cell1 tie (1 vs 5 both exact) breaks to lower id: $half")
+    assert(half.values.forall(_._2 == 3L), s"cell_n rides rows: $half")
+    // ceil keep: even 1 bp keeps one member per non-empty cell
+    assert(kept(1L).keySet == Set(4L, 6L),
+      "a non-empty cell never empties (ceil keep)")
+  }
+
   test("phraseSearch: consecutive-only matches, counts, repeated-word phrases") {
     import spark.implicits._
     val docs = Seq(
