@@ -604,6 +604,75 @@ object Similarity {
         col("_k.c").as("keep_csim_bp"), col("cluster_size"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversity re-ranking: from a per-query candidate shortlist, pick
+    * `kOut` results greedily, each round taking the candidate maximizing
+    *
+    *   λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * — the standard redundancy penalty that turns "the k most similar"
+    * (usually k near-duplicates of each other) into "k similar AND
+    * mutually distinct", the shape RAG retrieval and eval-set selection
+    * actually want. Scoring is pure integer: `mmr_u = lambdaBp·rel_bp −
+    * (10⁴−lambdaBp)·maxSim_bp` (basis-point micro-units), ties to the
+    * lower cand_id, empty-selected-set penalty 0 — every round replays
+    * digit-exactly in any engine.
+    *
+    * `cands` is any candidate generator's `(query_id, cand_id, cos_bp)`
+    * contract — [[bruteForceTopK]] here, [[ivfTopK]]/[[lshTopK]] at
+    * corpus scale, identical downstream. Distributed shape: the pairwise
+    * candidate-similarity table is shortlist², i.e. ≤ k² rows PER QUERY
+    * (k=10–50 ⇒ ≤2500 — bounded fan-out, no corpus joins anywhere), and
+    * each greedy round is one bounded join + one per-query window over
+    * the shortlist. The greedy loop is inherently sequential in k — MMR's
+    * definition — but every query re-ranks independently, so the rounds
+    * are `kOut` narrow distributed passes, not a driver loop over queries.
+    *
+    * Returns `(query_id, mmr_rank, cand_id, cos_bp, mmr_u)`,
+    * `mmr_rank` 1..kOut (fewer if the shortlist exhausts).
+    */
+  def mmrRerank(
+      cands: DataFrame, vectors: DataFrame, kOut: Int = 5,
+      lambdaBp: Long = 7000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    require(kOut >= 1, s"bad kOut: $kOut")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, s"bad lambda: $lambdaBp")
+    val base = graft.util.AutoUnpersist.persistScoped(
+      cands.select("query_id", "cand_id", "cos_bp"))
+    val v = vectors.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    val a = base.join(v, base("cand_id") === v("_vid"))
+      .select(col("query_id"), col("cand_id").as("_i"), col("_v").as("_va"))
+    val b = base.join(v, base("cand_id") === v("_vid"))
+      .select(col("query_id"), col("cand_id").as("_j"), col("_v").as("_vb"))
+    val sims = graft.util.AutoUnpersist.persistScoped(
+      a.join(b, "query_id").filter(col("_i") =!= col("_j"))
+        .select(col("query_id"), col("_i"), col("_j"),
+          floor(cosine(col("_va"), col("_vb")) * 10000).cast("long")
+            .as("_sim_bp")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("_score"), col("cand_id"))
+    def pick(scored: DataFrame, r: Int): DataFrame = scored
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("query_id"), lit(r).as("mmr_rank"), col("cand_id"),
+        col("cos_bp"), col("_score").as("mmr_u"))
+    var out = pick(base.withColumn("_score", lit(lambdaBp) * col("cos_bp")),
+      1).localCheckpoint(true)
+    for (r <- 2 to kOut) {
+      val selIds = out.select(col("query_id"), col("cand_id").as("_j"))
+      val maxSim = sims.join(selIds, Seq("query_id", "_j"))
+        .groupBy(col("query_id"), col("_i").as("cand_id"))
+        .agg(max("_sim_bp").as("_mx"))
+      val rem = base.join(out.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored = rem.join(maxSim, Seq("query_id", "cand_id"), "left")
+        .withColumn("_score", lit(lambdaBp) * col("cos_bp") -
+          lit(10000L - lambdaBp) * coalesce(col("_mx"), lit(0L)))
+      out = out.unionByName(pick(scored, r)).localCheckpoint(true)
+    }
+    out
+  }
+
   /** Cluster-prototype difficulty pruning — the data-selection rule of
     * Sorscher et al. (NeurIPS 2022, "Beyond neural scaling laws"): embed,
     * cluster, score every example by its distance to the assigned cluster

@@ -193,6 +193,48 @@ object SimilarityQueries extends QueryGroup {
       |   * sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)),
       |        x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)))""".stripMargin
 
+  /** Unrolled MMR greedy rounds (DuckDB replay of
+    * [[graft.ops.Similarity.mmrRerank]]): expects CTEs `cand`
+    * (query_id, cand_id, cos_bp) and `sims` (query_id, i, j, sim_bp)
+    * upstream; emits sel1..selK and the running union selallK.
+    */
+  private def mmrRoundsCtes(kOut: Int, lambdaBp: Long): String = {
+    val inv = 10000L - lambdaBp
+    val sb = new StringBuilder
+    sb ++=
+      s"""sel1 AS (
+         |  SELECT query_id, 1 AS mmr_rank, cand_id, cos_bp,
+         |    $lambdaBp * cos_bp AS mmr_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY $lambdaBp * cos_bp DESC, cand_id) AS rn
+         |        FROM cand) WHERE rn = 1),
+         |selall1 AS (SELECT * FROM sel1)""".stripMargin
+    for (r <- 2 to kOut) {
+      sb ++= ",\n" +
+        s"""pen$r AS (
+           |  SELECT s.query_id, s.i AS cand_id, max(s.sim_bp) AS mx
+           |  FROM sims s JOIN selall${r - 1} t
+           |    ON t.query_id = s.query_id AND t.cand_id = s.j
+           |  GROUP BY 1, 2),
+           |sel$r AS (
+           |  SELECT query_id, $r AS mmr_rank, cand_id, cos_bp, mmr_u FROM (
+           |    SELECT r.query_id, r.cand_id, r.cos_bp,
+           |      $lambdaBp * r.cos_bp - $inv * coalesce(p.mx, 0) AS mmr_u,
+           |      row_number() OVER (PARTITION BY r.query_id
+           |        ORDER BY $lambdaBp * r.cos_bp
+           |          - $inv * coalesce(p.mx, 0) DESC, r.cand_id) AS rn
+           |    FROM (SELECT c.* FROM cand c LEFT JOIN selall${r - 1} s
+           |          ON s.query_id = c.query_id AND s.cand_id = c.cand_id
+           |          WHERE s.cand_id IS NULL) r
+           |    LEFT JOIN pen$r p
+           |      ON p.query_id = r.query_id AND p.cand_id = r.cand_id)
+           |  WHERE rn = 1),
+           |selall$r AS (SELECT * FROM selall${r - 1}
+           |             UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }
+    sb.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Symmetric int8 scalar quantization (the PQ-style memory-shrink
@@ -474,6 +516,44 @@ object SimilarityQueries extends QueryGroup {
               |  count(*) AS cluster_size
               |FROM labels l JOIN asg a ON a.vec_id = l.doc_id
               |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin)
+    ),
+
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998): brute-force
+    // top-12 shortlists for 20 query vectors, greedily re-ranked to 4
+    // results per query with λ=0.7 — each round's winner maximizes
+    // λ·rel − (1−λ)·max-sim-to-already-selected in pure-integer
+    // micro-units. The oracle replays the shortlist, the k²-bounded
+    // pairwise sim table, and all four unrolled greedy rounds; the mmr_u
+    // scores ride every row so the hash pins the arithmetic, not just
+    // the picks.
+    "q_sim_mmr_rerank" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cands = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, k = 12)
+        Similarity.mmrRerank(cands, e, kOut = 4, lambdaBp = 7000L)
+          .orderBy("query_id", "mmr_rank")
+      },
+      Some(s"""WITH mscored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 20),
+              |cand AS (
+              |  SELECT query_id, cand_id, cos_bp FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos_bp DESC, cand_id) AS rn
+              |    FROM mscored) WHERE rn <= 12),
+              |sims AS (
+              |  SELECT x.query_id, x.cand_id AS i, y.cand_id AS j,
+              |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS sim_bp
+              |  FROM cand x JOIN cand y
+              |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id
+              |  JOIN embeddings q ON q.vec_id = x.cand_id
+              |  JOIN embeddings c ON c.vec_id = y.cand_id),
+              |${mmrRoundsCtes(4, 7000L)}
+              |SELECT query_id, mmr_rank, cand_id, cos_bp, mmr_u
+              |FROM selall4 ORDER BY query_id, mmr_rank""".stripMargin)
     ),
 
     // Cluster-prototype difficulty pruning (Sorscher et al. 2022): after

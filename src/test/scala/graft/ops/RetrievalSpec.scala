@@ -131,6 +131,30 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       s"keep must be least centroid-similar, got ${got.toSeq}")
   }
 
+  test("mmrRerank: redundancy penalized at low lambda; relevance at 10⁴; " +
+      "shortlist exhaustion truncates") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // A and B are near-duplicates hugging the query; C is diverse but
+    // less relevant — the canonical MMR situation
+    val vecs = Seq(
+      (100L, v(1, 0)), (1L, v(1, 0.05)), (2L, v(1, 0.06)), (3L, v(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    val cands = graft.ops.Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 100L),
+      vecs.filter(col("vec_id") =!= 100L), k = 3)
+    def order(lam: Long, k: Int = 3): Seq[Long] = graft.ops.Similarity
+      .mmrRerank(cands, vecs, kOut = k, lambdaBp = lam)
+      .orderBy("mmr_rank").select("cand_id").as[Long].collect().toSeq
+    // λ=1: pure relevance — the near-dup pair stays adjacent
+    assert(order(10000L) == Seq(1L, 2L, 3L), "λ=10⁴ must be relevance order")
+    // λ=0.3: B's ~0.9999 sim to selected A buries it below diverse C
+    assert(order(3000L) == Seq(1L, 3L, 2L),
+      "redundancy penalty must defer the near-duplicate")
+    // kOut beyond the shortlist truncates instead of repeating/failing
+    assert(order(3000L, k = 5).size == 3, "exhausted shortlist truncates")
+  }
+
   test("prototypePrune: hardest kept per cell, ceil floor, norm-invariant") {
     import spark.implicits._
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
