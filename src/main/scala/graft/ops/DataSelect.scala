@@ -63,6 +63,43 @@ object DataSelect {
       .select(rows.columns.map(col) :+ col("rate_bp"): _*)
   }
 
+  /** Epoch-seeded deterministic training-order shuffle — the data-loader
+    * primitive (the batch formulation of MosaicML-StreamingDataset /
+    * Megatron-style epoch shuffling): every document's position in the
+    * epoch's global order is a pure function of (epoch, doc_id), so the
+    * order is reproducible across re-runs and resumptions, DIFFERENT
+    * across epochs, and statistically interleaves sources (an md5 key
+    * scatters each source uniformly — no clumped source runs, which is
+    * what plain source/doc_id-ordered reads feed the trainer).
+    *
+    * Global order = (shard, pos): the key's top bits pick the shard, so
+    * shards are CONTIGUOUS key ranges and concatenating shards 0..n−1
+    * IS the global permutation — a range-partitioned global sort where
+    * every shard sorts independently (the only scale-safe global sort;
+    * same shape Spark's own orderBy uses, but with deterministic
+    * hash-derived ranges instead of sampled ones, so a resumed job or a
+    * second engine lands every doc at the identical position).
+    * `nShards` must divide the 2³² key domain (powers of two) so range
+    * width is exact integer arithmetic in any engine.
+    *
+    * Returns docs + `(order_key, shard, pos)`; pos is 1-based within
+    * shard.
+    */
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0 && 4294967296L % nShards == 0,
+      s"nShards must divide 2^32: $nShards")
+    val width = 4294967296L / nShards
+    // 8 hex digits < 2^32 by construction — no reduction needed
+    val key = conv(substring(md5(concat(lit(s"ep$epoch:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.withColumn("order_key", key)
+      .withColumn("shard", expr(s"order_key div $width"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy("order_key", idCol)).cast("long"))
+  }
+
   /** DSIR importance weights over hashed unigram+bigram features.
     *
     * The target distribution is learned from the rows where `isTarget`

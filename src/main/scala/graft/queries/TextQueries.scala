@@ -911,6 +911,66 @@ object TextQueries extends QueryGroup {
               |ORDER BY t.source""".stripMargin)
     ),
 
+    // Epoch-seeded deterministic training order: epoch 1's permutation
+    // audited per shard — doc count, source-interleave quality (adjacent
+    // same-source pairs in the shard-local order), the first/last order
+    // keys and the doc at position 1 pin the actual ordering into the
+    // hash — plus how many of the shard's docs land in a DIFFERENT
+    // shard under epoch 2 (the "reshuffle really reshuffles" pin; at 16
+    // shards ≈ 15/16 of docs move). All joins are on doc_id; the only
+    // windows are shard-partitioned (the range-partitioned global sort).
+    "q_text_epoch_shuffle" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val e1 = graft.ops.DataSelect.epochShuffle(docs, epoch = 1)
+        val e2 = graft.ops.DataSelect.epochShuffle(docs, epoch = 2)
+          .select(col("doc_id"), col("shard").as("_shard2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("pos")
+        e1.join(e2, "doc_id")
+          .withColumn("_prev_src", lag("source", 1).over(w))
+          .groupBy("shard").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("source") === col("_prev_src"), 1L).otherwise(0L))
+              .as("n_adjacent_same_source"),
+            min("order_key").as("first_key"),
+            max("order_key").as("last_key"),
+            min_by(col("doc_id"), col("pos")).as("first_doc"),
+            sum(when(col("_shard2") =!= col("shard"), 1L).otherwise(0L))
+              .as("n_moved_epoch2"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH e1 AS (
+              |  SELECT doc_id, source,
+              |    ${hex8Sql("md5('ep1:' || doc_id::VARCHAR)")} AS order_key
+              |  FROM documents),
+              |e2 AS (
+              |  SELECT doc_id,
+              |    ${hex8Sql("md5('ep2:' || doc_id::VARCHAR)")}
+              |      // 268435456 AS shard2
+              |  FROM documents),
+              |pos1 AS (
+              |  SELECT e1.doc_id, e1.source, e1.order_key,
+              |    e1.order_key // 268435456 AS shard,
+              |    row_number() OVER (PARTITION BY e1.order_key // 268435456
+              |                       ORDER BY e1.order_key, e1.doc_id)
+              |      AS pos
+              |  FROM e1),
+              |lagged AS (
+              |  SELECT p.*, s2.shard2,
+              |    lag(p.source, 1) OVER (PARTITION BY p.shard
+              |                           ORDER BY p.pos) AS prev_src
+              |  FROM pos1 p JOIN e2 s2 ON s2.doc_id = p.doc_id)
+              |SELECT shard, count(*)::BIGINT AS n_docs,
+              |  CAST(sum(CASE WHEN source = prev_src THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_adjacent_same_source,
+              |  min(order_key) AS first_key, max(order_key) AS last_key,
+              |  arg_min(doc_id, pos) AS first_doc,
+              |  CAST(sum(CASE WHEN shard2 <> shard THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_moved_epoch2
+              |FROM lagged GROUP BY shard ORDER BY shard""".stripMargin)
+    ),
+
     // Pre-tokenization normalization: the corpus is already clean, so
     // deterministic byte-level noise (case, tabs, CR/LF, doubled spaces,
     // a control char) is injected identically on both engines and the

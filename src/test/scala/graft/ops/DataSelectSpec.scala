@@ -125,6 +125,32 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       w.values.sum > 999990L, s"floor-normalized mass: ${w.values.sum}"))
   }
 
+  test("epochShuffle: reproducible per epoch, reshuffled across epochs, " +
+      "shard-concatenation equals the global key sort") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+    def perm(ep: Int, df: org.apache.spark.sql.DataFrame = rows) =
+      DataSelect.epochShuffle(df, epoch = ep, nShards = 8)
+        .select("doc_id", "shard", "pos", "order_key")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val p1 = perm(1)
+    // pure function of (epoch, id): partitioning must not change anything
+    assert(p1 == perm(1, rows.repartition(7)), "epoch order must be stable")
+    // a different epoch is a genuinely different permutation
+    val p2 = perm(2)
+    val moved = p1.count { case (id, sp) => p2(id) != sp }
+    assert(moved > 400, s"epoch 2 must reshuffle, only $moved of 500 moved")
+    // concatenating shards in (shard, pos) order IS the global key sort
+    val byShard = DataSelect.epochShuffle(rows, epoch = 1, nShards = 8)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    val bySort = DataSelect.epochShuffle(rows, epoch = 1, nShards = 8)
+      .orderBy("order_key", "doc_id").select("doc_id").as[Long]
+      .collect().toSeq
+    assert(byShard == bySort, "shards must be contiguous key ranges")
+  }
+
   test("stratifiedSample: deterministic, nested across rates, allowlist-gated") {
     import spark.implicits._
     val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
