@@ -151,6 +151,32 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
     assert(byShard == bySort, "shards must be contiguous key ranges")
   }
 
+  test("stratifiedSample: stateless, so it runs unchanged under streaming " +
+      "with batch-identical membership regardless of batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = (0L until 300L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val rates = Seq(("a", 3000L), ("b", 7000L)).toDF("source", "rate_bp")
+    val expected = DataSelect
+      .stratifiedSample(all.toDF("doc_id", "source"), rates)
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = DataSelect
+      .stratifiedSample(input.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("ss_parity")
+      .outputMode("append").start()
+    try {
+      // uneven batch boundaries must not change membership
+      input.addData(all.take(7): _*); q.processAllAvailable()
+      input.addData(all.slice(7, 180): _*); q.processAllAvailable()
+      input.addData(all.drop(180): _*); q.processAllAvailable()
+      val got = spark.table("ss_parity").select("doc_id").as[Long]
+        .collect().toSet
+      assert(got == expected, "stream and batch must select the same ids")
+    } finally q.stop()
+  }
+
   test("stratifiedSample: deterministic, nested across rates, allowlist-gated") {
     import spark.implicits._
     val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
