@@ -604,6 +604,69 @@ object Similarity {
         col("_k.c").as("keep_csim_bp"), col("cluster_size"))
   }
 
+  /** k-center greedy coreset selection (Sener & Savarese 2018, the
+    * farthest-point-first traversal): pick `k` corpus vectors such that
+    * every vector is within the picked set's cover radius — the
+    * COVERAGE-guarantee subset family (greedy is a 2-approximation of
+    * the optimal k-center). Where [[prototypePrune]] keeps hard examples
+    * per density cluster and [[mmrRerank]] diversifies one query's
+    * shortlist, the coreset is a GLOBAL diverse skeleton of the corpus:
+    * eval-set seeding, labeling-budget allocation, centroid-free
+    * sharding anchors.
+    *
+    * Greedy round r picks the vector FARTHEST from the already-picked
+    * set — argmin over candidates of max-cosine-to-picked, floored to
+    * basis points, ties to the lower id; the seed is the lowest id. The
+    * emitted `cover_bp` (the pick's own max-cos at pick time, NULL for
+    * the seed) is the k-center radius sequence: non-decreasing, and its
+    * last value is the certified covering radius of the whole corpus.
+    *
+    * Distributed shape, [[kmeansCentroids]]-style: the picked set is the
+    * only driver state (k × d doubles), each round is one distributed
+    * argmin over the corpus against the broadcast picked set — k narrow
+    * passes, O(k·n) dots total recomputed per round (O(k²·n/2) overall;
+    * for the k ≲ 100 this op targets, recompute beats checkpointing a
+    * corpus-sized running-min column every round).
+    *
+    * Returns `(round, vec_id, cover_bp)`, round 1..k.
+    */
+  def kCenterCoreset(
+      vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = graft.util.AutoUnpersist.persistScoped(
+      vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        norm(col(vecCol)).as("_n")))
+    val seedRow = v.agg(min(struct(col("_id"), col("_v"))).as("s"))
+      .select(col("s._id"), col("s._v")).head()
+    var picked = Vector(
+      (seedRow.getLong(0), seedRow.getSeq[Float](1).toArray))
+    var out = Vector((1, seedRow.getLong(0), Option.empty[Long]))
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
+      val scored = picked.map { case (_, c) =>
+        val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        dot(col("_v"), array(c.map(x => lit(x.toDouble)).toSeq: _*)) /
+          (lit(cn) * col("_n"))
+      }
+      val mc = floor(greatest(lit(-1.0) +: scored: _*) * 10000)
+        .cast("long")
+      val pick = v.filter(!col("_id").isin(picked.map(_._1): _*))
+        .agg(min(struct(mc.as("mc"), col("_id"), col("_v"))).as("p"))
+        .select(col("p._id"), col("p.mc"), col("p._v")).head()
+      if (pick.isNullAt(0)) exhausted = true // corpus smaller than k
+      else {
+        picked :+= ((pick.getLong(0), pick.getSeq[Float](2).toArray))
+        out :+= ((r, pick.getLong(0), Some(pick.getLong(1))))
+      }
+    }
+    out.map { case (r, id, c) => (r, id, c) }
+      .toDF("round", "vec_id", "cover_bp")
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversity re-ranking: from a per-query candidate shortlist, pick
     * `kOut` results greedily, each round taking the candidate maximizing

@@ -235,6 +235,39 @@ object SimilarityQueries extends QueryGroup {
     sb.toString
   }
 
+  /** Unrolled k-center greedy rounds (DuckDB replay of
+    * [[graft.ops.Similarity.kCenterCoreset]]): each round scores every
+    * unpicked vector's max cosine to the picked set and takes the argmin
+    * (ties to the lower id). Uses `$cosineSql`'s q/c aliases.
+    */
+  private def kcenterRoundsCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """sel1 AS (SELECT 1 AS round, min(vec_id) AS vid,
+        |  CAST(NULL AS BIGINT) AS cover_bp FROM embeddings),
+        |selall1 AS (SELECT * FROM sel1)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= ",\n" +
+        s"""mc$r AS (
+           |  SELECT q.vec_id,
+           |    CAST(floor(greatest(-1.0, max($cosineSql)) * 10000)
+           |      AS BIGINT) AS mc_bp
+           |  FROM embeddings q
+           |  JOIN embeddings c
+           |    ON c.vec_id IN (SELECT vid FROM selall${r - 1})
+           |  WHERE q.vec_id NOT IN (SELECT vid FROM selall${r - 1})
+           |  GROUP BY q.vec_id),
+           |sel$r AS (
+           |  SELECT $r AS round, vec_id AS vid, mc_bp AS cover_bp
+           |  FROM (SELECT *, row_number() OVER (ORDER BY mc_bp ASC,
+           |          vec_id ASC) AS rn FROM mc$r)
+           |  WHERE rn = 1),
+           |selall$r AS (SELECT * FROM selall${r - 1}
+           |             UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }
+    sb.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Symmetric int8 scalar quantization (the PQ-style memory-shrink
@@ -516,6 +549,24 @@ object SimilarityQueries extends QueryGroup {
               |  count(*) AS cluster_size
               |FROM labels l JOIN asg a ON a.vec_id = l.doc_id
               |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin)
+    ),
+
+    // k-center greedy coreset (Sener & Savarese 2018 farthest-point
+    // traversal): a 6-vector diverse skeleton of the embedding corpus
+    // with its certified radius sequence — round r picks the vector
+    // whose max cosine to the already-picked set is LOWEST (the
+    // farthest), ties to the lower id, seeded at the lowest id. The
+    // cover_bp column is the k-center radius trace (non-decreasing);
+    // its last row bounds every vector's distance to the coreset. The
+    // oracle replays all six argmin rounds against the same floored
+    // cosines.
+    "q_sim_kcenter_coreset" -> QueryDef(
+      (s, d) =>
+        Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 6)
+          .orderBy("round"),
+      Some(s"""WITH ${kcenterRoundsCtes(6)}
+              |SELECT round, vid AS vec_id, cover_bp
+              |FROM selall6 ORDER BY round""".stripMargin)
     ),
 
     // MMR diversity re-ranking (Carbonell & Goldstein 1998): brute-force

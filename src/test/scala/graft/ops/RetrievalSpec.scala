@@ -131,6 +131,33 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       s"keep must be least centroid-similar, got ${got.toSeq}")
   }
 
+  test("kCenterCoreset: one pick per cluster first, radius non-decreasing, " +
+      "exhaustion truncates") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // three directions: 0°, 90°, 45° — farthest-point-first must visit
+    // all three clusters before returning to any of them
+    val vecs = Seq(
+      (0L, v(1, 0)), (1L, v(1, 0.02)),
+      (10L, v(0, 1)), (11L, v(0.02, 1)),
+      (20L, v(1, 1)), (21L, v(1, 1.02))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.kCenterCoreset(vecs, k = 4)
+      .orderBy("round")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got(0)._1 == 0L && got(0)._2.isEmpty, "seed is the lowest id")
+    assert(got(1)._1 == 10L, "round 2 goes orthogonal (cos 0 beats 45°)")
+    assert(Set(20L, 21L).contains(got(2)._1),
+      s"round 3 must reach the diagonal cluster: ${got.toSeq}")
+    // radius trace non-decreasing once picks exist
+    val radii = got.drop(1).flatMap(_._2)
+    assert(radii.sorted.toSeq == radii.toSeq,
+      s"cover_bp must be non-decreasing: ${radii.toSeq}")
+    // k beyond the corpus truncates instead of failing
+    assert(graft.ops.Similarity.kCenterCoreset(vecs, k = 10).count() == 6L)
+  }
+
   test("mmrRerank: redundancy penalized at low lambda; relevance at 10⁴; " +
       "shortlist exhaustion truncates") {
     import spark.implicits._
