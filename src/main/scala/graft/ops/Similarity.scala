@@ -604,6 +604,63 @@ object Similarity {
         col("_k.c").as("keep_csim_bp"), col("cluster_size"))
   }
 
+  /** Depth-`d` weights for truncated RBO: `w_d = ⌊(1−p)·p^(d−1)·10⁹⌋`,
+    * computed ONCE on the driver and embedded as literals in both the
+    * Spark plan and the oracle SQL — the engine never exponentiates, so
+    * the metric replays exactly everywhere.
+    */
+  def rboWeights(k: Int, pBp: Long): Seq[(Long, Long)] = {
+    val p = pBp.toDouble / 10000.0
+    (1 to k).map(d =>
+      (d.toLong, math.floor((1 - p) * math.pow(p, d - 1) * 1e9).toLong))
+  }
+
+  /** Rank-Biased Overlap (Webber, Moffat & Zobel 2010), truncated at
+    * depth `k` — ranking agreement between two retrievers for the same
+    * queries, weighting agreement at the TOP of the list geometrically
+    * higher (persistence `p`): the eval a pipeline owner needs when
+    * recall@k says two retrievers "match" but the order — which is what
+    * the user sees — may not. rbo_u = Σ_{d=1..k} (w_d·overlap_d) div d
+    * in integer nano-units (w_d from [[rboWeights]]); identical rankings
+    * score Σw_d = (1−p^k)·10⁹, disjoint ones 0.
+    *
+    * `a` and `b` are any two generators' ranked shortlists
+    * `(query_id, cand_id, rank)` — the same contract every top-k op here
+    * emits. Distributed shape: one k-bounded equi-join on
+    * (query_id, cand_id) for match depths, a k-row depth table per
+    * query, a broadcast k-row weight table — nothing corpus-shaped
+    * shuffles beyond the shortlists themselves.
+    *
+    * Returns `(query_id, overlap_k, rbo_u)`.
+    */
+  def rboAgreement(
+      a: DataFrame, b: DataFrame, k: Int, pBp: Long = 9000L
+  ): DataFrame = {
+    require(k >= 1 && pBp > 0 && pBp < 10000, s"bad k/p: $k/$pBp")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val md = a.filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank").as("_ra"))
+      .join(b.filter(col("rank") <= k)
+          .select(col("query_id"), col("cand_id"), col("rank").as("_rb")),
+        Seq("query_id", "cand_id"))
+      .select(col("query_id"),
+        greatest(col("_ra"), col("_rb")).cast("long").as("_md"))
+    val depths = a.select("query_id").distinct()
+      .select(col("query_id"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("d"))
+    val ov = depths.join(md, Seq("query_id"), "left")
+      .groupBy("query_id", "d")
+      .agg(sum(when(col("_md") <= col("d"), 1L).otherwise(0L))
+        .as("overlap_d"))
+    val wdf = broadcast(rboWeights(k, pBp).toDF("d", "w"))
+    ov.join(wdf, "d")
+      .groupBy("query_id")
+      .agg(
+        max(when(col("d") === k, col("overlap_d"))).as("overlap_k"),
+        sum(expr("(w * overlap_d) div d")).as("rbo_u"))
+  }
+
   /** k-center greedy coreset selection (Sener & Savarese 2018, the
     * farthest-point-first traversal): pick `k` corpus vectors such that
     * every vector is within the picked set's cover radius — the

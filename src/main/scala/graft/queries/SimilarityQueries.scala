@@ -551,6 +551,79 @@ object SimilarityQueries extends QueryGroup {
               |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin)
     ),
 
+    // Rank-biased overlap between the COSINE ranking and the raw-DOT
+    // ranking of the same corpus (Webber et al. 2010, truncated at
+    // depth 8, p=0.9): the order-sensitive answer to "does skipping
+    // normalization change what retrieval returns?" — recall@k treats
+    // the two lists as sets, RBO weights top-of-list disagreement
+    // geometrically. Weights are driver-computed integer literals shared
+    // by both engines; the oracle replays both rankings, the match
+    // depths, the depth table, and the nano-unit sum.
+    "q_sim_rbo_cos_vs_dot" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 30)
+        val cosRank = Similarity.bruteForceTopK(q, e, k = 8)
+        val qd = q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))
+        val dotRank = e.select(col("vec_id").as("cand_id"),
+            col("embedding").as("cv"))
+          .join(broadcast(qd), col("query_id") =!= col("cand_id"))
+          .withColumn("dot_bp",
+            floor(Similarity.dot(col("qv"), col("cv")) * 10000)
+              .cast("long"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(desc("dot_bp"), col("cand_id"))))
+          .filter(col("rank") <= 8)
+          .select("query_id", "cand_id", "rank")
+        Similarity.rboAgreement(cosRank, dotRank, k = 8, pBp = 9000L)
+          .orderBy("query_id")
+      },
+      Some({
+        val wVals = Similarity.rboWeights(8, 9000L)
+          .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+        s"""WITH mscored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp,
+           |    CAST(floor((list_reduce(list_transform(
+           |        generate_series(1, len(q.embedding)),
+           |        x -> q.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE),
+           |        (s, v) -> s + v)) * 10000) AS BIGINT) AS dot_bp
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 30),
+           |ra AS (
+           |  SELECT query_id, cand_id, rn AS rank FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos_bp DESC, cand_id)
+           |      AS rn FROM mscored) WHERE rn <= 8),
+           |rb AS (
+           |  SELECT query_id, cand_id, rn AS rank FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY dot_bp DESC, cand_id)
+           |      AS rn FROM mscored) WHERE rn <= 8),
+           |md AS (
+           |  SELECT a.query_id, greatest(a.rank, b.rank) AS md
+           |  FROM ra a JOIN rb b
+           |    ON a.query_id = b.query_id AND a.cand_id = b.cand_id),
+           |depths AS (
+           |  SELECT query_id, d FROM (SELECT DISTINCT query_id FROM ra),
+           |    (SELECT unnest(generate_series(1, 8))::BIGINT AS d)),
+           |ov AS (
+           |  SELECT dp.query_id, dp.d,
+           |    CAST(sum(CASE WHEN m.md <= dp.d THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS overlap_d
+           |  FROM depths dp LEFT JOIN md m ON m.query_id = dp.query_id
+           |  GROUP BY 1, 2),
+           |w(d, wv) AS (VALUES $wVals)
+           |SELECT query_id,
+           |  max(CASE WHEN d = 8 THEN overlap_d END) AS overlap_k,
+           |  CAST(sum((wv * overlap_d) // d) AS BIGINT) AS rbo_u
+           |FROM ov JOIN w USING (d)
+           |GROUP BY query_id ORDER BY query_id""".stripMargin
+      })
+    ),
+
     // k-center greedy coreset (Sener & Savarese 2018 farthest-point
     // traversal): a 6-vector diverse skeleton of the embedding corpus
     // with its certified radius sequence — round r picks the vector

@@ -131,6 +131,25 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       s"keep must be least centroid-similar, got ${got.toSeq}")
   }
 
+  test("rboAgreement: identical lists max out, disjoint score 0, top swaps " +
+      "cost more than bottom swaps") {
+    import spark.implicits._
+    def ranks(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (id, i) => (1L, id, i + 1) }
+      .toDF("query_id", "cand_id", "rank")
+    val base = ranks(1L to 8L)
+    def rbo(b: org.apache.spark.sql.DataFrame): Long =
+      graft.ops.Similarity.rboAgreement(base, b, k = 8, pBp = 9000L)
+        .select("rbo_u").as[Long].head()
+    val full = graft.ops.Similarity.rboWeights(8, 9000L).map(_._2).sum
+    assert(rbo(base) == full, "identical rankings must score the weight sum")
+    assert(rbo(ranks(11L to 18L)) == 0L, "disjoint rankings must score 0")
+    val topSwap = rbo(ranks(Seq(2L, 1L, 3L, 4L, 5L, 6L, 7L, 8L)))
+    val bottomSwap = rbo(ranks(Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 7L)))
+    assert(topSwap < bottomSwap && bottomSwap < full,
+      s"rank-biased: $topSwap < $bottomSwap < $full must hold")
+  }
+
   test("kCenterCoreset: one pick per cluster first, radius non-decreasing, " +
       "exhaustion truncates") {
     import spark.implicits._
