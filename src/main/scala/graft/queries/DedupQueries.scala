@@ -906,6 +906,58 @@ object DedupQueries extends QueryGroup {
              |WHERE jaccard_bp >= 8000 ORDER BY i, j""".stripMargin)
     ),
 
+    // Soft dedup: down-WEIGHT duplicates instead of deleting them — each
+    // near-dup cluster's docs get weight 10⁴/cluster_size so the cluster
+    // contributes one doc's worth of training mass total (the
+    // sampling-weight formulation of dedup; removal is the weight_bp=0|10⁴
+    // special case and loses the cluster's internal variation).
+    // Singletons keep weight 10⁴ via their own id as the cluster label.
+    // Output is the cluster-size distribution with per-size weights and
+    // the mass each size class contributes — corpus-bounded rows, no
+    // driver-sized artifacts; the oracle replays the pair closure, the
+    // singleton coalesce, and the integer weight arithmetic.
+    "q_dedup_soft_weights" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLsh(docs, portable = false).select("i", "j")
+        val clusters = Dedup.duplicateClusters(pairs)
+        val lab = docs.select("doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        lab.groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(
+            count(lit(1)).as("n_clusters"),
+            sum("cluster_size").as("n_docs"))
+          .withColumn("weight_bp", expr("10000 div cluster_size"))
+          .withColumn("mass_bp", expr("n_docs * weight_bp"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE ${PipelineQueries.minhashPairsCte},
+              |edges AS (SELECT i AS a, j AS b FROM pairs
+              |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+              |reach AS (
+              |  SELECT a AS doc_id, b AS r FROM edges
+              |  UNION
+              |  SELECT re.doc_id, e.b AS r
+              |  FROM reach re JOIN edges e ON e.a = re.r),
+              |labels AS (
+              |  SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+              |  FROM reach GROUP BY doc_id),
+              |lab AS (
+              |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cid
+              |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+              |sizes AS (
+              |  SELECT cid, count(*)::BIGINT AS cluster_size
+              |  FROM lab GROUP BY cid)
+              |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+              |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+              |  10000 // cluster_size AS weight_bp,
+              |  CAST(sum(cluster_size) AS BIGINT) * (10000 // cluster_size)
+              |    AS mass_bp
+              |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+    ),
+
     // LSH-recall audit: the probabilistic candidate generator (MinHash
     // banding, 8 hashes × 4 bands) measured against EXACT ground truth
     // from the prefix-filter join (complete at the threshold by the
