@@ -238,6 +238,25 @@ object Profile {
           Dedup.prefixFilterJaccard(docs, 8000),
           Dedup.minhashLsh(docs))))
       }
+    } else if (args.headOption.contains("--epoch-scale")) {
+      // range-partitioned-sort growth for epochShuffle: m disjoint
+      // corpus copies; the claim under test is linear wall growth (the
+      // global permutation is shard-local sorts over hash-uniform
+      // ranges — no sampled partitioner, no skew, no global exchange
+      // beyond the hash shuffle itself)
+      import graft.ops.DataSelect
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 40)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("source"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        time(s"epoch-shuffle-x$m")(noop(
+          DataSelect.epochShuffle(docs, epoch = 1, nShards = 32)))
+      }
     } else if (args.headOption.contains("--ann-scale")) {
       // recall-at-scale curve for the ANN paths: m disjoint corpus copies,
       // each perturbed per-dimension (deterministic sin offset, cast back
