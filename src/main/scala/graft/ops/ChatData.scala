@@ -87,6 +87,63 @@ object ChatData {
         "n_empty_turns", "n_tokens", "starts_user", "alternates",
         "pass_chat", "render_md5")
 
+  /** Fleiss' kappa — chance-corrected inter-rater agreement over an
+    * annotation table `(item, rater, label)`, the acceptance gate every
+    * human-labeled SFT/RLHF batch passes before training (low kappa =
+    * the labeling guideline, not the data, is the problem).
+    *
+    * Exact integer form (n = ratings per item, N = items, counts
+    * n_ij per item×category, column totals c_j = Σ_i n_ij):
+    *
+    *   P̄  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))      observed agreement
+    *   P̄e = Σ_j c_j² / (N·n)²                      chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Both P's are first quantized to 10⁻⁸ (`div`, positive operands) and
+    * κ to basis points from those — every intermediate is a BIGINT
+    * ratio of exact counts, so any engine replays the value bit-for-bit.
+    * Requires a constant n per item (Fleiss' design); rows violating it
+    * are the caller's bug, so the op asserts via the `n_ratings_*`
+    * columns rather than silently reweighting.
+    *
+    * Shape: one (item,label) count (map-side combinable, fan-out ≤
+    * categories per item), then two global single-row aggregates — no
+    * joins, no windows. Overflow bound: c_j² and (Nn)² must fit BIGINT,
+    * i.e. N·n ≲ 3·10⁹ ratings; past that, run it on a deterministic
+    * md5 item-sample (agreement is a statistic — a 10⁷-item sample
+    * pins κ to far inside a basis point).
+    *
+    * Out: one row `(n_items, n_ratings_min, n_ratings_max,
+    * n_categories, pbar_e8, pe_e8, kappa_bp)`.
+    */
+  def fleissKappa(
+      ratings: DataFrame, itemCol: String = "item",
+      raterCol: String = "rater", labelCol: String = "label"
+  ): DataFrame = {
+    val cell = ratings.groupBy(col(itemCol).as("_it"), col(labelCol).as("_lb"))
+      .agg(count(lit(1)).as("_c"))
+    val perItem = cell.groupBy("_it")
+      .agg(sum(col("_c")).as("_n"), sum(expr("_c * _c")).as("_ss"))
+    val perCat = cell.groupBy("_lb").agg(sum(col("_c")).as("_cj"))
+    val top = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("_n")).as("n_ratings_min"),
+      max(col("_n")).as("n_ratings_max"),
+      sum(col("_ss")).as("_a"),
+      sum(col("_n")).as("_nn"))
+    val cats = perCat.agg(
+      count(lit(1)).as("n_categories"),
+      sum(expr("_cj * _cj")).as("_csq"))
+    top.crossJoin(cats) // both sides are single-row aggregates
+      .withColumn("pbar_e8",
+        expr("(_a - _nn) * 100000000L div (_nn * (n_ratings_max - 1))"))
+      .withColumn("pe_e8", expr("_csq * 100000000L div (_nn * _nn)"))
+      .withColumn("kappa_bp",
+        expr("(pbar_e8 - pe_e8) * 10000 div (100000000L - pe_e8)"))
+      .select("n_items", "n_ratings_min", "n_ratings_max", "n_categories",
+        "pbar_e8", "pe_e8", "kappa_bp")
+  }
+
   /** Preference-pair construction for reward-model / DPO training: from a
     * table of scored candidate responses per prompt, emit one
     * (chosen, rejected) pair per prompt — chosen is the argmax of

@@ -2201,6 +2201,64 @@ object TextQueries extends QueryGroup {
              |ORDER BY c.prompt_id""".stripMargin)
     ),
 
+    // Fleiss' kappa over a synthesized 5-rater annotation batch: the
+    // "true" label is a length bucket, each rater flips it with md5-keyed
+    // probability 3/16 — both engines rebuild the ratings AND the exact
+    // integer kappa independently (P̄/P̄e quantized to 1e-8, κ to bp).
+    "q_text_rater_kappa" -> QueryDef(
+      (s, d) => {
+        val ratings = Tables.documents(s, d)
+          .select(col("doc_id"), expr("pmod(n_chars div 50, 4)").as("_true"))
+          .withColumn("rater", explode(sequence(lit(0), lit(4))))
+          .withColumn("_v",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("rater").cast("string"))), 1, 1), 16, 10)
+              .cast("long"))
+          .withColumn("label",
+            when(col("_v") < 3,
+              pmod(col("_true") + 1 + pmod(col("_v"), lit(3)), lit(4)))
+              .otherwise(col("_true")))
+        graft.ops.ChatData.fleissKappa(ratings, "doc_id", "rater", "label")
+      },
+      Some(s"""WITH ratings AS (
+             |  SELECT doc_id, r AS rater,
+             |    CASE WHEN v < 3
+             |         THEN ((n_chars // 50) % 4 + 1 + v % 3) % 4
+             |         ELSE (n_chars // 50) % 4 END AS label
+             |  FROM (
+             |    SELECT doc_id, n_chars, r,
+             |      ${hexDigitSql("md5(doc_id::VARCHAR || ':' || r::VARCHAR)", 1)} AS v
+             |    FROM documents, range(0, 5) t(r))),
+             |cell AS (
+             |  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c
+             |  FROM ratings GROUP BY 1, 2),
+             |peritem AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(c*c) AS BIGINT) AS ss
+             |  FROM cell GROUP BY 1),
+             |percat AS (
+             |  SELECT label, CAST(sum(c) AS BIGINT) AS cj FROM cell GROUP BY 1),
+             |top AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(min(n) AS BIGINT) AS n_ratings_min,
+             |    CAST(max(n) AS BIGINT) AS n_ratings_max,
+             |    CAST(sum(ss) AS BIGINT) AS a,
+             |    CAST(sum(n) AS BIGINT) AS nn
+             |  FROM peritem),
+             |cats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             |    CAST(sum(cj*cj) AS BIGINT) AS csq FROM percat),
+             |p AS (
+             |  SELECT n_items, n_ratings_min, n_ratings_max, n_categories,
+             |    (a - nn) * 100000000 // (nn * (n_ratings_max - 1)) AS pbar_e8,
+             |    csq * 100000000 // (nn * nn) AS pe_e8
+             |  FROM top, cats)
+             |SELECT n_items, n_ratings_min, n_ratings_max, n_categories,
+             |  pbar_e8, pe_e8,
+             |  (pbar_e8 - pe_e8) * 10000 // (100000000 - pe_e8) AS kappa_bp
+             |FROM p""".stripMargin)
+    ),
+
     // StarCoder-rule code-quality flags over a deterministically
     // synthesized source-file fixture: tokens become 6-token code lines
     // behind a '// src:' header, and doc_id-keyed injections trip each

@@ -74,6 +74,34 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
       p4.getAs[Long]("rejected_id") == 42L)
   }
 
+  test("fleissKappa: perfect agreement, known hand value, and chance floor") {
+    import spark.implicits._
+    def kappa(rows: Seq[(Long, Int, Int)]) =
+      ChatData.fleissKappa(rows.toDF("item", "rater", "label")).collect()(0)
+
+    // 3 raters × 4 items, unanimous: P̄ = 1, κ = 1.0000
+    val perfect = kappa(for (i <- 0L to 3L; r <- 0 to 2)
+      yield (i, r, (i % 2).toInt))
+    assert(perfect.getAs[Long]("kappa_bp") == 10000L)
+    assert(perfect.getAs[Long]("n_items") == 4L &&
+      perfect.getAs[Long]("n_ratings_min") == 3L &&
+      perfect.getAs[Long]("n_ratings_max") == 3L)
+
+    // Fleiss' 1971 textbook-style hand check, 2 raters × 4 items:
+    // items 0,1 agree on label 0; items 2,3 split 0/1.
+    // cells: ss = 4+4+1+1+1+1 = 12? per item: (2²)=4,4,(1+1)=2,2 → a=12
+    // nn = 8, n = 2 → P̄ = (12-8)/(8·1) = 0.5 → pbar_e8 = 50000000
+    // c_0 = 6, c_1 = 2 → csq = 40 → P̄e = 40/64 = 0.625 → pe_e8 = 62500000
+    // κ = (0.5-0.625)/(1-0.625) = -1/3 → trunc(-3333.33) = -3333
+    val hand = kappa(Seq(
+      (0L, 0, 0), (0L, 1, 0), (1L, 0, 0), (1L, 1, 0),
+      (2L, 0, 0), (2L, 1, 1), (3L, 0, 0), (3L, 1, 1)))
+    assert(hand.getAs[Long]("pbar_e8") == 50000000L)
+    assert(hand.getAs[Long]("pe_e8") == 62500000L)
+    assert(hand.getAs[Long]("kappa_bp") == -3333L)
+    assert(hand.getAs[Long]("n_categories") == 2L)
+  }
+
   test("render_md5 keys on the exact template, not the JSON formatting") {
     val out = stats(Seq(
       1L -> """[{"role":"user","content":"same text"}]""",
