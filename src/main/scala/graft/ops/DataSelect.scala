@@ -100,6 +100,40 @@ object DataSelect {
           .orderBy("order_key", idCol)).cast("long"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * stable-sharding primitive for dataset snapshots that get re-sharded
+    * as they grow: doc d lands on `argmax_s md5(d # s)`, so growing from
+    * n to m shards moves EXACTLY the docs whose new max lands in a new
+    * shard — an expected (m−n)/m of the corpus — versus ~(1−1/lcm-ish)
+    * under `hash(d) mod n`, which reshuffles almost everything. Stable
+    * assignment keeps downstream caches, dedup indexes, and resumable
+    * training manifests valid for the ~n/m docs that never move
+    * (Thaler & Ravishankar 1998, the object-placement original).
+    *
+    * Determinism: the per-shard weight is the first 12 hex digits of
+    * md5, disambiguated injectively as `weight·nShards + s` (so ties —
+    * impossible in practice at 48 bits, but the contract doesn't lean on
+    * that — break toward the higher shard id identically in any engine);
+    * `shard = argmax % nShards`. Requires nShards ≤ 16384 so the
+    * combined key stays far inside BIGINT (2⁴⁸·2¹⁴ = 2⁶²).
+    *
+    * Shape: a pure per-row projection — ONE pass, no shuffle, no join;
+    * the nShards-way weight scan is a codegen'd array fold per row.
+    * Cost is O(rows·nShards) hashes; for nShards beyond ~10³ prefer
+    * two-level assignment (rendezvous over shard GROUPS, then within),
+    * which composes from this same op.
+    */
+  def rendezvousShard(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id", out: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 16384,
+      s"nShards out of the BIGINT-safe range: $nShards")
+    val weights = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#"),
+        s.cast("string"))), 1, 12), 16, 10).cast("long") * nShards +
+        s.cast("long"))
+    docs.withColumn(out, pmod(array_max(weights), lit(nShards.toLong)))
+  }
+
   /** DSIR importance weights over hashed unigram+bigram features.
     *
     * The target distribution is learned from the rows where `isTarget`

@@ -1052,6 +1052,67 @@ object TextQueries extends QueryGroup {
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
 
+    // Rendezvous-hash re-shard stability audit, 8 → 12 shards: HRW moves
+    // ~(12−8)/12 ≈ 3333 bp of docs while mod-hash moves ~2/3 — both
+    // assignments, the movement accounting, and the shard balance are
+    // rebuilt independently by each engine (argmax over per-shard md5
+    // weights, injectively tie-broken as weight·n + s).
+    "q_text_shard_rendezvous" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        val mh = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long")
+        val b = graft.ops.DataSelect
+          .rendezvousShard(docs, 8, out = "s8")
+          .transform(df => graft.ops.DataSelect
+            .rendezvousShard(df, 12, out = "s12"))
+          .withColumn("m8", pmod(mh, lit(8L)))
+          .withColumn("m12", pmod(mh, lit(12L)))
+        b.groupBy("s12")
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("s8") =!= col("s12"), 1L).otherwise(0L)).as("hm"),
+            sum(when(col("m8") =!= col("m12"), 1L).otherwise(0L)).as("mm"))
+          .agg(sum("c").as("n_docs"),
+            sum("hm").as("hrw_moved"), sum("mm").as("mod_moved"),
+            count(lit(1)).as("n_shards_12"),
+            max("c").as("max_shard_12"), min("c").as("min_shard_12"))
+          .withColumn("hrw_moved_bp", expr("hrw_moved * 10000 div n_docs"))
+          .withColumn("mod_moved_bp", expr("mod_moved * 10000 div n_docs"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id FROM documents),
+             |a8 AS (
+             |  SELECT doc_id,
+             |    CAST(max(${hex12Sql("md5(doc_id::VARCHAR || '#' || s::VARCHAR)")} * 8 + s) % 8 AS BIGINT) AS s8
+             |  FROM d, range(0, 8) t(s) GROUP BY doc_id),
+             |a12 AS (
+             |  SELECT doc_id,
+             |    CAST(max(${hex12Sql("md5(doc_id::VARCHAR || '#' || s::VARCHAR)")} * 12 + s) % 12 AS BIGINT) AS s12
+             |  FROM d, range(0, 12) t(s) GROUP BY doc_id),
+             |m AS (
+             |  SELECT d.doc_id, s8, s12,
+             |    ${hex8Sql("md5(doc_id::VARCHAR)")} % 8 AS m8,
+             |    ${hex8Sql("md5(doc_id::VARCHAR)")} % 12 AS m12
+             |  FROM d JOIN a8 USING (doc_id) JOIN a12 USING (doc_id)),
+             |g AS (
+             |  SELECT s12, CAST(count(*) AS BIGINT) AS c,
+             |    CAST(sum(CASE WHEN s8 <> s12 THEN 1 ELSE 0 END) AS BIGINT) AS hm,
+             |    CAST(sum(CASE WHEN m8 <> m12 THEN 1 ELSE 0 END) AS BIGINT) AS mm
+             |  FROM m GROUP BY s12),
+             |t AS (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             |    CAST(sum(hm) AS BIGINT) AS hrw_moved,
+             |    CAST(sum(mm) AS BIGINT) AS mod_moved,
+             |    CAST(count(*) AS BIGINT) AS n_shards_12,
+             |    CAST(max(c) AS BIGINT) AS max_shard_12,
+             |    CAST(min(c) AS BIGINT) AS min_shard_12
+             |  FROM g)
+             |SELECT n_docs, hrw_moved, mod_moved, n_shards_12,
+             |  max_shard_12, min_shard_12,
+             |  hrw_moved * 10000 // n_docs AS hrw_moved_bp,
+             |  mod_moved * 10000 // n_docs AS mod_moved_bp
+             |FROM t""".stripMargin)
+    ),
+
     // Output-shard manifest: id-hash shard assignment (migration-free
     // under corpus growth) + per-shard volume accounting + an order-free
     // content checksum a loader can recompute to prove shard integrity.
@@ -2638,6 +2699,15 @@ object TextQueries extends QueryGroup {
   private def hex8Sql(h: String): String =
     (1 to 8).map(i =>
       s"${hexDigitSql(h, i)} * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** Value of the first 12 hex digits of md5 expression `h` — DuckDB
+    * replay of the 48-bit rendezvous weight in
+    * [[graft.ops.DataSelect.rendezvousShard]].
+    */
+  private def hex12Sql(h: String): String =
+    (1 to 12).map(i =>
+      s"${hexDigitSql(h, i)} * ${1L << (4 * (12 - i))}")
       .mkString("(", " + ", ")")
 
   /** DuckDB replay of [[graft.ops.Sketches.cmsBucket]]: first 6 hex digits

@@ -125,6 +125,28 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       w.values.sum > 999990L, s"floor-normalized mass: ${w.values.sum}"))
   }
 
+  test("rendezvousShard: minimal disruption — growing 8 → 12 shards moves " +
+    "docs only INTO new shards, at roughly the (m-n)/m rate") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    val out = DataSelect.rendezvousShard(
+      DataSelect.rendezvousShard(docs, 8, out = "s8"), 12, out = "s12")
+      .collect()
+    // THE rendezvous theorem: a doc's weight on shards 0..7 is unchanged
+    // by adding shards 8..11, so its argmax either stays put or lands in
+    // a NEW shard — never relocates between old shards.
+    out.foreach { r =>
+      val (s8, s12) = (r.getAs[Long]("s8"), r.getAs[Long]("s12"))
+      assert(s12 == s8 || s12 >= 8L,
+        s"doc moved between OLD shards: $s8 -> $s12")
+    }
+    val moved = out.count(r => r.getAs[Long]("s8") != r.getAs[Long]("s12"))
+    assert(moved > 400 / 6 && moved < 400 / 2,
+      s"moved fraction implausible for (12-8)/12: $moved/400")
+    assert(out.map(_.getAs[Long]("s12")).distinct.length == 12)
+    assert(out.map(_.getAs[Long]("s8")).forall(s => s >= 0 && s < 8))
+  }
+
   test("epochShuffle: reproducible per epoch, reshuffled across epochs, " +
       "shard-concatenation equals the global key sort") {
     import spark.implicits._
