@@ -789,4 +789,97 @@ object TextAnalysis {
       .withColumn("h_millibits", expr("h_fix * 1000 div 65536"))
       .drop("_ln", "_s2")
   }
+
+  /** Jensen-Shannon divergence between two corpora's unigram
+    * distributions — the snapshot-drift gate a recurring crawl runs
+    * before retraining: JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q),
+    * bounded [0,1] bits and symmetric (unlike raw KL, defined even when
+    * one side has novel vocabulary).
+    *
+    * Fixed-point construction: token counts are first quantized to
+    * integer PPM frequencies (`c·10⁶ div N`), then every log runs
+    * through [[withPseudoLog2]] on products bounded by 10⁶·Σppm < 2⁴¹ —
+    * far inside the log's `x << 20` headroom — using
+    * log2(P/M) = log2(2·af·SB) − log2(af·SB + bf·SA) and
+    * log2(2x) = lfix(x) + 2¹⁶ (exact: the pseudo-log's exponent step).
+    * Every reduction is a BIGINT sum of per-token integers, so a second
+    * engine replays the VALUE bit-for-bit. Tokens landing under 1 ppm
+    * in a corpus quantize to zero frequency there; their mass is
+    * reported, not hidden, as `a_dropped_ppm`/`b_dropped_ppm` (for a
+    * heavy-tailed 10⁹-token corpus, compare at the source/domain level
+    * or on a deterministic md5 doc-sample to keep the tail mass small).
+    *
+    * Shape: two corpus-linear token passes collapsing to vocab-sized
+    * count tables, one vocab-sized full-outer join, three chained
+    * fixed-point log projections (pure codegen), one single-row
+    * aggregate; the only broadcast is the two one-row totals. Nothing
+    * shuffles more than the vocabulary.
+    *
+    * Out: one row `(n_vocab_a, n_vocab_b, n_vocab_shared,
+    * a_dropped_ppm, b_dropped_ppm, kl_pm_millibits, kl_qm_millibits,
+    * jsd_millibits)` — jsd ∈ [0, 1000] millibits.
+    */
+  def jsDivergence(docsA: DataFrame, docsB: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def freqs(df: DataFrame, c: String, f: String): DataFrame = {
+      val counts = df
+        .select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(c))
+      counts.crossJoin(counts.agg(sum(col(c)).as("_n"))) // one-row broadcast
+        .withColumn(f, expr(s"$c * 1000000L div _n"))
+        .drop("_n")
+    }
+    // vocab-sized; checkpointed because the totals row, the value-domain
+    // union (3×), and the term table all read it — without lineage
+    // truncation the corpus token pass appears 8× in the logical plan
+    // and PLANNING, not data, dominates (measured: 5.2 s → 1.3 s warm)
+    val j = freqs(docsA, "ac", "af")
+      .join(freqs(docsB, "bc", "bf"), Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("ac", "af", "bc", "bf"))
+      .localCheckpoint(true)
+    val tots = j.agg(
+      sum(col("af")).as("_sa"), sum(col("bf")).as("_sb"),
+      sum(col("ac")).as("_na"), sum(col("bc")).as("_nb"),
+      sum(when(col("af") === 0L, col("ac")).otherwise(0L)).as("_da"),
+      sum(when(col("bf") === 0L, col("bc")).otherwise(0L)).as("_db"))
+    val terms0 = j.crossJoin(tots) // one-row broadcast
+      .withColumn("_ju", expr("af * _sb"))
+      .withColumn("_jv", expr("bf * _sa"))
+      .withColumn("_jm", expr("af * _sb + bf * _sa"))
+      .localCheckpoint(true) // read 4× below (3 value unions + terms)
+    // ONE fixed-point log pass over the distinct value domain (≤ 3·vocab
+    // rows), broadcast-joined back three times — the same decomposition
+    // the oracle uses, and 3× fewer chained projections than logging
+    // each column in place (the 16-step recursion is planning-heavy)
+    val ltab = withPseudoLog2(
+      Seq("_ju", "_jv", "_jm")
+        .map(c => terms0.filter(col(c) > 0L).select(col(c).as("_x")))
+        .reduce(_ unionByName _)
+        .distinct(), "_x", "_l")
+    val terms = Seq(("_ju", "_lu"), ("_jv", "_lv"), ("_jm", "_lm"))
+      .foldLeft(terms0) { case (acc, (x, l)) =>
+        acc.join(broadcast(ltab.select(col("_x").as(x), col("_l").as(l))),
+          Seq(x), "left")
+          .withColumn(l, coalesce(col(l), lit(0L)))
+      }
+    terms.agg(
+      sum(when(col("ac") > 0L, 1L).otherwise(0L)).as("n_vocab_a"),
+      sum(when(col("bc") > 0L, 1L).otherwise(0L)).as("n_vocab_b"),
+      sum(when(col("ac") > 0L && col("bc") > 0L, 1L).otherwise(0L))
+        .as("n_vocab_shared"),
+      max(expr("_da * 1000000L div _na")).as("a_dropped_ppm"),
+      max(expr("_db * 1000000L div _nb")).as("b_dropped_ppm"),
+      sum(when(col("af") > 0L, expr("af * (_lu + 65536 - _lm)"))
+        .otherwise(0L)).as("_tp"),
+      sum(when(col("bf") > 0L, expr("bf * (_lv + 65536 - _lm)"))
+        .otherwise(0L)).as("_tq"),
+      max(col("_sa")).as("_fsa"), max(col("_sb")).as("_fsb"))
+      .withColumn("kl_pm_millibits", expr("(_tp div _fsa) * 1000 div 65536"))
+      .withColumn("kl_qm_millibits", expr("(_tq div _fsb) * 1000 div 65536"))
+      .withColumn("jsd_millibits",
+        expr("((_tp div _fsa + _tq div _fsb) div 2) * 1000 div 65536"))
+      .select("n_vocab_a", "n_vocab_b", "n_vocab_shared",
+        "a_dropped_ppm", "b_dropped_ppm",
+        "kl_pm_millibits", "kl_qm_millibits", "jsd_millibits")
+  }
 }

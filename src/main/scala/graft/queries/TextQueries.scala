@@ -469,6 +469,96 @@ object TextQueries extends QueryGroup {
              |ORDER BY src_a, src_b""".stripMargin)
     ),
 
+    // Jensen-Shannon drift between two overlapping corpus snapshots
+    // (sources <12 vs ≥8, the newer one with an injected marker token on
+    // every 7th doc) — both engines rebuild the PPM frequency tables AND
+    // the fixed-point log2 arithmetic, so jsd_millibits matches exactly.
+    "q_text_corpus_jsd" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("_sn",
+            regexp_extract(col("source"), "([0-9]+)", 1).cast("long"))
+        val a = docs.filter(col("_sn") < 12)
+        val b = docs.filter(col("_sn") >= 8)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" synthqdrift")))
+              .otherwise(col("text")))
+        graft.ops.TextAnalysis.jsDivergence(a, b)
+      },
+      Some(s"""WITH RECURSIVE docs0 AS (
+             |  SELECT doc_id, text,
+             |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS sn
+             |  FROM documents),
+             |ta AS (
+             |  SELECT unnest(list_filter(string_split(text, ' '),
+             |    x -> x <> '')) AS tok
+             |  FROM docs0 WHERE sn < 12),
+             |tb AS (
+             |  SELECT unnest(list_filter(string_split(
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' synthqdrift'
+             |         ELSE text END, ' '), x -> x <> '')) AS tok
+             |  FROM docs0 WHERE sn >= 8),
+             |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ac FROM ta GROUP BY 1),
+             |cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS bc FROM tb GROUP BY 1),
+             |fa AS (
+             |  SELECT tok, ac, ac * 1000000 // (SELECT sum(ac) FROM ca) AS af
+             |  FROM ca),
+             |fb AS (
+             |  SELECT tok, bc, bc * 1000000 // (SELECT sum(bc) FROM cb) AS bf
+             |  FROM cb),
+             |j AS (
+             |  SELECT coalesce(fa.tok, fb.tok) AS tok,
+             |    coalesce(ac, 0) AS ac, coalesce(af, 0) AS af,
+             |    coalesce(bc, 0) AS bc, coalesce(bf, 0) AS bf
+             |  FROM fa FULL OUTER JOIN fb ON fa.tok = fb.tok),
+             |tots AS (
+             |  SELECT CAST(sum(af) AS BIGINT) AS sa,
+             |    CAST(sum(bf) AS BIGINT) AS sb,
+             |    CAST(sum(ac) AS BIGINT) AS na,
+             |    CAST(sum(bc) AS BIGINT) AS nb,
+             |    CAST(sum(CASE WHEN af = 0 THEN ac ELSE 0 END) AS BIGINT) AS da,
+             |    CAST(sum(CASE WHEN bf = 0 THEN bc ELSE 0 END) AS BIGINT) AS db
+             |  FROM j),
+             |terms0 AS MATERIALIZED (
+             |  SELECT tok, ac, af, bc, bf, af * sb AS u, bf * sa AS v,
+             |    af * sb + bf * sa AS m, sa, sb, na, nb, da, db
+             |  FROM j, tots),
+             |vals AS (
+             |  SELECT DISTINCT x FROM (
+             |    SELECT u AS x FROM terms0 WHERE u > 0
+             |    UNION ALL SELECT v FROM terms0 WHERE v > 0
+             |    UNION ALL SELECT m FROM terms0 WHERE m > 0)),
+             |${pseudoLog2Sql("d", "vals")},
+             |terms AS (
+             |  SELECT t.*, coalesce(lu.l, 0) AS lu, coalesce(lv.l, 0) AS lv,
+             |    coalesce(lm.l, 0) AS lm
+             |  FROM terms0 t
+             |  LEFT JOIN lgd lu ON t.u = lu.x
+             |  LEFT JOIN lgd lv ON t.v = lv.x
+             |  LEFT JOIN lgd lm ON t.m = lm.x),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN ac > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_a,
+             |    CAST(sum(CASE WHEN bc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_b,
+             |    CAST(sum(CASE WHEN ac > 0 AND bc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_vocab_shared,
+             |    max(da * 1000000 // na) AS a_dropped_ppm,
+             |    max(db * 1000000 // nb) AS b_dropped_ppm,
+             |    CAST(sum(CASE WHEN af > 0
+             |      THEN af * (lu + 65536 - lm) ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN bf > 0
+             |      THEN bf * (lv + 65536 - lm) ELSE 0 END) AS BIGINT) AS tq,
+             |    max(sa) AS fsa, max(sb) AS fsb
+             |  FROM terms)
+             |SELECT n_vocab_a, n_vocab_b, n_vocab_shared,
+             |  a_dropped_ppm, b_dropped_ppm,
+             |  (tp // fsa) * 1000 // 65536 AS kl_pm_millibits,
+             |  (tq // fsb) * 1000 // 65536 AS kl_qm_millibits,
+             |  ((tp // fsa + tq // fsb) // 2) * 1000 // 65536 AS jsd_millibits
+             |FROM agg""".stripMargin)
+    ),
+
     // Quality-greedy token budgeting: each source gets a deterministic
     // token budget (600/900/1200 by source number mod 3 — roughly half
     // a source's ~1400-token volume, so the cut genuinely bites) and fills it

@@ -584,6 +584,40 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(h3 > 3500L && h3 < 4700L, s"natural-text entropy $h3 millibits")
   }
 
+  test("jsDivergence: zero on identical corpora, one bit on disjoint, " +
+    "symmetric, and midway drift lands strictly between") {
+    import spark.implicits._
+    def jsd(a: Seq[String], b: Seq[String]) =
+      TextAnalysis.jsDivergence(
+        a.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        b.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")).collect()(0)
+
+    val same = Seq("alpha beta gamma", "beta gamma delta delta")
+    val ident = jsd(same, same)
+    assert(ident.getAs[Long]("jsd_millibits") == 0L)
+    assert(ident.getAs[Long]("n_vocab_shared") ==
+      ident.getAs[Long]("n_vocab_a"))
+
+    val other = Seq("zeta eta theta", "eta theta iota iota")
+    val disjoint = jsd(same, other)
+    assert(disjoint.getAs[Long]("n_vocab_shared") == 0L)
+    // true JSD of disjoint supports is exactly 1 bit; fixed-point
+    // truncation may shave a few millibits but never exceed it
+    val d = disjoint.getAs[Long]("jsd_millibits")
+    assert(d >= 990L && d <= 1000L, s"disjoint JSD: $d millibits")
+
+    val half = jsd(same, same ++ other)
+    val h = half.getAs[Long]("jsd_millibits")
+    assert(h > 0L && h < d, s"partial drift must sit between: $h")
+
+    // symmetry: JSD(A,B) = JSD(B,A) in the exact fixed-point arithmetic
+    val fwd = jsd(same, other).getAs[Long]("jsd_millibits")
+    val rev = jsd(other, same).getAs[Long]("jsd_millibits")
+    assert(fwd == rev)
+  }
+
   test("zipfFit: a planted 1/r frequency law fits slope ≈ −1e6 with " +
       "high r²; a uniform vocabulary reads slope 0") {
     import spark.implicits._
