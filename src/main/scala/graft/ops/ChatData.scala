@@ -144,6 +144,82 @@ object ChatData {
         "pbar_e8", "pe_e8", "kappa_bp")
   }
 
+  /** Bradley-Terry strength fitting over pairwise win/loss records —
+    * the ranking step behind RLHF policy comparisons, arena-style model
+    * leaderboards, and annotator-quality scoring: item strengths w such
+    * that P(i beats j) = w_i/(w_i+w_j), fit by `iters` rounds of the
+    * classic minorization-maximization update (Hunter 2004)
+    *
+    *   w_i ← W_i / Σ_j n_ij/(w_i+w_j)
+    *
+    * in pure BIGINT fixed point: strengths live in micro-units
+    * (Σw = K·10⁶ after each round's renormalization), each t-term is
+    * `n_ij·10¹² div (w_i+w_j)` — so a second engine unrolling the same
+    * rounds reproduces every strength exactly. The MM update is
+    * count-scale-invariant, so if per-pair counts approach the 10⁶-ish
+    * BIGINT headroom (n_ij·10¹² < 2⁶³), divide all counts by a common
+    * factor first — the fit is unchanged.
+    *
+    * Semantics pinned for replay: items with NO games this round keep
+    * their strength; items with games but zero wins go to 0 (the MLE
+    * boundary — BT strengths are only finite/positive on a strongly
+    * connected comparison graph, the caller's design concern).
+    *
+    * Shape: the comparison log collapses to a directed (i, j, games)
+    * table bounded by K² (items are MODELS/policies/sources — thousands,
+    * not corpus rows); each round is two broadcast-sized joins + one
+    * K-row aggregate, lineage-truncated per round. The one driver-side
+    * materialization is K itself (the normalization constant).
+    *
+    * Out: `(item, strength_micro, rank, n_wins, n_games)`.
+    */
+  def bradleyTerry(
+      comparisons: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", iters: Int = 6
+  ): DataFrame = {
+    require(iters >= 1)
+    val games = comparisons
+      .select(col(winnerCol).as("i"), col(loserCol).as("j"))
+    val d = games
+      .unionByName(games.select(col("j").as("i"), col("i").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("g"))
+      .localCheckpoint(true)
+    val items = d.groupBy(col("i").as("item"))
+      .agg(sum(col("g")).as("n_games"))
+      .join(games.groupBy(col("i").as("item"))
+        .agg(count(lit(1)).as("n_wins")), Seq("item"), "left")
+      .na.fill(0L, Seq("n_wins"))
+      .localCheckpoint(true)
+    val k = items.count() // K models — bounded by construction
+    var w = items.select(col("item"), lit(1000000L).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val s = d
+        .join(w.select(col("item").as("i"), col("w").as("_wi")), Seq("i"))
+        .join(w.select(col("item").as("j"), col("w").as("_wj")), Seq("j"))
+        .withColumn("_t",
+          expr("if(_wi + _wj > 0, g * 1000000000000L div (_wi + _wj), 0L)"))
+        .groupBy(col("i").as("item")).agg(sum(col("_t")).as("_s"))
+      val u = items.select("item", "n_wins")
+        .join(s, Seq("item"), "left")
+        .join(w, Seq("item"))
+        .withColumn("_u",
+          expr("if(_s is null or _s <= 0, w, " +
+            "n_wins * 1000000000000L div _s)"))
+        .select("item", "_u")
+      w = u.crossJoin(u.agg(sum(col("_u")).as("_tot"))) // one-row broadcast
+        .select(col("item"),
+          expr(s"_u * ${k * 1000000L}L div _tot").as("w"))
+        .localCheckpoint(true)
+    }
+    w.join(items, Seq("item"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w").desc, col("item"))).cast("long")) // K rows only
+      .select(col("item"), col("w").as("strength_micro"), col("rank"),
+        col("n_wins"), col("n_games"))
+  }
+
   /** Preference-pair construction for reward-model / DPO training: from a
     * table of scored candidate responses per prompt, emit one
     * (chosen, rejected) pair per prompt — chosen is the argmax of

@@ -2410,6 +2410,29 @@ object TextQueries extends QueryGroup {
              |FROM p""".stripMargin)
     ),
 
+    // Bradley-Terry source-strength leaderboard from pairwise outcomes:
+    // 4-doc prompt groups play all cross-source pairs, longer text wins
+    // — both engines rebuild the comparison log AND unroll the same 6
+    // fixed-point MM rounds, so every strength_micro matches exactly.
+    "q_text_bradley_terry" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "n_chars")
+        val wins = expr("a.n_chars > b.n_chars OR " +
+          "(a.n_chars = b.n_chars AND a.doc_id > b.doc_id)")
+        val games = docs.alias("a").join(docs.alias("b"),
+          expr("a.doc_id div 4 = b.doc_id div 4 AND a.doc_id < b.doc_id " +
+            "AND a.source <> b.source"))
+          .select(
+            when(wins, col("a.source")).otherwise(col("b.source"))
+              .as("winner"),
+            when(wins, col("b.source")).otherwise(col("a.source"))
+              .as("loser"))
+        graft.ops.ChatData.bradleyTerry(games).orderBy("rank")
+      },
+      Some(btSql(6))
+    ),
+
     // StarCoder-rule code-quality flags over a deterministically
     // synthesized source-file fixture: tokens become 6-token code lines
     // behind a '// src:' header, and doc_id-keyed injections trip each
@@ -2790,6 +2813,73 @@ object TextQueries extends QueryGroup {
     (1 to 8).map(i =>
       s"${hexDigitSql(h, i)} * ${1L << (4 * (8 - i))}")
       .mkString("(", " + ", ")")
+
+  /** DuckDB replay of [[graft.ops.ChatData.bradleyTerry]] over the
+    * q_text_bradley_terry fixture: the comparison log once, then per MM
+    * round k the t-term aggregate `s{k}`, the raw update `u{k}` (no-game
+    * items keep their strength, zero-win items go to 0 — the op's pinned
+    * boundary semantics), and the renormalization `w{k}` (Σw = K·10⁶) —
+    * each the identical integer expression tree Spark runs.
+    */
+  private def btSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH games AS (
+             |  SELECT
+             |    CASE WHEN a.n_chars > b.n_chars
+             |           OR (a.n_chars = b.n_chars AND a.doc_id > b.doc_id)
+             |         THEN a.source ELSE b.source END AS i,
+             |    CASE WHEN a.n_chars > b.n_chars
+             |           OR (a.n_chars = b.n_chars AND a.doc_id > b.doc_id)
+             |         THEN b.source ELSE a.source END AS j
+             |  FROM documents a JOIN documents b
+             |    ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+             |  WHERE a.source <> b.source),
+             |d AS MATERIALIZED (
+             |  SELECT i, j, CAST(count(*) AS BIGINT) AS g FROM (
+             |    SELECT i, j FROM games UNION ALL SELECT j, i FROM games)
+             |  GROUP BY 1, 2),
+             |ng AS (SELECT i AS item, CAST(sum(g) AS BIGINT) AS n_games
+             |       FROM d GROUP BY 1),
+             |wn AS (SELECT i AS item, CAST(count(*) AS BIGINT) AS n_wins
+             |       FROM games GROUP BY 1),
+             |items AS MATERIALIZED (
+             |  SELECT ng.item, n_games,
+             |    CAST(coalesce(n_wins, 0) AS BIGINT) AS n_wins
+             |  FROM ng LEFT JOIN wn USING (item)),
+             |w0 AS (SELECT item, CAST(1000000 AS BIGINT) AS w FROM items),
+             |""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s"""s$k AS (
+               |  SELECT d.i AS item,
+               |    CAST(sum(CASE WHEN wi.w + wj.w > 0
+               |      THEN g * 1000000000000 // (wi.w + wj.w)
+               |      ELSE 0 END) AS BIGINT) AS s
+               |  FROM d JOIN w${k - 1} wi ON d.i = wi.item
+               |         JOIN w${k - 1} wj ON d.j = wj.item
+               |  GROUP BY 1),
+               |u$k AS (
+               |  SELECT it.item,
+               |    CASE WHEN s.s IS NULL OR s.s <= 0 THEN wp.w
+               |         ELSE it.n_wins * 1000000000000 // s.s END AS u
+               |  FROM items it LEFT JOIN s$k s ON it.item = s.item
+               |       JOIN w${k - 1} wp ON it.item = wp.item),
+               |w$k AS MATERIALIZED (
+               |  SELECT item,
+               |    CAST(u * ((SELECT count(*) FROM items) * 1000000)
+               |      // (SELECT sum(u) FROM u$k) AS BIGINT) AS w
+               |  FROM u$k),
+               |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= s"""
+             |SELECT w.item, w.w AS strength_micro,
+             |  CAST(row_number() OVER (ORDER BY w.w DESC, w.item) AS BIGINT)
+             |    AS rank,
+             |  n_wins, n_games
+             |FROM w$iters w JOIN items USING (item)
+             |ORDER BY rank""".stripMargin
+    sb.toString
+  }
 
   /** Value of the first 12 hex digits of md5 expression `h` — DuckDB
     * replay of the 48-bit rendezvous weight in

@@ -102,6 +102,43 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
     assert(hand.getAs[Long]("n_categories") == 2L)
   }
 
+  test("bradleyTerry: dominance chain orders correctly, strengths stay " +
+    "normalized, zero-win items hit the MLE boundary") {
+    import spark.implicits._
+    // a beats b 9:1, b beats c 9:1, a beats c 9:1 — strict a > b > c
+    val games =
+      (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+        Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) ++
+        Seq.fill(9)(("a", "c")) ++ Seq.fill(1)(("c", "a")))
+        .toDF("winner", "loser")
+    val out = ChatData.bradleyTerry(games).collect()
+      .map(r => r.getAs[String]("item") -> r).toMap
+    val (wa, wb, wc) = (out("a").getAs[Long]("strength_micro"),
+      out("b").getAs[Long]("strength_micro"),
+      out("c").getAs[Long]("strength_micro"))
+    assert(wa > wb && wb > wc, s"chain order violated: $wa $wb $wc")
+    assert(out("a").getAs[Long]("rank") == 1L &&
+      out("c").getAs[Long]("rank") == 3L)
+    // renormalization pins Σw to K·10⁶ up to per-item truncation
+    assert(math.abs(wa + wb + wc - 3000000L) <= 3L)
+    assert(out("a").getAs[Long]("n_wins") == 18L &&
+      out("a").getAs[Long]("n_games") == 20L)
+
+    // an item that never wins collapses to the w = 0 boundary
+    val shutout = ChatData.bradleyTerry(
+      (Seq.fill(5)(("a", "b")) ++ Seq.fill(3)(("b", "c")) ++
+        Seq.fill(2)(("a", "c"))).toDF("winner", "loser"))
+      .collect().map(r => r.getAs[String]("item") -> r).toMap
+    assert(shutout("c").getAs[Long]("strength_micro") == 0L)
+    assert(shutout("c").getAs[Long]("n_wins") == 0L)
+
+    // deterministic: a second run reproduces every strength exactly
+    val again = ChatData.bradleyTerry(games).collect()
+      .map(r => r.getAs[String]("item") ->
+        r.getAs[Long]("strength_micro")).toMap
+    assert(again("a") == wa && again("b") == wb && again("c") == wc)
+  }
+
   test("render_md5 keys on the exact template, not the JSON formatting") {
     val out = stats(Seq(
       1L -> """[{"role":"user","content":"same text"}]""",
