@@ -79,6 +79,89 @@ object Substring {
       .drop("_island")
   }
 
+  /** ExactSubstr-style cross-document substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * length-`n` token window repeated ≥ `minRep` times corpus-wide keeps
+    * its FIRST occurrence (lowest `(doc_id, pos)`) and is CUT everywhere
+    * else; cut windows merge into maximal spans per doc and the
+    * surviving tokens are re-joined — so one copy of every boilerplate
+    * passage survives, byte-identical, and the rest of the corpus loses
+    * only the repeated region, not whole documents.
+    *
+    * Pinned replay semantics: the keeper key is `doc_id·10⁹ + pos`
+    * (documents must stay under 10⁹ tokens); a keeper window's tokens
+    * are still cut if another CUT window covers them (coverage is a
+    * union over non-keeper windows — the published recipe's behavior on
+    * overlapping repeats). All decisions are integer comparisons over
+    * exact counts, so a second engine reproduces the cleaned text — not
+    * just the counts — verbatim.
+    *
+    * Shape: the same corpus-linear window pass as [[repeatedSpans]]
+    * (scoped-persisted — frequency branch + join-back), one
+    * gram-vocabulary aggregate carrying (rep, keeper) in a single
+    * reduction, per-doc gaps-and-islands over CUT windows only, and an
+    * array-local reconstruction (no per-token explode: positions are
+    * filtered inside one codegen'd HOF against the doc's own span
+    * list). Nothing shuffles beyond the gram vocabulary and the cut
+    * windows.
+    *
+    * Out: `(doc_id, text_clean, n_tokens_before, n_tokens_after,
+    * n_cut)`.
+    */
+  def cutRepeatedSpans(
+      docs: DataFrame, n: Int = 8, minRep: Int = 2
+  ): DataFrame = {
+    require(n >= 2 && minRep >= 2, s"degenerate params: n=$n minRep=$minRep")
+    val t = col("_toks")
+    val windows = graft.util.AutoUnpersist.persistScoped(
+      graft.util.Partitioning.fanOut(docs)
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .filter(size(t) >= n)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(t) - n), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+            .as(Seq("pos", "gram"))))
+    val freq = windows.groupBy("gram")
+      .agg(count(lit(1)).as("rep"),
+        min(expr("doc_id * 1000000000L + pos")).as("_keep"))
+      .filter(col("rep") >= minRep)
+    val cut = windows
+      .join(graft.util.Partitioning.indexSideFor(docs)(freq), "gram")
+      .filter(expr("doc_id * 1000000000L + pos <> _keep"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = cut
+      .withColumn("_new",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("_island",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "_island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
+    docs
+      .join(graft.util.Partitioning.indexSideFor(docs)(spans),
+        Seq("doc_id"), "left")
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .withColumn("_sp",
+        expr("coalesce(_spans, cast(array() as array<struct<s:bigint,e:bigint>>))"))
+      .withColumn("_keptPos",
+        filter(
+          when(size(t) > 0, sequence(lit(0), size(t) - 1))
+            .otherwise(expr("cast(array() as array<int>)")),
+          p => !exists(col("_sp"),
+            sp => p >= sp.getField("s") && p < sp.getField("e"))))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          transform(col("_keptPos"), p => element_at(t, p + 1)))
+          .as("text_clean"),
+        size(t).cast("long").as("n_tokens_before"),
+        size(col("_keptPos")).cast("long").as("n_tokens_after"),
+        (size(t) - size(col("_keptPos"))).cast("long").as("n_cut"))
+  }
+
   /** Memorization-risk profile: per-doc fraction of token positions
     * covered by corpus-repeated spans (from [[repeatedSpans]] — maximal
     * merged islands, so covered positions are counted once), bucketed

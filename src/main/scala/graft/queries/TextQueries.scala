@@ -1752,6 +1752,68 @@ object TextQueries extends QueryGroup {
              |ORDER BY doc_id, span_start""".stripMargin)
     ),
 
+    // ExactSubstr dedup (Lee et al. 2022): every repeated 8-token window
+    // keeps its first corpus occurrence and is cut everywhere else; both
+    // engines rebuild the window stream, the keeper choice, the span
+    // merge, AND the cleaned text — compared by md5, so the actual
+    // reconstructed strings must match verbatim.
+    "q_text_cut_spans" -> QueryDef(
+      (s, d) =>
+        graft.ops.Substring.cutRepeatedSpans(Tables.documents(s, d),
+            n = 8, minRep = 2)
+          .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+            col("n_tokens_before"), col("n_tokens_after"), col("n_cut"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |wins AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |    array_to_string(t[i : i + 7], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+             |  WHERE len(t) >= 8),
+             |freq AS (
+             |  SELECT gram, count(*) AS rep,
+             |    min(doc_id * 1000000000 + pos) AS keep
+             |  FROM wins GROUP BY 1 HAVING count(*) >= 2),
+             |cut AS (
+             |  SELECT w.doc_id, w.pos FROM wins w JOIN freq f USING (gram)
+             |  WHERE w.doc_id * 1000000000 + w.pos <> f.keep),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+             |        PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS new_island
+             |  FROM cut),
+             |isl2 AS (
+             |  SELECT doc_id, pos,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |spans AS MATERIALIZED (
+             |  SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+             |  FROM isl2 GROUP BY 1, 2),
+             |kept AS (
+             |  SELECT tk.doc_id, g.i - 1 AS p, tk.t[g.i] AS tok
+             |  FROM toks tk, unnest(generate_series(1, len(tk.t))) AS g(i)
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM spans sp
+             |    WHERE sp.doc_id = tk.doc_id
+             |      AND g.i - 1 >= sp.s AND g.i - 1 < sp.e)),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+             |    string_agg(tok, ' ' ORDER BY p) AS clean
+             |  FROM kept GROUP BY 1)
+             |SELECT tk.doc_id, md5(coalesce(clean, '')) AS clean_md5,
+             |  CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
+             |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_tokens_after,
+             |  CAST(len(tk.t) AS BIGINT) - CAST(coalesce(n_after, 0) AS BIGINT)
+             |    AS n_cut
+             |FROM toks tk LEFT JOIN agg USING (doc_id)
+             |ORDER BY tk.doc_id""".stripMargin)
+    ),
+
     // PMI-lift collocation mining: adjacent pairs co-occurring above
     // their marginal-frequency prediction; exact-integer lift (×1e4),
     // PMI-equivalent ranking without the libm log.

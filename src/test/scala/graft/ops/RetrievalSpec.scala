@@ -77,6 +77,36 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cutRepeatedSpans: first corpus occurrence survives verbatim, " +
+    "later copies lose exactly the repeated region") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"intro words here $boiler trailer"),
+      (3L, s"unique closing thoughts stand alone fine today ok $boiler")
+    ).toDF("doc_id", "text")
+    val out = Substring.cutRepeatedSpans(docs, n = 8, minRep = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 holds the first occurrence — untouched
+    assert(out(1L).getAs[Long]("n_cut") == 0L)
+    assert(out(1L).getAs[String]("text_clean") == s"$boiler alpha beta gamma")
+    // docs 2 and 3 lose the 10-token boilerplate, keep their own words
+    assert(out(2L).getAs[Long]("n_cut") == 10L)
+    assert(out(2L).getAs[String]("text_clean") == "intro words here trailer")
+    assert(out(3L).getAs[Long]("n_cut") == 10L)
+    assert(out(3L).getAs[String]("text_clean") ==
+      "unique closing thoughts stand alone fine today ok")
+    assert(out(2L).getAs[Long]("n_tokens_before") == 14L &&
+      out(2L).getAs[Long]("n_tokens_after") == 4L)
+    // idempotence: cutting the cleaned corpus again is a no-op
+    val again = Substring.cutRepeatedSpans(
+      Substring.cutRepeatedSpans(docs, n = 8, minRep = 2)
+        .select(col("doc_id"), col("text_clean").as("text")),
+      n = 8, minRep = 2).collect()
+    assert(again.forall(_.getAs[Long]("n_cut") == 0L))
+  }
+
   test("repeatedSpans: merges overlap and adjacency into maximal spans") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token boilerplate
