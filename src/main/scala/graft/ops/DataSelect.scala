@@ -353,6 +353,41 @@ object DataSelect {
     * Out: (domain, n_docs, loss_bp, weight_micro), weights summing to
     * ≤10⁶ (floor rounding), one row per domain, ordered by domain.
     */
+  /** Corpus-composition audit against a declared target mix — the
+    * release gate that catches a crawl whose source/language balance
+    * silently drifted from the data card: per stratum, the observed
+    * share (basis points), the declared target `q_bp`, the signed
+    * deviation, and the stratum's χ²-style imbalance contribution
+    *
+    *   term_e4 = (p_bp − q_bp)² div q_bp        (= 10⁴·(p−q)²/q)
+    *
+    * Pearson's χ² statistic is `N · Σ term_e4 / 10⁴` — reported
+    * per-stratum so the N multiplication (and its BIGINT bound) stays
+    * with the caller; the terms themselves are N-free shares, exact at
+    * any corpus size. Strata present in the corpus but missing a quota
+    * get q_bp = 0 and a NULL term (an undeclared stratum is a finding,
+    * not an arithmetic input); declared strata absent from the corpus
+    * appear with n_docs = 0.
+    *
+    * Shape: one map-side-combinable stratum count + a broadcast join
+    * against the quota table (strata are sources/languages — hundreds).
+    * Nothing shuffles beyond the stratum domain.
+    */
+  def mixAudit(docs: DataFrame, quotas: DataFrame,
+      stratumCol: String = "stratum"): DataFrame = {
+    val obs = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val j = obs.join(broadcast(quotas), Seq(stratumCol), "full_outer")
+      .na.fill(0L, Seq("n_docs"))
+    j.crossJoin(j.agg(sum(col("n_docs")).as("_n"))) // one-row broadcast
+      .withColumn("p_bp", expr("n_docs * 10000 div _n"))
+      .withColumn("dev_bp", expr("p_bp - coalesce(q_bp, 0L)"))
+      .withColumn("chi2_term_e4",
+        expr("if(q_bp is null or q_bp <= 0, null, " +
+          "(p_bp - q_bp) * (p_bp - q_bp) div q_bp)"))
+      .select(col(stratumCol), col("n_docs"), col("p_bp"),
+        col("q_bp"), col("dev_bp"), col("chi2_term_e4"))
+  }
+
   def doremiMix(
       docs: DataFrame, domainCol: String, lossBp: Column,
       iters: Int = 4, etaBp: Long = 5000L

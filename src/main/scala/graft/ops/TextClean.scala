@@ -51,6 +51,43 @@ object TextClean {
       regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
       " {2,}", " "))
 
+  /** Deterministic token-dropout augmentation (the EDA random-deletion
+    * arm, Wei & Zou 2019, made replayable): each token position drops
+    * with probability `dropBp`/10⁴ keyed on md5(seed:doc:pos) — so the
+    * SAME corpus, seed, and rate reproduce the augmented text
+    * byte-identically on any engine or rerun (no RNG state to
+    * coordinate), while different seeds give independent augmentation
+    * epochs. Positions, not token identities, key the draw: repeated
+    * tokens drop independently.
+    *
+    * Pure per-row projection — the position filter runs inside one
+    * codegen'd HOF against the doc's own token array; no explode, no
+    * shuffle, corpus-linear. The 8-hex-digit draw makes the mod-10⁴
+    * bias < 2⁻¹⁸ — below any training-relevant resolution and, being
+    * deterministic, identical in the oracle.
+    *
+    * Out: input columns + `(text_aug, n_tokens, n_dropped)`.
+    */
+  def tokenDropout(docs: DataFrame, dropBp: Int, seed: String = "aug1",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dropBp >= 0 && dropBp <= 10000, s"dropBp out of range: $dropBp")
+    val t = col("_toks")
+    docs
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_keptPos", filter(
+        when(size(t) > 0, sequence(lit(0), size(t) - 1))
+          .otherwise(expr("cast(array() as array<int>)")),
+        p => pmod(conv(substring(md5(concat(lit(s"$seed:"),
+          col(idCol).cast("string"), lit(":"), p.cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(10000L)) >= dropBp))
+      .withColumn("text_aug",
+        concat_ws(" ", transform(col("_keptPos"), p => element_at(t, p + 1))))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_dropped",
+        (size(t) - size(col("_keptPos"))).cast("long"))
+      .drop("_toks", "_keptPos")
+  }
+
   /** Canonical URL form for crawl dedup — the normalization a web-scale
     * pipeline applies before URL-level dedup so that byte-different
     * spellings of the same resource collapse:

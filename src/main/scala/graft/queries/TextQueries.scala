@@ -1203,6 +1203,75 @@ object TextQueries extends QueryGroup {
              |FROM t""".stripMargin)
     ),
 
+    // Corpus-composition audit vs a declared data-card mix: 16 sources
+    // at 550 bp each + a declared-but-absent stratum (srcghost) + four
+    // undeclared-but-present sources (NULL χ² term = a finding) — both
+    // engines rebuild shares, deviations, and per-stratum χ² terms.
+    "q_text_mix_audit" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val quotas =
+          ((0 until 16).map(i => (s"src$i", 550L)) :+ ("srcghost", 1200L))
+            .toDF("stratum", "q_bp")
+        graft.ops.DataSelect.mixAudit(
+          Tables.documents(s, d).select(col("source").as("stratum")), quotas)
+          .orderBy("stratum")
+      },
+      Some {
+        val vals = ((0 until 16).map(i => s"('src$i', 550)") :+
+          "('srcghost', 1200)").mkString(", ")
+        s"""WITH q(stratum, q_bp) AS (VALUES $vals),
+           |obs AS (
+           |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |j AS (
+           |  SELECT coalesce(obs.stratum, q.stratum) AS stratum,
+           |    CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+           |    CAST(q.q_bp AS BIGINT) AS q_bp
+           |  FROM obs FULL OUTER JOIN q ON obs.stratum = q.stratum),
+           |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM j)
+           |SELECT stratum, n_docs, n_docs * 10000 // n AS p_bp, q_bp,
+           |  n_docs * 10000 // n - coalesce(q_bp, 0) AS dev_bp,
+           |  CASE WHEN q_bp IS NULL OR q_bp <= 0 THEN NULL
+           |       ELSE (n_docs * 10000 // n - q_bp)
+           |            * (n_docs * 10000 // n - q_bp) // q_bp
+           |  END AS chi2_term_e4
+           |FROM j, t ORDER BY stratum""".stripMargin
+      }
+    ),
+
+    // Deterministic EDA token dropout at 1500 bp, seed-keyed per
+    // (doc, position): both engines rebuild the kept-position set AND
+    // the augmented string (compared by md5) digit-for-digit.
+    "q_text_augment_dropout" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextClean.tokenDropout(Tables.documents(s, d),
+            dropBp = 1500)
+          .select(col("doc_id"), md5(col("text_aug")).as("aug_md5"),
+            col("n_tokens"), col("n_dropped"))
+          .orderBy("doc_id"),
+      Some(s"""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |kept AS (
+             |  SELECT tk.doc_id, g.i - 1 AS p, tk.t[g.i] AS tok
+             |  FROM toks tk, unnest(generate_series(1, len(tk.t))) AS g(i)
+             |  WHERE ${hex8Sql(
+                  "md5('aug1:' || doc_id::VARCHAR || ':' || (g.i - 1)::VARCHAR)")}
+             |      % 10000 >= 1500),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY p) AS aug
+             |  FROM kept GROUP BY 1)
+             |SELECT tk.doc_id, md5(coalesce(aug, '')) AS aug_md5,
+             |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             |  CAST(len(tk.t) AS BIGINT) - CAST(coalesce(n_kept, 0) AS BIGINT)
+             |    AS n_dropped
+             |FROM toks tk LEFT JOIN agg USING (doc_id)
+             |ORDER BY tk.doc_id""".stripMargin)
+    ),
+
     // Output-shard manifest: id-hash shard assignment (migration-free
     // under corpus growth) + per-shard volume accounting + an order-free
     // content checksum a loader can recompute to prove shard integrity.

@@ -125,6 +125,31 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       w.values.sum > 999990L, s"floor-normalized mass: ${w.values.sum}"))
   }
 
+  test("mixAudit: matched strata at zero deviation, ghost and undeclared " +
+    "strata surface as findings") {
+    import spark.implicits._
+    val docs = (Seq.fill(50)("web") ++ Seq.fill(30)("code") ++
+      Seq.fill(20)("forum")).toDF("stratum")
+    val quotas = Seq(("web", 5000L), ("code", 2000L), ("books", 3000L))
+      .toDF("stratum", "q_bp")
+    val out = DataSelect.mixAudit(docs, quotas).collect()
+      .map(r => r.getAs[String]("stratum") -> r).toMap
+    // web hits its quota exactly → dev 0, zero χ² contribution
+    assert(out("web").getAs[Long]("p_bp") == 5000L &&
+      out("web").getAs[Long]("dev_bp") == 0L &&
+      out("web").getAs[Long]("chi2_term_e4") == 0L)
+    // code is 10 points over: term = 1000²/2000 = 500
+    assert(out("code").getAs[Long]("dev_bp") == 1000L &&
+      out("code").getAs[Long]("chi2_term_e4") == 500L)
+    // declared but absent: present with 0 docs and full negative dev
+    assert(out("books").getAs[Long]("n_docs") == 0L &&
+      out("books").getAs[Long]("dev_bp") == -3000L)
+    // present but undeclared: a finding, not an arithmetic input
+    assert(out("forum").isNullAt(out("forum").fieldIndex("q_bp")) &&
+      out("forum").isNullAt(out("forum").fieldIndex("chi2_term_e4")) &&
+      out("forum").getAs[Long]("dev_bp") == 2000L)
+  }
+
   test("rendezvousShard: minimal disruption — growing 8 → 12 shards moves " +
     "docs only INTO new shards, at roughly the (m-n)/m rate") {
     import spark.implicits._

@@ -584,6 +584,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(h3 > 3500L && h3 < 4700L, s"natural-text entropy $h3 millibits")
   }
 
+  test("tokenDropout: rate lands near dropBp, seeds are independent, " +
+    "zero rate is the identity, reruns are byte-stable") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, (1 to 50).map(k => s"w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextClean.tokenDropout(docs, dropBp = 2000).collect()
+    val dropped = out.map(_.getAs[Long]("n_dropped")).sum
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(total == 2000L)
+    // 2000 bp target on 2000 draws: allow a generous binomial band
+    assert(dropped > 300 && dropped < 500, s"drop rate implausible: $dropped")
+    // identity at rate 0
+    val id = TextClean.tokenDropout(docs, dropBp = 0).collect()
+    assert(id.forall(r => r.getAs[Long]("n_dropped") == 0L &&
+      r.getAs[String]("text_aug") == r.getAs[String]("text")))
+    // reruns reproduce byte-identically; a different seed does not
+    val again = TextClean.tokenDropout(docs, dropBp = 2000).collect()
+    assert(out.map(_.getAs[String]("text_aug")).toSeq ==
+      again.map(_.getAs[String]("text_aug")).toSeq)
+    val other = TextClean.tokenDropout(docs, dropBp = 2000, seed = "aug2")
+      .collect()
+    assert(out.map(_.getAs[String]("text_aug")).toSeq !=
+      other.map(_.getAs[String]("text_aug")).toSeq)
+  }
+
   test("jsDivergence: zero on identical corpora, one bit on disjoint, " +
     "symmetric, and midway drift lands strictly between") {
     import spark.implicits._

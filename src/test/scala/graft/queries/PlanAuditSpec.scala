@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_events_itemsets3", // 1-row basket-count (relative-support) aggregate
     "q_text_quantile_norm", // 1-row pooled-count aggregate × ranked docs
     "q_pipeline_forget", // crossJoin of eight 1-row audit-count aggregates
-    "q_multimodal_audio_stoptok") // 1-row stop-list-size aggregate (and
+    "q_multimodal_audio_stoptok", // 1-row stop-list-size aggregate (and
                                   // its 1-row df-total feed) × match rows
+    "q_sim_rbo_cos_vs_dot", // broadcast query set × corpus non-equi
+                            // brute-force sweep feeding both rankings
+    "q_text_rater_kappa", // crossJoin of two 1-row count aggregates
+    "q_text_mix_audit") // 1-row corpus-total aggregate × stratum table
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
