@@ -238,6 +238,22 @@ object Profile {
           Dedup.prefixFilterJaccard(docs, 8000),
           Dedup.minhashLsh(docs))))
       }
+    } else if (args.headOption.contains("--cutspans-scale")) {
+      // corpus-growth curve for ExactSubstr span removal: disjoint
+      // copies (suffixed tokens) so repeated windows stay within-copy
+      // and the window/frequency/cut work is honestly m×
+      import graft.ops.Substring
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 10)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        time(s"cutspans-x$m")(noop(
+          Substring.cutRepeatedSpans(docs, n = 8, minRep = 2)))
+      }
     } else if (args.headOption.contains("--epoch-scale")) {
       // range-partitioned-sort growth for epochShuffle: m disjoint
       // corpus copies; the claim under test is linear wall growth (the
