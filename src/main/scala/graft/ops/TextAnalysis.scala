@@ -820,11 +820,26 @@ object TextAnalysis {
     * jsd_millibits)` — jsd ∈ [0, 1000] millibits.
     */
   def jsDivergence(docsA: DataFrame, docsB: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    def freqs(df: DataFrame, c: String, f: String): DataFrame = {
-      val counts = df
-        .select(explode(tokens(col(textCol))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as(c))
+      textCol: String = "text"): DataFrame =
+    jsDivergenceFromCounts(
+      tokenCountTable(docsA, textCol), tokenCountTable(docsB, textCol))
+
+  /** Corpus unigram count table `(tok, c)` — the reduced form
+    * [[jsDivergenceFromCounts]] (and the streaming drift monitor, which
+    * stores these tables as its running state) consumes.
+    */
+  def tokenCountTable(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** [[jsDivergence]] over ALREADY-AGGREGATED `(tok, c)` count tables —
+    * the mergeable form: count tables sum across shards/batches, so a
+    * running corpus distribution never re-reads history.
+    */
+  def jsDivergenceFromCounts(countsA: DataFrame,
+      countsB: DataFrame): DataFrame = {
+    def freqs(counts0: DataFrame, c: String, f: String): DataFrame = {
+      val counts = counts0.select(col("tok"), col("c").cast("long").as(c))
       counts.crossJoin(counts.agg(sum(col(c)).as("_n"))) // one-row broadcast
         .withColumn(f, expr(s"$c * 1000000L div _n"))
         .drop("_n")
@@ -833,8 +848,8 @@ object TextAnalysis {
     // union (3×), and the term table all read it — without lineage
     // truncation the corpus token pass appears 8× in the logical plan
     // and PLANNING, not data, dominates (measured: 5.2 s → 1.3 s warm)
-    val j = freqs(docsA, "ac", "af")
-      .join(freqs(docsB, "bc", "bf"), Seq("tok"), "full_outer")
+    val j = freqs(countsA, "ac", "af")
+      .join(freqs(countsB, "bc", "bf"), Seq("tok"), "full_outer")
       .na.fill(0L, Seq("ac", "af", "bc", "bf"))
       .localCheckpoint(true)
     val tots = j.agg(

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.ops.TextAnalysis
+
+/** The drift monitor's three contracts: stream/batch parity (the ledger's
+  * last row equals the batch JSD over the concatenated corpus), drift
+  * monotonicity as off-reference vocabulary arrives, and exactly-once
+  * under both crash injections (counts-landed/ledger-missing, and full
+  * redelivery of an already-completed batch).
+  */
+class StreamingDriftSpec extends AnyFunSuite with SparkTestBase {
+
+  private def refDocs = {
+    import spark.implicits._
+    (0L until 20L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+  }
+
+  test("stream/batch parity, drift direction, and the alarm threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdrift").toString
+    val (counts, ledger) = (s"$dir/counts", s"$dir/ledger")
+    val ref = TextAnalysis.tokenCountTable(refDocs).localCheckpoint(true)
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDrift.run(input.toDF().toDF("doc_id", "text"),
+      ref, counts, ledger, s"$dir/ckpt", alarmMillibits = 100L)
+    try {
+      // batch 1: on-reference text — negligible drift, no alarm
+      input.addData((100L, "alpha beta gamma delta epsilon"),
+        (101L, "beta gamma delta epsilon alpha"))
+      query.processAllAvailable()
+      // batch 2: heavily off-reference vocabulary — drift must rise
+      input.addData((200L, "zeta eta theta iota kappa zeta eta"),
+        (201L, "theta iota kappa zeta eta theta iota"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.read.parquet(ledger).orderBy("batch_id").collect()
+    assert(rows.length == 2)
+    val (j1, j2) = (rows(0).getAs[Long]("jsd_millibits"),
+      rows(1).getAs[Long]("jsd_millibits"))
+    assert(j1 < 10L && !rows(0).getAs[Boolean]("alarm"),
+      s"on-reference batch must not drift: $j1")
+    assert(j2 > j1 && rows(1).getAs[Boolean]("alarm"),
+      s"off-reference batch must alarm: $j2")
+
+    // parity: the final ledger row IS the batch operator over the
+    // concatenated stream corpus vs the same reference
+    val streamed = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "beta gamma delta epsilon alpha"),
+      (200L, "zeta eta theta iota kappa zeta eta"),
+      (201L, "theta iota kappa zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val batchJsd = TextAnalysis.jsDivergence(streamed, refDocs)
+      .collect()(0).getAs[Long]("jsd_millibits")
+    assert(j2 == batchJsd,
+      s"stream ledger ($j2) must equal batch JSD ($batchJsd)")
+  }
+
+  test("crash between counts append and ledger append self-heals; full " +
+    "redelivery of a completed batch is a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdrift-crash").toString
+    val (counts, ledger) = (s"$dir/counts", s"$dir/ledger")
+    val ref = TextAnalysis.tokenCountTable(refDocs).localCheckpoint(true)
+    val b0 = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+
+    // injection 1: a previous run died AFTER landing batch 0's counts
+    // but BEFORE its ledger row
+    TextAnalysis.tokenCountTable(b0).withColumn("batch_id", lit(0L))
+      .write.mode(SaveMode.Append).parquet(counts)
+
+    // redelivery of batch 0: counts must not double, ledger backfills
+    val healed = StreamingDrift.driftBatch(b0, ref, counts, ledger, 0L)
+    val storedTotal = spark.read.parquet(counts)
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(storedTotal == 4L, s"counts doubled on redelivery: $storedTotal")
+    val ledger0 = spark.read.parquet(ledger).collect()
+    assert(ledger0.length == 1 && ledger0(0).getAs[Long]("batch_id") == 0L)
+
+    // injection 2: redeliver the now-COMPLETED batch — fully idempotent,
+    // and the returned result matches the stored row
+    val again = StreamingDrift.driftBatch(b0, ref, counts, ledger, 0L)
+    assert(spark.read.parquet(counts)
+      .agg(sum(col("c"))).collect()(0).getLong(0) == 4L)
+    assert(spark.read.parquet(ledger).count() == 1L)
+    assert(again == healed)
+
+    // and the healed row is the deterministic value: batch JSD parity
+    val batchJsd = TextAnalysis.jsDivergence(b0, refDocs)
+      .collect()(0).getAs[Long]("jsd_millibits")
+    assert(healed.jsdMillibits == batchJsd)
+  }
+}
