@@ -63,6 +63,49 @@ object Privacy {
     * immutable storage; partition pruning on an id-range layout bounds
     * the rewrite to affected files.
     */
+  /** ε-differentially-private noisy release counts — the mechanism a
+    * telemetry/corpus-stats export applies so that published per-group
+    * counts don't leak any individual row: each count gets two-sided
+    * geometric noise Z = G₁ − G₂, G ~ Geometric(1−α) (the discrete
+    * Laplace; Ghosh–Roughgarden–Sundararajan 2012 show it's the
+    * UNIVERSALLY optimal ε-DP mechanism for counts), with
+    * α = `alphaBp`/10⁴ = e^(−ε) — so alphaBp 9000 ≈ ε 0.105/release,
+    * alphaBp 3679 ≈ ε 1.
+    *
+    * The noise is SEEDED, not sampled: U = (md5(seed:group:i)+1)/2³²
+    * through the inverse CDF G = ⌊log U / log α⌋, evaluated entirely in
+    * the engine's fixed-point log2 ([[TextAnalysis.withPseudoLog2]] for
+    * the column side, its driver twin for the α denominator) — so a
+    * rerun or a second engine reproduces the released table
+    * bit-for-bit, and there is no RNG state to coordinate across
+    * executors. DP accounting treats the seed as secret (standard for
+    * PRG-based DP); publish the counts, never the seed. Negative
+    * noisy counts clamp to 0 — post-processing, DP-safe.
+    *
+    * Shape: one map-side-combinable group count, two md5 draws and two
+    * chained log projections over the GROUP-domain table (not the
+    * corpus), no joins. Out: `(group, noisy_count)` — deliberately no
+    * true count or noise column; a release table must not carry them.
+    */
+  def dpNoisyCounts(rows: DataFrame, groupCol: String, alphaBp: Long,
+      seed: String = "dp1"): DataFrame = {
+    require(alphaBp >= 1 && alphaBp < 10000, s"alphaBp out of (0,1): $alphaBp")
+    val den = TextAnalysis.pseudoLog2Long(10000L) -
+      TextAnalysis.pseudoLog2Long(alphaBp)
+    def u(i: Int) =
+      conv(substring(md5(concat(lit(s"$seed:"), col(groupCol).cast("string"),
+        lit(s":$i"))), 1, 8), 16, 10).cast("long") + 1
+    val counts = rows.groupBy(col(groupCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_u1", u(1)).withColumn("_u2", u(2))
+    val logged = TextAnalysis.withPseudoLog2(
+      TextAnalysis.withPseudoLog2(counts, "_u1", "_l1"), "_u2", "_l2")
+    logged
+      .withColumn("_g1", expr(s"(2097152 - _l1) div $den"))
+      .withColumn("_g2", expr(s"(2097152 - _l2) div $den"))
+      .select(col(groupCol),
+        greatest(expr("_c + _g1 - _g2"), lit(0L)).as("noisy_count"))
+  }
+
   def forgetByContent(
       corpus: DataFrame, index: DataFrame, requests: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"

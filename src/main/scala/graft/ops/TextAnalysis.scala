@@ -742,6 +742,25 @@ object TextAnalysis {
     * log-valued twin of DataSelect.pseudoExp). Pure chained projection:
     * Catalyst collapses the fracBits steps into one codegen stage.
     */
+  /** Driver-side twin of [[withPseudoLog2]] — the SAME bit recursion on
+    * a Scala Long, for literal denominators (e.g. the geometric-noise
+    * scale in [[Privacy.dpNoisyCounts]]) that must match the
+    * distributed column form bit-for-bit (pinned by TextOpsSpec parity).
+    * Same `x << 20` headroom bound: x < 2⁴³.
+    */
+  def pseudoLog2Long(x: Long, fracBits: Int = 16): Long = {
+    require(x > 0 && x < (1L << 43), s"out of pseudo-log2 range: $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = (x << 20) / (1L << e)
+    var fr = 0L
+    for (_ <- 1 to fracBits) {
+      val sq = (m * m) / 1048576
+      if (sq >= 2097152) { fr = fr * 2 + 1; m = sq / 2 }
+      else { fr = fr * 2; m = sq }
+    }
+    e * (1L << fracBits) + fr
+  }
+
   def withPseudoLog2(df: DataFrame, xCol: String, out: String,
       fracBits: Int = 16): DataFrame = {
     val base = df

@@ -1203,6 +1203,41 @@ object TextQueries extends QueryGroup {
              |FROM t""".stripMargin)
     ),
 
+    // ε-DP noisy release of per-source doc counts (two-sided geometric,
+    // α=0.9, seeded inverse-CDF through the fixed-point log) — both
+    // engines rebuild the draws, the log recursion, AND the noise, so
+    // the released table matches bit-for-bit.
+    "q_text_dp_release" -> QueryDef(
+      (s, d) =>
+        graft.ops.Privacy.dpNoisyCounts(
+          Tables.documents(s, d), "source", alphaBp = 9000L)
+          .orderBy("source"),
+      Some(s"""WITH RECURSIVE counts AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1),
+             |wu AS MATERIALIZED (
+             |  SELECT source, c,
+             |    ${hex8Sql("md5('dp1:' || source || ':1')")} + 1 AS u1,
+             |    ${hex8Sql("md5('dp1:' || source || ':2')")} + 1 AS u2
+             |  FROM counts),
+             |vals AS (
+             |  SELECT DISTINCT x FROM (
+             |    SELECT u1 AS x FROM wu
+             |    UNION ALL SELECT u2 FROM wu
+             |    UNION ALL SELECT 10000
+             |    UNION ALL SELECT 9000)),
+             |${pseudoLog2Sql("q", "vals")},
+             |den AS (
+             |  SELECT (SELECT l FROM lgq WHERE x = 10000)
+             |       - (SELECT l FROM lgq WHERE x = 9000) AS d)
+             |SELECT source,
+             |  greatest(c + (2097152 - l1.l) // d - (2097152 - l2.l) // d,
+             |    0) AS noisy_count
+             |FROM wu JOIN lgq l1 ON wu.u1 = l1.x
+             |        JOIN lgq l2 ON wu.u2 = l2.x, den
+             |ORDER BY source""".stripMargin)
+    ),
+
     // Corpus-composition audit vs a declared data-card mix: 16 sources
     // at 550 bp each + a declared-but-absent stratum (srcghost) + four
     // undeclared-but-present sources (NULL χ² term = a finding) — both

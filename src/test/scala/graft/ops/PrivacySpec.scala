@@ -52,4 +52,37 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert((0 to 7).map(a.getLong).toSeq
       == Seq(4L, 1L, 2L, 2L, 4L, 2L, 0L, 0L), a.toString)
   }
+
+  test("dpNoisyCounts: seeded noise is deterministic, roughly centered, " +
+    "clamped at zero, and scales with alpha") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 200 groups of 30 rows each
+    val rows = (0 until 6000).map(i => s"g${i % 200}").toDF("grp")
+    def release(alphaBp: Long) =
+      Privacy.dpNoisyCounts(rows, "grp", alphaBp)
+        .collect().map(r => r.getAs[String]("grp") ->
+          r.getAs[Long]("noisy_count")).toMap
+
+    val r9 = release(9000L)
+    assert(r9.size == 200 && r9.values.forall(_ >= 0L))
+    // reruns release the identical table — no RNG state anywhere
+    assert(release(9000L) == r9)
+    // noise is two-sided and roughly centered: with α=0.9 (std ≈ 13)
+    // over 200 groups the mean residual has SE ≈ 1
+    val noise9 = r9.values.map(_ - 30L)
+    assert(noise9.exists(_ > 0L) && noise9.exists(_ < 0L))
+    assert(math.abs(noise9.sum.toDouble / 200) < 4.0,
+      s"noise not centered: mean ${noise9.sum / 200.0}")
+    // a smaller α (stronger decay, smaller ε-noise... larger ε) shrinks
+    // the spread: mean |noise| at α=0.2 far below α=0.9
+    val noise2 = release(2000L).values.map(c => math.abs(c - 30L))
+    assert(noise2.sum * 5 < noise9.map(math.abs(_)).sum,
+      s"alpha must control spread: ${noise2.sum} vs ${noise9.map(math.abs(_)).sum}")
+    // seed change re-draws
+    val other = Privacy.dpNoisyCounts(rows, "grp", 9000L, seed = "dp2")
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Long]("noisy_count")).toMap
+    assert(other != r9)
+  }
 }

@@ -551,6 +551,19 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       4L -> List("x", "y", "z")), s"got $got")
   }
 
+  test("pseudoLog2Long: the driver twin matches the column recursion " +
+    "bit-for-bit across the range") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 7L, 100L, 9000L, 10000L, 65536L,
+      4294967296L, (1L << 42) + 12345L)
+    val df = TextAnalysis.withPseudoLog2(xs.toDF("x"), "x", "l")
+      .collect().map(r => r.getAs[Long]("x") -> r.getAs[Long]("l")).toMap
+    xs.foreach { x =>
+      assert(TextAnalysis.pseudoLog2Long(x) == df(x),
+        s"driver/column divergence at $x")
+    }
+  }
+
   test("pseudoLog2: fixed-point log2 tracks the real log2 to ~2^-10") {
     import spark.implicits._
     val xs = Seq(1L, 2L, 3L, 7L, 10L, 100L, 1024L, 999983L)
