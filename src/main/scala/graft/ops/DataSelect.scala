@@ -318,6 +318,84 @@ object DataSelect {
       .withColumn("nll_per_tok_bp", expr("nll_bp div n_bigrams"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing the real
+    * CCNet/KenLM perplexity filter uses, where [[lmScore]]'s add-1 is
+    * the didactic baseline: absolute discount `d` with the
+    * continuation-probability backoff
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁)
+    *            + d·N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/T
+    *
+    * (N₁₊ = distinct-continuation counts, T = distinct bigram types in
+    * the training slice). Unlike add-1, frequent-but-narrow contexts
+    * ("San Francisco") don't inflate unseen continuations — the
+    * standard fix that makes perplexity filters sharper on boilerplate.
+    *
+    * Everything is exact integer: P lands in micro-units over the
+    * common denominator c(w₁)·T (each term provably ≤ 1, floored at 1
+    * micro so unseen-everything bigrams stay loggable), and the NLL uses
+    * the fixed-point log2 — so unlike [[lmScore]]'s floored double log,
+    * the VALUE replays bit-for-bit in any engine. `d` stays an integer
+    * count (1 = the classic 0.75 rounded up; counts are integers here).
+    * Contexts unseen in training back off to the pure continuation
+    * distribution. BIGINT bound: c(w₁)·T < 2⁶³/10⁶ — for corpora past
+    * ~10⁸ bigram types, score against a trimmed training slice (KN
+    * tables are always pruned at scale; KenLM does the same).
+    *
+    * Shape: the training tables are bigram-TYPE-sized (vocab², tiny
+    * next to the corpus) and the per-doc stream joins them by key —
+    * map-side-combinable counts, equi-joins, one value-domain log
+    * projection; no windows, no driver state.
+    *
+    * Out: `(doc_id, n_bigrams, nll_fix, nll_per_tok_millibits)` for
+    * every doc with ≥2 tokens (train docs score too — their fit is the
+    * calibration readout).
+    */
+  def lmScoreKN(docs: DataFrame, trainOn: Column, d: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    require(d >= 1L, s"discount must be a positive count: $d")
+    val t = col("_toks")
+    val base = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_train", trainOn)
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+    val dbg = base.filter(size(t) >= 2)
+      .select(col("doc_id"), col("_train"),
+        explode(transform(sequence(lit(0), size(t) - 2), i =>
+          struct(element_at(t, i + 1).as("w1"),
+            element_at(t, i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("_train"), col("p.w1"), col("p.w2"))
+      .groupBy("doc_id", "_train", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+    // bigram-type-sized; checkpointed — four derived tables read it
+    val train = dbg.filter(col("_train"))
+      .groupBy("w1", "w2").agg(sum(col("c")).as("cb"))
+      .localCheckpoint(true)
+    val cu = train.groupBy("w1")
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1w1"))
+    val nc = train.groupBy("w2").agg(count(lit(1)).as("ncw2"))
+    val tRow = train.agg(count(lit(1)).as("tt"))
+    val scored = dbg
+      .join(train, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .join(nc, Seq("w2"), "left")
+      .crossJoin(broadcast(tRow))
+      .withColumn("_p", expr(
+        s"""greatest(
+           |  if(cu is null or cu <= 0,
+           |     coalesce(ncw2, 0L) * 1000000L div tt,
+           |     (greatest(coalesce(cb, 0L) - $d, 0L) * tt
+           |       + $d * n1w1 * coalesce(ncw2, 0L)) * 1000000L
+           |       div (cu * tt)),
+           |  1L)""".stripMargin))
+    val lfix1e6 = TextAnalysis.pseudoLog2Long(1000000L)
+    TextAnalysis.withPseudoLog2(scored, "_p", "_lp")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(expr(s"c * (${lfix1e6}L - _lp)")).as("nll_fix"))
+      .withColumn("nll_per_tok_millibits",
+        expr("(nll_fix div n_bigrams) * 1000 div 65536"))
+  }
+
   /** Engine-exact pseudo-exponential `E(x) = (1 + x/256)²⁵⁶` computed by
     * eight squarings — every step a plain IEEE multiply, so any engine
     * replays it bit-for-bit where a libm `exp` could differ in the last

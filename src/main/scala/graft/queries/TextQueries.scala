@@ -2245,6 +2245,66 @@ object TextQueries extends QueryGroup {
     // quantize to integer bp at the joined row, so both engines reduce
     // pure BIGINTs. The corrupted flag rides along: clean docs score
     // ≤3.7 nats/tok, corrupted ≥5.0 — the separation is in the output.
+    // Interpolated Kneser-Ney bigram NLL (the KenLM/CCNet smoothing)
+    // trained on sources <10, scored over everything — probabilities in
+    // exact micro-units over c(w1)·T and the NLL through the fixed-point
+    // log, so both engines replay the VALUES, not just the ranking.
+    "q_text_lm_kneser_ney" -> QueryDef(
+      (s, d) =>
+        graft.ops.DataSelect.lmScoreKN(
+          Tables.documents(s, d),
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("long") < 10)
+          .orderBy("doc_id"),
+      Some {
+        val lfix1e6 = graft.ops.TextAnalysis.pseudoLog2Long(1000000L)
+        s"""WITH RECURSIVE docs0 AS (
+           |  SELECT doc_id, text,
+           |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) < 10 AS tr
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, tr,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM docs0),
+           |dbg AS MATERIALIZED (
+           |  SELECT doc_id, tr, w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT doc_id, tr, t[i] AS w1, t[i + 1] AS w2
+           |    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+           |    WHERE len(t) >= 2)
+           |  GROUP BY 1, 2, 3, 4),
+           |train AS MATERIALIZED (
+           |  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb
+           |  FROM dbg WHERE tr GROUP BY 1, 2),
+           |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+           |         CAST(count(*) AS BIGINT) AS n1w1 FROM train GROUP BY 1),
+           |nc AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw2
+           |       FROM train GROUP BY 1),
+           |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM train),
+           |scored AS MATERIALIZED (
+           |  SELECT dbg.doc_id, dbg.c,
+           |    greatest(
+           |      CASE WHEN cu.cu IS NULL OR cu.cu <= 0
+           |           THEN coalesce(nc.ncw2, 0) * 1000000 // tt.tt
+           |           ELSE (greatest(coalesce(train.cb, 0) - 1, 0) * tt.tt
+           |                  + 1 * cu.n1w1 * coalesce(nc.ncw2, 0)) * 1000000
+           |                 // (cu.cu * tt.tt) END,
+           |      1) AS p
+           |  FROM dbg
+           |  LEFT JOIN train USING (w1, w2)
+           |  LEFT JOIN cu USING (w1)
+           |  LEFT JOIN nc USING (w2), tt),
+           |vals AS (SELECT DISTINCT p AS x FROM scored),
+           |${pseudoLog2Sql("k", "vals")}
+           |SELECT s.doc_id,
+           |  CAST(sum(s.c) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(s.c * ($lfix1e6 - lg.l)) AS BIGINT) AS nll_fix,
+           |  (CAST(sum(s.c * ($lfix1e6 - lg.l)) AS BIGINT)
+           |    // CAST(sum(s.c) AS BIGINT)) * 1000 // 65536
+           |    AS nll_per_tok_millibits
+           |FROM scored s JOIN lgk lg ON s.p = lg.x
+           |GROUP BY 1 ORDER BY s.doc_id""".stripMargin
+      }
+    ),
+
     "q_text_lm_perplexity" -> QueryDef(
       (s, d) => {
         import graft.ops.TextAnalysis

@@ -125,6 +125,36 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       w.values.sum > 999990L, s"floor-normalized mass: ${w.values.sum}"))
   }
 
+  test("lmScoreKN: seen text scores far below gibberish, and the " +
+    "continuation backoff prefers broad-context words (the Francisco " +
+    "effect add-1 cannot express)") {
+    import spark.implicits._
+    // 'common' follows 5 DIFFERENT contexts; 'francisco' appears the
+    // same total count but only ever after 'san'
+    val train = Seq(
+      (1L, "a common b common c common d common e common", true),
+      (2L, "san francisco san francisco san francisco san francisco " +
+        "san francisco", true),
+      // eval docs: identical unseen context 'zz' — only the
+      // continuation distribution can separate them
+      (10L, "zz common", false),
+      (11L, "zz francisco", false),
+      (12L, "a common b common", false), // fully in-distribution
+      (13L, "qq ww ee rr", false) // fully out-of-distribution
+    ).toDF("doc_id", "text", "tr")
+    val out = DataSelect.lmScoreKN(train.toDF(), col("tr")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def nll(id: Long) = out(id).getAs[Long]("nll_per_tok_millibits")
+    assert(out.values.forall(_.getAs[Long]("nll_fix") >= 0L))
+    // in-distribution text scores far below gibberish
+    assert(nll(12L) < nll(13L),
+      s"seen ${nll(12L)} must beat unseen ${nll(13L)}")
+    // the KN signature: same context novelty, but 'common' has 5
+    // distinct continuation contexts vs francisco's 1 → lower NLL
+    assert(nll(10L) < nll(11L),
+      s"broad-continuation word must win backoff: ${nll(10L)} vs ${nll(11L)}")
+  }
+
   test("mixAudit: matched strata at zero deviation, ghost and undeclared " +
     "strata surface as findings") {
     import spark.implicits._
