@@ -142,6 +142,32 @@ object Sketches {
   def mergeCountMin(sketches: DataFrame): DataFrame =
     sketches.groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
 
+  /** Equi-join size estimation by count-min inner product (the
+    * AGMS/Cormode-Muthukrishnan estimator): the true size of A ⋈ₖ B is
+    * Σ_v fA(v)·fB(v) — the inner product of the key-frequency vectors —
+    * and each sketch row estimates it as Σ_w cmsA[d][w]·cmsB[d][w].
+    * Colliding keys only ADD positive cross terms, so every row
+    * overestimates and the MIN over rows is the estimate; expected
+    * additive error per row is |A|·|B|/width, so SIZE THE WIDTH to the
+    * input product (width ≈ |A|·|B|/(0.1·expected-join-size) for ~10%
+    * error — sketch rows are cheap, the estimate never touches the
+    * inputs). That's the point at 100 TB: join planning, skew triage,
+    * and shuffle budgeting from two broadcast-sized counter tables,
+    * with no scan of either input beyond the one pass that built the
+    * sketches (which shards/days can build incrementally and
+    * [[mergeCountMin]] fold together). BIGINT bound: Σ_w cntA·cntB <
+    * 2⁶³ per row, i.e. |A|·|B| < 2⁶³ — any real input.
+    *
+    * Out: one row `(join_size_est, depth)`.
+    */
+  def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
+    cmsA.select(col("row"), col("bucket"), col("cnt").as("_ca"))
+      .join(cmsB.select(col("row"), col("bucket"), col("cnt").as("_cb")),
+        Seq("row", "bucket"))
+      .groupBy("row").agg(sum(expr("_ca * _cb")).as("_ip"))
+      .agg(min(col("_ip")).as("join_size_est"),
+        count(lit(1)).as("depth"))
+
   /** Equi-width histogram sketch of a numeric column over a fixed
     * [lo, hi) domain: `bins` counters as a (bin, cnt) table — at most
     * `bins` rows regardless of corpus size, one groupBy with map-side

@@ -593,6 +593,62 @@ object AnalyticsQueries extends QueryGroup {
              |    THEN 1 ELSE 0 END) = 0
              |FROM lineitem
              |ORDER BY check_name""".stripMargin)
+    ),
+
+    // Join-size estimation by count-min inner product: the
+    // lineitem ⋈ orders cardinality from two 4×65536 counter tables vs
+    // the exact join count — both engines rebuild the sketches, the
+    // row-wise inner products, the min, AND the honest error figure.
+    "q_analytics_join_size" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Sketches
+        val la = Tables.lineitem(s, d)
+          .select(col("l_orderkey").cast("string").as("k"))
+        val ob = Tables.orders(s, d)
+          .select(col("o_orderkey").cast("string").as("k"))
+        val est = Sketches.cmsJoinSize(
+          Sketches.countMinSketch(la, col("k"), depth = 4, width = 65536),
+          Sketches.countMinSketch(ob, col("k"), depth = 4, width = 65536))
+        val exact = la.join(ob, "k").agg(count(lit(1)).as("join_size_exact"))
+        est.crossJoin(exact) // both single-row
+          .withColumn("err_bp",
+            expr("(join_size_est - join_size_exact) * 10000 " +
+              "div join_size_exact"))
+      },
+      Some {
+        def hexd(h: String, i: Int) =
+          s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+        def bucket(k: String) = {
+          val h = s"md5('cms:' || r || ':' || $k)"
+          s"((${hexd(h, 1)} * 1048576 + ${hexd(h, 2)} * 65536 + " +
+            s"${hexd(h, 3)} * 4096 + ${hexd(h, 4)} * 256 + " +
+            s"${hexd(h, 5)} * 16 + ${hexd(h, 6)}) % 65536)"
+        }
+        s"""WITH la AS (SELECT l_orderkey::VARCHAR AS k FROM lineitem),
+           |ob AS (SELECT o_orderkey::VARCHAR AS k FROM orders),
+           |ca AS MATERIALIZED (
+           |  SELECT r, ${bucket("k")} AS bucket,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM la, range(0, 4) t(r) GROUP BY 1, 2),
+           |cb AS MATERIALIZED (
+           |  SELECT r, ${bucket("k")} AS bucket,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM ob, range(0, 4) t(r) GROUP BY 1, 2),
+           |ip AS (
+           |  SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+           |  FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+           |  GROUP BY 1),
+           |est AS (
+           |  SELECT CAST(min(ip) AS BIGINT) AS join_size_est,
+           |    CAST(count(*) AS BIGINT) AS depth FROM ip),
+           |ex AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS join_size_exact
+           |  FROM la JOIN ob USING (k))
+           |SELECT join_size_est, depth, join_size_exact,
+           |  (join_size_est - join_size_exact) * 10000 // join_size_exact
+           |    AS err_bp
+           |FROM est, ex""".stripMargin
+      }
     )
   )
 }

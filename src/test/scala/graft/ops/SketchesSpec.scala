@@ -71,6 +71,38 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(exactHits >= est.length * 0.9, s"$exactHits/${est.length} exact")
   }
 
+  test("cmsJoinSize: one-sided, exact on a collision-free key domain, " +
+    "and merge-composable") {
+    import spark.implicits._
+    // 50 keys, key i appears i+1 times in A and twice in B:
+    // true join size = Σ (i+1)·2 = 2·(50·51/2) = 2550; 50 keys in a
+    // 65536-bucket row collide with probability ~2%, so demand exactness
+    val a = (0 until 50).flatMap(i => Seq.fill(i + 1)(s"k$i")).toDF("k")
+    val b = (0 until 50).flatMap(i => Seq.fill(2)(s"k$i")).toDF("k")
+    def cms(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinSketch(df, col("k"), depth = 4, width = 65536)
+    val est = Sketches.cmsJoinSize(cms(a), cms(b)).collect()(0)
+    assert(est.getAs[Long]("depth") == 4L)
+    assert(est.getAs[Long]("join_size_est") == 2550L,
+      s"collision-free estimate must be exact: ${est.toString}")
+
+    // one-sided: a deliberately tiny width forces collisions UP, never down
+    val estTiny = Sketches.cmsJoinSize(
+      Sketches.countMinSketch(a, col("k"), depth = 4, width = 8),
+      Sketches.countMinSketch(b, col("k"), depth = 4, width = 8))
+      .collect()(0).getAs[Long]("join_size_est")
+    assert(estTiny >= 2550L, s"CM inner product must overestimate: $estTiny")
+
+    // mergeability: sketches of two halves of A, counter-summed, give
+    // the identical estimate to sketching A directly
+    val (a1, a2) = (a.filter(length(col("k")) <= 2),
+      a.filter(length(col("k")) > 2))
+    val merged = Sketches.mergeCountMin(cms(a1).unionByName(cms(a2)))
+    val estMerged = Sketches.cmsJoinSize(merged, cms(b))
+      .collect()(0).getAs[Long]("join_size_est")
+    assert(estMerged == 2550L)
+  }
+
   test("streaming count-min accumulation equals the batch sketch exactly") {
     // the incremental-accounting contract: per-micro-batch sketches merged
     // into a running table must equal sketching the whole stream at once
