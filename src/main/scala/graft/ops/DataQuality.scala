@@ -61,4 +61,82 @@ object DataQuality {
   def notNull(df: DataFrame, c: String, name: String): DataFrame =
     report(name, count(lit(1)),
       sum(when(col(c).isNull, 1L).otherwise(0L)))(df)
+
+  /** Poisson(1) cumulative thresholds scaled to the 2³² draw domain
+    * (floor(P(W ≤ k)·2³²), k = 0..7) — the inverse-CDF table for the
+    * seeded bootstrap weights below. Truncating at 7 loses
+    * P(W > 7) ≈ 1.02·10⁻⁵ of weight mass, deterministically in both
+    * engines.
+    */
+  val PoissonThresholds2_32: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** Seeded Poisson-bootstrap confidence interval for a per-group mean —
+    * the error bar every corpus-stats dashboard should carry but rarely
+    * does (a mean quality shift of 2 points means nothing without one).
+    * The Poisson bootstrap (Chamandy et al. 2012, Google's
+    * "Estimating Uncertainty for Massive Data Streams") replaces
+    * with-replacement resampling — which needs the row count up front
+    * and a global shuffle per replicate — with an independent
+    * Poisson(1) weight PER (row, replicate): every replicate mean
+    * becomes one weighted aggregate, all `b` replicates ride ONE pass
+    * over rows×b, and shards/executors never coordinate.
+    *
+    * Determinism: the weight is the inverse CDF of md5(seed:rep:id) at
+    * the fixed [[PoissonThresholds2_32]] table, replicate means are
+    * exact integer ratios in micro-units, and the CI bounds are ORDER
+    * STATISTICS of the b means (ranks ⌈loBp·b/10⁴⌉ / ⌈hiBp·b/10⁴⌉,
+    * ties broken by replicate id) — no interpolation, no RNG state, so
+    * a second engine replays the exact interval. Replicates whose
+    * total weight lands at 0 (P ≈ e⁻ⁿ, gone for any real group) are
+    * dropped and reported via `b_effective`.
+    *
+    * Shape: one rows×b projection feeding a (group, replicate)
+    * aggregate with map-side partials; the order-statistic window
+    * partitions by group over b-bounded frames. Corpus cost is b× one
+    * scan — for 100 TB inputs bootstrap a deterministic md5 row-sample
+    * first (the estimator composes; Chamandy et al. do exactly this).
+    *
+    * Out: one row per group `(group, n_rows, mean_micro, ci_lo_micro,
+    * ci_hi_micro, b_effective)`.
+    */
+  def bootstrapCI(rows: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, b: Int = 100, seed: String = "boot1",
+      loBp: Int = 250, hiBp: Int = 9750): DataFrame = {
+    require(b >= 2 && loBp >= 0 && hiBp <= 10000 && loBp < hiBp)
+    val thr = PoissonThresholds2_32
+    val u = conv(substring(md5(concat(lit(s"$seed:"), col("_rep"),
+      lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    // fold REVERSED so the smallest threshold tests outermost —
+    // CASE u < t0 THEN 0 WHEN u < t1 THEN 1 … ELSE 8
+    val w = thr.indices.reverse.foldLeft(lit(thr.length.toLong)) { (acc, k) =>
+      when(u < thr(k), k.toLong).otherwise(acc)
+    }
+    val reps = rows
+      .withColumn("_rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_w", w)
+      .groupBy(col(groupCol), col("_rep"))
+      .agg(sum(expr(s"_w * $valueCol")).as("_ws"),
+        sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0L)
+      .withColumn("_mean", expr("_ws * 1000000L div _wn"))
+    val ranked = reps.withColumn("_r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+        .orderBy(col("_mean"), col("_rep")))) // b-bounded frames
+    val stats = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("b_effective"))
+    val cis = ranked.join(stats, Seq(groupCol))
+      .withColumn("_klo", expr(s"greatest(($loBp * b_effective + 9999) div 10000, 1L)"))
+      .withColumn("_khi", expr(s"greatest(($hiBp * b_effective + 9999) div 10000, 1L)"))
+      .groupBy(col(groupCol), col("b_effective"))
+      .agg(max(when(col("_r") === col("_klo"), col("_mean"))).as("ci_lo_micro"),
+        max(when(col("_r") === col("_khi"), col("_mean"))).as("ci_hi_micro"))
+    rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"sum($valueCol) * 1000000L div count(1)").as("mean_micro"))
+      .join(cis, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"), col("b_effective"))
+  }
 }

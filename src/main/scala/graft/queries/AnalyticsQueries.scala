@@ -595,6 +595,58 @@ object AnalyticsQueries extends QueryGroup {
              |ORDER BY check_name""".stripMargin)
     ),
 
+    // Seeded Poisson-bootstrap CI for the per-source mean doc length:
+    // 100 replicates ride one rows×100 pass, weights from the fixed
+    // Poisson(1) inverse-CDF table, CI = order statistics of replicate
+    // means — both engines replay the exact intervals.
+    "q_dq_bootstrap_ci" -> QueryDef(
+      (s, d) =>
+        graft.ops.DataQuality.bootstrapCI(
+          Tables.documents(s, d), "n_chars", "source", "doc_id", b = 100)
+          .orderBy("source"),
+      Some {
+        val thr = graft.ops.DataQuality.PoissonThresholds2_32
+        val cases = thr.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        def hexd(h: String, i: Int) =
+          s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+        val hex8 = (1 to 8).map(i =>
+          s"${hexd("md5('boot1:' || r || ':' || doc_id)", i)} * ${1L << (4 * (8 - i))}")
+          .mkString("(", " + ", ")")
+        s"""WITH reps AS MATERIALIZED (
+           |  SELECT source, r,
+           |    CAST(sum(w * n_chars) AS BIGINT) AS ws,
+           |    CAST(sum(w) AS BIGINT) AS wn
+           |  FROM (
+           |    SELECT source, n_chars, r,
+           |      CASE $cases ELSE ${thr.length} END AS w
+           |    FROM (
+           |      SELECT source, n_chars, r, $hex8 AS u
+           |      FROM documents, range(0, 100) t(r)))
+           |  GROUP BY 1, 2 HAVING sum(w) > 0),
+           |m AS (SELECT source, r, ws * 1000000 // wn AS mean FROM reps),
+           |rk AS (
+           |  SELECT source, r, mean,
+           |    row_number() OVER (PARTITION BY source ORDER BY mean, r) AS rr,
+           |    count(*) OVER (PARTITION BY source) AS be
+           |  FROM m),
+           |ci AS (
+           |  SELECT source, CAST(be AS BIGINT) AS b_effective,
+           |    CAST(max(CASE WHEN rr = greatest((250 * be + 9999) // 10000, 1)
+           |             THEN mean END) AS BIGINT) AS ci_lo_micro,
+           |    CAST(max(CASE WHEN rr = greatest((9750 * be + 9999) // 10000, 1)
+           |             THEN mean END) AS BIGINT) AS ci_hi_micro
+           |  FROM rk GROUP BY 1, be),
+           |base AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS mean_micro
+           |  FROM documents GROUP BY 1)
+           |SELECT b.source, n_rows, mean_micro, ci_lo_micro, ci_hi_micro,
+           |  b_effective
+           |FROM base b JOIN ci USING (source) ORDER BY b.source""".stripMargin
+      }
+    ),
+
     // Join-size estimation by count-min inner product: the
     // lineitem ⋈ orders cardinality from two 4×65536 counter tables vs
     // the exact join count — both engines rebuild the sketches, the

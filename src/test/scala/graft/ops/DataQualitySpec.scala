@@ -29,4 +29,40 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
       ((4L, 1L, false)))  // "A" appears twice → one surplus row
     assert(one(DataQuality.unique(parent, "pk", "u2")) == ((2L, 0L, true)))
   }
+
+  test("bootstrapCI: brackets the mean, collapses on constants, narrows " +
+    "with sample size, and replays deterministically") {
+    import spark.implicits._
+    // two groups: 'small' n=25 and 'big' n=400, same value process
+    val rows = ((0 until 25).map(i => ("small", i.toLong, 100L + (i % 10))) ++
+      (0 until 400).map(i => ("big", 1000L + i, 100L + (i % 10))))
+      .toDF("grp", "id", "v")
+    val out = DataQuality.bootstrapCI(rows, "v", "grp", "id", b = 100)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    Seq("small", "big").foreach { g =>
+      val r = out(g)
+      assert(r.getAs[Long]("ci_lo_micro") <= r.getAs[Long]("mean_micro") &&
+        r.getAs[Long]("mean_micro") <= r.getAs[Long]("ci_hi_micro"), g)
+      assert(r.getAs[Long]("b_effective") == 100L)
+    }
+    def width(g: String) =
+      out(g).getAs[Long]("ci_hi_micro") - out(g).getAs[Long]("ci_lo_micro")
+    assert(width("big") * 2 < width("small"),
+      s"CI must narrow with n: big ${width("big")} vs small ${width("small")}")
+
+    // constant column: every replicate mean is the constant — zero width
+    val const = (0 until 50).map(i => ("c", i.toLong, 7L)).toDF("grp", "id", "v")
+    val rc = DataQuality.bootstrapCI(const, "v", "grp", "id", b = 50)
+      .collect()(0)
+    assert(rc.getAs[Long]("ci_lo_micro") == 7000000L &&
+      rc.getAs[Long]("ci_hi_micro") == 7000000L)
+
+    // determinism
+    val again = DataQuality.bootstrapCI(rows, "v", "grp", "id", b = 100)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("ci_lo_micro"), r.getAs[Long]("ci_hi_micro"))).toMap
+    assert(again("small") ==
+      (out("small").getAs[Long]("ci_lo_micro"),
+        out("small").getAs[Long]("ci_hi_micro")))
+  }
 }
