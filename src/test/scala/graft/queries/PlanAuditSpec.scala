@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
                             // brute-force sweep feeding both rankings
     "q_text_rater_kappa", // crossJoin of two 1-row count aggregates
     "q_text_mix_audit", // 1-row corpus-total aggregate × stratum table
-    "q_analytics_join_size") // crossJoin of two 1-row estimate/exact aggs
+    "q_analytics_join_size", // crossJoin of two 1-row estimate/exact aggs
+    "q_text_lm_kneser_ney") // 1-row bigram-type-count aggregate × stream
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
