@@ -62,6 +62,75 @@ object DataQuality {
     report(name, count(lit(1)),
       sum(when(col(c).isNull, 1L).otherwise(0L)))(df)
 
+  /** Mann-Whitney (rank-sum) AUC in exact basis points — the standard
+    * "does this score order the classes" readout for a quality/filter
+    * classifier: AUC = P(score⁺ > score⁻) + ½P(tie), computed WITHOUT
+    * any corpus-sized ranking. The score column collapses to its value
+    * domain first (per-score positive/negative counts), then one
+    * cumulative window over that bounded domain gives, for every score,
+    * the negatives strictly below it:
+    *
+    *   auc_bp = (2·Σ p_s·cumneg_s + Σ p_s·n_s) · 10⁴ div (2·P·N)
+    *
+    * — pairs won plus half-credit ties, an exact integer any engine
+    * replays. The window is unpartitioned BY DESIGN but runs over the
+    * score DOMAIN (basis-point scores: ≤ 10001 rows — the curriculum
+    * decomposition precedent), never the corpus. Single-class inputs
+    * (P or N = 0) return a NULL auc_bp — the honest undefined.
+    *
+    * Out: one row `(n_pos, n_neg, auc_bp)`.
+    */
+  def aucBp(scored: DataFrame, label: Column,
+      scoreCol: String): DataFrame = {
+    val cells = scored
+      .select(col(scoreCol).as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("_s").agg(sum(col("_y")).as("_p"),
+        sum(expr("1 - _y")).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    cells
+      .withColumn("_cn", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .agg(sum(col("_p")).as("n_pos"), sum(col("_n")).as("n_neg"),
+        sum(expr("_p * _cn")).as("_wins"), sum(expr("_p * _n")).as("_ties"))
+      .withColumn("auc_bp",
+        expr("if(n_pos > 0 and n_neg > 0, " +
+          "(2 * _wins + _ties) * 10000 div (2 * n_pos * n_neg), null)"))
+      .select("n_pos", "n_neg", "auc_bp")
+  }
+
+  /** Reliability (calibration) table for a basis-point score against a
+    * boolean outcome — the companion readout to [[aucBp]]: AUC says the
+    * ORDER is right, calibration says the VALUES mean what they claim
+    * (a doc scored 7000 bp should be positive ~70% of the time). Bins
+    * are equal-width in score space; per bin the observed positive rate
+    * sits next to the mean claimed score, and `gap_bp` is the signed
+    * miscalibration (Σ n·|gap| / N over bins = ECE, left to the caller
+    * so the table stays composable). One map-side-combinable
+    * aggregation over a bins-sized output; all ratios exact integer.
+    *
+    * Out: per bin `(bin, n, n_pos, mean_score_bp, pos_rate_bp,
+    * gap_bp)`.
+    */
+  def calibrationBins(scored: DataFrame, label: Column,
+      scoreBpCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 10000 % bins == 0,
+      s"bins must divide the bp domain: $bins")
+    val wdt = 10000 / bins
+    scored
+      .select(col(scoreBpCol).as("_s"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .withColumn("bin",
+        expr(s"least(greatest(_s div $wdt, 0L), ${bins - 1}L)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_s")).as("_ss"))
+      .withColumn("mean_score_bp", expr("_ss div n"))
+      .withColumn("pos_rate_bp", expr("n_pos * 10000 div n"))
+      .withColumn("gap_bp", expr("pos_rate_bp - mean_score_bp"))
+      .select("bin", "n", "n_pos", "mean_score_bp", "pos_rate_bp", "gap_bp")
+  }
+
   /** Poisson(1) cumulative thresholds scaled to the 2³² draw domain
     * (floor(P(W ≤ k)·2³²), k = 0..7) — the inverse-CDF table for the
     * seeded bootstrap weights below. Truncating at 7 loses

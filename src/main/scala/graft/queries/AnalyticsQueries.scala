@@ -595,6 +595,72 @@ object AnalyticsQueries extends QueryGroup {
              |ORDER BY check_name""".stripMargin)
     ),
 
+    // Rank-sum AUC of a length-proxy quality score against a token-count
+    // label — per-score-value counts, one bounded cumulative window,
+    // tie-corrected exact integer AUC; both engines replay the value.
+    "q_dq_auc" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("score_bp",
+            expr("least(n_chars, 1000L) * 10"))
+        graft.ops.DataQuality.aucBp(scored,
+          size(graft.ops.TextAnalysis.tokens(col("text"))) >= 55,
+          "score_bp")
+      },
+      Some("""WITH cells AS (
+             |  SELECT least(n_chars, 1000) * 10 AS s,
+             |    CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) >= 55 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             |    CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) >= 55 THEN 0 ELSE 1 END) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |cum AS (
+             |  SELECT s, p, n,
+             |    CAST(coalesce(sum(n) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cn
+             |  FROM cells),
+             |agg AS (
+             |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             |    CAST(sum(n) AS BIGINT) AS n_neg,
+             |    CAST(sum(p * cn) AS BIGINT) AS wins,
+             |    CAST(sum(p * n) AS BIGINT) AS ties
+             |  FROM cum)
+             |SELECT n_pos, n_neg,
+             |  CASE WHEN n_pos > 0 AND n_neg > 0
+             |       THEN (2 * wins + ties) * 10000 // (2 * n_pos * n_neg)
+             |  END AS auc_bp
+             |FROM agg""".stripMargin)
+    ),
+
+    // Reliability table for the same score/label: equal-width bp bins,
+    // observed positive rate vs mean claimed score, signed gap — the
+    // calibration companion to q_dq_auc.
+    "q_dq_calibration" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("score_bp", expr("least(n_chars, 1000L) * 10"))
+        graft.ops.DataQuality.calibrationBins(scored,
+          size(graft.ops.TextAnalysis.tokens(col("text"))) >= 55,
+          "score_bp").orderBy("bin")
+      },
+      Some("""WITH scored AS (
+             |  SELECT least(n_chars, 1000) * 10 AS s,
+             |    CASE WHEN len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) >= 55 THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |b AS (
+             |  SELECT least(greatest(s // 1000, 0), 9) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS n_pos,
+             |    CAST(sum(s) AS BIGINT) AS ss
+             |  FROM scored GROUP BY 1)
+             |SELECT bin, n, n_pos, ss // n AS mean_score_bp,
+             |  n_pos * 10000 // n AS pos_rate_bp,
+             |  n_pos * 10000 // n - ss // n AS gap_bp
+             |FROM b ORDER BY bin""".stripMargin)
+    ),
+
     // Seeded Poisson-bootstrap CI for the per-source mean doc length:
     // 100 replicates ride one rows×100 pass, weights from the fixed
     // Poisson(1) inverse-CDF table, CI = order statistics of replicate

@@ -30,6 +30,49 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(one(DataQuality.unique(parent, "pk", "u2")) == ((2L, 0L, true)))
   }
 
+  test("aucBp: perfect order, inverted order, hand-computed ties, and " +
+    "the single-class NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def auc(rows: Seq[(Long, Boolean)]) =
+      DataQuality.aucBp(rows.toDF("s", "y"), col("y"), "s").collect()(0)
+    val perfect = auc(Seq((3L, true), (4L, true), (1L, false), (2L, false)))
+    assert(perfect.getAs[Long]("auc_bp") == 10000L &&
+      perfect.getAs[Long]("n_pos") == 2L)
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+      .getAs[Long]("auc_bp") == 0L)
+    // pos {2,3}, neg {1,3}: wins 2, tie 0.5 → 2.5/4 = 0.625
+    assert(auc(Seq((2L, true), (3L, true), (1L, false), (3L, false)))
+      .getAs[Long]("auc_bp") == 6250L)
+    val oneClass = auc(Seq((1L, true), (2L, true)))
+    assert(oneClass.isNullAt(oneClass.fieldIndex("auc_bp")))
+  }
+
+  test("calibrationBins: bin edges, rates, and signed gaps on a hand " +
+    "fixture; overconfident scores show negative gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (Seq((500L, false)) ++
+      Seq((9500L, true), (9500L, true), (9500L, true), (9500L, false)))
+      .toDF("s", "y")
+    val out = DataQuality.calibrationBins(rows, col("y"), "s")
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(0L, 9L))
+    assert(out(0L).getAs[Long]("n") == 1L &&
+      out(0L).getAs[Long]("pos_rate_bp") == 0L &&
+      out(0L).getAs[Long]("gap_bp") == -500L)
+    val b9 = out(9L)
+    assert(b9.getAs[Long]("n") == 4L && b9.getAs[Long]("n_pos") == 3L)
+    assert(b9.getAs[Long]("mean_score_bp") == 9500L &&
+      b9.getAs[Long]("pos_rate_bp") == 7500L &&
+      b9.getAs[Long]("gap_bp") == -2000L) // claims 95%, delivers 75%
+    // out-of-range scores clamp into edge bins
+    val clamped = DataQuality.calibrationBins(
+      Seq((-50L, false), (12000L, true)).toDF("s", "y"), col("y"), "s")
+      .collect().map(_.getAs[Long]("bin")).toSet
+    assert(clamped == Set(0L, 9L))
+  }
+
   test("bootstrapCI: brackets the mean, collapses on constants, narrows " +
     "with sample size, and replays deterministically") {
     import spark.implicits._
