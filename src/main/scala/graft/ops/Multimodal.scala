@@ -290,6 +290,50 @@ object Multimodal {
           .as("_pay")))
   }
 
+  /** Shot-boundary detection — the first structuring pass every video
+    * curation pipeline runs (shot-level dedup, per-shot captioning,
+    * keyframe selection all key off it): consecutive sampled frames'
+    * perceptual hashes ([[frameAHash]]) are compared by Hamming
+    * distance, a jump ≥ `thresholdBits` opens a new shot (hard-cut
+    * detection by hash discontinuity — the content-based twin of the
+    * histogram-difference classic), and frames merge into maximal shot
+    * runs. Each media's first sampled frame always opens shot 1.
+    *
+    * All integer: the per-frame hash is the engine-replayable aHash,
+    * the distance is `Σ bit_count(nibble ⊕ lag nibble)` over the 16
+    * hash nibbles, and the shot id is a cumulative boundary count — so
+    * a second engine reproduces the exact segmentation. Windows
+    * partition by media over its own frames (bounded), the only
+    * shuffle; videos shard freely across executors.
+    *
+    * Out: `(media_id, shot_id, start_frame, end_frame, n_frames)` —
+    * frame indices are the SAMPLED indices (multiples of `everyNth`).
+    */
+  def shotBoundaries(media: DataFrame, everyNth: Int = 1,
+      thresholdBits: Int = 16): DataFrame = {
+    require(thresholdBits >= 1 && thresholdBits <= 64)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frameAHash(media, everyNth)
+      .withColumn("media_id", expr("doc_id div 1000"))
+      .withColumn("frame_idx", expr("pmod(doc_id, 1000)"))
+      .withColumn("_prev",
+        lag(struct((1 to 16).map(p => col(s"d$p")): _*), 1).over(w))
+      .withColumn("_dist",
+        when(col("_prev").isNull, lit(null))
+          .otherwise((1 to 16).map(p =>
+            expr(s"bit_count(d$p ^ _prev.d$p)")).reduce(_ + _).cast("long")))
+      .withColumn("_nb",
+        when(col("_prev").isNull || col("_dist") >= thresholdBits, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("_nb")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("media_id", "shot_id")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Constellation-style audio fingerprints (the landmark scheme of
     * Wang's "An Industrial-Strength Audio Search Algorithm", ISMIR 2003)
     * over a decoded sample stream `(media_id, s)`:

@@ -293,6 +293,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(fa(8003L) != fa(3008003L), "edited final frame must differ")
   }
 
+  test("shotBoundaries: constant video is one shot, a hard cut splits at " +
+      "the exact frame, shots partition the frames") {
+    import spark.implicits._
+    // doc_id 8 → video, 4 frames; constant payload → identical hashes
+    val flat = Multimodal.shotBoundaries(Multimodal.synthesize(
+      Seq((8L, "a" * 400)).toDF("doc_id", "text"))).collect()
+    assert(flat.length == 1)
+    assert(flat(0).getAs[Long]("start_frame") == 0L &&
+      flat(0).getAs[Long]("end_frame") == 3L &&
+      flat(0).getAs[Long]("n_frames") == 4L)
+
+    // doc_id 14 → video, 10 frames of exactly 100 chars; frames 0-4
+    // carry the z-then-a pattern, frames 5-9 the INVERTED pattern —
+    // the per-frame mean-relative hash flips every bit at the cut
+    val text = ("z" * 50 + "a" * 50) * 5 + ("a" * 50 + "z" * 50) * 5
+    val cut = Multimodal.shotBoundaries(Multimodal.synthesize(
+      Seq((14L, text)).toDF("doc_id", "text")))
+      .collect().sortBy(_.getAs[Long]("shot_id"))
+    assert(cut.length == 2, cut.mkString("; "))
+    assert(cut(0).getAs[Long]("start_frame") == 0L &&
+      cut(0).getAs[Long]("end_frame") == 4L &&
+      cut(1).getAs[Long]("start_frame") == 5L &&
+      cut(1).getAs[Long]("end_frame") == 9L)
+    assert(cut.map(_.getAs[Long]("n_frames")).sum == 10L)
+  }
+
   test("dropHubTokens: relative-df cap drops the hub, keeps the tail") {
     import spark.implicits._
     // token 1 carries 50/59 of the index (a hub); tokens 2..10 once each
