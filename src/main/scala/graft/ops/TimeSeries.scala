@@ -170,4 +170,57 @@ object TimeSeries {
       .select(col(keyCol), col("n"), col("slope_micro"),
         col("intercept_micro"), col("r2_bp"))
   }
+
+  /** Inter-event timing-regularity screen — the metronome detector for
+    * bot/automation triage in event and crawl telemetry: scripted
+    * clients fire on near-constant intervals (squared coefficient of
+    * variation of the gaps ≈ 0) while organic arrivals are bursty
+    * (Poisson-ish ⇒ CV² ≈ 1, i.e. 10⁴ bp, and up). Per key, ONE lag
+    * window over that key's own events produces the gap stream; then
+    *
+    *   mean_ms = Σg div n;  var = (Σg² div n) − mean²;
+    *   cv2_bp  = max(var·10⁴ div mean², 0)
+    *
+    * — all BIGINT, engine-replayable (the max-0 clamp absorbs the ≤1
+    * floor slack of the div-early variance). Gaps clamp at `capMs` so a
+    * vacation-length absence neither overflows g² nor drowns the
+    * statistic (regularity is about TYPICAL spacing); the clamp is the
+    * documented overflow bound: per-key Σ g² ≤ n·capMs², so any capMs
+    * ≤ ~10⁶ ms holds to 10⁶ events per key and far beyond.
+    * `flag_bot` demands both enough evidence (`minGaps`) and
+    * metronomic spacing (`cv2_bp ≤ maxCv2Bp`); zero-mean keys (all
+    * events on one timestamp) report NULL cv2 — duplicate-burst
+    * triage is a different screen.
+    *
+    * Shape: one per-key window + one map-side-combinable aggregate;
+    * output is key-domain-sized. Skewed power keys are absorbed the
+    * same way every per-user window here is (`ops/Skew` if one key
+    * dominates a partition).
+    *
+    * Out: `(key, n_gaps, mean_gap_ms, cv2_bp, flag_bot)`.
+    */
+  def timingRegularity(events: DataFrame, keyCol: String = "user_id",
+      tsNsCol: String = "ts_ns", idCol: String = "event_id",
+      capMs: Long = 3600000L, minGaps: Long = 20L,
+      maxCv2Bp: Long = 500L): DataFrame = {
+    require(capMs > 0 && minGaps >= 2)
+    val w = Window.partitionBy(keyCol).orderBy(tsNsCol, idCol)
+    events
+      .withColumn("_prev", lag(col(tsNsCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_g",
+        least(expr(s"($tsNsCol - _prev) div 1000000"), lit(capMs)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("_sg"), sum(expr("_g * _g")).as("_sg2"))
+      .withColumn("mean_gap_ms", expr("_sg div n_gaps"))
+      .withColumn("cv2_bp", expr(
+        "if(mean_gap_ms > 0, greatest(((_sg2 div n_gaps) " +
+          "- mean_gap_ms * mean_gap_ms) * 10000 " +
+          "div (mean_gap_ms * mean_gap_ms), 0L), null)"))
+      .withColumn("flag_bot",
+        col("n_gaps") >= minGaps && col("cv2_bp").isNotNull &&
+          col("cv2_bp") <= maxCv2Bp)
+      .select(keyCol, "n_gaps", "mean_gap_ms", "cv2_bp", "flag_bot")
+  }
 }

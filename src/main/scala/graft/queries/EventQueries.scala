@@ -1297,6 +1297,61 @@ object EventQueries extends QueryGroup {
     // bit-identical in any engine, no rounding slack needed. Two grouped
     // exact-percentile passes plus one counting pass, all keyed on
     // event_type with the 5-row stats frames broadcast back.
+    // Metronome bot screen: a planted 60s-interval automation user joins
+    // the event stream; per-user gap CV² in exact basis points flags it
+    // at exactly 0. NOTE the synthetic generator's own users are
+    // near-uniform too (cv2 < 800 bp — they also flag at this
+    // threshold); real organic traffic sits near CV² ≈ 10⁴, and the
+    // bursty-vs-metronomic separation is pinned by TimeSeriesSpec on
+    // engineered gap streams. Both engines rebuild gaps, clamps, flags.
+    "q_events_bot_screen" -> QueryDef(
+      (s, d) => {
+        val bot = s.range(0, 100).select(
+          lit(9999999L).as("user_id"),
+          (lit(1700000000000000000L) + col("id") * 60000000000L)
+            .as("ts_ns"),
+          (lit(900000L) + col("id")).as("event_id"))
+        val ev = Tables.events(s, d).select("user_id", "ts_ns", "event_id")
+          .unionByName(bot)
+        graft.ops.TimeSeries.timingRegularity(ev).orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events
+             |  UNION ALL
+             |  SELECT 9999999, 1700000000000000000 + i * 60000000000,
+             |    900000 + i
+             |  FROM range(0, 100) t(i)),
+             |lagged AS (
+             |  SELECT user_id,
+             |    lag(ts_ns) OVER (PARTITION BY user_id
+             |      ORDER BY ts_ns, event_id) AS prev, ts_ns
+             |  FROM ev),
+             |g AS (
+             |  SELECT user_id,
+             |    least((ts_ns - prev) // 1000000, 3600000) AS g
+             |  FROM lagged WHERE prev IS NOT NULL),
+             |a AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(g) AS BIGINT) AS sg,
+             |    CAST(sum(g * g) AS BIGINT) AS sg2
+             |  FROM g GROUP BY 1),
+             |m AS (
+             |  SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_ms, sg2
+             |  FROM a),
+             |c AS (
+             |  SELECT user_id, n_gaps, mean_gap_ms,
+             |    CASE WHEN mean_gap_ms > 0
+             |         THEN greatest(((sg2 // n_gaps)
+             |              - mean_gap_ms * mean_gap_ms) * 10000
+             |              // (mean_gap_ms * mean_gap_ms), 0)
+             |    END AS cv2_bp
+             |  FROM m)
+             |SELECT user_id, n_gaps, mean_gap_ms, cv2_bp,
+             |  (n_gaps >= 20 AND cv2_bp IS NOT NULL AND cv2_bp <= 500)
+             |    AS flag_bot
+             |FROM c ORDER BY user_id""".stripMargin)
+    ),
+
     "q_events_outliers" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)

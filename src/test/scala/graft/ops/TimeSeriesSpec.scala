@@ -114,4 +114,39 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("noisy")._4.exists(_ <= 2000L), s"noisy r2: ${out("noisy")}")
     assert(out("flat")._2.isEmpty && out("flat")._4.isEmpty)
   }
+
+  test("timingRegularity: metronome flags, bursty stream does not, gaps " +
+    "clamp, zero-mean reports NULL cv2") {
+    import spark.implicits._
+    val ns = 1000000L // ms → ns
+    def stream(key: String, gapsMs: Seq[Long]) = {
+      val ts = gapsMs.scanLeft(0L)(_ + _)
+      ts.zipWithIndex.map { case (t, i) => (key, t * ns, i.toLong) }
+    }
+    val bot = stream("bot", Seq.fill(30)(60000L))
+    // bursty: gaps spanning three orders of magnitude → CV² ≫ 10⁴ bp
+    val human = stream("human",
+      (1 to 30).map(i => Seq(500L, 120000L, 7000L, 900000L)(i % 4)))
+    // one normal run, then a week-long absence → the clamp absorbs it
+    val vac = stream("vac",
+      Seq.fill(25)(60000L) ++ Seq(604800000L) ++ Seq.fill(5)(60000L))
+    // every event on the same instant → zero mean gap
+    val burst = (0 until 25).map(i => ("burst", 0L, i.toLong))
+    val ev = (bot ++ human ++ vac ++ burst)
+      .toDF("user_id", "ts_ns", "event_id")
+    val out = TimeSeries.timingRegularity(ev, capMs = 3600000L,
+      minGaps = 20L, maxCv2Bp = 500L)
+      .collect().map(r => r.getAs[String]("user_id") -> r).toMap
+    assert(out("bot").getAs[Boolean]("flag_bot") &&
+      out("bot").getAs[Long]("cv2_bp") == 0L &&
+      out("bot").getAs[Long]("mean_gap_ms") == 60000L)
+    assert(!out("human").getAs[Boolean]("flag_bot") &&
+      out("human").getAs[Long]("cv2_bp") > 10000L,
+      s"bursty cv2: ${out("human")}")
+    // the clamped week reads as one capMs gap, not a statistic-drowner
+    assert(out("vac").getAs[Long]("mean_gap_ms") < 3600000L / 10)
+    val b = out("burst")
+    assert(b.isNullAt(b.fieldIndex("cv2_bp")) &&
+      !b.getAs[Boolean]("flag_bot"))
+  }
 }
