@@ -310,7 +310,19 @@ object Multimodal {
     * frame indices are the SAMPLED indices (multiples of `everyNth`).
     */
   def shotBoundaries(media: DataFrame, everyNth: Int = 1,
-      thresholdBits: Int = 16): DataFrame = {
+      thresholdBits: Int = 16): DataFrame =
+    framesWithShots(media, everyNth, thresholdBits)
+      .groupBy("media_id", "shot_id")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+
+  /** The shot segmentation at FRAME granularity — `(media_id,
+    * frame_idx, shot_id, d1..d16)` — shared by [[shotBoundaries]]
+    * (rollup) and [[keyframes]] (within-shot medoid).
+    */
+  private def framesWithShots(media: DataFrame, everyNth: Int,
+      thresholdBits: Int): DataFrame = {
     require(thresholdBits >= 1 && thresholdBits <= 64)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
@@ -328,10 +340,42 @@ object Multimodal {
           .otherwise(0L))
       .withColumn("shot_id", sum(col("_nb")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(Seq(col("media_id"), col("frame_idx"), col("shot_id")) ++
+        (1 to 16).map(p => col(s"d$p")): _*)
+  }
+
+  /** Keyframe selection — per shot, the MEDOID frame (minimum summed
+    * Hamming distance to every frame of its own shot, ties → lowest
+    * frame index): the representative a captioner/embedder runs on so
+    * per-shot cost is one frame, not all of them. The medoid key is
+    * the integer `Σdist·1000 + frame_idx` (frame indices < 1000 by the
+    * frameAHash packing), so argmin is a plain `min` any engine
+    * replays. The within-shot pair join is bounded by shot length² per
+    * shot — shots are short by construction (a cut opens a new one),
+    * and the join keys on (media, shot), never across media.
+    *
+    * Out: `(media_id, shot_id, keyframe_idx, n_frames, spread)` —
+    * spread = the medoid's summed distance (0 for still shots).
+    */
+  def keyframes(media: DataFrame, everyNth: Int = 1,
+      thresholdBits: Int = 16): DataFrame = {
+    val f = framesWithShots(media, everyNth, thresholdBits)
+      .localCheckpoint(true) // both sides of the within-shot pair join
+    val ham = (1 to 16).map(p =>
+      expr(s"bit_count(a.d$p ^ b.d$p)")).reduce(_ + _).cast("long")
+    f.as("a").join(f.as("b"),
+        expr("a.media_id = b.media_id AND a.shot_id = b.shot_id"))
+      .select(col("a.media_id").as("media_id"),
+        col("a.shot_id").as("shot_id"),
+        col("a.frame_idx").as("frame_idx"), ham.as("_d"))
+      .groupBy("media_id", "shot_id", "frame_idx")
+      .agg(sum(col("_d")).as("_sum"))
       .groupBy("media_id", "shot_id")
-      .agg(min(col("frame_idx")).as("start_frame"),
-        max(col("frame_idx")).as("end_frame"),
+      .agg(min(expr("_sum * 1000 + frame_idx")).as("_key"),
         count(lit(1)).as("n_frames"))
+      .select(col("media_id"), col("shot_id"),
+        expr("pmod(_key, 1000)").as("keyframe_idx"),
+        col("n_frames"), expr("_key div 1000").as("spread"))
   }
 
   /** Constellation-style audio fingerprints (the landmark scheme of

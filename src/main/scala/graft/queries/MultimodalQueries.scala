@@ -250,6 +250,104 @@ object MultimodalQueries extends QueryGroup {
       }
     ),
 
+    // Per-shot medoid keyframes: within each detected shot, the frame
+    // minimizing summed Hamming distance to its shot-mates (ties → the
+    // earliest frame, via the injective Σdist·1000+frame min key) —
+    // both engines rebuild shots, all within-shot pair distances, and
+    // the medoid choice.
+    "q_multimodal_keyframes" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 2 && col("doc_id") < 600))
+        Multimodal.keyframes(media, everyNth = 1, thresholdBits = 16)
+          .orderBy("media_id", "shot_id")
+      },
+      Some {
+        val dcols = (1 to 16).map(p =>
+          s"sum(CASE WHEN p = ${p - 1} THEN d ELSE 0 END) AS d$p")
+          .mkString(",\n    ")
+        val lags = (1 to 16).map(p =>
+          s"lag(d$p) OVER w AS l$p").mkString(",\n    ")
+        val hamL = (1 to 16).map(p =>
+          s"bit_count(xor(d$p, l$p))").mkString(" + ")
+        val hamAb = (1 to 16).map(p =>
+          s"bit_count(xor(a.d$p, b.d$p))").mkString(" + ")
+        s"""WITH vids AS (
+           |  SELECT doc_id AS media_id, text AS s, 4 + doc_id % 8 AS nf
+           |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 600),
+           |frames AS (
+           |  SELECT media_id, f.fi AS frame_idx,
+           |    substring(s,
+           |      CAST((fi * length(s)::BIGINT) // nf AS INTEGER) + 1,
+           |      CAST(((fi + 1) * length(s)::BIGINT) // nf
+           |           - (fi * length(s)::BIGINT) // nf AS INTEGER)) AS fs
+           |  FROM vids, unnest(generate_series(0, nf - 1)) AS f(fi)),
+           |chars AS (
+           |  SELECT media_id, frame_idx, length(fs)::BIGINT AS n,
+           |    i - 1 AS pos, ascii(substring(fs, i, 1))::BIGINT AS v
+           |  FROM frames, unnest(generate_series(1, length(fs))) AS g(i)
+           |  WHERE length(fs) > 0),
+           |segd AS (
+           |  SELECT media_id, frame_idx, (pos * 64) // n AS seg,
+           |    sum(v) AS ssum, count(*)::BIGINT AS slen
+           |  FROM chars GROUP BY 1, 2, 3),
+           |tot AS (
+           |  SELECT media_id, frame_idx, sum(ssum) AS tsum,
+           |    sum(slen) AS tlen
+           |  FROM segd GROUP BY 1, 2),
+           |bits AS (
+           |  SELECT s.media_id, s.frame_idx, s.seg,
+           |    (s.ssum * t.tlen > t.tsum * s.slen) AS bit
+           |  FROM segd s JOIN tot t USING (media_id, frame_idx)),
+           |dig AS (
+           |  SELECT media_id, frame_idx, seg // 4 AS p,
+           |    sum(CASE WHEN bit THEN 1 << CAST(3 - seg % 4 AS INTEGER)
+           |        ELSE 0 END) AS d
+           |  FROM bits GROUP BY 1, 2, 3),
+           |wide AS MATERIALIZED (
+           |  SELECT media_id, frame_idx,
+           |    $dcols
+           |  FROM dig GROUP BY 1, 2),
+           |lagd AS (
+           |  SELECT media_id, frame_idx,
+           |    ${(1 to 16).map(p => s"d$p").mkString(", ")},
+           |    $lags
+           |  FROM wide
+           |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+           |dist AS (
+           |  SELECT media_id, frame_idx,
+           |    CASE WHEN l1 IS NULL THEN NULL
+           |         ELSE $hamL END AS dd
+           |  FROM lagd),
+           |sh AS (
+           |  SELECT media_id, frame_idx,
+           |    CAST(sum(CASE WHEN dd IS NULL OR dd >= 16 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY media_id ORDER BY frame_idx
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS shot_id
+           |  FROM dist),
+           |sh2 AS MATERIALIZED (
+           |  SELECT s.media_id, s.frame_idx, s.shot_id,
+           |    ${(1 to 16).map(p => s"w.d$p").mkString(", ")}
+           |  FROM sh s JOIN wide w USING (media_id, frame_idx)),
+           |fp AS (
+           |  SELECT a.media_id, a.shot_id, a.frame_idx,
+           |    CAST(sum($hamAb) AS BIGINT) AS sd
+           |  FROM sh2 a JOIN sh2 b
+           |    ON a.media_id = b.media_id AND a.shot_id = b.shot_id
+           |  GROUP BY 1, 2, 3),
+           |k AS (
+           |  SELECT media_id, shot_id,
+           |    CAST(min(sd * 1000 + frame_idx) AS BIGINT) AS key,
+           |    CAST(count(*) AS BIGINT) AS n_frames
+           |  FROM fp GROUP BY 1, 2)
+           |SELECT media_id, shot_id, key % 1000 AS keyframe_idx,
+           |  n_frames, key // 1000 AS spread
+           |FROM k ORDER BY media_id, shot_id""".stripMargin
+      }
+    ),
+
     // Perceptual near-dup pairs by exact Hamming distance over the
     // aHash (blocked equi-join — the oracle twin of the banded LSH path,
     // which MultimodalSpec bounds against this). DuckDB computes the

@@ -319,6 +319,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(cut.map(_.getAs[Long]("n_frames")).sum == 10L)
   }
 
+  test("keyframes: the medoid frame represents the shot, ties go to the " +
+      "earliest frame, still shots have zero spread") {
+    import spark.implicits._
+    // doc 8 → 4 frames of 100 chars: three identical A-frames + one
+    // mildly different B-frame (boundary shifted 5 chars → a few bits,
+    // far below the 16-bit cut threshold → ONE shot)
+    val a = "z" * 50 + "a" * 50
+    val b = "z" * 55 + "a" * 45
+    val out = Multimodal.keyframes(Multimodal.synthesize(
+      Seq((8L, a + a + a + b)).toDF("doc_id", "text"))).collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out(0)
+    // A-frames tie on summed distance (each d to B); frame 0 wins
+    assert(r.getAs[Long]("keyframe_idx") == 0L)
+    assert(r.getAs[Long]("n_frames") == 4L)
+    assert(r.getAs[Long]("spread") > 0L, "A↔B must differ")
+
+    // a still video: zero spread, keyframe 0
+    val still = Multimodal.keyframes(Multimodal.synthesize(
+      Seq((8L, a * 4)).toDF("doc_id", "text"))).collect()(0)
+    assert(still.getAs[Long]("spread") == 0L &&
+      still.getAs[Long]("keyframe_idx") == 0L)
+  }
+
   test("dropHubTokens: relative-df cap drops the hub, keeps the tail") {
     import spark.implicits._
     // token 1 carries 50/59 of the index (a hub); tokens 2..10 once each
