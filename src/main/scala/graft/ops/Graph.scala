@@ -83,6 +83,62 @@ object Graph {
     ranks.select(col("tok"), (col("r") / lit(Micro.toDouble)).as("r"))
   }
 
+  /** Personalized PageRank — topic expansion from a seed vocabulary:
+    * the teleport mass returns ONLY to the seeds
+    * (r_v = [v∈S]·(1−d)·Micro + d·Σ_u r_u·w_uv/w_u), so rank flows
+    * outward from the seed set through the graph and the TOP NON-SEED
+    * nodes are the topic's natural neighborhood — seed-lexicon growth,
+    * query expansion, related-entity mining. Same unnormalized
+    * fixed-point integer recurrence, per-round lineage truncation, and
+    * cost profile as [[pageRank]]; the seed set is a tiny broadcast.
+    *
+    * Contract: nodes only hold rank while they RECEIVE edges, so run it
+    * on (effectively) undirected graphs — the co-occurrence graphs this
+    * library builds — where every seed with any edge keeps collecting
+    * its teleport term; seeds absent from the graph contribute nothing.
+    * Init: seeds at Micro, everything else 0 (documented — `iters` is a
+    * fixed replayable round count, not convergence).
+    *
+    * Out: `(tok, r, is_seed)` with r micro-scaled to double like
+    * [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dNum = math.round(damping * 1000)
+    require(dNum >= 0 && dNum <= 1000, s"damping out of [0,1]: $damping")
+    val e = edges.localCheckpoint(true)
+    val outW = e.groupBy("u").agg(sum(col("w")).as("wu"))
+    val withShare = e.join(outW, "u")
+      .select(col("u"), col("v"), col("w"), col("wu"))
+      .localCheckpoint(true)
+    val seedSet = seeds.select(col("tok")).distinct()
+      .withColumn("_seed", lit(1L)).localCheckpoint(true)
+    val base = (1000L - dNum) * (Micro / 1000L)
+    var ranks = withShare.select(col("u").as("tok")).distinct()
+      .join(broadcast(seedSet), Seq("tok"), "left")
+      .withColumn("r",
+        when(col("_seed").isNotNull, lit(Micro)).otherwise(lit(0L)))
+      .select("tok", "r")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      ranks = withShare
+        .join(ranks, withShare("u") === ranks("tok"))
+        .select(col("v"), expr("r * w div wu").as("c"))
+        .groupBy("v")
+        .agg(sum(col("c")).as("s"))
+        .select(col("v").as("tok"), expr(s"($dNum * s) div 1000").as("_p"))
+        .join(broadcast(seedSet), Seq("tok"), "left")
+        .withColumn("r",
+          expr(s"if(_seed is not null, ${base}L, 0L) + _p"))
+        .select("tok", "r")
+        .localCheckpoint(true)
+    }
+    ranks.join(broadcast(seedSet), Seq("tok"), "left")
+      .select(col("tok"), (col("r") / lit(Micro.toDouble)).as("r"),
+        col("_seed").isNotNull.as("is_seed"))
+  }
+
   /** TextRank keyword scoring: PageRank over the corpus's word-adjacency
     * graph (undirected — each adjacent-token pair contributes an edge in
     * both directions, weighted by corpus co-occurrence count). The graph

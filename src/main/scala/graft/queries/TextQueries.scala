@@ -1625,6 +1625,32 @@ object TextQueries extends QueryGroup {
     // pinned source-vertex order on both engines (aggregate(sort_array)
     // vs list_reduce(list ORDER BY)), the same whole-loop-oracle pattern
     // as k-means IVF and BPE training.
+    // Seed-personalized PageRank over the co-occurrence graph: teleport
+    // mass returns only to {join, hash}, the top non-seed tokens are the
+    // topic expansion — both engines unroll the same 4 integer rounds.
+    "q_text_topic_expand" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val pairs = graft.ops.TextAnalysis
+          .ngramCounts(Tables.documents(s, d), 2)
+          .groupBy("gram").agg(sum(col("c")).as("w"))
+          .select(split(col("gram"), " ").as("uv"), col("w"))
+          .select(element_at(col("uv"), 1).as("a"),
+            element_at(col("uv"), 2).as("b"), col("w"))
+          .filter(col("a") =!= col("b"))
+        val edges = pairs
+          .select(col("a").as("u"), col("b").as("v"), col("w"))
+          .unionByName(
+            pairs.select(col("b").as("u"), col("a").as("v"), col("w")))
+          .groupBy("u", "v").agg(sum(col("w")).as("w"))
+        graft.ops.Graph.personalizedPageRank(edges,
+            Seq("join", "hash").toDF("tok"), iters = 4)
+          .filter(!col("is_seed"))
+          .orderBy(col("r").desc, col("tok")).limit(20)
+      },
+      Some(pprSql(4, Seq("join", "hash")))
+    ),
+
     "q_text_textrank" -> QueryDef(
       (s, d) =>
         graft.ops.Graph.textRank(Tables.documents(s, d), iters = 4)
@@ -3017,6 +3043,53 @@ object TextQueries extends QueryGroup {
     }
     sb ++= s"\nSELECT tok, r / 1000000.0 AS r FROM r$iters " +
       "ORDER BY r DESC, tok LIMIT 30"
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.ops.Graph.personalizedPageRank]] over the
+    * textRank co-occurrence graph with literal `seeds`: r0 puts Micro on
+    * seeds only, each round re-injects the 150000 teleport term into
+    * seeds only — the exact integer recurrence Spark runs.
+    */
+  private def pprSql(iters: Int, seeds: Seq[String]): String = {
+    val inList = seeds.map(s => s"'$s'").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+             |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT t[i] AS a, t[i+1] AS b
+             |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+             |  WHERE len(t) >= 2),
+             |edges AS MATERIALIZED (
+             |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+             |    SELECT a AS u, b AS v FROM g
+             |    UNION ALL SELECT b AS u, a AS v FROM g)
+             |  WHERE u <> v
+             |  GROUP BY u, v),
+             |outw AS MATERIALIZED (
+             |  SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY u),
+             |r0 AS MATERIALIZED (
+             |  SELECT DISTINCT u AS tok,
+             |""".stripMargin
+    sb ++= s"    CAST(CASE WHEN u IN ($inList) THEN 1000000 ELSE 0 END" +
+      " AS BIGINT) AS r\n  FROM edges)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+               |r$k AS MATERIALIZED (
+               |  SELECT e.v AS tok,
+               |    CAST(CASE WHEN e.v IN ($inList) THEN 150000 ELSE 0 END +
+               |      (850 * CAST(sum(r.r * e.w // o.wu) AS BIGINT)) // 1000
+               |      AS BIGINT) AS r
+               |  FROM edges e
+               |  JOIN r${k - 1} r ON e.u = r.tok
+               |  JOIN outw o ON e.u = o.u
+               |  GROUP BY e.v)""".stripMargin
+    }
+    sb ++= s"""
+             |SELECT tok, r / 1000000.0 AS r, false AS is_seed
+             |FROM r$iters WHERE tok NOT IN ($inList)
+             |ORDER BY r DESC, tok LIMIT 20""".stripMargin
     sb.toString
   }
 

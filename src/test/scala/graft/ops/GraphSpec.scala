@@ -66,6 +66,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       "loud", "noise"))
   }
 
+  test("personalizedPageRank: mass decays with seed distance, seeds keep " +
+    "their teleport, disconnected components get zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // undirected path a–b–c–d–e plus a disconnected pair x–y
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y"))
+    val edges = (und ++ und.map(_.swap)).map { case (u, v) => (u, v, 1L) }
+      .toDF("u", "v", "w")
+    val out = Graph.personalizedPageRank(edges, Seq("a").toDF("tok"),
+      iters = 6).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Double]("r"), r.getAs[Boolean]("is_seed"))).toMap
+    assert(out("a")._2 && !out("b")._2)
+    // decay with distance, compared within parity classes (a path is
+    // bipartite, so a fixed round count leaves odd/even oscillation —
+    // cross-parity comparisons are not monotone and shouldn't be)
+    assert(out("b")._1 > out("d")._1 && out("c")._1 > out("e")._1,
+      out.toString)
+    // the seed keeps collecting teleport — it outranks everything
+    assert(out("a")._1 > out("b")._1)
+    // no path from the seed → exactly zero mass
+    assert(out("x")._1 == 0.0 && out("y")._1 == 0.0)
+  }
+
   test("kCore: peeling strips a tail chain and keeps the clique; " +
       "converged rounds are no-ops") {
     import spark.implicits._
