@@ -378,6 +378,57 @@ object Multimodal {
         col("n_frames"), expr("_key div 1000").as("spread"))
   }
 
+  /** Energy-threshold voice-activity segmentation — the audio twin of
+    * [[shotBoundaries]] and the first pass an audio curation pipeline
+    * runs (silence stripping, utterance splitting before ASR, segment-
+    * level dedup): the sample stream cuts into full `window`-sample
+    * frames, each frame's energy (Σ codepoint values — the same
+    * deterministic stand-in for amplitude the constellation op uses; a
+    * real frontend feeds RMS through the identical shape) is compared
+    * to the MEDIA'S OWN mean frame energy by cross-multiplication
+    * (`E·F·1000 > θ‰·ΣE` — relative thresholding, so loud and quiet
+    * recordings segment alike with no global calibration), and voiced
+    * frames merge into maximal runs; sub-threshold gaps separate
+    * segments. The trailing partial frame is dropped (full-frame VAD —
+    * documented), and everything is integer, so a second engine
+    * replays the exact segmentation.
+    *
+    * Shape: frame explode (window× fewer rows than samples), per-frame
+    * energy as unrolled scalar adds (codegen, no HOF), one media-sized
+    * totals join, one per-media lag window over voiced frames. Media
+    * shard freely.
+    *
+    * Out: `(media_id, seg_id, start_frame, end_frame, n_frames)`.
+    */
+  def audioSegments(samples: DataFrame, window: Int = 16,
+      thetaPermille: Long = 1000L): DataFrame = {
+    require(window >= 2 && thetaPermille >= 1)
+    val frames = samples
+      .withColumn("_f", (length(col("s")) / window).cast("long"))
+      .filter(col("_f") >= 1)
+      .select(col("media_id"), col("_f"), col("s"),
+        explode(sequence(lit(0L), col("_f") - 1)).as("w"))
+      .withColumn("_frame", expr(s"substring(s, cast(w * $window + 1 as int), $window)"))
+      .withColumn("_e", (1 to window).map(i =>
+        ascii(substring(col("_frame"), i, 1)).cast("long")).reduce(_ + _))
+      .select("media_id", "_f", "w", "_e")
+    val tot = frames.groupBy("media_id").agg(sum(col("_e")).as("_te"))
+    val voiced = frames.join(tot, "media_id")
+      .filter(expr(s"_e * _f * 1000 > $thetaPermille * _te"))
+    val byMedia = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("w")
+    voiced
+      .withColumn("_prev", lag(col("w"), 1).over(byMedia))
+      .withColumn("_nb",
+        when(col("_prev").isNull || col("w") > col("_prev") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("_nb")).over(byMedia.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("media_id", "seg_id")
+      .agg(min(col("w")).as("start_frame"), max(col("w")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Constellation-style audio fingerprints (the landmark scheme of
     * Wang's "An Industrial-Strength Audio Search Algorithm", ISMIR 2003)
     * over a decoded sample stream `(media_id, s)`:

@@ -560,6 +560,59 @@ object MultimodalQueries extends QueryGroup {
     // origin track must surface at delta_w = 4 with a dominant vote
     // count. DuckDB replays frames → peaks → lead()-paired tokens →
     // the token join → offset-delta voting, end to end.
+    // Relative-energy voice-activity segmentation: full 16-sample frames,
+    // frame energy vs the media's own mean by cross-multiplication,
+    // voiced runs merge, sub-threshold gaps split — both engines rebuild
+    // energies, thresholds, and the exact segmentation.
+    "q_multimodal_audio_segments" -> QueryDef(
+      (s, d) => {
+        val sam = Multimodal.synthesize(Tables.documents(s, d))
+          .filter(col("modality") === "audio")
+          .select(col("media_id"),
+            decode(expr(s"substring(media, ${Multimodal.HeaderLen + 1}, " +
+              "length(media))"), "UTF-8").as("s"))
+        Multimodal.audioSegments(sam).orderBy("media_id", "seg_id")
+      },
+      Some {
+        val eSum = (1 to 16).map(k =>
+          s"ascii(substring(s, CAST(w.i * 16 + $k AS INTEGER), 1))")
+          .mkString(" + ")
+        s"""WITH sam AS (
+           |  SELECT doc_id AS media_id, text AS s FROM documents
+           |  WHERE doc_id % 3 = 1),
+           |frames AS MATERIALIZED (
+           |  SELECT media_id, CAST(length(s) // 16 AS BIGINT) AS f,
+           |    w.i AS w, CAST($eSum AS BIGINT) AS e
+           |  FROM sam, unnest(generate_series(0, length(s) // 16 - 1)) AS w(i)
+           |  WHERE length(s) >= 16),
+           |tot AS (
+           |  SELECT media_id, CAST(sum(e) AS BIGINT) AS te
+           |  FROM frames GROUP BY 1),
+           |voiced AS (
+           |  SELECT f.media_id, f.w
+           |  FROM frames f JOIN tot t USING (media_id)
+           |  WHERE f.e * f.f * 1000 > 1000 * t.te),
+           |lagd AS (
+           |  SELECT media_id, w,
+           |    lag(w) OVER (PARTITION BY media_id ORDER BY w) AS prev
+           |  FROM voiced),
+           |sg AS (
+           |  SELECT media_id, w,
+           |    CAST(sum(CASE WHEN prev IS NULL OR w > prev + 1
+           |                  THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY media_id ORDER BY w
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS seg_id
+           |  FROM lagd)
+           |SELECT media_id, seg_id,
+           |  CAST(min(w) AS BIGINT) AS start_frame,
+           |  CAST(max(w) AS BIGINT) AS end_frame,
+           |  CAST(count(*) AS BIGINT) AS n_frames
+           |FROM sg GROUP BY 1, 2
+           |ORDER BY media_id, seg_id""".stripMargin
+      }
+    ),
+
     "q_multimodal_audio_match" -> QueryDef(
       (s, d) => {
         // the synthesized sample stream feeds BOTH fingerprint subplans

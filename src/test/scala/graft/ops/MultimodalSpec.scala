@@ -343,6 +343,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       still.getAs[Long]("keyframe_idx") == 0L)
   }
 
+  test("audioSegments: voiced runs split on sub-threshold gaps, the " +
+      "partial tail frame is dropped, quiet-only media yield nothing") {
+    import spark.implicits._
+    val loud = "z" * 16  // energy 122·16
+    val quiet = " " * 16 // energy 32·16 — far under the mean
+    // frames: L L q L q q L L L  → segments [0,1], [3,3], [6,8]
+    val s1 = loud + loud + quiet + loud + quiet + quiet +
+      loud + loud + loud + "zzz" // +3 chars of partial tail — ignored
+    val segs = Multimodal.audioSegments(
+      Seq((1L, s1), (2L, quiet * 4)).toDF("media_id", "s"))
+      .collect().sortBy(r => (r.getAs[Long]("media_id"),
+        r.getAs[Long]("seg_id")))
+    // media 2 is all-quiet: every frame at the mean, strict > → silent
+    assert(segs.forall(_.getAs[Long]("media_id") == 1L), segs.mkString(";"))
+    assert(segs.map(r => (r.getAs[Long]("start_frame"),
+      r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames"))).toSeq ==
+      Seq((0L, 1L, 2L), (3L, 3L, 1L), (6L, 8L, 3L)))
+  }
+
   test("dropHubTokens: relative-df cap drops the hub, keeps the tail") {
     import spark.implicits._
     // token 1 carries 50/59 of the index (a hub); tokens 2..10 once each
