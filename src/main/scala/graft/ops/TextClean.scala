@@ -88,6 +88,50 @@ object TextClean {
       .drop("_toks", "_keptPos")
   }
 
+  /** Markdown structure profile — the layout signals a web/docs corpus
+    * curator gates on (a "document" that is one giant paragraph, a
+    * link farm, or a table dump each needs different handling than
+    * structured prose): per doc, line counts by markdown role
+    * (ATX headings + max depth, list items, code-fence lines, table
+    * rows), inline link count, and an `is_markdownish` verdict. Pure
+    * line-array projection — the line split materializes once and every
+    * counter is a HOF filter over it (bounded by the doc's own lines);
+    * the regexes live in the Java∩RE2 subset like the PII patterns, so
+    * both engines classify identically. No shuffle, corpus-linear.
+    *
+    * Out: input id + `(n_lines, n_headings, max_heading_depth,
+    * n_list_items, n_fence_lines, n_table_rows, n_links,
+    * is_markdownish)`.
+    */
+  def markdownStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = col("_lines")
+    docs
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_headings",
+        size(filter(lines, l => l.rlike("^#{1,6} "))).cast("long"))
+      .withColumn("max_heading_depth",
+        coalesce(array_max(transform(filter(lines, l => l.rlike("^#{1,6} ")),
+          l => length(regexp_extract(l, "^(#{1,6}) ", 1)))), lit(0))
+          .cast("long"))
+      .withColumn("n_list_items",
+        size(filter(lines, l => l.rlike("^([-*+]|[0-9]+\\.) ")))
+          .cast("long"))
+      .withColumn("n_fence_lines",
+        size(filter(lines, l => l.rlike("^```"))).cast("long"))
+      .withColumn("n_table_rows",
+        size(filter(lines, l => l.rlike("^\\|.*\\|$"))).cast("long"))
+      .withColumn("n_links",
+        size(regexp_extract_all(col(textCol),
+          lit("\\[[^\\]]*\\]\\([^)]*\\)"), lit(0))).cast("long"))
+      .withColumn("is_markdownish",
+        col("n_headings") + col("n_list_items") + col("n_fence_lines") > 0L)
+      .select(col(idCol), col("n_lines"), col("n_headings"),
+        col("max_heading_depth"), col("n_list_items"), col("n_fence_lines"),
+        col("n_table_rows"), col("n_links"), col("is_markdownish"))
+  }
+
   /** Canonical URL form for crawl dedup — the normalization a web-scale
     * pipeline applies before URL-level dedup so that byte-different
     * spellings of the same resource collapse:

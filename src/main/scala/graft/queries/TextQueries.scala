@@ -1203,6 +1203,74 @@ object TextQueries extends QueryGroup {
              |FROM t""".stripMargin)
     ),
 
+    // Markdown structure profile over a deterministically synthesized
+    // markdown rendering (8-token lines; every 7th line a '## ' heading,
+    // every 5th a '- ' list item, every 11th≡3 a table row, every
+    // 13th≡2 carries an inline link) — both engines BUILD the markdown
+    // AND classify every line independently.
+    "q_text_markdown_stats" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("_toks", graft.ops.TextAnalysis.tokens(col("text")))
+          .filter(size(col("_toks")) > 0)
+          .withColumn("_raw",
+            transform(sequence(lit(0), expr("(size(_toks) - 1) div 8")),
+              j => concat_ws(" ", slice(col("_toks"), j * 8 + 1, lit(8)))))
+          .withColumn("_md", array_join(
+            zip_with(col("_raw"),
+              sequence(lit(0), size(col("_raw")) - 1),
+              (l, j) => concat(
+                when(j % 7 === 0, concat(lit("## "), l))
+                  .when(j % 5 === 0, concat(lit("- "), l))
+                  .when(j % 11 === 3, concat(lit("| "), l, lit(" |")))
+                  .otherwise(l),
+                when(j % 13 === 2, lit(" [ref](http://x)"))
+                  .otherwise(lit("")))), "\n"))
+          .select(col("doc_id"), col("_md").as("text"))
+        graft.ops.TextClean.markdownStats(docs).orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |lines AS MATERIALIZED (
+             |  SELECT doc_id, j.j AS j,
+             |    (CASE WHEN j.j % 7 = 0
+             |          THEN '## ' || array_to_string(t[j.j*8+1 : j.j*8+8], ' ')
+             |          WHEN j.j % 5 = 0
+             |          THEN '- ' || array_to_string(t[j.j*8+1 : j.j*8+8], ' ')
+             |          WHEN j.j % 11 = 3
+             |          THEN '| ' || array_to_string(t[j.j*8+1 : j.j*8+8], ' ')
+             |               || ' |'
+             |          ELSE array_to_string(t[j.j*8+1 : j.j*8+8], ' ') END
+             |     || CASE WHEN j.j % 13 = 2 THEN ' [ref](http://x)'
+             |             ELSE '' END) AS line
+             |  FROM toks,
+             |    unnest(generate_series(0, (len(t) - 1) // 8)) AS j(j)
+             |  WHERE len(t) > 0)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN regexp_matches(line, '^#{1,6} ')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_headings,
+             |  CAST(coalesce(max(CASE WHEN regexp_matches(line, '^#{1,6} ')
+             |    THEN length(regexp_extract(line, '^(#{1,6}) ', 1)) END), 0)
+             |    AS BIGINT) AS max_heading_depth,
+             |  CAST(sum(CASE WHEN regexp_matches(line, '^([-*+]|[0-9]+\.) ')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_list_items,
+             |  CAST(sum(CASE WHEN regexp_matches(line, '^```')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_fence_lines,
+             |  CAST(sum(CASE WHEN regexp_matches(line, '^\|.*\|$')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_table_rows,
+             |  CAST(sum(len(regexp_extract_all(line,
+             |    '\[[^\]]*\]\([^)]*\)'))) AS BIGINT) AS n_links,
+             |  (sum(CASE WHEN regexp_matches(line, '^#{1,6} ')
+             |        OR regexp_matches(line, '^([-*+]|[0-9]+\.) ')
+             |        OR regexp_matches(line, '^```')
+             |        THEN 1 ELSE 0 END) > 0) AS is_markdownish
+             |FROM lines GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // ε-DP noisy release of per-source doc counts (two-sided geometric,
     // α=0.9, seeded inverse-CDF through the fixed-point log) — both
     // engines rebuild the draws, the log recursion, AND the noise, so

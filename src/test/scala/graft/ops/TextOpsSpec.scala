@@ -597,6 +597,38 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(h3 > 3500L && h3 < 4700L, s"natural-text entropy $h3 millibits")
   }
 
+  test("markdownStats: every line role counts once, depth tracks the " +
+    "deepest heading, plain prose is not markdownish") {
+    import spark.implicits._
+    val md = Seq(
+      "# Title",
+      "### Deep sub",
+      "- item one",
+      "1. item two",
+      "```scala",
+      "code line",
+      "```",
+      "| a | b |",
+      "plain with [x](http://y) and [z](u) links").mkString("\n")
+    val out = TextClean.markdownStats(
+      Seq((1L, md), (2L, "just two\nplain lines")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val m = out(1L)
+    assert(m.getAs[Long]("n_lines") == 9L)
+    assert(m.getAs[Long]("n_headings") == 2L &&
+      m.getAs[Long]("max_heading_depth") == 3L)
+    assert(m.getAs[Long]("n_list_items") == 2L)
+    assert(m.getAs[Long]("n_fence_lines") == 2L)
+    assert(m.getAs[Long]("n_table_rows") == 1L)
+    assert(m.getAs[Long]("n_links") == 2L)
+    assert(m.getAs[Boolean]("is_markdownish"))
+    val p = out(2L)
+    assert(p.getAs[Long]("n_lines") == 2L &&
+      p.getAs[Long]("n_headings") == 0L &&
+      p.getAs[Long]("max_heading_depth") == 0L &&
+      !p.getAs[Boolean]("is_markdownish"))
+  }
+
   test("tokenDropout: rate lands near dropBp, seeds are independent, " +
     "zero rate is the identity, reruns are byte-stable") {
     import spark.implicits._
