@@ -254,6 +254,23 @@ object Profile {
         time(s"cutspans-x$m")(noop(
           Substring.cutRepeatedSpans(docs, n = 8, minRep = 2)))
       }
+    } else if (args.headOption.contains("--jsd-scale")) {
+      // corpus-growth curve for the snapshot-drift gate: m disjoint
+      // copies (suffixed tokens → vocabulary AND corpus both scale m×,
+      // the op's two cost axes); sides overlap like real snapshots
+      import graft.ops.TextAnalysis
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 40)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val b = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        time(s"jsd-x$m")(noop(TextAnalysis.jsDivergence(a, b)))
+      }
     } else if (args.headOption.contains("--epoch-scale")) {
       // range-partitioned-sort growth for epochShuffle: m disjoint
       // corpus copies; the claim under test is linear wall growth (the
