@@ -56,10 +56,17 @@ object StreamingDrift {
     val fs = new Path(countsPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-    // idempotent counts append: a redelivered batch_id never lands twice
+    // idempotent counts append: a redelivered batch_id never lands
+    // twice. The seen-check is a WATERMARK (batch ids are monotone
+    // under foreachBatch), not per-id membership, so [[compactCounts]]
+    // can collapse history to one row per token — stamped with the max
+    // compacted batch id — without forgetting what already landed.
     val haveCounts = fs.exists(new Path(countsPath))
-    val seen = haveCounts && spark.read.parquet(countsPath)
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    val seen = haveCounts && {
+      val wm = spark.read.parquet(countsPath)
+        .agg(max(col("batch_id"))).collect()(0)
+      !wm.isNullAt(0) && wm.getLong(0) >= batchId
+    }
     if (!seen) {
       TextAnalysis.tokenCountTable(batch.dropDuplicates("doc_id"))
         .withColumn("batch_id", lit(batchId))
@@ -93,6 +100,34 @@ object StreamingDrift {
     DriftResult(batchId, row.getAs[Long]("jsd_millibits"),
       row.getAs[Boolean]("alarm"), row.getAs[Long]("n_vocab_a"),
       row.getAs[Long]("n_tokens"))
+  }
+
+  /** Log-structured maintenance for the counts table: collapse the
+    * per-batch append history to ONE row per token (counts are
+    * mergeable sums), stamped with the maximum compacted batch id so
+    * the watermark idempotence rule in [[driftBatch]] keeps rejecting
+    * redeliveries of everything already folded in. Staged-swap write
+    * (temp dir + rename), so a crash mid-compaction leaves the original
+    * table intact. Ledger rows are untouched — past drift readings are
+    * immutable history.
+    */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+      countsPath: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(countsPath).getFileSystem(conf)
+    if (!fs.exists(new Path(countsPath))) return
+    val compacted = spark.read.parquet(countsPath)
+      .groupBy("tok")
+      .agg(sum(col("c")).as("c"), max(col("batch_id")).as("batch_id"))
+      .localCheckpoint(true) // fully materialized before the swap
+    val tmp = new Path(countsPath + ".compact-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    compacted.write.parquet(tmp.toString)
+    val old = new Path(countsPath + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(new Path(countsPath), old)
+    fs.rename(tmp, new Path(countsPath))
+    fs.delete(old, true)
   }
 
   /** Continuous drift monitoring from a document stream. */

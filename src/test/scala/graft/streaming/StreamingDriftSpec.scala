@@ -100,4 +100,38 @@ class StreamingDriftSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0).getAs[Long]("jsd_millibits")
     assert(healed.jsdMillibits == batchJsd)
   }
+
+  test("compactCounts: history collapses to one row per token, the " +
+    "idempotence watermark survives, and future batches are unaffected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdrift-compact").toString
+    val (counts, ledger) = (s"$dir/counts", s"$dir/ledger")
+    val ref = TextAnalysis.tokenCountTable(refDocs).localCheckpoint(true)
+    def batch(id: Long, text: String) = StreamingDrift.driftBatch(
+      Seq((id * 10, text)).toDF("doc_id", "text"), ref, counts, ledger, id)
+    batch(0L, "alpha beta alpha")
+    batch(1L, "alpha gamma")
+    val before = spark.read.parquet(counts)
+      .groupBy("tok").agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    StreamingDrift.compactCounts(spark, counts)
+    val after = spark.read.parquet(counts).collect()
+    // one row per token, totals identical
+    assert(after.length == before.size)
+    assert(after.map(r => r.getAs[String]("tok") ->
+      r.getAs[Long]("c")).toMap == before)
+    // watermark: redelivering compacted batch 1 is a no-op
+    val replay = batch(1L, "alpha gamma")
+    assert(spark.read.parquet(counts)
+      .filter(col("tok") === "alpha").agg(sum(col("c")))
+      .collect()(0).getLong(0) == before("alpha"))
+    assert(spark.read.parquet(ledger).count() == 2L)
+    // a genuinely new batch still lands and extends the ledger
+    batch(2L, "delta delta")
+    assert(spark.read.parquet(ledger).count() == 3L)
+    assert(spark.read.parquet(counts)
+      .filter(col("tok") === "delta").count() == 1L)
+    assert(replay.batchId == 1L)
+  }
 }
