@@ -144,6 +144,102 @@ object ChatData {
         "pbar_e8", "pe_e8", "kappa_bp")
   }
 
+  /** Dawid–Skene annotator consensus (Dawid & Skene 1979, JRSS-C), hard-EM
+    * form: item truth estimates and PER-RATER confusion matrices refined
+    * jointly, so raters who track the consensus earn weight per
+    * (true,given) CELL and systematic confusers are discounted — the two
+    * things majority vote cannot do (it also breaks even-panel ties by
+    * coin flip; here learned reliability breaks them). Deterministic,
+    * engine-replayable variant: init by majority vote (ties → smallest
+    * label), then `rounds` rounds of {confusion counts with add-one
+    * smoothing → re-label every item by max log-posterior}, scored in
+    * the 2⁻¹⁶ fixed-point log2 of [[TextAnalysis.withPseudoLog2]]:
+    *
+    *   score(item,t) = pl2(pc_t+1) − pl2(N+K)
+    *                 + Σ_ratings [ pl2(c[r,t,l]+1) − pl2(rs[r,t]+K) ]
+    *
+    * — a pure BIGINT sum over the item's ratings (order-free, so any
+    * engine replaying the same rounds reproduces every score exactly);
+    * argmax ties → smallest label.
+    *
+    * Scale shape: the model state is raters×K² confusion cells + K
+    * priors — broadcast-sized by construction, the ONLY state carried
+    * between rounds besides the item-label frame (localCheckpoint'd per
+    * round, flat lineage). Per round: one ratings×labels item-keyed
+    * equi-join, one map-side-combinable cell count, one ratings×cells
+    * broadcast join (fan-out K per rating), one item-keyed argmax.
+    * BIGINT bounds: |score| ≤ (raters+1)·2²⁴ ≪ 2⁶³ at any corpus size.
+    *
+    * In: (itemCol, raterCol, labelCol) with labels in 0..nClasses−1.
+    * Out: (itemCol, label, score_fp) — consensus label + its fixed-point
+    * log-posterior (2⁻¹⁶ bits).
+    */
+  def dawidSkene(ratings: DataFrame, itemCol: String = "item",
+      raterCol: String = "rater", labelCol: String = "label",
+      nClasses: Int = 4, rounds: Int = 2): DataFrame = {
+    require(nClasses >= 2 && rounds >= 1)
+    val k = nClasses.toLong
+    val r = ratings.select(col(itemCol).as("_it"), col(raterCol).as("_r"),
+      col(labelCol).cast("long").as("_l")).localCheckpoint(true)
+    // majority init: per-item argmax count, ties → smallest label
+    var cur = r.groupBy("_it", "_l").agg(count(lit(1)).as("_c"))
+      .groupBy("_it")
+      .agg(min(struct((-col("_c")).as("nc"), col("_l").as("l"))).as("_b"))
+      .select(col("_it"), col("_b.l").as("_t"))
+      .localCheckpoint(true)
+    val nItems = cur.count()
+    val lNk = TextAnalysis.pseudoLog2Long(nItems + k)
+    // dense (rater × true × given) domain: smoothing must reach cells
+    // with ZERO observations or absent combos silently drop from scores
+    val dense = r.select("_r").distinct()
+      .withColumn("_t", explode(sequence(lit(0L), lit(k - 1))))
+      .withColumn("_l", explode(sequence(lit(0L), lit(k - 1))))
+      .localCheckpoint(true) // raters×K², reused every round
+    val tDom = r.sparkSession.range(k).select(col("id").as("_t"))
+    var scored: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val conf = dense.join(
+        r.join(cur, "_it").groupBy("_r", "_t", "_l")
+          .agg(count(lit(1)).as("_c")),
+        Seq("_r", "_t", "_l"), "left")
+        .na.fill(0L, Seq("_c"))
+      val rs = conf.groupBy("_r", "_t").agg(sum("_c").as("_rs"))
+      val w = TextAnalysis.withPseudoLog2(
+        TextAnalysis.withPseudoLog2(
+          conf.join(rs, Seq("_r", "_t"))
+            .withColumn("_cp1", col("_c") + 1L)
+            .withColumn("_rsk", col("_rs") + k),
+          "_cp1", "_lc"),
+        "_rsk", "_lrs")
+        .select(col("_r"), col("_t"), col("_l"),
+          (col("_lc") - col("_lrs")).as("_w"))
+        // raters×K² rows, but a 2×16-round pseudo-log2 plan: checkpoint
+        // so the per-round scoring join plans stay flat (planning time
+        // otherwise dominates — the jsDivergence lesson)
+        .localCheckpoint(true)
+      val prior = TextAnalysis.withPseudoLog2(
+        tDom.join(cur.groupBy("_t").agg(count(lit(1)).as("_pc")),
+            Seq("_t"), "left")
+          .na.fill(0L, Seq("_pc"))
+          .withColumn("_pp1", col("_pc") + 1L),
+        "_pp1", "_lp")
+        .select(col("_t"), (col("_lp") - lit(lNk)).as("_pw"))
+        .localCheckpoint(true)
+      scored = r.join(broadcast(w), Seq("_r", "_l"))
+        .groupBy("_it", "_t").agg(sum(col("_w")).as("_sw"))
+        .join(broadcast(prior), "_t")
+        .withColumn("_s", col("_sw") + col("_pw"))
+      cur = scored
+        .groupBy("_it")
+        .agg(min(struct((-col("_s")).as("ns"), col("_t").as("l"))).as("_b"))
+        .select(col("_it"), col("_b.l").as("_t"),
+          (-col("_b.ns")).as("_score"))
+        .localCheckpoint(true)
+    }
+    cur.select(col("_it").as(itemCol), col("_t").as("label"),
+      col("_score").as("score_fp"))
+  }
+
   /** Bradley-Terry strength fitting over pairwise win/loss records —
     * the ranking step behind RLHF policy comparisons, arena-style model
     * leaderboards, and annotator-quality scoring: item strengths w such

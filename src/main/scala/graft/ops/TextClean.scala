@@ -254,6 +254,60 @@ object TextClean {
           "\n").as("text"))
   }
 
+  /** PER-DOMAIN boilerplate removal (the CCNet/RefinedWeb refinement of
+    * the corpus-level C4 rule in [[lineDedup]]): a line is boilerplate
+    * WITHIN a group (site, dump, crawl `source`) when it appears in
+    * ≥ `minDocs` DISTINCT documents of that group AND in
+    * ≥ `minFracBp`/10⁴ of the group's documents — and is then removed
+    * EVERYWHERE in that group, with no first-survivor: per-site chrome
+    * (nav bars, cookie banners, footers) carries no content at any
+    * position. The same line in another group below threshold is left
+    * alone — which is the point of grouping: "all rights reserved" is
+    * chrome on one site and quoted prose on another, and a corpus-global
+    * df test cannot tell them apart. Emits one row per input doc with
+    * ≥1 line: `doc_id, n_kept, n_removed, text` (kept lines rejoined in
+    * order; a fully-stripped doc keeps its row with n_kept=0, text="" —
+    * downstream length filters want to SEE the husk, not lose it).
+    *
+    * Distributed shape: one posexplode; a (group,line)-keyed distinct-doc
+    * count (dedup on (group,line,doc) then count — the dedup's partial
+    * aggregation absorbs within-doc repeats map-side); group sizes from
+    * one doc-level aggregate; one left join back on (group,line) against
+    * the (small, chrome-only) boilerplate set; one doc-keyed reassembly.
+    * Work scales with corpus lines, the stats table with distinct
+    * (group,line) pairs — no all-pairs stage. The fraction test is
+    * integer cross-multiplication (df·10⁴ ≥ minFracBp·n_docs), exact in
+    * any engine; BIGINT-safe to 10¹⁴ docs per group.
+    *
+    * In: `doc_id`, group column `grpCol`, `lines: array<string>`.
+    */
+  def boilerplate(docs: DataFrame, grpCol: String = "source",
+      minDocs: Long = 3L, minFracBp: Long = 5000L): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), col(grpCol).as("_grp"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+    val groupSizes = docs
+      .select(col(grpCol).as("_grp"), col("doc_id")).distinct()
+      .groupBy("_grp").agg(count(lit(1)).as("n_docs"))
+    val boiler = exploded.select("_grp", "line", "doc_id").distinct()
+      .groupBy("_grp", "line").agg(count(lit(1)).as("df"))
+      .join(groupSizes, "_grp")
+      .filter(col("df") >= minDocs &&
+        col("df") * 10000L >= lit(minFracBp) * col("n_docs"))
+      .select(col("_grp"), col("line"), lit(1).as("_b"))
+    exploded.join(boiler, Seq("_grp", "line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("_b").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_b").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_b").isNull, struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("text"))
+  }
+
   /** WITHIN-document repeated-line removal (the paragraph-dedup intake
     * rule, complementing the corpus-level [[lineDedup]]): each distinct
     * line survives only at its FIRST position inside its own document;

@@ -1524,6 +1524,87 @@ object TextQueries extends QueryGroup {
              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // Per-source boilerplate removal: the line fixture plants (a) a
+    // newsletter line in EVERY doc of its source (100% → removed), (b)
+    // "premium content network" in all docs of even-length sources but
+    // only doc_id%17 docs of odd-length ones (same literal, removed in
+    // one group and KEPT in the other — the per-domain point), (c) a
+    // promo line in doc_id%3 docs (~33% < the 50% fraction gate → kept),
+    // and (d) the 10-token body chunks (unique → kept). Both engines
+    // assemble the lines AND replay the distinct-doc-frequency rule.
+    "q_text_boilerplate" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("lines", concat(
+            array(concat(lit("subscribe to "), col("source"),
+              lit(" newsletter"))),
+            when(length(col("source")) % 2 === 0 ||
+                pmod(col("doc_id"), lit(17)) === 0,
+              array(lit("premium content network")))
+              .otherwise(array().cast("array<string>")),
+            transform(
+              sequence(lit(0),
+                floor((size(col("toks")) - 1) / 10).cast("int")),
+              i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              array(concat(lit("promo "), col("source"),
+                lit(" weekly digest"))))
+              .otherwise(array().cast("array<string>"))))
+        TextClean.boilerplate(
+          docs.select(col("doc_id"), col("source"), col("lines")))
+          .select(col("doc_id"), col("n_kept"), col("n_removed"),
+            md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |    CASE WHEN length(source) % 2 = 0 OR doc_id % 17 = 0
+             |         THEN 1 ELSE 0 END AS hp,
+             |    (len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |      - 1) // 10 + 1 AS nb
+             |  FROM documents),
+             |keyed AS (
+             |  SELECT doc_id, source, 0 AS pos,
+             |    'subscribe to ' || source || ' newsletter' AS line
+             |  FROM toksrc
+             |  UNION ALL
+             |  SELECT doc_id, source, 1, 'premium content network'
+             |  FROM toksrc WHERE hp = 1
+             |  UNION ALL
+             |  SELECT doc_id, source, i + 1 + hp,
+             |    array_to_string(toks[(10*i+1):(10*i+10)], ' ')
+             |  FROM toksrc, unnest(generate_series(0, nb - 1)) AS g(i)
+             |  UNION ALL
+             |  SELECT doc_id, source, nb + 1 + hp,
+             |    'promo ' || source || ' weekly digest'
+             |  FROM toksrc WHERE doc_id % 3 = 0),
+             |grpsz AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |stats AS (
+             |  SELECT source, line,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM keyed GROUP BY 1, 2),
+             |boiler AS (
+             |  SELECT s.source, s.line, 1 AS _b
+             |  FROM stats s JOIN grpsz g ON s.source = g.source
+             |  WHERE s.df >= 3 AND s.df * 10000 >= 5000 * g.n_docs),
+             |marked AS (
+             |  SELECT k.doc_id, k.pos, k.line, b._b
+             |  FROM keyed k LEFT JOIN boiler b
+             |    ON k.source = b.source AND k.line = b.line)
+             |SELECT doc_id,
+             |  CAST(count(*) FILTER (WHERE _b IS NULL) AS BIGINT) AS n_kept,
+             |  CAST(count(*) FILTER (WHERE _b IS NOT NULL) AS BIGINT)
+             |    AS n_removed,
+             |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+             |    FILTER (WHERE _b IS NULL), '')) AS clean_md5
+             |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_text_normalize" -> QueryDef(
       (s, d) => {
         import graft.ops.TextClean
@@ -2730,6 +2811,49 @@ object TextQueries extends QueryGroup {
              |FROM p""".stripMargin)
     ),
 
+    // Dawid-Skene consensus over a rater panel with per-rater noise
+    // rates (rater r errs when hex draw < 2+r: 12.5%..37.5%): both
+    // engines synthesize the grid, take the majority init, and unroll
+    // the same 2 hard-EM rounds (smoothed confusion counts → fixed-point
+    // log-posterior re-label), so every label AND score_fp matches.
+    "q_text_dawid_skene" -> QueryDef(
+      (s, d) => {
+        val ratings = Tables.documents(s, d)
+          .select(col("doc_id"), expr("pmod(n_chars div 50, 4)").as("_true"))
+          .withColumn("rater", explode(sequence(lit(0), lit(4))))
+          .withColumn("_v",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("rater").cast("string"))), 1, 1), 16, 10)
+              .cast("long"))
+          .withColumn("label",
+            when(col("_v") < col("rater") + 2,
+              pmod(col("_true") + 1 + pmod(col("_v"), lit(3)), lit(4)))
+              .otherwise(col("_true")))
+        graft.ops.ChatData.dawidSkene(ratings, "doc_id", "rater", "label",
+            nClasses = 4, rounds = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ratings AS MATERIALIZED (
+             |  SELECT doc_id AS it, r,
+             |    CASE WHEN v < 2 + r
+             |         THEN ((n_chars // 50) % 4 + 1 + v % 3) % 4
+             |         ELSE (n_chars // 50) % 4 END AS l
+             |  FROM (
+             |    SELECT doc_id, n_chars, r,
+             |      ${hexDigitSql("md5(doc_id::VARCHAR || ':' || r::VARCHAR)", 1)} AS v
+             |    FROM documents, range(0, 5) t(r))),
+             |cur0 AS MATERIALIZED (
+             |  SELECT it, l AS t FROM (
+             |    SELECT it, l, row_number() OVER (PARTITION BY it
+             |        ORDER BY count(*) DESC, l) AS rn
+             |    FROM ratings GROUP BY it, l) WHERE rn = 1),
+             |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur0),
+             |${dsRoundSql(1)},
+             |${dsRoundSql(2)}
+             |SELECT it AS doc_id, t AS label, s AS score_fp
+             |FROM scx2 WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+    ),
+
     // Bradley-Terry source-strength leaderboard from pairwise outcomes:
     // 4-doc prompt groups play all cross-source pairs, longer text wins
     // — both engines rebuild the comparison log AND unroll the same 6
@@ -3171,6 +3295,64 @@ object TextQueries extends QueryGroup {
   private def hex4Sql(h: String): String =
     s"(${hexDigitSql(h, 1)} * 4096 + ${hexDigitSql(h, 2)} * 256 + " +
       s"${hexDigitSql(h, 3)} * 16 + ${hexDigitSql(h, 4)})"
+
+  /** One Dawid-Skene hard-EM round as chained CTEs: smoothed confusion
+    * cells from `cur${r-1}`, fixed-point log weights via the shared
+    * pseudo-log2 block, per-item log-posterior ranks `scx$r` and the
+    * re-labeled `cur$r`. Mirrors [[graft.ops.ChatData.dawidSkene]] cell
+    * for cell (K=4, the 5-rater panel, add-one smoothing).
+    */
+  private def dsRoundSql(r: Int): String =
+    s"""j$r AS (
+       |  SELECT g.it, g.r, g.l, c.t
+       |  FROM ratings g JOIN cur${r - 1} c USING (it)),
+       |cell$r AS MATERIALIZED (
+       |  SELECT dr.r, dt.t, dl.l, CAST(coalesce(cc.c, 0) AS BIGINT) AS c
+       |  FROM (SELECT DISTINCT r FROM ratings) dr
+       |  CROSS JOIN range(0, 4) dt(t)
+       |  CROSS JOIN range(0, 4) dl(l)
+       |  LEFT JOIN (SELECT r, t, l, count(*) AS c
+       |             FROM j$r GROUP BY 1, 2, 3) cc
+       |    ON cc.r = dr.r AND cc.t = dt.t AND cc.l = dl.l),
+       |rsum$r AS (
+       |  SELECT r, t, CAST(sum(c) AS BIGINT) AS rs
+       |  FROM cell$r GROUP BY 1, 2),
+       |pc$r AS (
+       |  SELECT dt.t, CAST(coalesce(p.c, 0) AS BIGINT) AS pc
+       |  FROM range(0, 4) dt(t)
+       |  LEFT JOIN (SELECT t, count(*) AS c FROM cur${r - 1} GROUP BY 1) p
+       |    ON p.t = dt.t),
+       |vals$r AS (
+       |  SELECT DISTINCT x FROM (
+       |    SELECT c + 1 AS x FROM cell$r
+       |    UNION SELECT rs + 4 FROM rsum$r
+       |    UNION SELECT pc + 1 FROM pc$r
+       |    UNION SELECT n + 4 FROM ntot)),
+       |${pseudoLog2Sql(s"x$r", s"vals$r")},
+       |w$r AS MATERIALIZED (
+       |  SELECT c.r, c.t, c.l, lc.l - lr.l AS w
+       |  FROM cell$r c
+       |  JOIN rsum$r s ON s.r = c.r AND s.t = c.t
+       |  JOIN lgx$r lc ON lc.x = c.c + 1
+       |  JOIN lgx$r lr ON lr.x = s.rs + 4),
+       |pw$r AS (
+       |  SELECT p.t, lp.l - ln.l AS pw
+       |  FROM pc$r p
+       |  JOIN lgx$r lp ON lp.x = p.pc + 1
+       |  CROSS JOIN ntot
+       |  JOIN lgx$r ln ON ln.x = ntot.n + 4),
+       |sc$r AS (
+       |  SELECT g.it, w.t, CAST(min(pw.pw) + sum(w.w) AS BIGINT) AS s
+       |  FROM ratings g
+       |  JOIN w$r w ON w.r = g.r AND w.l = g.l
+       |  JOIN pw$r pw ON pw.t = w.t
+       |  GROUP BY 1, 2),
+       |scx$r AS MATERIALIZED (
+       |  SELECT it, t, s, row_number() OVER (PARTITION BY it
+       |      ORDER BY s DESC, t) AS rn
+       |  FROM sc$r),
+       |cur$r AS MATERIALIZED (
+       |  SELECT it, t FROM scx$r WHERE rn = 1)""".stripMargin
 
   /** Value of the first 8 hex digits of md5 expression `h` — DuckDB
     * replay of Spark's `conv(substring(md5(x), 1, 8), 16, 10)`; the 2³²

@@ -149,4 +149,35 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L).getAs[String]("render_md5") !=
       out(3L).getAs[String]("render_md5"))
   }
+
+  test("dawidSkene: learned reliability resolves an even-panel tie that " +
+      "majority vote breaks wrong; consensus is deterministic") {
+    import spark.implicits._
+    // truth: items 1-5 → 0, 6-10 → 1. Raters A,B perfect; C errs on
+    // {6,7,10}; D errs on {8,9,10}. Item 10 splits the panel 2-2
+    // (A,B → 1; C,D → 0), so majority-vote init tie-breaks to the WRONG
+    // smaller label 0 — round 1's confusion counts then credit A,B
+    // (who track the consensus everywhere else) over C,D (each caught
+    // erring twice on consensus-1 items) and flip item 10 to 1.
+    def truth(it: Long): Long = if (it <= 5) 0L else 1L
+    val rows = for {
+      it <- 1L to 10L
+      (rater, errs) <- Seq("A" -> Set.empty[Long], "B" -> Set.empty[Long],
+        "C" -> Set(6L, 7L, 10L), "D" -> Set(8L, 9L, 10L))
+    } yield (it, rater, if (errs(it)) 1L - truth(it) else truth(it))
+    val out = ChatData.dawidSkene(rows.toDF("item", "rater", "label"),
+      nClasses = 2, rounds = 2).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("label")).toMap
+    (1L to 10L).foreach { it =>
+      assert(out(it) == truth(it), s"item $it: got ${out(it)}")
+    }
+    // deterministic: a second run reproduces labels AND scores exactly
+    val s1 = ChatData.dawidSkene(rows.toDF("item", "rater", "label"),
+      nClasses = 2, rounds = 2).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("score_fp")).toMap
+    val s2 = ChatData.dawidSkene(rows.toDF("item", "rater", "label"),
+      nClasses = 2, rounds = 2).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("score_fp")).toMap
+    assert(s1 == s2)
+  }
 }

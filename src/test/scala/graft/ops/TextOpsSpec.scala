@@ -389,6 +389,38 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains(4L))
   }
 
+  test("boilerplate: per-group df+fraction rule removes chrome everywhere " +
+      "in its group, leaves the same line alone elsewhere") {
+    import spark.implicits._
+    val chrome = "cookie banner"
+    val docs = Seq(
+      // group A (4 docs): chrome in 3/4 (df 3 >= 3, 75% >= 50%) → removed
+      (1L, "a", Seq(chrome, "alpha")),
+      (2L, "a", Seq(chrome, "beta")),
+      (3L, "a", Seq("gamma", chrome)),
+      (4L, "a", Seq("delta", "rare pair")),
+      // "rare pair" in 2/4 of A: df 2 < minDocs → kept
+      (5L, "a", Seq("rare pair")),
+      // wait — 5 docs in A now: chrome df 3/5 = 60% >= 50%, still removed
+      // group B (2 docs): same chrome line once (df 1 < 3) → kept
+      (6L, "b", Seq(chrome, "epsilon")),
+      (7L, "b", Seq("zeta")),
+      // doc whose every line is chrome → husk row: n_kept 0, text ""
+      (8L, "a", Seq(chrome))
+    ).toDF("doc_id", "source", "lines")
+    // NB with doc 8, A has 6 docs and chrome df=4: 4>=3, 66% >= 50%
+    val out = TextClean.boilerplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text")))).toMap
+    assert(out(1L) == ((1L, 1L, "alpha")))
+    assert(out(3L) == ((1L, 1L, "gamma")), "no first-survivor: removed at every position")
+    assert(out(4L) == ((2L, 0L, "delta\nrare pair")), "df < minDocs stays")
+    assert(out(6L) == ((2L, 0L, s"$chrome\nepsilon")),
+      "below-threshold group keeps the identical line")
+    assert(out(8L) == ((0L, 1L, "")), "fully-stripped doc keeps its husk row")
+  }
+
   test("htmlExtract: wrap∘extract is identity on adversarial text; " +
       "boilerplate blocks and live markup are stripped") {
     import spark.implicits._
