@@ -119,4 +119,83 @@ object EntityResolution {
       .filter(col("dist") <= maxDist)
       .select("id1", "id2", "name1", "name2", "gap", "dist")
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    * Sunter 1969, JASA) over blocked candidate pairs: each compared
+    * field contributes a log-odds weight — agreement earns log2(m/u),
+    * disagreement log2((1−m)/(1−u)) — where u, the chance-agreement
+    * probability, comes from the field's OWN value distribution
+    * (Winkler's frequency-based estimate u = Σ_v c_v²/N²) and m, the
+    * agreement rate among true matches, is the per-call `mBp`/10⁴
+    * (the classic fixed choice absent labeled pairs). Rare-value
+    * fields (names) thus earn large agreement weights and a common
+    * language column a small one — the thing a plain agree-count
+    * treats identically. Verdicts split at the two Fellegi–Sunter
+    * thresholds: score ≥ `upperFp` → match, ≥ `lowerFp` → possible
+    * (the clerical-review band), below → nonmatch.
+    *
+    * Exact replay: field stats are BIGINT (Σc², N²); the four log
+    * operands per field go through the fixed-point log2 driver twin
+    * [[TextAnalysis.pseudoLog2Long]] (parity-pinned with the engine
+    * recursion), weights become driver-constant literals, and pair
+    * scoring is a pure codegen projection — a second engine replaying
+    * the same stats reproduces every score_fp bit-for-bit. Weights use
+    * the DECOMPOSED log form pl2(m)+2·pl2(N)−pl2(10⁴)−pl2(Σc²) so no
+    * operand ever exceeds the pseudo-log2 x<2⁴³ headroom. A field
+    * with a single distinct value cannot disagree; its disagree weight
+    * is the −2⁸ bit sentinel (never fires on real pairs).
+    *
+    * Scale shape: one value-count aggregate per field collapsing to a
+    * single driver row (the only materialization); candidates are one
+    * equi-shuffle on the block key (hot-block caps/salting as in
+    * [[blockedMatches]]); scoring adds no join. Bound: Σc² ≤ N² < 2⁴³
+    * → N ≤ 2.9·10⁶ records per linkage domain; past that, estimate u
+    * on an md5-keyed record sample (the same escape the kappa op
+    * documents).
+    *
+    * Out: (id1, id2, n_agree, score_fp, verdict).
+    */
+  def fellegiSunter(
+      recs: DataFrame, idCol: String, blockCol: String,
+      fields: Seq[String], mBp: Long = 9500L,
+      upperFp: Long = 3L << 16, lowerFp: Long = 0L
+  ): DataFrame = {
+    require(fields.nonEmpty && mBp > 0 && mBp < 10000)
+    val pl2 = TextAnalysis.pseudoLog2Long(_: Long)
+    val n = recs.count()
+    require(n > 0 && n <= 2900000L,
+      s"frequency-based u needs N^2 < 2^43: N=$n — sample first")
+    val uDen = n * n
+    val lBase = pl2(mBp) - pl2(10000L) + 2 * pl2(n)
+    val lBaseD = pl2(10000L - mBp) - pl2(10000L) + 2 * pl2(n)
+    val weights = fields.map { f =>
+      val uNum = recs.groupBy(f).agg(count(lit(1)).as("_c"))
+        .agg(sum(expr("_c * _c"))).collect()(0).getLong(0)
+      val wa = lBase - pl2(uNum)
+      val wd =
+        if (uNum == uDen) -(1L << 24)
+        else lBaseD - pl2(uDen - uNum)
+      f -> ((wa, wd))
+    }.toMap
+    val a = recs.select(col(blockCol).as("_bk") +: col(idCol).as("id1") +:
+      fields.map(f => col(f).as(s"_a_$f")): _*)
+    val b = recs.select(col(blockCol).as("_bk") +: col(idCol).as("id2") +:
+      fields.map(f => col(f).as(s"_b_$f")): _*)
+    val agree = fields.map(f => (f, col(s"_a_$f") === col(s"_b_$f")))
+    a.join(b, Seq("_bk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("n_agree",
+        agree.map { case (_, eq) => when(eq, 1L).otherwise(0L) }
+          .reduce(_ + _))
+      .withColumn("score_fp",
+        agree.map { case (f, eq) =>
+          val (wa, wd) = weights(f)
+          when(eq, lit(wa)).otherwise(lit(wd))
+        }.reduce(_ + _))
+      .withColumn("verdict",
+        when(col("score_fp") >= upperFp, lit("match"))
+          .when(col("score_fp") >= lowerFp, lit("possible"))
+          .otherwise(lit("nonmatch")))
+      .select("id1", "id2", "n_agree", "score_fp", "verdict")
+  }
 }

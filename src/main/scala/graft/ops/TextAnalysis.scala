@@ -742,6 +742,82 @@ object TextAnalysis {
     * log-valued twin of DataSelect.pseudoExp). Pure chained projection:
     * Catalyst collapses the fracBits steps into one codegen stage.
     */
+  /** Sentence-level BLEU (Papineni et al. 2002) between candidate and
+    * reference token arrays — the n-gram-overlap eval behind MT/SFT
+    * regression gates and paraphrase audits. Per order n ≤ `maxN`:
+    * clipped precision p_n = Σ_g min(c_cand(g), c_ref(g)) / |cand
+    * n-grams|, emitted in bp; the composite is kept in LOG space —
+    * log2 BLEU = log2(BP) + (Σ_n log2 p_n)/maxN with log2(BP) =
+    * −(r−c)·log2(e)/c when c < r else 0 — all in the 2⁻¹⁶ fixed point
+    * of [[withPseudoLog2]] plus one integer brevity division, so every
+    * value replays engine-exactly (no libm; 2^score is monotone in
+    * score, so ranking/thresholding needs no exp). `bleu_log2_fp` is
+    * NULL when any order has zero clipped matches or the candidate is
+    * shorter than `maxN` tokens — the cases textbook BLEU sends to 0 =
+    * 2^−∞; the per-order bp columns still report what matched.
+    *
+    * Scale shape: per order one bounded-fanout gram projection +
+    * explode (corpus-gram-sized, the pass every token op pays), one
+    * (pair, n, gram) count, one cand×ref equi-join ON THE PAIR KEY
+    * (never cross-pair), two pair-keyed aggregates — partitions by
+    * pair id at any corpus size. The tokenized two-sided frame is
+    * scope-persisted; gram counts ≤ doc length keep every pseudo-log2
+    * operand far under its 2⁴³ headroom.
+    *
+    * In: `idCol`, `candCol`/`refCol` as array<string> token columns.
+    * Out: (idCol, len_cand, len_ref, p1_bp..p{maxN}_bp, bp_log2_fp,
+    * bleu_log2_fp).
+    */
+  def bleu(pairs: DataFrame, idCol: String = "pair_id",
+      candCol: String = "cand_toks", refCol: String = "ref_toks",
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8)
+    val Lg2E = 94548L // floor(log2(e) * 2^16)
+    val toks = graft.util.AutoUnpersist.persistScoped(
+      pairs.select(col(idCol).as("_id"),
+        col(candCol).as("_ct"), col(refCol).as("_rt"))
+        .withColumn("_clen", size(col("_ct")).cast("long"))
+        .withColumn("_rlen", size(col("_rt")).cast("long")))
+    def gramsOf(tc: String, n: Int): Column =
+      when(size(col(tc)) >= n,
+        transform(sequence(lit(1), size(col(tc)) - (n - 1)),
+          i => array_join(slice(col(tc), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def gramCounts(tc: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        toks.select(col("_id"), lit(n).as("_n"),
+          explode(gramsOf(tc, n)).as("_g"))
+      }.reduce(_ unionAll _)
+        .groupBy("_id", "_n", "_g").agg(count(lit(1)).as(out))
+    val stats = gramCounts("_ct", "_cc")
+      .join(gramCounts("_rt", "_rc"), Seq("_id", "_n", "_g"), "left")
+      .withColumn("_m", least(col("_cc"), coalesce(col("_rc"), lit(0L))))
+      .groupBy("_id", "_n")
+      .agg(sum("_m").as("_clip"), sum("_cc").as("_tot"))
+    val logged = withPseudoLog2(withPseudoLog2(
+        stats.filter(col("_clip") > 0), "_clip", "_lc"), "_tot", "_lt")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("_npos"),
+        sum(col("_lc") - col("_lt")).as("_slp"))
+    val pCols = (1 to maxN).map(n =>
+      max(when(col("_n") === n, expr("_clip * 10000 div _tot")))
+        .as(s"p${n}_bp"))
+    val perOrder = stats.groupBy("_id").agg(pCols.head, pCols.tail: _*)
+    toks.select("_id", "_clen", "_rlen")
+      .join(perOrder, Seq("_id"), "left")
+      .join(logged, Seq("_id"), "left")
+      .withColumn("bp_log2_fp",
+        expr(s"if(_clen >= _rlen or _clen = 0, 0L, " +
+          s"-(((_rlen - _clen) * $Lg2E) div _clen))"))
+      .withColumn("bleu_log2_fp",
+        when(col("_npos") === maxN,
+          col("bp_log2_fp") + expr(s"_slp div $maxN")))
+      .drop("_npos", "_slp")
+      .withColumnRenamed("_id", idCol)
+      .withColumnRenamed("_clen", "len_cand")
+      .withColumnRenamed("_rlen", "len_ref")
+  }
+
   /** Driver-side twin of [[withPseudoLog2]] — the SAME bit recursion on
     * a Scala Long, for literal denominators (e.g. the geometric-noise
     * scale in [[Privacy.dpNoisyCounts]]) that must match the

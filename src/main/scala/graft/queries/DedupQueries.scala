@@ -808,6 +808,129 @@ object DedupQueries extends QueryGroup {
              |ORDER BY id1, id2""".stripMargin)
     ),
 
+    // Fellegi-Sunter scoring over the phonetic-blocked pairs: variants
+    // corrupt ONE field by pk%4 (0 exact copy, 1 lang, 2 band, 3 a
+    // vowel-swap name typo that stays in its soundex block), so the
+    // verdict spread exercises both thresholds — name agreement (rare
+    // values, big weight) carries corrupted-field pairs to `match`,
+    // name disagreement drops to `possible`/`nonmatch` on the chance
+    // fields alone. Both engines estimate u from the value counts AND
+    // replay the fixed-point log-odds weights.
+    "q_dedup_er_fs" -> QueryDef(
+      (s, d) => {
+        import graft.ops.{EntityResolution, TextAnalysis}
+        val nm0 = array_join(
+          slice(filter(TextAnalysis.tokens(lower(col("text"))),
+            t => t.rlike("^[a-z]+$")), 1, 2), " ")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id").as("pk"), nm0.as("nm"), col("lang"),
+            expr("n_chars div 200").as("band"))
+          .filter(length(col("nm")) >= 4)
+        val opos = instr(col("nm").substr(lit(2), length(col("nm"))), "o")
+        val orig = base.select((col("pk") * 2).as("rec_id"),
+          col("nm").as("name"), col("lang"), col("band"))
+        val variant = base.select((col("pk") * 2 + 1).as("rec_id"),
+          when(pmod(col("pk"), lit(4)) === 3 && opos > 0,
+            concat(col("nm").substr(lit(1), opos), lit("a"),
+              col("nm").substr(opos + 2, length(col("nm")))))
+            .otherwise(col("nm")).as("name"),
+          when(pmod(col("pk"), lit(4)) === 1, concat(col("lang"), lit("x")))
+            .otherwise(col("lang")).as("lang"),
+          when(pmod(col("pk"), lit(4)) === 2, col("band") + 1)
+            .otherwise(col("band")).as("band"))
+        val recs = orig.unionByName(variant)
+          .withColumn("pkey", EntityResolution.phoneticKey(col("name")))
+        EntityResolution.fellegiSunter(recs, "rec_id", "pkey",
+            Seq("name", "lang", "band"), mBp = 9500L)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS pk,
+             |    array_to_string((list_filter(
+             |      list_filter(string_split(lower(text), ' '), x -> x <> ''),
+             |      t -> regexp_matches(t, '^[a-z]+$$')))[1:2], ' ') AS nm,
+             |    lang, n_chars // 200 AS band
+             |  FROM documents),
+             |b2 AS (SELECT * FROM base WHERE length(nm) >= 4),
+             |orig AS (
+             |  SELECT pk * 2 AS rec_id, nm AS name, lang, band FROM b2),
+             |var AS (
+             |  SELECT pk * 2 + 1 AS rec_id,
+             |    CASE WHEN pk % 4 = 3 AND strpos(substr(nm, 2), 'o') > 0 THEN
+             |      substr(nm, 1, strpos(substr(nm, 2), 'o')) || 'a'
+             |      || substr(nm, strpos(substr(nm, 2), 'o') + 2)
+             |    ELSE nm END AS name,
+             |    CASE WHEN pk % 4 = 1 THEN lang || 'x' ELSE lang END AS lang,
+             |    CASE WHEN pk % 4 = 2 THEN band + 1 ELSE band END AS band
+             |  FROM b2),
+             |recs AS MATERIALIZED (
+             |  SELECT * FROM orig UNION ALL SELECT * FROM var),
+             |keyed AS MATERIALIZED (
+             |  SELECT rec_id, name, lang, band,
+             |    upper(substr(name, 1, 1)) || rpad(substr(
+             |      regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(regexp_replace(
+             |        regexp_replace(translate(upper(substr(name, 2)),
+             |          'BFPVCGJKQSXZDTLMNRAEIOUYHW ', '111122222222334556'),
+             |          '[^1-6]', '', 'g'),
+             |        '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+             |        '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g'),
+             |      1, 3), 3, '0') AS pkey
+             |  FROM recs),
+             |nrec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM recs),
+             |fstat AS MATERIALIZED (
+             |  SELECT 'name' AS f, CAST(sum(c*c) AS BIGINT) AS unum
+             |  FROM (SELECT count(*) AS c FROM recs GROUP BY name)
+             |  UNION ALL
+             |  SELECT 'lang', CAST(sum(c*c) AS BIGINT)
+             |  FROM (SELECT count(*) AS c FROM recs GROUP BY lang)
+             |  UNION ALL
+             |  SELECT 'band', CAST(sum(c*c) AS BIGINT)
+             |  FROM (SELECT count(*) AS c FROM recs GROUP BY band)),
+             |vals AS (SELECT DISTINCT x FROM (
+             |  SELECT 9500 AS x
+             |  UNION ALL SELECT 500
+             |  UNION ALL SELECT 10000
+             |  UNION ALL SELECT n FROM nrec
+             |  UNION ALL SELECT unum FROM fstat
+             |  UNION ALL SELECT n * n - unum
+             |    FROM fstat CROSS JOIN nrec) WHERE x > 0),
+             |${TextQueries.pseudoLog2Sql("w", "vals")},
+             |wt AS MATERIALIZED (
+             |  SELECT f, lm.l - l4.l + 2 * ln.l - lu.l AS wa,
+             |    CASE WHEN unum = n * n THEN -16777216
+             |         ELSE lx.l - l4.l + 2 * ln.l - ld.l END AS wd
+             |  FROM fstat CROSS JOIN nrec
+             |  JOIN lgw lm ON lm.x = 9500
+             |  JOIN lgw lx ON lx.x = 500
+             |  JOIN lgw l4 ON l4.x = 10000
+             |  JOIN lgw ln ON ln.x = n
+             |  JOIN lgw lu ON lu.x = unum
+             |  LEFT JOIN lgw ld ON ld.x = n * n - unum),
+             |prs AS (
+             |  SELECT a.rec_id AS id1, b.rec_id AS id2,
+             |    CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS agn,
+             |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS agl,
+             |    CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS agb
+             |  FROM keyed a JOIN keyed b
+             |    ON a.pkey = b.pkey AND a.rec_id < b.rec_id),
+             |sc AS (
+             |  SELECT id1, id2, CAST(agn + agl + agb AS BIGINT) AS n_agree,
+             |    CAST(CASE WHEN agn = 1 THEN wn.wa ELSE wn.wd END
+             |       + CASE WHEN agl = 1 THEN wl.wa ELSE wl.wd END
+             |       + CASE WHEN agb = 1 THEN wb.wa ELSE wb.wd END
+             |      AS BIGINT) AS score_fp
+             |  FROM prs,
+             |    (SELECT wa, wd FROM wt WHERE f = 'name') wn,
+             |    (SELECT wa, wd FROM wt WHERE f = 'lang') wl,
+             |    (SELECT wa, wd FROM wt WHERE f = 'band') wb)
+             |SELECT id1, id2, n_agree, score_fp,
+             |  CASE WHEN score_fp >= 196608 THEN 'match'
+             |       WHEN score_fp >= 0 THEN 'possible'
+             |       ELSE 'nonmatch' END AS verdict
+             |FROM sc ORDER BY id1, id2""".stripMargin)
+    ),
+
     // Character-shingle MinHash+LSH over the zh slice — the
     // no-whitespace-script dedup path: grams are taken over
     // whitespace-STRIPPED text (the FULL class incl. tabs and U+3000,

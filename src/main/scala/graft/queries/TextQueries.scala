@@ -23,7 +23,7 @@ object TextQueries extends QueryGroup {
   /** The fixed-point log2 recursion block (16 square-and-shift rounds)
     * over the distinct values of `valsCte`, as `lg$tag(x, l)`.
     */
-  private def pseudoLog2Sql(tag: String, valsCte: String): String =
+  private[queries] def pseudoLog2Sql(tag: String, valsCte: String): String =
     s"""base$tag AS (
        |  SELECT x, CAST(length(bin(x)) - 1 AS BIGINT) AS e,
        |    (x << 20) // (1::BIGINT << (length(bin(x)) - 1)) AS m
@@ -1603,6 +1603,95 @@ object TextQueries extends QueryGroup {
              |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
              |    FILTER (WHERE _b IS NULL), '')) AS clean_md5
              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Sentence-BLEU between each doc's first 40 tokens (reference) and
+    // a 36-token candidate with every 9th token swapped to 'the' — both
+    // engines build the pair, count clipped n-gram matches per order,
+    // and replay the fixed-point log composite + exact integer brevity
+    // penalty (c=36 < r=40 → BP fires on every full-length doc).
+    "q_text_bleu" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("ref_toks", slice(col("toks"), 1, 40))
+          .withColumn("cand_toks",
+            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+              i => when(pmod(i, lit(9)) === 0, lit("the"))
+                .otherwise(element_at(col("toks"), i))))
+        graft.ops.TextAnalysis.bleu(
+            docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE toksrc AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |prep AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, least(len(t), 36)),
+             |      i -> CASE WHEN i % 9 = 0 THEN 'the' ELSE t[i] END) AS ct,
+             |    t[1:40] AS rt
+             |  FROM toksrc),
+             |lens AS (
+             |  SELECT doc_id, CAST(len(ct) AS BIGINT) AS clen,
+             |    CAST(len(rt) AS BIGINT) AS rlen
+             |  FROM prep),
+             |cg AS MATERIALIZED (
+             |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+             |    SELECT doc_id, n, array_to_string(ct[i:i+n-1], ' ') AS g
+             |    FROM prep CROSS JOIN range(1, 5) nn(n),
+             |      unnest(generate_series(1, len(ct) - n + 1)) AS gg(i)
+             |    WHERE len(ct) >= n)
+             |  GROUP BY 1, 2, 3),
+             |rg AS MATERIALIZED (
+             |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+             |    SELECT doc_id, n, array_to_string(rt[i:i+n-1], ' ') AS g
+             |    FROM prep CROSS JOIN range(1, 5) nn(n),
+             |      unnest(generate_series(1, len(rt) - n + 1)) AS gg(i)
+             |    WHERE len(rt) >= n)
+             |  GROUP BY 1, 2, 3),
+             |stats AS MATERIALIZED (
+             |  SELECT cg.doc_id, cg.n,
+             |    CAST(sum(least(cg.cc, coalesce(rg.rc, 0))) AS BIGINT)
+             |      AS clip,
+             |    CAST(sum(cg.cc) AS BIGINT) AS tot
+             |  FROM cg LEFT JOIN rg ON rg.doc_id = cg.doc_id
+             |    AND rg.n = cg.n AND rg.g = cg.g
+             |  GROUP BY 1, 2),
+             |vals AS (SELECT DISTINCT x FROM (
+             |  SELECT clip AS x FROM stats WHERE clip > 0
+             |  UNION ALL SELECT tot FROM stats WHERE clip > 0)),
+             |${pseudoLog2Sql("b", "vals")},
+             |logged AS (
+             |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS npos,
+             |    CAST(sum(lc.l - lt.l) AS BIGINT) AS slp
+             |  FROM stats s
+             |  JOIN lgb lc ON lc.x = s.clip
+             |  JOIN lgb lt ON lt.x = s.tot
+             |  WHERE s.clip > 0
+             |  GROUP BY 1),
+             |po AS (
+             |  SELECT doc_id,
+             |    max(CASE WHEN n = 1 THEN clip * 10000 // tot END) AS p1_bp,
+             |    max(CASE WHEN n = 2 THEN clip * 10000 // tot END) AS p2_bp,
+             |    max(CASE WHEN n = 3 THEN clip * 10000 // tot END) AS p3_bp,
+             |    max(CASE WHEN n = 4 THEN clip * 10000 // tot END) AS p4_bp
+             |  FROM stats GROUP BY 1)
+             |SELECT l.doc_id, l.clen AS len_cand, l.rlen AS len_ref,
+             |  p1_bp, p2_bp, p3_bp, p4_bp,
+             |  CAST(CASE WHEN l.clen >= l.rlen OR l.clen = 0 THEN 0
+             |    ELSE -(((l.rlen - l.clen) * 94548) // l.clen) END
+             |    AS BIGINT) AS bp_log2_fp,
+             |  CAST(CASE WHEN lg.npos = 4 THEN
+             |    (CASE WHEN l.clen >= l.rlen OR l.clen = 0 THEN 0
+             |      ELSE -(((l.rlen - l.clen) * 94548) // l.clen) END)
+             |    + slp // 4 END AS BIGINT) AS bleu_log2_fp
+             |FROM lens l
+             |LEFT JOIN po USING (doc_id)
+             |LEFT JOIN logged lg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
     ),
 
     "q_text_normalize" -> QueryDef(

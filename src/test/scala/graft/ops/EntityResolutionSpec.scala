@@ -95,4 +95,38 @@ class EntityResolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(snm.contains((2L, 1L)) || snm.contains((1L, 2L)),
       s"sorted window must catch the pair: $snm")
   }
+
+  test("fellegiSunter: rare-field agreement outweighs common-field " +
+      "agreement; verdicts split at both thresholds") {
+    import spark.implicits._
+    // 20 records, one block. Names: 'ann' ×2 (recs 0,1 — same color),
+    // 'bob' ×2 (recs 2,3 — DIFFERENT color), 16 unique. u_name =
+    // (4+4+16)/400 = 0.06 → agree weight ≈ log2(0.95/0.06) ≈ 4.0 bits;
+    // u_color = 0.5 → agree ≈ +0.93, disagree ≈ −3.32 bits. So:
+    // ann-pair ≈ 4.9 bits → match (≥3); bob-pair ≈ 0.66 → possible
+    // (≥0, <3); every cross-name pair carries name-disagree ≈ −4.2 →
+    // nonmatch regardless of color.
+    val names = Seq("ann", "ann", "bob", "bob") ++
+      (1 to 16).map(i => s"uniq$i")
+    val recs = names.zipWithIndex.map { case (nm, i) =>
+      val color =
+        if (i <= 2) "red" // ann pair shares red; bob rec 2 red...
+        else if (i == 3) "blue" // ...bob rec 3 blue (the disagreement)
+        else if (i % 2 == 0) "blue" else "red" // 11 red / 9 blue overall
+      (i.toLong, nm, color)
+    }.toDF("rec_id", "name", "color").withColumn("bk", lit("x"))
+    val out = EntityResolution.fellegiSunter(recs, "rec_id", "bk",
+      Seq("name", "color")).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        ((r.getAs[Long]("n_agree"), r.getAs[Long]("score_fp"),
+          r.getAs[String]("verdict")))).toMap
+    assert(out.size == 190, s"20 choose 2 pairs, got ${out.size}")
+    assert(out((0L, 1L))._3 == "match" && out((0L, 1L))._1 == 2L)
+    assert(out((2L, 3L))._3 == "possible" && out((2L, 3L))._1 == 1L)
+    val rest = out.filterNot(p => p._1 == ((0L, 1L)) || p._1 == ((2L, 3L)))
+    assert(rest.values.forall(_._3 == "nonmatch"),
+      "name disagreement must dominate any chance-field agreement")
+    // agreement on the rare field is worth more than on the common one
+    assert(out((0L, 1L))._2 > out((2L, 3L))._2)
+  }
 }

@@ -421,6 +421,38 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(8L) == ((0L, 1L, "")), "fully-stripped doc keeps its husk row")
   }
 
+  test("bleu: hand-counted clipped precisions, identity scores 0, " +
+      "zero-overlap orders null the composite, brevity penalty exact") {
+    import spark.implicits._
+    def t(s: String) = s.split(" ").toSeq
+    val pairs = Seq(
+      // p1 5/6, p2 3/5, p3 2/4, p4 1/3 against the one-word swap
+      (1L, t("the cat sat on the mat"), t("the cat sat on a mat")),
+      (2L, t("a b c d"), t("a b c d")), // identity → log2 BLEU = 0
+      (3L, t("x y z w q"), t("q w z y x")), // unigrams only → null
+      (4L, t("a b c"), t("a b c")), // shorter than maxN → null
+      (5L, t("a b c d"), t("a b c d e f g h")) // brevity: c=4, r=8
+    ).toDF("pair_id", "cand_toks", "ref_toks")
+    val out = TextAnalysis.bleu(pairs).collect()
+      .map(r => r.getAs[Long]("pair_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("p1_bp") == 8333L)
+    assert(r1.getAs[Long]("p2_bp") == 6000L)
+    assert(r1.getAs[Long]("p3_bp") == 5000L)
+    assert(r1.getAs[Long]("p4_bp") == 3333L)
+    assert(r1.getAs[Long]("bleu_log2_fp") < 0L)
+    assert(out(2L).getAs[Long]("bleu_log2_fp") == 0L,
+      "perfect match must score exactly log2(1) = 0")
+    assert(out(3L).getAs[Long]("p1_bp") == 10000L)
+    assert(out(3L).getAs[Long]("p2_bp") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("bleu_log2_fp")),
+      "a zero-clip order sends textbook BLEU to 0 = 2^-inf → NULL here")
+    assert(out(4L).isNullAt(out(4L).fieldIndex("p4_bp")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("bleu_log2_fp")))
+    assert(out(5L).getAs[Long]("bp_log2_fp") == -94548L,
+      "BP = exp(1 - 8/4) → log2 = -(4 * log2(e)) / 4 exactly")
+  }
+
   test("htmlExtract: wrap∘extract is identity on adversarial text; " +
       "boilerplate blocks and live markup are stripped") {
     import spark.implicits._
