@@ -73,13 +73,25 @@ object Bench {
     // The full line (124+ queries + loadavg) runs ~5k chars, but the
     // driver records only the LAST 2000 chars of stdout and parses the
     // JSON from that window — r4's line was head-truncated and parsed as
-    // null. Write the complete record to BENCH.json (committed each
-    // round), and print a stdout line that provably fits the window:
-    // total + the slowest queries, packed into a ~1600-char budget, with
-    // the full per-query map delegated to the file.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // null. Write the complete record to a file, and print a stdout line
+    // that provably fits the window: total + the slowest queries, packed
+    // into a ~1600-char budget, with the full per-query map delegated to
+    // the file.
+    //
+    // Every run lands in bench-runs/BENCH_<millis>.json (untracked);
+    // the committed BENCH.json is only PROMOTED on a run shaped like the
+    // driver's (full battery, no BENCH_ONLY filter, the sf0.1 dir) —
+    // dev-loop isolated/sf0.001 runs used to silently clobber the
+    // committed full-battery record in the working tree.
+    val bytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val runsDir = java.nio.file.Paths.get("bench-runs")
+    java.nio.file.Files.createDirectories(runsDir)
+    val stamped = runsDir.resolve(s"BENCH_${System.currentTimeMillis()}.json")
+    java.nio.file.Files.write(stamped, bytes)
+    val promoted = only.isEmpty && sfDir.stripSuffix("/").endsWith("sf0.1")
+    if (promoted)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"), bytes)
+    val fullRecord = if (promoted) "BENCH.json" else stamped.toString
     val budget = 1600
     val bySlow = results.sortBy(-_._2)
     val shown = new StringBuilder
@@ -89,7 +101,7 @@ object Bench {
       if (shown.length + entry.length <= budget) { shown.append(entry); n += 1 }
     }
     val stdoutJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${shown.result()}},"sf":"$sfDir","reps":$reps,"stat":"median","n_queries":${results.size},"queries_shown":$n,"full_per_query":"BENCH.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${shown.result()}},"sf":"$sfDir","reps":$reps,"stat":"median","n_queries":${results.size},"queries_shown":$n,"full_per_query":"$fullRecord"}"""
     println(stdoutJson)
     spark.stop()
   }

@@ -102,9 +102,10 @@ object ChatData {
     * Both P's are first quantized to 10⁻⁸ (`div`, positive operands) and
     * κ to basis points from those — every intermediate is a BIGINT
     * ratio of exact counts, so any engine replays the value bit-for-bit.
-    * Requires a constant n per item (Fleiss' design); rows violating it
-    * are the caller's bug, so the op asserts via the `n_ratings_*`
-    * columns rather than silently reweighting.
+    * Requires a constant n per item (Fleiss' design) — ENFORCED: when
+    * `n_ratings_min != n_ratings_max` the P̄-dependent outputs
+    * (`pbar_e8`, `kappa_bp`) come back NULL rather than a silently
+    * wrong κ, and the `n_ratings_*` columns show the violation.
     *
     * Shape: one (item,label) count (map-side combinable, fan-out ≤
     * categories per item), then two global single-row aggregates — no
@@ -136,7 +137,8 @@ object ChatData {
       sum(expr("_cj * _cj")).as("_csq"))
     top.crossJoin(cats) // both sides are single-row aggregates
       .withColumn("pbar_e8",
-        expr("(_a - _nn) * 100000000L div (_nn * (n_ratings_max - 1))"))
+        expr("if(n_ratings_min = n_ratings_max, " +
+          "(_a - _nn) * 100000000L div (_nn * (n_ratings_max - 1)), null)"))
       .withColumn("pe_e8", expr("_csq * 100000000L div (_nn * _nn)"))
       .withColumn("kappa_bp",
         expr("(pbar_e8 - pe_e8) * 10000 div (100000000L - pe_e8)"))

@@ -78,6 +78,12 @@ object DataQuality {
     * decomposition precedent), never the corpus. Single-class inputs
     * (P or N = 0) return a NULL auc_bp — the honest undefined.
     *
+    * Overflow bound: the pair count P·N leaves BIGINT at ~3·10⁷ docs
+    * per class, well inside corpus scale, so the win/tie sums and the
+    * final ratio run in DECIMAL(38,0) (DuckDB mirror: HUGEINT) — exact
+    * integer arithmetic to ~10³⁴ pairs, i.e. ~10¹⁷ docs per class,
+    * beyond any corpus. Outputs stay BIGINT.
+    *
     * Out: one row `(n_pos, n_neg, auc_bp)`.
     */
   def aucBp(scored: DataFrame, label: Column,
@@ -92,10 +98,12 @@ object DataQuality {
     cells
       .withColumn("_cn", coalesce(sum(col("_n")).over(w), lit(0L)))
       .agg(sum(col("_p")).as("n_pos"), sum(col("_n")).as("n_neg"),
-        sum(expr("_p * _cn")).as("_wins"), sum(expr("_p * _n")).as("_ties"))
+        sum(expr("cast(_p as decimal(38,0)) * _cn")).as("_wins"),
+        sum(expr("cast(_p as decimal(38,0)) * _n")).as("_ties"))
       .withColumn("auc_bp",
         expr("if(n_pos > 0 and n_neg > 0, " +
-          "(2 * _wins + _ties) * 10000 div (2 * n_pos * n_neg), null)"))
+          "cast((2 * _wins + _ties) * 10000 div " +
+          "(2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint), null)"))
       .select("n_pos", "n_neg", "auc_bp")
   }
 

@@ -82,22 +82,50 @@ object DataSelect {
     * `nShards` must divide the 2³² key domain (powers of two) so range
     * width is exact integer arithmetic in any engine.
     *
+    * Per-task state is bounded TWO-LEVEL, not per-shard: ranks are
+    * computed within fine sub-shards (the next `subShards` key ranges
+    * below the shard bits — contiguous, so sub-shard order IS key
+    * order), then shifted by cumulative sub-shard counts (a window over
+    * the nShards×subShards count table, bounded domain). A task
+    * therefore buffers corpus/(nShards·subShards) rows — with the
+    * defaults 1/4096 of the corpus — instead of a whole shard, so
+    * `nShards` can stay semantic (how many trainer files) without the
+    * rank step inheriting its granularity. `pos` is a pure function of
+    * (epoch, key order) — identical for any subShards value.
+    *
     * Returns docs + `(order_key, shard, pos)`; pos is 1-based within
     * shard.
     */
   def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int = 16,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", subShards: Int = 256): DataFrame = {
     require(nShards > 0 && 4294967296L % nShards == 0,
       s"nShards must divide 2^32: $nShards")
     val width = 4294967296L / nShards
+    require(subShards > 0 && width % subShards == 0,
+      s"subShards must divide the shard width: $subShards")
+    val fineWidth = width / subShards
     // 8 hex digits < 2^32 by construction — no reduction needed
     val key = conv(substring(md5(concat(lit(s"ep$epoch:"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    docs.withColumn("order_key", key)
+    val keyed = docs.withColumn("order_key", key)
       .withColumn("shard", expr(s"order_key div $width"))
-      .withColumn("pos", row_number().over(
+      .withColumn("_fine", expr(s"order_key div $fineWidth"))
+    val subRank = keyed.withColumn("_r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("_fine")
+        .orderBy("order_key", idCol)).cast("long"))
+    // offsets: docs in the same shard's EARLIER sub-shards — a cumsum
+    // over the bounded (nShards·subShards)-row count table
+    val offsets = subRank.groupBy("shard", "_fine")
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shard")
-          .orderBy("order_key", idCol)).cast("long"))
+          .orderBy("_fine").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)), lit(0L)))
+      .select("_fine", "_off")
+    subRank.join(broadcast(offsets), "_fine")
+      .withColumn("pos", expr("_off + _r"))
+      .drop("_fine", "_r", "_off")
   }
 
   /** Rendezvous (highest-random-weight) shard assignment — the

@@ -623,12 +623,13 @@ object AnalyticsQueries extends QueryGroup {
              |agg AS (
              |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
              |    CAST(sum(n) AS BIGINT) AS n_neg,
-             |    CAST(sum(p * cn) AS BIGINT) AS wins,
-             |    CAST(sum(p * n) AS BIGINT) AS ties
+             |    sum(CAST(p AS HUGEINT) * cn) AS wins,
+             |    sum(CAST(p AS HUGEINT) * n) AS ties
              |  FROM cum)
              |SELECT n_pos, n_neg,
              |  CASE WHEN n_pos > 0 AND n_neg > 0
-             |       THEN (2 * wins + ties) * 10000 // (2 * n_pos * n_neg)
+             |       THEN CAST((2 * wins + ties) * 10000
+             |         // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
              |  END AS auc_bp
              |FROM agg""".stripMargin)
     ),

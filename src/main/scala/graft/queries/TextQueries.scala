@@ -2891,7 +2891,9 @@ object TextQueries extends QueryGroup {
              |    CAST(sum(cj*cj) AS BIGINT) AS csq FROM percat),
              |p AS (
              |  SELECT n_items, n_ratings_min, n_ratings_max, n_categories,
-             |    (a - nn) * 100000000 // (nn * (n_ratings_max - 1)) AS pbar_e8,
+             |    CASE WHEN n_ratings_min = n_ratings_max
+             |      THEN (a - nn) * 100000000 // (nn * (n_ratings_max - 1))
+             |    END AS pbar_e8,
              |    csq * 100000000 // (nn * nn) AS pe_e8
              |  FROM top, cats)
              |SELECT n_items, n_ratings_min, n_ratings_max, n_categories,

@@ -45,6 +45,45 @@ object StreamingDrift {
       batchId: Long, jsdMillibits: Long, alarm: Boolean,
       nVocab: Long, nTokens: Long)
 
+  /** Finish or roll back a [[compactCounts]] staged swap that a crash
+    * left half-done, so readers never observe the counts table as
+    * "absent" when its data is actually sitting in a swap sibling.
+    * Exhaustive over the swap's crash points (tmp is only ever renamed
+    * into place after a completed write, so completing is always safe):
+    *
+    *   - counts PRESENT + tmp present → crash before the first rename:
+    *     counts is intact, the staged copy is redundant — drop tmp.
+    *   - counts ABSENT + tmp present → crash between the two renames:
+    *     complete the swap (tmp → counts), then drop the old copy.
+    *   - counts ABSENT + tmp absent + old present → defensive roll
+    *     back (old → counts); unreachable in the current sequence but
+    *     cheap to cover.
+    *   - counts PRESENT + old present → crash after the second rename,
+    *     before cleanup: drop old.
+    *
+    * Called on entry to BOTH [[driftBatch]] and [[compactCounts]], so
+    * whichever runs first after a crash heals the table before the
+    * watermark check reads it — without this, a half-swapped table
+    * looks like an empty monitor and the watermark silently restarts
+    * from batch 0 (data loss). StreamingDriftSpec pins all three
+    * reachable injections.
+    */
+  private[streaming] def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem, countsPath: String): Unit = {
+    val counts = new Path(countsPath)
+    val tmp = new Path(countsPath + ".compact-tmp")
+    val old = new Path(countsPath + ".compact-old")
+    if (fs.exists(counts)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(tmp)) {
+      fs.rename(tmp, counts)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      fs.rename(old, counts)
+    }
+  }
+
   /** One micro-batch (or one batch-mode shard) through the monitor. */
   def driftBatch(
       batch: DataFrame, // columns: doc_id long, text string
@@ -55,6 +94,7 @@ object StreamingDrift {
     val spark = batch.sparkSession
     val fs = new Path(countsPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverSwap(fs, countsPath)
 
     // idempotent counts append: a redelivered batch_id never lands
     // twice. The seen-check is a WATERMARK (batch ids are monotone
@@ -107,14 +147,17 @@ object StreamingDrift {
     * mergeable sums), stamped with the maximum compacted batch id so
     * the watermark idempotence rule in [[driftBatch]] keeps rejecting
     * redeliveries of everything already folded in. Staged-swap write
-    * (temp dir + rename), so a crash mid-compaction leaves the original
-    * table intact. Ledger rows are untouched — past drift readings are
-    * immutable history.
+    * (temp dir + double rename); a crash at ANY point is repaired by
+    * [[recoverSwap]] on the next entry — mid-swap crashes can leave
+    * the canonical path briefly absent, so recovery (not the swap
+    * alone) is what makes this crash-safe. Ledger rows are untouched —
+    * past drift readings are immutable history.
     */
   def compactCounts(spark: org.apache.spark.sql.SparkSession,
       countsPath: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(countsPath).getFileSystem(conf)
+    recoverSwap(fs, countsPath)
     if (!fs.exists(new Path(countsPath))) return
     val compacted = spark.read.parquet(countsPath)
       .groupBy("tok")

@@ -100,6 +100,16 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
     assert(hand.getAs[Long]("pe_e8") == 62500000L)
     assert(hand.getAs[Long]("kappa_bp") == -3333L)
     assert(hand.getAs[Long]("n_categories") == 2L)
+
+    // variable ratings-per-item violates Fleiss' constant-n design:
+    // the op must return NULL κ (not a silently wrong value), with the
+    // violation visible in the n_ratings_* columns.
+    val uneven = kappa(Seq(
+      (0L, 0, 0), (0L, 1, 0), (0L, 2, 0), (1L, 0, 1), (1L, 1, 1)))
+    assert(uneven.getAs[Long]("n_ratings_min") == 2L &&
+      uneven.getAs[Long]("n_ratings_max") == 3L)
+    assert(uneven.isNullAt(uneven.fieldIndex("pbar_e8")) &&
+      uneven.isNullAt(uneven.fieldIndex("kappa_bp")))
   }
 
   test("bradleyTerry: dominance chain orders correctly, strengths stay " +

@@ -226,6 +226,19 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("order_key", "doc_id").select("doc_id").as[Long]
       .collect().toSeq
     assert(byShard == bySort, "shards must be contiguous key ranges")
+    // pos is a pure function of (epoch, key order): the two-level rank
+    // decomposition must be invisible — any subShards value, including
+    // the degenerate single-window 1, yields the identical permutation
+    val fine = DataSelect.epochShuffle(rows, epoch = 1, nShards = 8,
+        subShards = 1024)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val coarse = DataSelect.epochShuffle(rows, epoch = 1, nShards = 8,
+        subShards = 1)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fine == p1 && coarse == p1,
+      "subShards must not change the permutation")
   }
 
   test("stratifiedSample: stateless, so it runs unchanged under streaming " +

@@ -144,6 +144,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"corpus-derived broadcast builds planned in: $offenders")
   }
 
+  /** Queries whose unpartitioned (single-partition) window is the
+    * intended shape: every one runs over a BOUNDED VALUE/PATTERN DOMAIN
+    * (score bp values ≤ 10001 rows, sketch bins, vocab quantiles, hour
+    * buckets) that an upstream groupBy already collapsed — never the
+    * corpus. The invariant the WARN noise obscures, as an assertion: a
+    * future edit that windows a corpus-sized frame without partitioning
+    * fails HERE, not on a 1000-executor run.
+    */
+  private val unpartitionedWindowAllowed = Set(
+    "q_dq_auc", // cumneg over the score-bp VALUE domain (≤ 10001 rows)
+    "q_events_journey_patterns", // top-20 rank over the trigram PATTERN
+                                 // domain (≤ |event_types|³ rows)
+    "q_events_quantile_sketch", // rank over a ≤64-bin sketch table
+    "q_sim_hybrid_rrf", // per-run rank over k-bounded candidate lists
+                        // (top-50 dense + matched lexical runs)
+    "q_text_bradley_terry", // final rank over the ITEM domain (players,
+                            // not games)
+    "q_text_curriculum", // cumsum over the difficulty-score bp domain
+    "q_text_quantile_norm", // rank over the pooled score VALUE domain
+    "q_text_rate_sample") // dense_rank over the source/stratum domain
+
+  test("unpartitioned windows only over bounded-domain tables (allowlist)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val root = q.build(spark, sf()).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val hasUnpartitioned = root.exists {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      Option.when(hasUnpartitioned && !unpartitionedWindowAllowed(name))(name)
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the allowlist: $offenders")
+  }
+
   test("JSON extraction and tf-idf keep column pruning intact") {
     def readSchema(name: String): String = {
       val plan = Registry.all(name).build(spark, sf())

@@ -134,4 +134,59 @@ class StreamingDriftSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("tok") === "delta").count() == 1L)
     assert(replay.batchId == 1L)
   }
+
+  test("a crash at any point of the compaction swap is healed before the " +
+    "watermark reads: mid-rename, pre-rename, and post-rename injections") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-sdrift-swapcrash").toString
+    val (counts, ledger) = (s"$dir/counts", s"$dir/ledger")
+    val ref = TextAnalysis.tokenCountTable(refDocs).localCheckpoint(true)
+    val fs = new Path(counts)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batch(id: Long, text: String) = StreamingDrift.driftBatch(
+      Seq((id * 10, text)).toDF("doc_id", "text"), ref, counts, ledger, id)
+    batch(0L, "alpha beta alpha")
+    batch(1L, "alpha gamma")
+    val total = spark.read.parquet(counts)
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+
+    // injection A (the advisor's case): crash BETWEEN the two renames —
+    // counts is gone, the compacted data sits in .compact-tmp, the
+    // pre-compaction table in .compact-old. Without recovery the next
+    // driftBatch sees no counts table, treats batch 1 as unseen, and
+    // silently restarts history. recoverSwap must complete the swap.
+    val compacted = spark.read.parquet(counts)
+      .groupBy("tok").agg(sum(col("c")).as("c"),
+        max(col("batch_id")).as("batch_id")).localCheckpoint(true)
+    compacted.write.parquet(counts + ".compact-tmp")
+    fs.rename(new Path(counts), new Path(counts + ".compact-old"))
+    assert(!fs.exists(new Path(counts))) // the dangerous window is real
+    val replay = batch(1L, "alpha gamma") // redelivery during the window
+    assert(fs.exists(new Path(counts)) &&
+      !fs.exists(new Path(counts + ".compact-tmp")) &&
+      !fs.exists(new Path(counts + ".compact-old")))
+    assert(spark.read.parquet(counts)
+      .agg(sum(col("c"))).collect()(0).getLong(0) == total,
+      "history lost or doubled across the healed swap")
+    assert(spark.read.parquet(ledger).count() == 2L, "watermark forgotten")
+    assert(replay.batchId == 1L)
+
+    // injection B: crash BEFORE the first rename (stale tmp beside an
+    // intact table) — recovery drops the redundant staged copy.
+    spark.read.parquet(counts).localCheckpoint(true)
+      .write.parquet(counts + ".compact-tmp")
+    StreamingDrift.compactCounts(spark, counts)
+    assert(!fs.exists(new Path(counts + ".compact-tmp")))
+    assert(spark.read.parquet(counts)
+      .agg(sum(col("c"))).collect()(0).getLong(0) == total)
+
+    // injection C: crash AFTER the second rename, before cleanup —
+    // recovery drops the orphaned old copy and the table reads as-is.
+    spark.read.parquet(counts).localCheckpoint(true)
+      .write.parquet(counts + ".compact-old")
+    batch(2L, "delta")
+    assert(!fs.exists(new Path(counts + ".compact-old")))
+    assert(spark.read.parquet(ledger).count() == 3L)
+  }
 }
