@@ -818,6 +818,91 @@ object TextAnalysis {
       .withColumnRenamed("_rlen", "len_ref")
   }
 
+  /** Sentence-level chrF (Popović 2015, the chrF2 default) between
+    * candidate and reference STRINGS — the character-n-gram F-score that
+    * complements [[bleu]]'s word grams: robust to tokenization and
+    * morphology differences (inflection variants share most char grams
+    * where word BLEU scores zero), the standard second axis of an MT/
+    * generation eval gate. Whitespace is stripped first (the sacrebleu
+    * default), then per order n ≤ `maxN`:
+    *
+    *   prec_n = Σ_g min(c_cand, c_ref) / Σ_g c_cand,  rec_n likewise
+    *
+    * over a FULL outer (pair, n, gram) join so ref-only grams feed the
+    * recall denominator. Orders with an empty side are skipped
+    * (sacrebleu's effective order); chrP/chrR are the div-means of the
+    * contributing orders in bp, and
+    *
+    *   chrF_bp = (1+β²)·chrP·chrR div (β²·chrP + chrR)
+    *
+    * — all BIGINT (≤ 5·10⁸ intermediates), so both engines replay every
+    * value exactly. Pairs with no contributing order (either side
+    * empty) report zeros with n_orders = 0.
+    *
+    * Scale shape: identical to [[bleu]] — per order one bounded-fanout
+    * char-gram projection + explode (chars ≈ 5× token volume), one
+    * (pair, n, gram) count per side, one pair-keyed equi-join, two
+    * pair-keyed aggregates; pairs score independently at any corpus
+    * size. No window, no log recursion needed (chrF is a plain ratio).
+    *
+    * In: `idCol`, `candCol`/`refCol` as STRING columns.
+    * Out: (idCol, n_cand_chars, n_ref_chars, n_orders, chrp_bp,
+    * chrr_bp, chrf_bp).
+    */
+  def chrF(pairs: DataFrame, idCol: String = "pair_id",
+      candCol: String = "cand_text", refCol: String = "ref_text",
+      maxN: Int = 6, beta: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    require(beta >= 1 && beta <= 10, s"beta out of range: $beta")
+    val b2 = beta.toLong * beta
+    val strs = graft.util.AutoUnpersist.persistScoped(
+      pairs.select(col(idCol).as("_id"),
+        regexp_replace(col(candCol), "\\s", "").as("_cs"),
+        regexp_replace(col(refCol), "\\s", "").as("_rs"))
+        .withColumn("_clen", length(col("_cs")).cast("long"))
+        .withColumn("_rlen", length(col("_rs")).cast("long")))
+    def gramsOf(sc: String, n: Int): Column =
+      when(length(col(sc)) >= n,
+        transform(sequence(lit(1), length(col(sc)) - (n - 1)),
+          i => col(sc).substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    def gramCounts(sc: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        strs.select(col("_id"), lit(n).as("_n"),
+          explode(gramsOf(sc, n)).as("_g"))
+      }.reduce(_ unionAll _)
+        .groupBy("_id", "_n", "_g").agg(count(lit(1)).as(out))
+    val orders = gramCounts("_cs", "_cc")
+      .join(gramCounts("_rs", "_rc"), Seq("_id", "_n", "_g"), "full_outer")
+      .withColumn("_m", least(coalesce(col("_cc"), lit(0L)),
+        coalesce(col("_rc"), lit(0L))))
+      .groupBy("_id", "_n")
+      .agg(sum("_m").as("_mm"),
+        sum(coalesce(col("_cc"), lit(0L))).as("_tc"),
+        sum(coalesce(col("_rc"), lit(0L))).as("_tr"))
+      .filter(col("_tc") > 0 && col("_tr") > 0)
+      .withColumn("_p", expr("_mm * 10000 div _tc"))
+      .withColumn("_rr", expr("_mm * 10000 div _tr"))
+    val agg = orders.groupBy("_id")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("_p").as("_sp"), sum("_rr").as("_sr"))
+      .withColumn("chrp_bp", expr("_sp div n_orders"))
+      .withColumn("chrr_bp", expr("_sr div n_orders"))
+      .withColumn("chrf_bp",
+        expr(s"if($b2 * chrp_bp + chrr_bp > 0, " +
+          s"(1 + $b2) * chrp_bp * chrr_bp div " +
+          s"($b2 * chrp_bp + chrr_bp), 0L)"))
+      .select("_id", "n_orders", "chrp_bp", "chrr_bp", "chrf_bp")
+    strs.select("_id", "_clen", "_rlen")
+      .join(agg, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        col("_clen").as("n_cand_chars"), col("_rlen").as("n_ref_chars"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("chrp_bp"), lit(0L)).as("chrp_bp"),
+        coalesce(col("chrr_bp"), lit(0L)).as("chrr_bp"),
+        coalesce(col("chrf_bp"), lit(0L)).as("chrf_bp"))
+  }
+
   /** Driver-side twin of [[withPseudoLog2]] — the SAME bit recursion on
     * a Scala Long, for literal denominators (e.g. the geometric-noise
     * scale in [[Privacy.dpNoisyCounts]]) that must match the

@@ -543,4 +543,131 @@ object TextClean {
         col("pass_max_line") && col("pass_avg_line") && col("pass_alnum") &&
           col("pass_blobs") && col("pass_autogen"))
       .drop("_lines")
+
+  /** Gopher REPETITION filters (Rae et al. 2021, Table A1 — the
+    * within-document repetition subset [[gopherRules]]' quality subset
+    * doesn't cover): SEO keyword stuffing, templated spam, and decode
+    * loops all manifest as one document repeating itself, which no
+    * cross-document dedup sees. Three signal families, all exact
+    * integer bp:
+    *
+    *   - duplicate LINES: `dup_line_frac_bp` = lines beyond a first
+    *     occurrence / lines, and `dup_line_char_frac_bp` = their
+    *     characters / line characters — pure array projections
+    *     (array_distinct), no shuffle. Blank lines dropped; paragraph
+    *     variants collapse to these on single-block corpora.
+    *   - TOP n-gram mass (n = 2..4): `top_{n}gram_char_frac_bp` =
+    *     cnt·chars(gram) · 10⁴ div chars(text) for the most frequent
+    *     word n-gram (ties → lexicographically smallest — `min` over
+    *     the injective struct(-cnt, gram)); gram chars include internal
+    *     spaces, the denominator is the raw text length.
+    *   - DUPLICATED n-gram coverage (n = 5..10):
+    *     `dup_{n}gram_frac_bp` = tokens covered by ≥2-occurrence
+    *     n-grams / tokens — the TOKEN-position form of the paper's
+    *     character fraction (same signal, integer-exact; thresholds
+    *     carry over unchanged). Coverage is the exact interval union
+    *     of the occurrences' [pos, pos+n): with starts sorted,
+    *     Σ least(n, next−pos) (+ tail cap) — a per-(doc,n) window.
+    *
+    * `pass_repetition` ANDs the paper's thresholds: line 30%/20%, top
+    * 2/3/4-gram 20/18/16%, dup 5..10-gram 15..10%.
+    *
+    * Distributed shape: one token-array materialization, one 9-way
+    * gram explode (n = 2..10 — the volume the filter inherently reads),
+    * one (doc, n, gram) map-side-combinable count; everything after is
+    * doc-keyed — per-doc windows and equi-joins, so work scales with
+    * corpus gram volume and NOTHING is all-pairs or corpus-global. The
+    * count/argmax route (not per-row HOF scans) keeps per-doc cost
+    * linear in doc length where a transform-over-filter count is
+    * quadratic — the Gopher 100k-word doc bound matters.
+    *
+    * In: (idCol, textCol). Out: one row per input doc (zero-gram docs
+    * keep zeros), columns doc_id, n_words, n_lines, the 11 fracs,
+    * pass_repetition.
+    */
+  def repetitionRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.util.AutoUnpersist.persistScoped(
+      docs.select(col(idCol).as("_id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("_t"),
+        filter(split(col(textCol), "\n"), l => l.rlike("\\S")).as("_ln"),
+        length(col(textCol)).cast("long").as("_chars")))
+    // line family: pure array projections
+    val lines = base.select(col("_id"),
+      size(col("_t")).cast("long").as("n_words"),
+      size(col("_ln")).cast("long").as("n_lines"),
+      size(array_distinct(col("_ln"))).cast("long").as("_dln"),
+      aggregate(col("_ln"), lit(0L), (a, l) => a + length(l)).as("_lc"),
+      aggregate(array_distinct(col("_ln")), lit(0L),
+        (a, l) => a + length(l)).as("_dlc"),
+      col("_chars"))
+      .withColumn("dup_line_frac_bp",
+        expr("if(n_lines > 0, (n_lines - _dln) * 10000 div n_lines, 0L)"))
+      .withColumn("dup_line_char_frac_bp",
+        expr("if(_lc > 0, (_lc - _dlc) * 10000 div _lc, 0L)"))
+      .drop("_dln", "_lc", "_dlc")
+    // one positional gram explode for all n, counted once
+    def gramsOf(n: Int): Column =
+      when(size(col("_t")) >= n,
+        transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => struct((i - 1).cast("long").as("pos"),
+            array_join(slice(col("_t"), i, lit(n)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<pos:long,g:string>>"))
+    val occ = graft.util.AutoUnpersist.persistScoped(
+      (2 to 10).map(n => base.select(col("_id"), lit(n).as("_n"),
+          explode(gramsOf(n)).as("_o"))
+        .select(col("_id"), col("_n"), col("_o.pos").as("_pos"),
+          col("_o.g").as("_g"))).reduce(_ unionAll _))
+    val cnt = occ.groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_c"))
+    // top-gram mass, n = 2..4: deterministic argmax via injective min
+    val top = cnt.filter(col("_n") <= 4)
+      .groupBy("_id", "_n")
+      .agg(min(struct((-col("_c")).as("nc"), col("_g").as("g"))).as("_b"))
+      .select(col("_id"), col("_n"),
+        ((-col("_b.nc")) * length(col("_b.g"))).as("_tm"))
+      .groupBy("_id").pivot("_n", Seq(2, 3, 4)).agg(first(col("_tm")))
+      .select(col("_id"), col("2").as("_tm2"), col("3").as("_tm3"),
+        col("4").as("_tm4"))
+    // duplicated-gram token coverage, n = 5..10: exact interval union
+    val wNext = Window.partitionBy("_id", "_n").orderBy("_pos")
+    val cov = occ.filter(col("_n") >= 5)
+      .join(cnt.filter(col("_c") >= 2 && col("_n") >= 5),
+        Seq("_id", "_n", "_g"))
+      .withColumn("_nx", lead("_pos", 1).over(wNext))
+      .groupBy("_id", "_n")
+      .agg(sum(when(col("_nx").isNotNull,
+        least(col("_n").cast("long"), col("_nx") - col("_pos")))
+        .otherwise(col("_n").cast("long"))).as("_cov"))
+      .groupBy("_id").pivot("_n", Seq(5, 6, 7, 8, 9, 10))
+      .agg(first(col("_cov")))
+      .select(col("_id") +: (5 to 10).map(n =>
+        col(n.toString).as(s"_cov$n")): _*)
+    val joined = lines.join(top, Seq("_id"), "left")
+      .join(cov, Seq("_id"), "left")
+      .withColumn("top_2gram_char_frac_bp",
+        expr("if(_chars > 0, coalesce(_tm2, 0L) * 10000 div _chars, 0L)"))
+      .withColumn("top_3gram_char_frac_bp",
+        expr("if(_chars > 0, coalesce(_tm3, 0L) * 10000 div _chars, 0L)"))
+      .withColumn("top_4gram_char_frac_bp",
+        expr("if(_chars > 0, coalesce(_tm4, 0L) * 10000 div _chars, 0L)"))
+    val withCov = (5 to 10).foldLeft(joined) { (df, n) =>
+      df.withColumn(s"dup_${n}gram_frac_bp",
+        expr(s"if(n_words > 0, coalesce(_cov$n, 0L) * 10000 div n_words, 0L)"))
+    }
+    val thresholds = Seq(
+      "dup_line_frac_bp" -> 3000L, "dup_line_char_frac_bp" -> 2000L,
+      "top_2gram_char_frac_bp" -> 2000L, "top_3gram_char_frac_bp" -> 1800L,
+      "top_4gram_char_frac_bp" -> 1600L,
+      "dup_5gram_frac_bp" -> 1500L, "dup_6gram_frac_bp" -> 1400L,
+      "dup_7gram_frac_bp" -> 1300L, "dup_8gram_frac_bp" -> 1200L,
+      "dup_9gram_frac_bp" -> 1100L, "dup_10gram_frac_bp" -> 1000L)
+    withCov
+      .withColumn("pass_repetition",
+        thresholds.map { case (c, t) => col(c) <= t }.reduce(_ && _))
+      .select(Seq(col("_id").as(idCol), col("n_words"), col("n_lines")) ++
+        thresholds.map { case (c, _) => col(c) } :+
+        col("pass_repetition"): _*)
+  }
 }

@@ -3224,6 +3224,235 @@ object TextQueries extends QueryGroup {
              |SELECT source, total_chunks, uniq_chunks, total_bytes, uniq_bytes,
              |  (total_bytes - uniq_bytes) * 10000 // total_bytes AS dup_bp
              |FROM u ORDER BY source""".stripMargin)
+    ),
+
+    // Sentence-level chrF2 over the same corrupted-candidate fixture as
+    // q_text_bleu (every 9th of the first 36 tokens → 'the', reference =
+    // first 40 tokens): both engines strip whitespace, extract char
+    // 1..6-grams, clip via a full outer (pair,n,gram) join, and replay
+    // every precision/recall/F ratio exactly.
+    "q_text_chrf" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("ref_text", array_join(slice(col("toks"), 1, 40), " "))
+          .withColumn("cand_text", array_join(
+            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+              i => when(pmod(i, lit(9)) === 0, lit("the"))
+                .otherwise(element_at(col("toks"), i))), " "))
+        graft.ops.TextAnalysis.chrF(
+            docs.select(col("doc_id"), col("cand_text"), col("ref_text")),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |prep AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    regexp_replace(array_to_string(
+             |      list_transform(generate_series(1, least(len(t), 36)),
+             |        i -> CASE WHEN i % 9 = 0 THEN 'the' ELSE t[i] END),
+             |      ' '), '\s', '', 'g') AS cs,
+             |    regexp_replace(array_to_string(t[1:40], ' '),
+             |      '\s', '', 'g') AS rs
+             |  FROM toksrc),
+             |lens AS (
+             |  SELECT doc_id, CAST(len(cs) AS BIGINT) AS clen,
+             |    CAST(len(rs) AS BIGINT) AS rlen
+             |  FROM prep),
+             |cg AS MATERIALIZED (
+             |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+             |    SELECT doc_id, n, substr(cs, i::INT, n::INT) AS g
+             |    FROM prep CROSS JOIN range(1, 7) nn(n),
+             |      unnest(generate_series(1, len(cs) - n + 1)) AS gg(i)
+             |    WHERE len(cs) >= n)
+             |  GROUP BY 1, 2, 3),
+             |rg AS MATERIALIZED (
+             |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+             |    SELECT doc_id, n, substr(rs, i::INT, n::INT) AS g
+             |    FROM prep CROSS JOIN range(1, 7) nn(n),
+             |      unnest(generate_series(1, len(rs) - n + 1)) AS gg(i)
+             |    WHERE len(rs) >= n)
+             |  GROUP BY 1, 2, 3),
+             |orders AS (
+             |  SELECT doc_id, n,
+             |    CAST(sum(least(coalesce(cc, 0), coalesce(rc, 0)))
+             |      AS BIGINT) AS m,
+             |    CAST(sum(coalesce(cc, 0)) AS BIGINT) AS tc,
+             |    CAST(sum(coalesce(rc, 0)) AS BIGINT) AS tr
+             |  FROM cg FULL OUTER JOIN rg USING (doc_id, n, g)
+             |  GROUP BY 1, 2),
+             |pr AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(m * 10000 // tc) AS BIGINT) AS sp,
+             |    CAST(sum(m * 10000 // tr) AS BIGINT) AS sr
+             |  FROM orders WHERE tc > 0 AND tr > 0 GROUP BY 1),
+             |fin AS (
+             |  SELECT doc_id, n_orders,
+             |    sp // n_orders AS chrp_bp, sr // n_orders AS chrr_bp
+             |  FROM pr)
+             |SELECT l.doc_id, l.clen AS n_cand_chars, l.rlen AS n_ref_chars,
+             |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+             |  CAST(coalesce(chrp_bp, 0) AS BIGINT) AS chrp_bp,
+             |  CAST(coalesce(chrr_bp, 0) AS BIGINT) AS chrr_bp,
+             |  CAST(coalesce(CASE WHEN 4 * chrp_bp + chrr_bp > 0
+             |    THEN 5 * chrp_bp * chrr_bp // (4 * chrp_bp + chrr_bp)
+             |    ELSE 0 END, 0) AS BIGINT) AS chrf_bp
+             |FROM lens l LEFT JOIN fin USING (doc_id)
+             |ORDER BY l.doc_id""".stripMargin)
+    ),
+
+    // Gopher repetition filters (Rae et al. 2021 Table A1) over
+    // deterministically dirtied docs: every 7th doc gets its own first
+    // 6 tokens stuffed ×5 (trips the top/dup n-gram rules), every 5th
+    // three identical banner lines (trips both line rules); both engines
+    // rebuild the corruption AND replay lines, gram counts, argmax
+    // masses, and the exact interval-union coverage bit-for-bit.
+    "q_text_repetition" -> QueryDef(
+      (s, d) => {
+        val t = graft.ops.TextAnalysis.tokens(col("text"))
+        val p = array_join(slice(t, 1, 6), " ")
+        val aug = Tables.documents(s, d).withColumn("text", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" "), p, lit(" "), p, lit(" "), p, lit(" "), p,
+              lit(" "), p)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\nCOOKIE BANNER OK\nCOOKIE BANNER OK\nCOOKIE BANNER OK"))
+            .otherwise(lit(""))))
+        graft.ops.TextClean.repetitionRules(aug).orderBy("doc_id")
+      },
+      Some("""WITH aug AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    text
+             |    || CASE WHEN doc_id % 7 = 0
+             |         THEN ' ' || p || ' ' || p || ' ' || p || ' ' || p
+             |           || ' ' || p ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0
+             |         THEN chr(10) || 'COOKIE BANNER OK'
+             |           || chr(10) || 'COOKIE BANNER OK'
+             |           || chr(10) || 'COOKIE BANNER OK' ELSE '' END AS text
+             |  FROM (SELECT doc_id, text,
+             |          array_to_string(list_filter(string_split(text, ' '),
+             |            x -> x <> '')[1:6], ' ') AS p
+             |        FROM documents)),
+             |base AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS t,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> regexp_matches(l, '\S')) AS ln,
+             |    CAST(len(text) AS BIGINT) AS chars
+             |  FROM aug),
+             |linestats AS (
+             |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+             |    CAST(len(ln) AS BIGINT) AS n_lines,
+             |    CAST(len(list_distinct(ln)) AS BIGINT) AS dln,
+             |    CAST(coalesce(list_sum(list_transform(ln, l -> len(l))), 0)
+             |      AS BIGINT) AS lc,
+             |    CAST(coalesce(list_sum(list_transform(list_distinct(ln),
+             |      l -> len(l))), 0) AS BIGINT) AS dlc,
+             |    chars
+             |  FROM base),
+             |occ AS MATERIALIZED (
+             |  SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS pos,
+             |    array_to_string(t[i:i+n-1], ' ') AS g
+             |  FROM base CROSS JOIN range(2, 11) nn(n),
+             |    unnest(generate_series(1, len(t) - n + 1)) AS gg(i)),
+             |cnt AS MATERIALIZED (
+             |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+             |  FROM occ GROUP BY 1, 2, 3),
+             |top AS (
+             |  SELECT doc_id,
+             |    max(CASE WHEN n = 2 THEN tm END) AS tm2,
+             |    max(CASE WHEN n = 3 THEN tm END) AS tm3,
+             |    max(CASE WHEN n = 4 THEN tm END) AS tm4
+             |  FROM (
+             |    SELECT doc_id, n, c * len(g) AS tm,
+             |      row_number() OVER (PARTITION BY doc_id, n
+             |                         ORDER BY c DESC, g ASC) AS rn
+             |    FROM cnt WHERE n <= 4)
+             |  WHERE rn = 1 GROUP BY 1),
+             |cov AS (
+             |  SELECT doc_id,
+             |    max(CASE WHEN n = 5 THEN cv END) AS cov5,
+             |    max(CASE WHEN n = 6 THEN cv END) AS cov6,
+             |    max(CASE WHEN n = 7 THEN cv END) AS cov7,
+             |    max(CASE WHEN n = 8 THEN cv END) AS cov8,
+             |    max(CASE WHEN n = 9 THEN cv END) AS cov9,
+             |    max(CASE WHEN n = 10 THEN cv END) AS cov10
+             |  FROM (
+             |    SELECT doc_id, n,
+             |      CAST(sum(least(n, coalesce(nx - pos, n))) AS BIGINT) AS cv
+             |    FROM (
+             |      SELECT o.doc_id, o.n, o.pos,
+             |        lead(o.pos) OVER (PARTITION BY o.doc_id, o.n
+             |                          ORDER BY o.pos) AS nx
+             |      FROM occ o JOIN cnt ON cnt.doc_id = o.doc_id
+             |        AND cnt.n = o.n AND cnt.g = o.g
+             |      WHERE o.n >= 5 AND cnt.c >= 2)
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |fr AS (
+             |  SELECT l.doc_id, l.n_words, l.n_lines,
+             |    CASE WHEN n_lines > 0
+             |      THEN (n_lines - dln) * 10000 // n_lines ELSE 0 END
+             |      AS dup_line_frac_bp,
+             |    CASE WHEN lc > 0 THEN (lc - dlc) * 10000 // lc ELSE 0 END
+             |      AS dup_line_char_frac_bp,
+             |    CASE WHEN chars > 0
+             |      THEN coalesce(tm2, 0) * 10000 // chars ELSE 0 END
+             |      AS top_2gram_char_frac_bp,
+             |    CASE WHEN chars > 0
+             |      THEN coalesce(tm3, 0) * 10000 // chars ELSE 0 END
+             |      AS top_3gram_char_frac_bp,
+             |    CASE WHEN chars > 0
+             |      THEN coalesce(tm4, 0) * 10000 // chars ELSE 0 END
+             |      AS top_4gram_char_frac_bp,
+             |    CASE WHEN n_words > 0
+             |      THEN coalesce(cov5, 0) * 10000 // n_words ELSE 0 END
+             |      AS dup_5gram_frac_bp,
+             |    CASE WHEN n_words > 0
+             |      THEN coalesce(cov6, 0) * 10000 // n_words ELSE 0 END
+             |      AS dup_6gram_frac_bp,
+             |    CASE WHEN n_words > 0
+             |      THEN coalesce(cov7, 0) * 10000 // n_words ELSE 0 END
+             |      AS dup_7gram_frac_bp,
+             |    CASE WHEN n_words > 0
+             |      THEN coalesce(cov8, 0) * 10000 // n_words ELSE 0 END
+             |      AS dup_8gram_frac_bp,
+             |    CASE WHEN n_words > 0
+             |      THEN coalesce(cov9, 0) * 10000 // n_words ELSE 0 END
+             |      AS dup_9gram_frac_bp,
+             |    CASE WHEN n_words > 0
+             |      THEN coalesce(cov10, 0) * 10000 // n_words ELSE 0 END
+             |      AS dup_10gram_frac_bp
+             |  FROM linestats l
+             |  LEFT JOIN top USING (doc_id)
+             |  LEFT JOIN cov USING (doc_id))
+             |SELECT doc_id, n_words, n_lines,
+             |  CAST(dup_line_frac_bp AS BIGINT) AS dup_line_frac_bp,
+             |  CAST(dup_line_char_frac_bp AS BIGINT) AS dup_line_char_frac_bp,
+             |  CAST(top_2gram_char_frac_bp AS BIGINT) AS top_2gram_char_frac_bp,
+             |  CAST(top_3gram_char_frac_bp AS BIGINT) AS top_3gram_char_frac_bp,
+             |  CAST(top_4gram_char_frac_bp AS BIGINT) AS top_4gram_char_frac_bp,
+             |  CAST(dup_5gram_frac_bp AS BIGINT) AS dup_5gram_frac_bp,
+             |  CAST(dup_6gram_frac_bp AS BIGINT) AS dup_6gram_frac_bp,
+             |  CAST(dup_7gram_frac_bp AS BIGINT) AS dup_7gram_frac_bp,
+             |  CAST(dup_8gram_frac_bp AS BIGINT) AS dup_8gram_frac_bp,
+             |  CAST(dup_9gram_frac_bp AS BIGINT) AS dup_9gram_frac_bp,
+             |  CAST(dup_10gram_frac_bp AS BIGINT) AS dup_10gram_frac_bp,
+             |  (dup_line_frac_bp <= 3000 AND dup_line_char_frac_bp <= 2000
+             |    AND top_2gram_char_frac_bp <= 2000
+             |    AND top_3gram_char_frac_bp <= 1800
+             |    AND top_4gram_char_frac_bp <= 1600
+             |    AND dup_5gram_frac_bp <= 1500 AND dup_6gram_frac_bp <= 1400
+             |    AND dup_7gram_frac_bp <= 1300 AND dup_8gram_frac_bp <= 1200
+             |    AND dup_9gram_frac_bp <= 1100 AND dup_10gram_frac_bp <= 1000)
+             |    AS pass_repetition
+             |FROM fr ORDER BY doc_id""".stripMargin)
     )
   )
 

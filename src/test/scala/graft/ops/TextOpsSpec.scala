@@ -809,4 +809,86 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
         s"non-monotone in $s: ${byRank.toSeq}")
     }
   }
+
+  test("repetitionRules: keyword stuffing, duplicated lines, and the exact " +
+    "interval union of overlapping duplicated n-grams") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: clean varied text, long enough that a count-1 top gram is a
+      // small char fraction — every repetition signal low, passes
+      (1L, (1 to 40).map(i => f"tok$i%02d").mkString(" ")),
+      // 2: keyword stuffing — "buy cheap pills now" ×5 (20 tokens)
+      (2L, Seq.fill(5)("buy cheap pills now").mkString(" ")),
+      // 3: duplicated lines — 1 unique + 3 identical banner lines
+      (3L, "original content line\nCOOKIE BANNER\nCOOKIE BANNER\nCOOKIE BANNER"),
+      // 4: overlap fixture — dup 5-grams at starts 0,1,6,7 of 12 tokens:
+      // union = min(5,1)+min(5,5)+min(5,1)+5 = 12 → full coverage
+      (4L, "a b c d e f a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = TextClean.repetitionRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val clean = out(1L)
+    assert(clean.getAs[Long]("dup_line_frac_bp") == 0L &&
+      clean.getAs[Long]("dup_5gram_frac_bp") == 0L &&
+      clean.getAs[Boolean]("pass_repetition"))
+
+    val stuffed = out(2L)
+    // 20 tokens, all 5..10-grams repeat → full token coverage
+    assert(stuffed.getAs[Long]("dup_5gram_frac_bp") == 10000L)
+    assert(stuffed.getAs[Long]("dup_10gram_frac_bp") == 10000L)
+    // top 4-gram = "buy cheap pills now" ×5 · 19 chars / 99 chars
+    assert(stuffed.getAs[Long]("top_4gram_char_frac_bp") ==
+      5L * 19L * 10000L / 99L)
+    assert(!stuffed.getAs[Boolean]("pass_repetition"))
+
+    val banner = out(3L)
+    // 4 lines, 2 distinct → 2 beyond-first of 4; chars 2·13 of 60
+    assert(banner.getAs[Long]("n_lines") == 4L)
+    assert(banner.getAs[Long]("dup_line_frac_bp") == 5000L)
+    assert(banner.getAs[Long]("dup_line_char_frac_bp") ==
+      2L * 13L * 10000L / (21L + 3L * 13L))
+    assert(!banner.getAs[Boolean]("pass_repetition"))
+
+    val overlap = out(4L)
+    assert(overlap.getAs[Long]("n_words") == 12L)
+    assert(overlap.getAs[Long]("dup_5gram_frac_bp") == 10000L,
+      "interval union of [0,5)∪[1,6)∪[6,11)∪[7,12) must cover all 12")
+    // 7-grams: only "a b c d e f a"(0) vs "f a b c d e f"(5)? — no two
+    // equal 7-grams exist in this fixture, so coverage is exactly 0
+    assert(overlap.getAs[Long]("dup_7gram_frac_bp") == 0L)
+  }
+
+  test("chrF: identity max, disjoint floor, hand value, whitespace " +
+    "invariance, and beta=2 weighting recall over precision") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, String)]) =
+      TextAnalysis.chrF(rows.toDF("pair_id", "cand_text", "ref_text"))
+        .collect().map(r => r.getAs[Long]("pair_id") -> r).toMap
+    val out = run(Seq(
+      (1L, "identical strings", "identical strings"),
+      (2L, "aaaa", "bbbb"),
+      (3L, "abcd", "abce"),
+      (4L, "a b c d", "abcd"),   // whitespace stripped → same as (3)'s cand=ref case? no: equals ref exactly
+      (5L, "ab", "abcdef"),      // precision-perfect, low recall
+      (6L, "abcdef", "ab")))     // recall-perfect, low precision
+    assert(out(1L).getAs[Long]("chrf_bp") == 10000L &&
+      out(1L).getAs[Long]("chrp_bp") == 10000L)
+    assert(out(2L).getAs[Long]("chrf_bp") == 0L &&
+      out(2L).getAs[Long]("n_orders") == 4L)
+    // hand: orders 1..4 give p=r of 7500,6666,5000,0 → mean 4791; P=R → F=P
+    val hand = out(3L)
+    assert(hand.getAs[Long]("chrp_bp") == 4791L &&
+      hand.getAs[Long]("chrr_bp") == 4791L &&
+      hand.getAs[Long]("chrf_bp") == 4791L)
+    // whitespace-stripped cand "abcd" == ref "abcd" → perfect
+    assert(out(4L).getAs[Long]("chrf_bp") == 10000L &&
+      out(4L).getAs[Long]("n_cand_chars") == 4L)
+    // chrF2: the recall-heavy direction must beat the precision-heavy one
+    val (pHeavy, rHeavy) = (out(5L), out(6L))
+    assert(pHeavy.getAs[Long]("chrp_bp") == 10000L &&
+      rHeavy.getAs[Long]("chrr_bp") == 10000L)
+    assert(rHeavy.getAs[Long]("chrf_bp") > pHeavy.getAs[Long]("chrf_bp"),
+      "beta=2 must weight recall above precision")
+  }
 }
