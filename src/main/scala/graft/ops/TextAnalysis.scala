@@ -818,6 +818,47 @@ object TextAnalysis {
       .withColumnRenamed("_rlen", "len_ref")
   }
 
+  /** Unicode SCRIPT profile — the triage [[langId]]'s token heuristic
+    * can't do on non-whitespace scripts: per doc, character counts for
+    * the five big writing systems (Latin, Cyrillic, Han, Arabic, Greek —
+    * Unicode script properties, identical `\p{Script}` semantics in
+    * Java regex and RE2) plus digits, the DOMINANT script (argmax, ties
+    * → alphabetical via the injective struct-min), and a
+    * `mixed_script` flag when the runner-up holds ≥ 20% of the leader's
+    * mass — the mixed-script signal behind homoglyph spam and
+    * mis-segmented multilingual crawls (UTS #39's high-level cue).
+    * All-zero docs (no letters in any tracked script) read 'none'.
+    *
+    * Pure per-row codegen projection — no shuffle, no join; cost is
+    * five regex passes over the text, linear at any corpus size.
+    *
+    * Out: docs + n_latin/n_cyrillic/n_han/n_arabic/n_greek/n_digit,
+    * dominant_script, mixed_script.
+    */
+  def scriptProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scripts = Seq("latin" -> "\\p{IsLatin}", "cyrillic" -> "\\p{IsCyrillic}",
+      "han" -> "\\p{IsHan}", "arabic" -> "\\p{IsArabic}",
+      "greek" -> "\\p{IsGreek}")
+    val counted = scripts.foldLeft(docs) { case (df, (nm, re)) =>
+      df.withColumn(s"n_$nm",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long"))
+    }.withColumn("n_digit",
+      size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
+        .cast("long"))
+    val entries = scripts.map { case (nm, _) =>
+      struct((-col(s"n_$nm")).as("nc"), lit(nm).as("s")) }
+    counted
+      .withColumn("_best", least(entries: _*))
+      .withColumn("_second",
+        array_min(filter(array(entries: _*), e => e =!= col("_best"))))
+      .withColumn("dominant_script",
+        when(col("_best.nc") === 0L, lit("none")).otherwise(col("_best.s")))
+      .withColumn("mixed_script",
+        col("_best.nc") < 0L && (-col("_second.nc")) * 5L >= -col("_best.nc")
+          && col("_second.nc") < 0L)
+      .drop("_best", "_second")
+  }
+
   /** Sentence-level chrF (Popović 2015, the chrF2 default) between
     * candidate and reference STRINGS — the character-n-gram F-score that
     * complements [[bleu]]'s word grams: robust to tokenization and

@@ -3226,6 +3226,162 @@ object TextQueries extends QueryGroup {
              |FROM u ORDER BY source""".stripMargin)
     ),
 
+    // Unicode script profile over deterministically script-injected docs
+    // (every 11th gets ×4 Cyrillic — enough to trip the 20% mixed flag
+    // on short docs only, every 13th Han, every 17th Greek): both
+    // engines count by Unicode script property and replay the argmax /
+    // runner-up flag via the same sorted (-count, name) key.
+    "q_text_script_profile" -> QueryDef(
+      (s, d) => {
+        val aug = Tables.documents(s, d).withColumn("text", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            repeat(lit(" пример текста"), 4)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit(" 例子文本"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0, lit(" παράδειγμα"))
+            .otherwise(lit(""))))
+        graft.ops.TextAnalysis.scriptProfile(aug)
+          .select("doc_id", "n_latin", "n_cyrillic", "n_han", "n_arabic",
+            "n_greek", "n_digit", "dominant_script", "mixed_script")
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 11 = 0
+             |         THEN repeat(' пример текста', 4) ELSE '' END
+             |    || CASE WHEN doc_id % 13 = 0 THEN ' 例子文本' ELSE '' END
+             |    || CASE WHEN doc_id % 17 = 0 THEN ' παράδειγμα' ELSE '' END
+             |      AS text
+             |  FROM documents),
+             |counts AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\p{Latin}'))
+             |      AS BIGINT) AS n_latin,
+             |    CAST(len(regexp_extract_all(text, '\p{Cyrillic}'))
+             |      AS BIGINT) AS n_cyrillic,
+             |    CAST(len(regexp_extract_all(text, '\p{Han}'))
+             |      AS BIGINT) AS n_han,
+             |    CAST(len(regexp_extract_all(text, '\p{Arabic}'))
+             |      AS BIGINT) AS n_arabic,
+             |    CAST(len(regexp_extract_all(text, '\p{Greek}'))
+             |      AS BIGINT) AS n_greek,
+             |    CAST(len(regexp_extract_all(text, '[0-9]'))
+             |      AS BIGINT) AS n_digit
+             |  FROM aug),
+             |ranked AS (
+             |  SELECT *, list_sort([
+             |      struct_pack(nc := -n_latin,    s := 'latin'),
+             |      struct_pack(nc := -n_cyrillic, s := 'cyrillic'),
+             |      struct_pack(nc := -n_han,      s := 'han'),
+             |      struct_pack(nc := -n_arabic,   s := 'arabic'),
+             |      struct_pack(nc := -n_greek,    s := 'greek')]) AS l
+             |  FROM counts)
+             |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek,
+             |  n_digit,
+             |  CASE WHEN l[1].nc = 0 THEN 'none' ELSE l[1].s END
+             |    AS dominant_script,
+             |  (l[1].nc < 0 AND l[2].nc < 0 AND (-l[2].nc) * 5 >= -l[1].nc)
+             |    AS mixed_script
+             |FROM ranked ORDER BY doc_id""".stripMargin)
+    ),
+
+    // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    // an add-1 bigram LM trained on the src0 slice (the "Wikipedia"
+    // stand-in) scores every doc; per SOURCE, docs split at the tercile
+    // boundaries of the cumulative count over the nll VALUE domain
+    // (head = cleanest third) — the standard pre-mixing quality
+    // stratification. Windows run over the per-source (source, nll)
+    // value-domain table, never the corpus; thresholds broadcast back.
+    "q_text_ccnet_buckets" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val scored = graft.ops.DataSelect.lmScore(docs,
+            col("source") === "src0")
+          .join(docs.select("doc_id", "source"), "doc_id")
+        val cells = scored.groupBy("source", "nll_per_tok_bp")
+          .agg(count(lit(1)).as("n"))
+        val cum = cells
+          .withColumn("cumn", sum("n").over(
+            w.partitionBy("source").orderBy("nll_per_tok_bp")
+              .rowsBetween(w.unboundedPreceding, w.currentRow)))
+          .withColumn("total", sum("n").over(w.partitionBy("source")))
+        val th = cum.groupBy("source").agg(
+          min(when(col("cumn") * 3 >= col("total"),
+            col("nll_per_tok_bp"))).as("t1"),
+          min(when(col("cumn") * 3 >= col("total") * 2,
+            col("nll_per_tok_bp"))).as("t2"))
+        scored.join(broadcast(th), "source")
+          .withColumn("bucket",
+            when(col("nll_per_tok_bp") <= col("t1"), "head")
+              .when(col("nll_per_tok_bp") <= col("t2"), "middle")
+              .otherwise("tail"))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("nll_per_tok_bp").as("min_nll_bp"),
+            max("nll_per_tok_bp").as("max_nll_bp"))
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |  FROM documents),
+             |vt AS (
+             |  SELECT count(DISTINCT w)::BIGINT AS v
+             |  FROM (SELECT unnest(s) AS w FROM tk WHERE source = 'src0')),
+             |bg AS (
+             |  SELECT doc_id, source, s[i] AS w1,
+             |    s[i] || ' ' || s[i+1] AS gram
+             |  FROM tk, unnest(generate_series(1, len(s) - 1)) AS g(i)
+             |  WHERE len(s) >= 2),
+             |dbg AS (
+             |  SELECT doc_id, source, w1, gram, count(*)::BIGINT AS c
+             |  FROM bg GROUP BY 1, 2, 3, 4),
+             |trainb AS (
+             |  SELECT gram, CAST(sum(c) AS BIGINT) AS cb FROM dbg
+             |  WHERE source = 'src0' GROUP BY 1),
+             |trainu AS (
+             |  SELECT w1, CAST(sum(c) AS BIGINT) AS cu FROM dbg
+             |  WHERE source = 'src0' GROUP BY 1),
+             |lp AS (
+             |  SELECT doc_id, source, c,
+             |    CAST(floor(ln(
+             |      (coalesce(cb, 0) + 1)::DOUBLE /
+             |      (coalesce(cu, 0) + v)::DOUBLE) * 10000) AS BIGINT) AS lp_bp
+             |  FROM dbg
+             |  LEFT JOIN trainb USING (gram)
+             |  LEFT JOIN trainu USING (w1)
+             |  CROSS JOIN vt),
+             |sc AS (
+             |  SELECT doc_id, source,
+             |    CAST(-sum(c * lp_bp) AS BIGINT)
+             |      // CAST(sum(c) AS BIGINT) AS nll
+             |  FROM lp GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT source, nll, count(*)::BIGINT AS n
+             |  FROM sc GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT source, nll, n,
+             |    CAST(sum(n) OVER (PARTITION BY source ORDER BY nll
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cumn,
+             |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+             |  FROM cells),
+             |th AS (
+             |  SELECT source,
+             |    min(CASE WHEN cumn * 3 >= total THEN nll END) AS t1,
+             |    min(CASE WHEN cumn * 3 >= total * 2 THEN nll END) AS t2
+             |  FROM cum GROUP BY 1)
+             |SELECT sc.source,
+             |  CASE WHEN nll <= t1 THEN 'head'
+             |       WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+             |  count(*)::BIGINT AS n_docs,
+             |  min(nll) AS min_nll_bp, max(nll) AS max_nll_bp
+             |FROM sc JOIN th USING (source)
+             |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin)
+    ),
+
     // Sentence-level chrF2 over the same corrupted-candidate fixture as
     // q_text_bleu (every 9th of the first 36 tokens → 'the', reference =
     // first 40 tokens): both engines strip whitespace, extract char

@@ -891,4 +891,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rHeavy.getAs[Long]("chrf_bp") > pHeavy.getAs[Long]("chrf_bp"),
       "beta=2 must weight recall above precision")
   }
+
+  test("scriptProfile: dominant script, 20% mixed-script flag, and the " +
+    "no-letters 'none' case") {
+    import spark.implicits._
+    val out = TextAnalysis.scriptProfile(Seq(
+      (1L, "plain ascii text only"),
+      (2L, "привет мир hello"),        // cyrillic 9, latin 5 → mixed
+      (3L, "例子文本"),                  // han only
+      (4L, "12345 .,!?"),              // no letters in any script
+      (5L, "a very long english sentence with один word")
+    ).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("dominant_script") == "latin" &&
+      !out(1L).getAs[Boolean]("mixed_script"))
+    val mixed = out(2L)
+    assert(mixed.getAs[Long]("n_cyrillic") == 9L &&
+      mixed.getAs[Long]("n_latin") == 5L)
+    assert(mixed.getAs[String]("dominant_script") == "cyrillic" &&
+      mixed.getAs[Boolean]("mixed_script"))
+    assert(out(3L).getAs[String]("dominant_script") == "han" &&
+      !out(3L).getAs[Boolean]("mixed_script"))
+    assert(out(4L).getAs[String]("dominant_script") == "none" &&
+      !out(4L).getAs[Boolean]("mixed_script"))
+    // 4 cyrillic chars vs 35 latin: 4*5 = 20 < 35 → below the 20% bar
+    val mostly = out(5L)
+    assert(mostly.getAs[String]("dominant_script") == "latin" &&
+      !mostly.getAs[Boolean]("mixed_script"))
+  }
 }

@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_rater_kappa", // crossJoin of two 1-row count aggregates
     "q_text_mix_audit", // 1-row corpus-total aggregate × stratum table
     "q_analytics_join_size", // crossJoin of two 1-row estimate/exact aggs
-    "q_text_lm_kneser_ney") // 1-row bigram-type-count aggregate × stream
+    "q_text_lm_kneser_ney", // 1-row bigram-type-count aggregate × stream
+    "q_text_ccnet_buckets") // inherits lmScore's 1-row vocab aggregate
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
