@@ -354,4 +354,58 @@ object Sketches {
       .agg((count(col("_set")) === k).as(flag))
     df.join(hits, df(keyCol) === hits("_bk")).drop("_bk")
   }
+
+  /** Misra–Gries summary REDUCTION (Misra & Gries 1982, the batch-wise
+    * mergeable form of Agarwal et al. 2012 "Mergeable Summaries"): given
+    * an exact count table, keep at most `k` counters by subtracting the
+    * (k+1)-st largest count value from every counter and dropping the
+    * non-positive — the set-of-counters analogue of decrementing all
+    * counters when a new item finds them full. Deterministic: the
+    * subtracted value is selected via the injective (count desc, key)
+    * order, so both engines replay the summary bit-for-bit.
+    *
+    * Guarantee (the MG invariant, preserved under [[mgMerge]]): stored
+    * counts never overcount, and undercount ≤ total decrement ≤
+    * n/(k+1) over the n items summarized — so any key with true
+    * frequency > n/(k+1) is GUARANTEED present. That is the whole
+    * point at 100 TB: the summary is k rows however large the key
+    * domain, and the candidate selection is a partial top-(k+1)
+    * (TakeOrderedAndProject — per-partition top-k merged once), never
+    * a key-domain sort.
+    */
+  def mgSubtract(counts: DataFrame, k: Int, keyCol: String = "key",
+      cntCol: String = "c"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val d = counts.orderBy(col(cntCol).desc, col(keyCol)).limit(k + 1)
+      .agg(when(count(lit(1)) > k, min(col(cntCol)))
+        .otherwise(lit(0L)).as("_d"))
+    counts.crossJoin(broadcast(d)) // 1-row reduction value
+      .withColumn(cntCol, col(cntCol) - col("_d"))
+      .filter(col(cntCol) > 0).drop("_d")
+  }
+
+  /** Merge a stored k-bounded Misra–Gries summary with a fresh batch's
+    * exact counts: counter-wise sum, then one [[mgSubtract]] reduction.
+    * Associative in the mergeable-summaries sense (the ERROR BOUND
+    * composes: undercount after any merge tree ≤ n_total/(k+1)); the
+    * exact counter values depend on merge order, which is why the
+    * streaming wrapper fixes batch order and the oracle replays the
+    * same chain. Cost per merge: the batch count pass + a top-(k+1)
+    * selection — history is NEVER recounted.
+    */
+  def mgMerge(prev: DataFrame, batchCounts: DataFrame, k: Int,
+      keyCol: String = "key", cntCol: String = "c"): DataFrame =
+    mgSubtract(
+      prev.unionByName(batchCounts)
+        .groupBy(keyCol).agg(sum(col(cntCol)).as(cntCol)),
+      k, keyCol, cntCol)
+
+  /** One-shot Misra–Gries over a frame: exact count pass (map-side
+    * combinable) + one reduction. */
+  def mgSummary(df: DataFrame, key: Column, k: Int,
+      keyCol: String = "key"): DataFrame =
+    mgSubtract(
+      df.select(key.as(keyCol)).groupBy(keyCol)
+        .agg(count(lit(1)).as("c")),
+      k, keyCol, "c")
 }

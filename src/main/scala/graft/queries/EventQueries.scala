@@ -1434,6 +1434,73 @@ object EventQueries extends QueryGroup {
              |  ON cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
              |  AND cum_before < greatest(1, CAST(ceil(q * n) AS BIGINT))
              |ORDER BY q""".stripMargin)
+    ),
+
+    // Misra-Gries heavy hitters over user activity, replayed as the
+    // SAME deterministic 4-batch merge chain in both engines (batches =
+    // event_id mod 4, k = 8): per round, counter-wise sum then subtract
+    // the 9th-largest count and drop non-positives. The final k-bounded
+    // summary joins back to the exact counts — und = exact − c_lb is
+    // the per-key undercount, non-negative and ≤ n/(k+1) by the MG
+    // invariant (the never-overcount direction is structural).
+    "q_events_heavy_hitters" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = Tables.events(s, d)
+          .select(col("user_id").as("key"), col("event_id"))
+        def counts(b: Int) = ev
+          .filter(pmod(col("event_id"), lit(4)) === b)
+          .groupBy("key").agg(count(lit(1)).as("c"))
+        val summ = (1 to 3).foldLeft(
+          Sketches.mgSubtract(counts(0), k = 8).localCheckpoint(true)) {
+          (prev, b) =>
+            Sketches.mgMerge(prev, counts(b), k = 8).localCheckpoint(true)
+        }
+        val exact = ev.groupBy("key").agg(count(lit(1)).as("c_exact"))
+        summ.withColumnRenamed("c", "c_lb")
+          .join(exact, "key")
+          .withColumn("und", col("c_exact") - col("c_lb"))
+          .select(col("key").as("user_id"), col("c_lb"), col("c_exact"),
+            col("und"))
+          .orderBy(desc("c_lb"), col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id AS key, event_id % 4 AS b FROM events),
+             |c0 AS (SELECT key, count(*)::BIGINT AS c FROM ev
+             |       WHERE b = 0 GROUP BY 1),
+             |d0 AS (SELECT coalesce((SELECT c FROM c0
+             |         ORDER BY c DESC, key LIMIT 1 OFFSET 8), 0) AS d),
+             |s0 AS (SELECT key, c - d AS c FROM c0, d0 WHERE c - d > 0),
+             |c1 AS (SELECT key, count(*)::BIGINT AS c FROM ev
+             |       WHERE b = 1 GROUP BY 1),
+             |m1 AS (SELECT key, CAST(sum(c) AS BIGINT) AS c FROM
+             |       (SELECT * FROM s0 UNION ALL SELECT * FROM c1)
+             |       GROUP BY 1),
+             |d1 AS (SELECT coalesce((SELECT c FROM m1
+             |         ORDER BY c DESC, key LIMIT 1 OFFSET 8), 0) AS d),
+             |s1 AS (SELECT key, c - d AS c FROM m1, d1 WHERE c - d > 0),
+             |c2 AS (SELECT key, count(*)::BIGINT AS c FROM ev
+             |       WHERE b = 2 GROUP BY 1),
+             |m2 AS (SELECT key, CAST(sum(c) AS BIGINT) AS c FROM
+             |       (SELECT * FROM s1 UNION ALL SELECT * FROM c2)
+             |       GROUP BY 1),
+             |d2 AS (SELECT coalesce((SELECT c FROM m2
+             |         ORDER BY c DESC, key LIMIT 1 OFFSET 8), 0) AS d),
+             |s2 AS (SELECT key, c - d AS c FROM m2, d2 WHERE c - d > 0),
+             |c3 AS (SELECT key, count(*)::BIGINT AS c FROM ev
+             |       WHERE b = 3 GROUP BY 1),
+             |m3 AS (SELECT key, CAST(sum(c) AS BIGINT) AS c FROM
+             |       (SELECT * FROM s2 UNION ALL SELECT * FROM c3)
+             |       GROUP BY 1),
+             |d3 AS (SELECT coalesce((SELECT c FROM m3
+             |         ORDER BY c DESC, key LIMIT 1 OFFSET 8), 0) AS d),
+             |s3 AS (SELECT key, c - d AS c FROM m3, d3 WHERE c - d > 0),
+             |exact AS (SELECT key, count(*)::BIGINT AS c_exact FROM ev
+             |          GROUP BY 1)
+             |SELECT s3.key AS user_id, s3.c AS c_lb, exact.c_exact,
+             |  exact.c_exact - s3.c AS und
+             |FROM s3 JOIN exact USING (key)
+             |ORDER BY c_lb DESC, user_id""".stripMargin)
     )
   )
 

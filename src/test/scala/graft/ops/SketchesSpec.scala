@@ -287,4 +287,40 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     // A ROWS frame would wrongly reach back to the dense prefix.
     assert(math.abs(got(40L) - 30.0) <= 2.0, s"gap window: ${got(40L)}")
   }
+
+  test("Misra-Gries: hand reduction and merge values, never overcounts, " +
+    "and the n/(k+1) undercount guarantee keeps a planted heavy key") {
+    import spark.implicits._
+    def m(rows: Seq[(String, Long)]) = rows.toDF("key", "c")
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("c")).toMap
+
+    // k=2, counts {a:5,b:4,c:3,d:1}: 3rd largest = 3 → {a:2, b:1}
+    val s0 = Sketches.mgSubtract(m(Seq("a" -> 5L, "b" -> 4L, "c" -> 3L,
+      "d" -> 1L)), k = 2)
+    assert(got(s0) == Map("a" -> 2L, "b" -> 1L))
+    // at most k counters even with ties at the boundary
+    val tied = Sketches.mgSubtract(m(Seq("a" -> 3L, "b" -> 3L, "c" -> 3L)),
+      k = 2)
+    assert(got(tied).isEmpty, "all counters tie the (k+1)-st → all drop")
+    // ≤ k distinct keys: identity (d = 0)
+    assert(got(Sketches.mgSubtract(m(Seq("a" -> 5L, "b" -> 1L)), k = 2)) ==
+      Map("a" -> 5L, "b" -> 1L))
+
+    // merge: {a:2,b:1} + {c:4,a:1} → sums {a:3,c:4,b:1}, d=1 → {a:2,c:3}
+    val merged = Sketches.mgMerge(s0, m(Seq("c" -> 4L, "a" -> 1L)), k = 2)
+    assert(got(merged) == Map("a" -> 2L, "c" -> 3L))
+
+    // guarantee: 60 copies of HOT + 40 singletons-ish, k=4 → any key with
+    // freq > 100/5 = 20 must survive; counts are never above exact
+    val items = (Seq.fill(60)("HOT") ++
+      (0 until 40).map(i => s"cold${i % 20}")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "key")
+    val summ = got(Sketches.mgSummary(items, col("key"), k = 4))
+    assert(summ.contains("HOT"), s"heavy key lost: $summ")
+    assert(summ("HOT") <= 60L && summ("HOT") >= 60L - 100L / 5L,
+      s"undercount bound violated: ${summ("HOT")}")
+    assert(summ.size <= 4)
+  }
 }

@@ -47,7 +47,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_mix_audit", // 1-row corpus-total aggregate × stratum table
     "q_analytics_join_size", // crossJoin of two 1-row estimate/exact aggs
     "q_text_lm_kneser_ney", // 1-row bigram-type-count aggregate × stream
-    "q_text_ccnet_buckets") // inherits lmScore's 1-row vocab aggregate
+    "q_text_ccnet_buckets", // inherits lmScore's 1-row vocab aggregate
+    "q_events_heavy_hitters") // four 1-row MG reduction values × ≤k+batch
+                              // counter tables
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
