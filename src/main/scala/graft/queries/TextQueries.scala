@@ -3226,6 +3226,71 @@ object TextQueries extends QueryGroup {
              |FROM u ORDER BY source""".stripMargin)
     ),
 
+    // ROUGE-L over the bleu corruption fixture, prefix-cut to 16 tokens:
+    // Spark folds the LCS table per row (max-of-three recurrence);
+    // DuckDB recurses row-by-row with the cumulative-max reformulation —
+    // different evaluation orders of the SAME integer DP, so lcs and
+    // every bp ratio match bit-for-bit.
+    "q_text_rouge_l" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("ref_toks", slice(col("toks"), 1, 40))
+          .withColumn("cand_toks",
+            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+              i => when(pmod(i, lit(9)) === 0, lit("the"))
+                .otherwise(element_at(col("toks"), i))))
+        graft.ops.TextAnalysis.rougeL(
+            docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toksrc AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |prep AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, least(len(t), 16)),
+             |      i -> CASE WHEN i % 9 = 0 THEN 'the' ELSE t[i] END) AS ct,
+             |    t[1:16] AS rt
+             |  FROM toksrc),
+             |dp AS (
+             |  SELECT doc_id, 0 AS i,
+             |    list_transform(generate_series(0, len(rt)),
+             |      x -> CAST(0 AS BIGINT)) AS row
+             |  FROM prep
+             |  UNION ALL
+             |  SELECT d.doc_id, d.i + 1,
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, len(p.rt)), j ->
+             |        list_max(list_transform(generate_series(1, j), j2 ->
+             |          greatest(d.row[j2+1], d.row[j2] +
+             |            CASE WHEN p.ct[d.i+1] = p.rt[j2]
+             |                 THEN 1 ELSE 0 END)))))
+             |  FROM dp d JOIN prep p ON p.doc_id = d.doc_id
+             |  WHERE d.i < len(p.ct)),
+             |fin AS (
+             |  SELECT d.doc_id, CAST(len(p.ct) AS BIGINT) AS len_cand,
+             |    CAST(len(p.rt) AS BIGINT) AS len_ref,
+             |    CAST(d.row[len(p.rt) + 1] AS BIGINT) AS lcs
+             |  FROM dp d JOIN prep p ON p.doc_id = d.doc_id
+             |  WHERE d.i = len(p.ct)),
+             |r AS (
+             |  SELECT doc_id, len_cand, len_ref, lcs,
+             |    CASE WHEN len_cand > 0
+             |      THEN lcs * 10000 // len_cand ELSE 0 END AS rouge_p_bp,
+             |    CASE WHEN len_ref > 0
+             |      THEN lcs * 10000 // len_ref ELSE 0 END AS rouge_r_bp
+             |  FROM fin)
+             |SELECT doc_id, len_cand, len_ref, lcs, rouge_p_bp, rouge_r_bp,
+             |  CAST(CASE WHEN rouge_p_bp + rouge_r_bp > 0
+             |    THEN 2 * rouge_p_bp * rouge_r_bp
+             |      // (rouge_p_bp + rouge_r_bp)
+             |    ELSE 0 END AS BIGINT) AS rouge_f_bp
+             |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+
     // Unicode script profile over deterministically script-injected docs
     // (every 11th gets ×4 Cyrillic — enough to trip the 20% mixed flag
     // on short docs only, every 13th Han, every 17th Greek): both

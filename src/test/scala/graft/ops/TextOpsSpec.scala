@@ -892,6 +892,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       "beta=2 must weight recall above precision")
   }
 
+  test("rougeL: identity, hand LCS value, order sensitivity vs bag " +
+    "overlap, disjoint floor, empty sides, and the prefix cut") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Seq[String], Seq[String])]) =
+      TextAnalysis.rougeL(rows.toDF("pair_id", "cand_toks", "ref_toks"))
+        .collect().map(r => r.getAs[Long]("pair_id") -> r).toMap
+    val out = run(Seq(
+      (1L, Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c", "d", "e"), Seq("a", "x", "b", "y", "c")),
+      (3L, Seq("a", "b"), Seq("b", "a")),       // bag overlap 2, LCS 1
+      (4L, Seq("q", "w"), Seq("z", "t")),
+      (5L, Seq.empty[String], Seq("a")),
+      (6L, (1 to 30).map(i => s"t$i"), (1 to 30).map(i => s"t$i"))))
+    assert(out(1L).getAs[Long]("lcs") == 3L &&
+      out(1L).getAs[Long]("rouge_f_bp") == 10000L)
+    // LCS(abcde, axbyc) = abc = 3 → P = 6000, R = 6000, F = 6000
+    val hand = out(2L)
+    assert(hand.getAs[Long]("lcs") == 3L &&
+      hand.getAs[Long]("rouge_p_bp") == 6000L &&
+      hand.getAs[Long]("rouge_f_bp") == 6000L)
+    assert(out(3L).getAs[Long]("lcs") == 1L,
+      "ROUGE-L must see order, not the bag")
+    assert(out(4L).getAs[Long]("lcs") == 0L &&
+      out(4L).getAs[Long]("rouge_f_bp") == 0L)
+    assert(out(5L).getAs[Long]("lcs") == 0L &&
+      out(5L).getAs[Long]("len_cand") == 0L)
+    // the 16-token prefix cut: identical 30-token sides → lcs = 16
+    assert(out(6L).getAs[Long]("lcs") == 16L &&
+      out(6L).getAs[Long]("len_cand") == 16L)
+  }
+
   test("scriptProfile: dominant script, 20% mixed-script flag, and the " +
     "no-letters 'none' case") {
     import spark.implicits._
