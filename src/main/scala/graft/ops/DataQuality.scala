@@ -216,4 +216,96 @@ object DataQuality {
       .select(col(groupCol), col("n_rows"), col("mean_micro"),
         col("ci_lo_micro"), col("ci_hi_micro"), col("b_effective"))
   }
+
+  /** Robust per-group location: the plain mean next to its TRIMMED and
+    * WINSORIZED forms (Tukey's classics) — the quality-dashboard guard
+    * against a heavy tail dragging a source's mean (one 10⁶-char spam
+    * doc shifts a mean where trimmed/winsorized barely move; a large
+    * trimmed-vs-mean gap IS the tail alarm). `trimBp` of each side is
+    * cut (trimmed) or clamped to the cut boundary values (winsorized),
+    * with k = n·trimBp div 10⁴ rows per side.
+    *
+    * Exact-integer decomposition over the score VALUE domain (the
+    * curriculum/aucBp precedent — never a corpus sort): per (group,
+    * score) cell, its overlap with the kept rank window [k+1, n−k] is
+    * `min(cum, n−k) − max(cum_before, k)` clamped at 0; boundary values
+    * lo/hi are the scores whose cumulative count first reaches k+1 /
+    * n−k. One bounded cumulative window per group over the cell table,
+    * then one aggregate. Degenerate groups (n − 2k ≤ 0) report NULL
+    * robust means.
+    *
+    * Out per group: (groupCol, n, mean_bp, trimmed_mean_bp,
+    * winsor_mean_bp, lo_bp, hi_bp).
+    */
+  def robustMean(scored: DataFrame, groupCol: String,
+      scoreBpCol: String, trimBp: Int = 500): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000, s"trimBp out of range: $trimBp")
+    import org.apache.spark.sql.expressions.Window
+    val cells = scored
+      .select(col(groupCol).as("_g"), col(scoreBpCol).as("_s"))
+      .groupBy("_g", "_s")
+      .agg(count(lit(1)).as("_c"), sum(col("_s")).as("_ss"))
+    val w = Window.partitionBy("_g").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy("_g")))
+      .withColumn("_k", expr(s"_n * $trimBp div 10000"))
+      .withColumn("_keep",
+        expr("greatest(0L, least(_cum, _n - _k) " +
+          "- greatest(_cum - _c, _k))"))
+    cum.groupBy(col("_g").as(groupCol))
+      .agg(max(col("_n")).as("n"), max(col("_k")).as("_kk"),
+        sum(col("_ss")).as("_tot"),
+        sum(expr("_keep * _s")).as("_kept"),
+        min(when(col("_cum") >= col("_k") + 1, col("_s"))).as("lo_bp"),
+        min(when(col("_cum") >= col("_n") - col("_k"), col("_s")))
+          .as("hi_bp"))
+      .withColumn("mean_bp", expr("_tot div n"))
+      .withColumn("trimmed_mean_bp",
+        expr("if(n - 2 * _kk > 0, _kept div (n - 2 * _kk), null)"))
+      .withColumn("winsor_mean_bp",
+        expr("if(n > 0, (_kept + _kk * (lo_bp + hi_bp)) div n, null)"))
+      .select(groupCol, "n", "mean_bp", "trimmed_mean_bp",
+        "winsor_mean_bp", "lo_bp", "hi_bp")
+  }
+
+  /** Exact Gini coefficient per group in bp — the inequality readout for
+    * "how concentrated is this corpus/revenue/token mass across its
+    * contributors" (the companion to the HHI query: HHI squares SHARES,
+    * Gini ranks the Lorenz curve). Closed form on the sorted values,
+    *
+    *   G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) div (n·Σx)
+    *
+    * with Σᵢ i·x₍ᵢ₎ decomposed exactly over the VALUE domain: a cell of
+    * c copies of v occupying ranks (cum_before, cum] contributes
+    * v·(c·cum_before + c·(c+1)/2). Products run in DECIMAL(38,0)
+    * (HUGEINT oracle — the aucBp precedent) so n·Σx never wraps;
+    * outputs are BIGINT bp. Non-negative values assumed (Lorenz form);
+    * all-zero or empty groups → NULL.
+    *
+    * Out per group: (groupCol, n, total, gini_bp).
+    */
+  def gini(values: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = values
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("_cb", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum(col("_c")).as("n"),
+        sum(expr("cast(_v as decimal(38,0)) * _c")).as("_sx"),
+        sum(expr("cast(_v as decimal(38,0)) * " +
+          "(cast(_c as decimal(38,0)) * _cb + " +
+          "cast(_c as decimal(38,0)) * (_c + 1) div 2)")).as("_sr"))
+      .withColumn("total", expr("cast(_sx as bigint)"))
+      .withColumn("gini_bp",
+        expr("if(_sx > 0, cast((2 * _sr - (n + 1) * _sx) * 10000 div " +
+          "(cast(n as decimal(38,0)) * _sx) as bigint), null)"))
+      .select(groupCol, "n", "total", "gini_bp")
+  }
 }

@@ -1156,4 +1156,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "adc_bp", "cos_bp", "rank")
   }
+
+  /** Embedding-space ANISOTROPY diagnostic (Mu & Viswanath 2018
+    * "All-but-the-Top"; Ethayarajh 2019): how much of the space's energy
+    * sits in the mean direction,
+    *
+    *   aniso_bp = ‖mean(v)‖² · 10⁴ div mean(‖v‖²)
+    *
+    * — near 0 for an isotropic cloud, large when every vector shares a
+    * dominant common component (the usual contextual-encoder pathology
+    * that wrecks cosine retrieval and k-means cells; the standard fix
+    * is subtracting the mean/top PCs, and THIS is the number that says
+    * whether to bother). Per `groupCols` (e.g. label → class-conditional
+    * anisotropy) plus whatever slicing the caller groups by.
+    *
+    * Fixed-point discipline (the [[kMeansFixedPoint]] lesson):
+    * components floor to micro-units FIRST, every reduction is an
+    * order-free BIGINT sum; per-dim means divide early (`div n`, ≤ 1
+    * micro loss per dim) so squares stay far inside BIGINT with no
+    * decimal promotion. One explode pass (rows×dim), two bounded
+    * aggregates — dim-sized state per group, no window, no join beyond
+    * the dim-table × 1-row-per-group stats equi-join.
+    *
+    * Out per group: (groupCols…, n_vecs, dim, mean_dir_sq_micro2,
+    * avg_sq_norm_micro2, aniso_bp) — NULL aniso on all-zero groups.
+    */
+  def anisotropy(emb: DataFrame, vecCol: String = "embedding",
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val g = groupCols.map(col)
+    val base = emb
+      .withColumn("_q", transform(col(vecCol),
+        x => floor(x.cast("double") * 1000000.0).cast("long")))
+      .withColumn("_nsq", aggregate(col("_q"), lit(0L),
+        (a, x) => a + x * x))
+    val stats = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_vecs"), sum(col("_nsq")).as("_snsq"))
+    val dims = base
+      .selectExpr(groupCols ++ Seq("posexplode(_q) as (_d, _qx)"): _*)
+      .groupBy((g :+ col("_d")): _*).agg(sum(col("_qx")).as("_s"))
+    val dimStats =
+      if (groupCols.isEmpty) dims.crossJoin(broadcast(stats))
+      else dims.join(broadcast(stats), groupCols)
+    dimStats
+      .withColumn("_m", expr("_s div n_vecs"))
+      .groupBy((g :+ col("n_vecs") :+ col("_snsq")): _*)
+      .agg((max(col("_d")) + 1L).as("dim"),
+        sum(expr("_m * _m")).as("mean_dir_sq_micro2"))
+      .withColumn("avg_sq_norm_micro2", expr("_snsq div n_vecs"))
+      .withColumn("aniso_bp",
+        expr("if(avg_sq_norm_micro2 > 0, " +
+          "mean_dir_sq_micro2 * 10000 div avg_sq_norm_micro2, null)"))
+      .select(groupCols.map(col) ++ Seq(col("n_vecs"), col("dim"),
+        col("mean_dir_sq_micro2"), col("avg_sq_norm_micro2"),
+        col("aniso_bp")): _*)
+  }
 }

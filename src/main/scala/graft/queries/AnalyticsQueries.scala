@@ -637,6 +637,99 @@ object AnalyticsQueries extends QueryGroup {
     // Reliability table for the same score/label: equal-width bp bins,
     // observed positive rate vs mean claimed score, signed gap — the
     // calibration companion to q_dq_auc.
+    // Robust per-source location: mean vs 5%-trimmed vs winsorized over
+    // the length-proxy score — the tail alarm (trimmed far from mean =
+    // heavy tail). Exact value-domain decomposition in both engines.
+    "q_dq_robust_mean" -> QueryDef(
+      (s, d) => graft.ops.DataQuality.robustMean(
+        Tables.documents(s, d)
+          .withColumn("score_bp", expr("least(n_chars, 1000L) * 10")),
+        "source", "score_bp", trimBp = 500)
+        .orderBy("source"),
+      Some("""WITH sc AS (
+             |  SELECT source, least(n_chars, 1000) * 10 AS s
+             |  FROM documents),
+             |cells AS (
+             |  SELECT source, s, count(*)::BIGINT AS c,
+             |    CAST(sum(s) AS BIGINT) AS ss
+             |  FROM sc GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT source, s, c, ss,
+             |    CAST(sum(c) OVER (PARTITION BY source ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM cells),
+             |kp AS (
+             |  SELECT *, n * 500 // 10000 AS kk,
+             |    greatest(0, least(cum, n - n * 500 // 10000)
+             |      - greatest(cum - c, n * 500 // 10000)) AS keep
+             |  FROM cum),
+             |agg AS (
+             |  SELECT source, max(n) AS n, max(kk) AS kk,
+             |    CAST(sum(ss) AS BIGINT) AS tot,
+             |    CAST(sum(keep * s) AS BIGINT) AS kept,
+             |    min(CASE WHEN cum >= kk + 1 THEN s END) AS lo_bp,
+             |    min(CASE WHEN cum >= n - kk THEN s END) AS hi_bp
+             |  FROM kp GROUP BY 1)
+             |SELECT source, n, tot // n AS mean_bp,
+             |  CASE WHEN n - 2 * kk > 0 THEN kept // (n - 2 * kk) END
+             |    AS trimmed_mean_bp,
+             |  CASE WHEN n > 0
+             |    THEN (kept + kk * (lo_bp + hi_bp)) // n END
+             |    AS winsor_mean_bp,
+             |  lo_bp, hi_bp
+             |FROM agg ORDER BY source""".stripMargin)
+    ),
+
+    // Exact Gini of supplier revenue within each nation — the Lorenz
+    // inequality companion to q_analytics_hhi's share-squares; HUGEINT/
+    // DECIMAL(38,0) products so n·Σx never wraps.
+    "q_analytics_gini" -> QueryDef(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .select(col("l_suppkey"),
+            floor(round(col("l_extendedprice") * 100) / 100).cast("long")
+              .as("_d"))
+          .groupBy("l_suppkey").agg(sum("_d").as("rev"))
+          .join(Tables.supplier(s, d)
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+            "l_suppkey")
+          .join(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+            "s_nationkey")
+        graft.ops.DataQuality.gini(rev, "n_name", "rev").orderBy("n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT n.n_name, l.l_suppkey,
+             |    CAST(sum(CAST(floor(round(l_extendedprice * 100) / 100)
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem l
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |  GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT n_name, rev AS v, count(*)::BIGINT AS c
+             |  FROM rev GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT n_name, v, c,
+             |    CAST(coalesce(sum(c) OVER (PARTITION BY n_name ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb
+             |  FROM cells),
+             |agg AS (
+             |  SELECT n_name, CAST(sum(c) AS BIGINT) AS n,
+             |    sum(CAST(v AS HUGEINT) * c) AS sx,
+             |    sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * cb
+             |      + CAST(c AS HUGEINT) * (c + 1) // 2)) AS sr
+             |  FROM cum GROUP BY 1)
+             |SELECT n_name, n, CAST(sx AS BIGINT) AS total,
+             |  CASE WHEN sx > 0
+             |    THEN CAST((2 * sr - (n + 1) * sx) * 10000
+             |      // (CAST(n AS HUGEINT) * sx) AS BIGINT) END AS gini_bp
+             |FROM agg ORDER BY n_name""".stripMargin)
+    ),
+
     "q_dq_calibration" -> QueryDef(
       (s, d) => {
         val scored = Tables.documents(s, d)

@@ -1116,6 +1116,46 @@ object SimilarityQueries extends QueryGroup {
              |SELECT query_id, cand_id, adc_bp, cos_bp,
              |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
              |WHERE rank_raw <= 10 ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // Class-conditional embedding anisotropy: how much of each label's
+    // energy sits in its mean direction — micro-quantized components,
+    // order-free BIGINT sums, divide-early per-dim means; both engines
+    // replay every quantity exactly.
+    "q_sim_anisotropy" -> QueryDef(
+      (s, d) => graft.ops.Similarity.anisotropy(
+        Tables.embeddings(s, d), groupCols = Seq("label"))
+        .orderBy("label"),
+      Some("""WITH q AS (
+             |  SELECT label, list_transform(embedding,
+             |    x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |base AS MATERIALIZED (
+             |  SELECT label, q,
+             |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+             |      AS nsq
+             |  FROM q),
+             |stats AS (
+             |  SELECT label, count(*)::BIGINT AS n_vecs,
+             |    CAST(sum(nsq) AS BIGINT) AS snsq
+             |  FROM base GROUP BY 1),
+             |dims AS (
+             |  SELECT label, i - 1 AS d, CAST(sum(q[i]) AS BIGINT) AS s
+             |  FROM base, unnest(generate_series(1, len(q))) g(i)
+             |  GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT label, CAST(max(d) + 1 AS BIGINT) AS dim,
+             |    CAST(sum((s // n_vecs) * (s // n_vecs)) AS BIGINT)
+             |      AS mean_dir_sq_micro2,
+             |    any_value(snsq // n_vecs) AS avg_sq_norm_micro2,
+             |    any_value(n_vecs) AS n_vecs
+             |  FROM dims JOIN stats USING (label) GROUP BY 1)
+             |SELECT label, n_vecs, dim, mean_dir_sq_micro2,
+             |  CAST(avg_sq_norm_micro2 AS BIGINT) AS avg_sq_norm_micro2,
+             |  CASE WHEN avg_sq_norm_micro2 > 0
+             |    THEN mean_dir_sq_micro2 * 10000 // avg_sq_norm_micro2
+             |  END AS aniso_bp
+             |FROM agg ORDER BY label""".stripMargin)
     )
   )
 }

@@ -3226,6 +3226,51 @@ object TextQueries extends QueryGroup {
              |FROM u ORDER BY source""".stripMargin)
     ),
 
+    // Distinct-n diversity per source (Li et al. 2016): distinct n-gram
+    // types over total n-gram occurrences for n = 1..3 — the standard
+    // mode-collapse / templated-slice detector for generation sets and
+    // crawl sources (a low distinct-2 slice is boilerplate whatever its
+    // quality score says). One 3-way gram explode + two map-side
+    // combinable aggregations; the type table is vocabulary-sized.
+    "q_text_distinct_n" -> QueryDef(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("_t", tokens(col("text")))
+        def gramsOf(n: Int) =
+          when(size(col("_t")) >= n,
+            transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+              i => array_join(slice(col("_t"), i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))
+        val grams = (1 to 3).map(n => t.select(col("source"),
+            lit(n.toLong).as("n"), explode(gramsOf(n)).as("_g")))
+          .reduce(_ unionAll _)
+        grams.groupBy("source", "n", "_g").agg(count(lit(1)).as("_c"))
+          .groupBy("source", "n")
+          .agg(count(lit(1)).as("n_distinct"), sum("_c").as("n_grams"))
+          .withColumn("distinct_bp",
+            expr("n_distinct * 10000 div n_grams"))
+          .select("source", "n", "n_grams", "n_distinct", "distinct_bp")
+          .orderBy("source", "n")
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |  FROM documents),
+             |grams AS (
+             |  SELECT source, n, array_to_string(s[i:i+n-1], ' ') AS g
+             |  FROM t CROSS JOIN range(1, 4) nn(n),
+             |    unnest(generate_series(1, len(s) - n + 1)) AS gg(i)),
+             |cnt AS (
+             |  SELECT source, n, g, count(*)::BIGINT AS c
+             |  FROM grams GROUP BY 1, 2, 3)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CAST(sum(c) AS BIGINT) AS n_grams,
+             |  count(*)::BIGINT AS n_distinct,
+             |  count(*)::BIGINT * 10000 // CAST(sum(c) AS BIGINT)
+             |    AS distinct_bp
+             |FROM cnt GROUP BY 1, 2 ORDER BY source, n""".stripMargin)
+    ),
+
     // ROUGE-L over the bleu corruption fixture, prefix-cut to 16 tokens:
     // Spark folds the LCS table per row (max-of-three recurrence);
     // DuckDB recurses row-by-row with the cumulative-max reformulation —

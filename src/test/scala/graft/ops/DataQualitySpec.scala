@@ -108,4 +108,52 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
       (out("small").getAs[Long]("ci_lo_micro"),
         out("small").getAs[Long]("ci_hi_micro")))
   }
+
+  test("robustMean: one outlier drags the mean, not the trimmed or " +
+    "winsorized forms; k=0 collapses all three; ties are stable") {
+    import spark.implicits._
+    // 0,10,..,90 plus a 100000 outlier: n = 11, trim 10% → k = 1
+    val rows = ((0 to 9).map(i => ("a", i * 10L)) :+ ("a" -> 100000L))
+      .toDF("source", "score_bp")
+    val r = DataQuality.robustMean(rows, "source", "score_bp",
+      trimBp = 1000).collect()(0)
+    assert(r.getAs[Long]("n") == 11L)
+    assert(r.getAs[Long]("mean_bp") == 100450L / 11L)  // 9131 — dragged
+    assert(r.getAs[Long]("trimmed_mean_bp") == 50L)    // outlier cut
+    assert(r.getAs[Long]("winsor_mean_bp") == 50L)     // clamped to 90
+    assert(r.getAs[Long]("lo_bp") == 10L && r.getAs[Long]("hi_bp") == 90L)
+    // k = 0 (tiny group): all three estimators coincide with the mean
+    val small = DataQuality.robustMean(
+      Seq(("b", 4L), ("b", 8L)).toDF("source", "score_bp"),
+      "source", "score_bp", trimBp = 1000).collect()(0)
+    assert(small.getAs[Long]("mean_bp") == 6L &&
+      small.getAs[Long]("trimmed_mean_bp") == 6L &&
+      small.getAs[Long]("winsor_mean_bp") == 6L)
+    // all-tied values: every estimator is the value
+    val tied = DataQuality.robustMean(
+      Seq.fill(4)(("c", 5L)).toDF("source", "score_bp"),
+      "source", "score_bp", trimBp = 2500).collect()(0)
+    assert(tied.getAs[Long]("trimmed_mean_bp") == 5L &&
+      tied.getAs[Long]("winsor_mean_bp") == 5L &&
+      tied.getAs[Long]("lo_bp") == 5L && tied.getAs[Long]("hi_bp") == 5L)
+  }
+
+  test("gini: equality at 0, hand values, concentration toward 1, " +
+    "all-zero NULL, groups independent") {
+    import spark.implicits._
+    val out = DataQuality.gini(Seq(
+      ("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("hand", 1L), ("hand", 2L), ("hand", 3L), ("hand", 4L),
+      ("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 12L),
+      ("zero", 0L), ("zero", 0L)
+    ).toDF("g", "v"), "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("eq").getAs[Long]("gini_bp") == 0L)
+    // sorted 1,2,3,4: (2·30 − 5·10)·10⁴ / (4·10) = 2500
+    assert(out("hand").getAs[Long]("gini_bp") == 2500L &&
+      out("hand").getAs[Long]("total") == 10L)
+    // 0,0,0,12: (2·48 − 5·12)·10⁴ / (4·12) = 7500
+    assert(out("conc").getAs[Long]("gini_bp") == 7500L)
+    assert(out("zero").isNullAt(out("zero").fieldIndex("gini_bp")))
+  }
 }

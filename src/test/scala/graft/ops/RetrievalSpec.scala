@@ -411,4 +411,34 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       minShared = 1L).collect()
     assert(matches.isEmpty, "df cap must drop 10-doc boilerplate hashes")
   }
+
+  test("anisotropy: identical cloud at 10000, symmetric cloud at 0, " +
+    "all-zero NULL, and per-group split") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def emb(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    // one repeated vector: mean IS the vector → aniso exactly 10⁴
+    val same = Similarity.anisotropy(
+      emb((1L to 3L).map(i => (i, Seq(0.6f, 0.8f), 0)))).collect()(0)
+    assert(same.getAs[Long]("aniso_bp") == 10000L &&
+      same.getAs[Long]("n_vecs") == 3L && same.getAs[Long]("dim") == 2L)
+    // v and −v: the mean cancels exactly (quantization is symmetric on
+    // exactly-representable components) → aniso 0
+    val sym = Similarity.anisotropy(emb(Seq(
+      (1L, Seq(0.5f, 0.25f), 0), (2L, Seq(-0.5f, -0.25f), 0)))).collect()(0)
+    assert(sym.getAs[Long]("mean_dir_sq_micro2") == 0L &&
+      sym.getAs[Long]("aniso_bp") == 0L)
+    // all-zero group → NULL (the honest undefined)
+    val zero = Similarity.anisotropy(emb(Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0f, 0f), 0)))).collect()(0)
+    assert(zero.isNullAt(zero.fieldIndex("aniso_bp")))
+    // groups stay independent: an isotropic label next to a degenerate one
+    val byLabel = Similarity.anisotropy(
+      emb(Seq((1L, Seq(1f, 0f), 0), (2L, Seq(-1f, 0f), 0),
+        (3L, Seq(0.6f, 0.8f), 1), (4L, Seq(0.6f, 0.8f), 1))),
+      groupCols = Seq("label")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("aniso_bp")).toMap
+    assert(byLabel(0) == 0L && byLabel(1) == 10000L, s"got $byLabel")
+  }
 }
