@@ -615,11 +615,16 @@ object TextClean {
           i => struct((i - 1).cast("long").as("pos"),
             array_join(slice(col("_t"), i, lit(n)), " ").as("g"))))
         .otherwise(array().cast("array<struct<pos:long,g:string>>"))
-    val occ = graft.util.AutoUnpersist.persistScoped(
+    // NOT persisted: the gram frame is corpus-gram-sized (caching it
+    // spills and went superlinear at x40 in Profile --repetition-scale);
+    // its two consumers share one plan, so the explode recomputes from
+    // the cached base (cheap codegen) and the count shuffle is reused
+    // via ReusedExchange.
+    val occ =
       (2 to 10).map(n => base.select(col("_id"), lit(n).as("_n"),
           explode(gramsOf(n)).as("_o"))
         .select(col("_id"), col("_n"), col("_o.pos").as("_pos"),
-          col("_o.g").as("_g"))).reduce(_ unionAll _))
+          col("_o.g").as("_g"))).reduce(_ unionAll _)
     val cnt = occ.groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_c"))
     // top-gram mass, n = 2..4: deterministic argmax via injective min
     val top = cnt.filter(col("_n") <= 4)

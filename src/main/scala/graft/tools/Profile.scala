@@ -271,6 +271,24 @@ object Profile {
         val b = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
         time(s"jsd-x$m")(noop(TextAnalysis.jsDivergence(a, b)))
       }
+    } else if (args.headOption.contains("--repetition-scale")) {
+      // repetitionRules growth: m disjoint corpus copies, each with a
+      // per-copy token suffix so the (doc, n, gram) table grows with
+      // the corpus (the worst case — shared vocab would dedupe). The
+      // claim under test: linear wall growth — gram volume dominates,
+      // all downstream stages are doc-keyed.
+      import graft.ops.TextClean
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 40)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        time(s"repetition-x$m")(noop(TextClean.repetitionRules(docs)))
+      }
     } else if (args.headOption.contains("--epoch-scale")) {
       // range-partitioned-sort growth for epochShuffle: m disjoint
       // corpus copies; the claim under test is linear wall growth (the
