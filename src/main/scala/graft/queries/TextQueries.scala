@@ -3226,6 +3226,59 @@ object TextQueries extends QueryGroup {
              |FROM u ORDER BY source""".stripMargin)
     ),
 
+    // T5 span-corruption pairs over every doc: grid-strided span starts
+    // (md5 draws, maxSpan < stride so spans never overlap — no
+    // sequential suppression to replay), sentinel substitution and
+    // target assembly; both engines rebuild input_text and target_text
+    // verbatim, so the driver's hash pins every token of every pair.
+    "q_text_span_corrupt" -> QueryDef(
+      (s, d) => graft.ops.TextAnalysis.spanCorrupt(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |base AS MATERIALIZED (
+             |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             |    list_filter(
+             |      list_transform(
+             |        generate_series(1, greatest(len(t), 1), 8), p ->
+             |        struct_pack(p := CAST(p AS BIGINT),
+             |          l := least(1 + ${hexDigitSql(
+                          "md5('t5L:' || doc_id::VARCHAR || ':' || p::VARCHAR)",
+                          1)} % 5,
+             |            len(t) - p + 1),
+             |          d := ${hexDigitSql(
+                          "md5('t5S:' || doc_id::VARCHAR || ':' || p::VARCHAR)",
+                          1)})),
+             |      e -> e.d < 6 AND e.p <= len(t)) AS sp
+             |  FROM tk),
+             |sel AS (
+             |  SELECT doc_id, n, CAST(len(sp) AS BIGINT) AS n_spans,
+             |    CAST(coalesce(list_sum(list_transform(sp, e -> e.l)), 0)
+             |      AS BIGINT) AS n_masked,
+             |    CASE WHEN n = 0 THEN '' ELSE array_to_string(
+             |      list_filter(
+             |        list_transform(generate_series(1, n), pos ->
+             |          CASE WHEN len(list_filter(sp, e -> e.p = pos)) > 0
+             |            THEN '<extra_id_' ||
+             |              len(list_filter(sp, e -> e.p < pos))::VARCHAR
+             |              || '>'
+             |          WHEN len(list_filter(sp,
+             |              e -> e.p <= pos AND pos < e.p + e.l)) > 0
+             |            THEN NULL
+             |          ELSE t[pos] END),
+             |        x -> x IS NOT NULL), ' ') END AS input_text,
+             |    coalesce(array_to_string(
+             |      flatten(list_transform(sp, (e, k) ->
+             |        list_prepend('<extra_id_' || (k - 1)::VARCHAR || '>',
+             |          t[e.p:e.p+e.l-1]))), ' '), '') AS target_text
+             |  FROM base)
+             |SELECT doc_id, n AS n_tokens, n_spans, n_masked, input_text,
+             |  target_text
+             |FROM sel ORDER BY doc_id""".stripMargin)
+    ),
+
     // Distinct-n diversity per source (Li et al. 2016): distinct n-gram
     // types over total n-gram occurrences for n = 1..3 — the standard
     // mode-collapse / templated-slice detector for generation sets and

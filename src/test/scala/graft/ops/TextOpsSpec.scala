@@ -923,6 +923,63 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       out(6L).getAs[Long]("len_cand") == 16L)
   }
 
+  test("spanCorrupt: lossless sentinel reconstruction, disjoint spans, " +
+    "determinism, and a sane corpus-level mask rate") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to 40).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // reconstruction: substituting target span k for <extra_id_k> in the
+    // input must rebuild the original token stream exactly — this also
+    // proves spans are disjoint and in order
+    (1L to 60L).foreach { i =>
+      val r = out(i)
+      val input = r.getAs[String]("input_text").split(" ").toSeq
+      val target = r.getAs[String]("target_text")
+      val spans = scala.collection.mutable.Map[Int, Seq[String]]()
+      if (target.nonEmpty) {
+        var cur = -1
+        target.split(" ").foreach { t =>
+          if (t.startsWith("<extra_id_")) {
+            cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+            spans(cur) = Seq.empty
+          } else spans(cur) = spans(cur) :+ t
+        }
+      }
+      val rebuilt = input.flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }
+      assert(rebuilt.mkString(" ") ==
+        (1 to 40).map(t => s"w${i}_$t").mkString(" "),
+        s"doc $i failed reconstruction")
+      assert(r.getAs[Long]("n_masked") ==
+        spans.values.map(_.size.toLong).sum)
+      assert(r.getAs[Long]("n_spans") == spans.size.toLong)
+    }
+
+    // corpus mask rate near the T5 recipe's ~14% (wide deterministic band)
+    val masked = out.values.map(_.getAs[Long]("n_masked")).sum.toDouble
+    val total = out.values.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(masked / total > 0.07 && masked / total < 0.25,
+      s"mask rate off: ${masked / total}")
+
+    // deterministic under the same seed; a different seed moves spans
+    val again = TextAnalysis.spanCorrupt(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("input_text"))
+      .toMap
+    assert((1L to 60L).forall(i =>
+      again(i) == out(i).getAs[String]("input_text")))
+    val other = TextAnalysis.spanCorrupt(docs, seed = "ul2").collect()
+      .map(r => r.getAs[String]("input_text")).toSet
+    assert(other != (1L to 60L).map(i =>
+      out(i).getAs[String]("input_text")).toSet)
+  }
+
   test("scriptProfile: dominant script, 20% mixed-script flag, and the " +
     "no-letters 'none' case") {
     import spark.implicits._
