@@ -110,6 +110,61 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
   }
 
+  /** Multi-phrase blocklist matcher — the toxicity/banned-phrase filter
+    * at corpus scale, doing Aho-Corasick's job the distributed way:
+    * candidate generation on each phrase's RAREST token (one cheap df
+    * pass over the phrase vocabulary picks the anchor, so "the zebra"
+    * anchors on "zebra", not "the" — candidate volume ∝ the rare
+    * token's df, not the stop word's), then exact verification by
+    * array-slice equality at the aligned start. ONE corpus match pass,
+    * no per-row multi-regex scan, no doc-keyed re-join (the token array
+    * rides only the anchor-matched rows); the phrase table broadcasts.
+    *
+    * Exact-match semantics on whitespace tokens (case as given);
+    * overlapping occurrences each count. Deterministic anchor choice:
+    * min (df, offset, token).
+    *
+    * In: docs (doc_id, text); phrases as plain strings.
+    * Out: one row per (doc, phrase) with ≥1 hit: (doc_id, phrase,
+    * n_occ, first_pos) — first_pos 1-based.
+    */
+  def phraseBlocklist(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseBlocklist needs phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parsed = phrases.distinct.map { s =>
+      val t = s.split("\\s+").filter(_.nonEmpty).toSeq
+      require(t.nonEmpty, s"empty phrase: '$s'")
+      (s, t)
+    }
+    val vocab = parsed.flatMap(_._2).distinct
+    val toks = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_t", TextAnalysis.tokens(col("text")))
+    // df pass over the phrase vocabulary only (bounded aggregate)
+    val dfs = toks
+      .select(explode(col("_t")).as("_tok"))
+      .filter(col("_tok").isin(vocab: _*))
+      .groupBy("_tok").agg(count(lit(1)).as("_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val table = parsed.map { case (s, t) =>
+      val (anchor, off) = t.zipWithIndex
+        .minBy { case (w, i) => (dfs.getOrElse(w, 0L), i.toLong, w) }
+      (s, t, t.size, anchor, off)
+    }.toDF("phrase", "_pt", "_plen", "_anchor", "_off")
+    val anchorSet = table.select("_anchor").as[String].collect().distinct
+    toks
+      .select(col("doc_id"), col("_t"),
+        posexplode(col("_t")).as(Seq("_pos", "_tok")))
+      .filter(col("_tok").isin(anchorSet.toSeq: _*))
+      .join(broadcast(table), col("_tok") === col("_anchor"))
+      .withColumn("_start", col("_pos") - col("_off"))
+      .filter(col("_start") >= 0 &&
+        slice(col("_t"), col("_start") + 1, col("_plen")) === col("_pt"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_occ"),
+        (min("_start") + 1).cast("long").as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
     * heterogeneous retrieval runs — the standard hybrid-search combiner
     * (BM25 lexical + dense ANN in a RAG stack). Each run contributes

@@ -3226,6 +3226,32 @@ object TextQueries extends QueryGroup {
              |FROM u ORDER BY source""".stripMargin)
     ),
 
+    // Multi-phrase blocklist over the corpus: df-anchored candidate
+    // generation + slice verification on the Spark side; DuckDB scans
+    // every (position, phrase) pair — anchoring is an optimization, the
+    // match set is identical, so counts and first positions pin it.
+    "q_text_phrase_blocklist" -> QueryDef(
+      (s, d) => graft.ops.Retrieval.phraseBlocklist(Tables.documents(s, d),
+          Seq("slow batch", "hash value table", "customer query",
+            "vector", "missing zebra"))
+        .orderBy("doc_id", "phrase"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |p(phrase, plen) AS (VALUES
+             |  ('slow batch', 2), ('hash value table', 3),
+             |  ('customer query', 2), ('vector', 1), ('missing zebra', 2)),
+             |occ AS (
+             |  SELECT doc_id, phrase, i
+             |  FROM t, p,
+             |    unnest(generate_series(1, len(t) - plen + 1)) AS g(i)
+             |  WHERE array_to_string(t[i:i+plen-1], ' ') = phrase)
+             |SELECT doc_id, phrase, count(*)::BIGINT AS n_occ,
+             |  CAST(min(i) AS BIGINT) AS first_pos
+             |FROM occ GROUP BY 1, 2 ORDER BY doc_id, phrase""".stripMargin)
+    ),
+
     // T5 span-corruption pairs over every doc: grid-strided span starts
     // (md5 draws, maxSpan < stride so spans never overlap — no
     // sequential suppression to replay), sentinel substitution and

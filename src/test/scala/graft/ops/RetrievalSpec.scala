@@ -412,6 +412,30 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(matches.isEmpty, "df cap must drop 10-doc boilerplate hashes")
   }
 
+  test("phraseBlocklist: rare-token anchoring finds exact phrases, " +
+    "overlaps count, single-token and absent phrases behave") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the zebra crossing"),
+      (2L, "a a a b"),                 // "a a" overlaps: positions 1, 2
+      (3L, "the the the"),             // stop-word phrase territory
+      (4L, "clean text with nothing flagged")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseBlocklist(docs,
+        Seq("the zebra", "a a", "mat", "missing phrase", "the the"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase")) ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("first_pos"))).toMap
+    // "the zebra" anchors on 'zebra' (df 1), not 'the' (df 6)
+    assert(out((1L, "the zebra")) == (1L, 8L))
+    assert(out((1L, "mat")) == (1L, 6L))
+    assert(out((2L, "a a")) == (2L, 1L), "overlaps must each count")
+    assert(out((3L, "the the")) == (2L, 1L))
+    assert(!out.keys.exists(_._2 == "missing phrase"))
+    assert(!out.keys.exists(_._1 == 4L))
+  }
+
   test("anisotropy: identical cloud at 10000, symmetric cloud at 0, " +
     "all-zero NULL, and per-group split") {
     import spark.implicits._
