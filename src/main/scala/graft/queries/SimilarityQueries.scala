@@ -1118,6 +1118,79 @@ object SimilarityQueries extends QueryGroup {
              |WHERE rank_raw <= 10 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // BERTopic-style cluster labeling (Grootendorst 2022 c-TF-IDF): docs
+    // assigned to the oracled 16-cell k-means (same Lloyd replay as the
+    // IVF family), then per cell the top-5 distinctive tokens by
+    // tf_norm × (log2 17 − log2(1+cell_df)) in the shared fixed-point
+    // log2 — the "what is this cluster about" readout every corpus map
+    // needs. All tables vocabulary- or cell-sized after the one token
+    // pass; the rank window partitions by cell.
+    "q_sim_cluster_labels" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val w = org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansCentroids(e, nCells = 16,
+          iters = IvfLloydIters)
+        val assigned = e.select(col("vec_id").as("doc_id"),
+          Similarity.ivfCell(col("embedding"), cents).as("cell"))
+        val tf = Tables.documents(s, d).join(assigned, "doc_id")
+          .select(col("cell"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("cell", "tok").agg(count(lit(1)).as("tf"))
+        val totals = tf.groupBy("cell").agg(sum("tf").as("_tot"))
+        val cdf = tf.groupBy("tok").agg(countDistinct("cell").as("cdf"))
+        val l17 = TextAnalysis.pseudoLog2Long(17L)
+        val scored = tf.join(broadcast(totals), "cell")
+          .join(TextAnalysis.withPseudoLog2(
+            cdf.withColumn("_x", col("cdf") + 1), "_x", "_lcdf")
+            .drop("_x"), "tok")
+          .withColumn("tf_norm_micro", expr("tf * 1000000 div _tot"))
+          .withColumn("score_fp", expr(s"tf_norm_micro * ($l17 - _lcdf)"))
+        scored
+          .withColumn("rank", row_number().over(
+            w.partitionBy("cell").orderBy(desc("score_fp"), col("tok")))
+            .cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("cell").cast("long").as("cell"), col("rank"),
+            col("tok"), col("tf"), col("cdf"), col("score_fp"))
+          .orderBy("cell", "rank")
+      },
+      Some(s"""WITH RECURSIVE ${kmeansCentsCtes(IvfLloydIters)},
+             |asg AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY vec_id
+             |                         ORDER BY s DESC, cell DESC) AS rn
+             |    FROM score$IvfLloydIters) WHERE rn = 1),
+             |tf AS MATERIALIZED (
+             |  SELECT a.cell, t.tok, count(*)::BIGINT AS tf
+             |  FROM asg a JOIN (
+             |    SELECT doc_id,
+             |      unnest(list_filter(string_split(text, ' '),
+             |        x -> x <> '')) AS tok
+             |    FROM documents) t ON t.doc_id = a.vec_id
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT cell, CAST(sum(tf) AS BIGINT) AS tot
+             |        FROM tf GROUP BY 1),
+             |cdf AS (SELECT tok, count(DISTINCT cell)::BIGINT AS cdf
+             |        FROM tf GROUP BY 1),
+             |vals AS (SELECT DISTINCT cdf + 1 AS x FROM cdf),
+             |${TextQueries.pseudoLog2Sql("c", "vals")},
+             |sc AS (
+             |  SELECT tf.cell, tf.tok, tf.tf, cdf.cdf,
+             |    (tf.tf * 1000000 // tot.tot) *
+             |      (${graft.ops.TextAnalysis.pseudoLog2Long(17L)} - lgc.l)
+             |      AS score_fp
+             |  FROM tf JOIN tot USING (cell) JOIN cdf USING (tok)
+             |  JOIN lgc ON lgc.x = cdf.cdf + 1)
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(rn AS BIGINT) AS rank, tok, tf, cdf, score_fp
+             |FROM (SELECT *, row_number() OVER (PARTITION BY cell
+             |        ORDER BY score_fp DESC, tok) AS rn FROM sc)
+             |WHERE rn <= 5 ORDER BY cell, rank""".stripMargin)
+    ),
+
     // Class-conditional embedding anisotropy: how much of each label's
     // energy sits in its mean direction — micro-quantized components,
     // order-free BIGINT sums, divide-early per-dim means; both engines
