@@ -1436,6 +1436,62 @@ object EventQueries extends QueryGroup {
              |ORDER BY q""".stripMargin)
     ),
 
+    // Streaming quantile monitor replayed in batch mode: 4 deterministic
+    // shards (event_id mod 4) fold through quantileBatch into a fresh
+    // state dir; the ledger — one (n, p50, p95, p99) row per batch over
+    // the RUNNING histogram — is the output. DuckDB rebuilds every
+    // running histogram and interpolation; values match bit-for-bit.
+    "q_events_stream_quantiles" -> QueryDef(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-squant-q").toString
+        val ev = Tables.events(s, d).select(col("value").as("v"),
+          pmod(col("event_id"), lit(4)).as("b"))
+        (0L to 3L).foreach { b =>
+          graft.streaming.StreamingQuantiles.quantileBatch(
+            ev.filter(col("b") === b).select("v"), col("v"),
+            s"$dir/counts", s"$dir/ledger", b, 0.0, 640.0, 64)
+        }
+        s.read.parquet(s"$dir/ledger").orderBy("batch_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT value AS v, event_id % 4 AS b FROM events),
+             |h AS (
+             |  SELECT b, least(63, greatest(0,
+             |      CAST(floor((v - 0.0) / 10.0) AS INTEGER))) AS bin,
+             |    count(*)::BIGINT AS c
+             |  FROM ev GROUP BY 1, 2),
+             |run AS (
+             |  SELECT bb.b, h.bin, CAST(sum(h.c) AS BIGINT) AS cnt
+             |  FROM (SELECT DISTINCT b FROM h) bb
+             |  JOIN h ON h.b <= bb.b
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT b, bin, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY b ORDER BY bin
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY b ORDER BY bin
+             |      ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS cum_before,
+             |    CAST(sum(cnt) OVER (PARTITION BY b) AS BIGINT) AS n
+             |  FROM run),
+             |qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE,
+             |                      0.99::DOUBLE]) AS q),
+             |est AS (
+             |  SELECT c.b, qs.q, c.n,
+             |    0.0 + 10.0 * (c.bin +
+             |      CAST(greatest(1, CAST(ceil(qs.q * c.n) AS BIGINT))
+             |        - c.cum_before AS DOUBLE) / c.cnt) AS e
+             |  FROM qs JOIN c
+             |    ON c.cum >= greatest(1, CAST(ceil(qs.q * c.n) AS BIGINT))
+             |    AND c.cum_before <
+             |      greatest(1, CAST(ceil(qs.q * c.n) AS BIGINT)))
+             |SELECT CAST(b AS BIGINT) AS batch_id, max(n) AS n,
+             |  max(CASE WHEN q = 0.5 THEN e END) AS p50,
+             |  max(CASE WHEN q = 0.95 THEN e END) AS p95,
+             |  max(CASE WHEN q = 0.99 THEN e END) AS p99
+             |FROM est GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Misra-Gries heavy hitters over user activity, replayed as the
     // SAME deterministic 4-batch merge chain in both engines (batches =
     // event_id mod 4, k = 8): per round, counter-wise sum then subtract

@@ -46,43 +46,15 @@ object StreamingDrift {
       nVocab: Long, nTokens: Long)
 
   /** Finish or roll back a [[compactCounts]] staged swap that a crash
-    * left half-done, so readers never observe the counts table as
-    * "absent" when its data is actually sitting in a swap sibling.
-    * Exhaustive over the swap's crash points (tmp is only ever renamed
-    * into place after a completed write, so completing is always safe):
-    *
-    *   - counts PRESENT + tmp present → crash before the first rename:
-    *     counts is intact, the staged copy is redundant — drop tmp.
-    *   - counts ABSENT + tmp present → crash between the two renames:
-    *     complete the swap (tmp → counts), then drop the old copy.
-    *   - counts ABSENT + tmp absent + old present → defensive roll
-    *     back (old → counts); unreachable in the current sequence but
-    *     cheap to cover.
-    *   - counts PRESENT + old present → crash after the second rename,
-    *     before cleanup: drop old.
-    *
-    * Called on entry to BOTH [[driftBatch]] and [[compactCounts]], so
-    * whichever runs first after a crash heals the table before the
-    * watermark check reads it — without this, a half-swapped table
-    * looks like an empty monitor and the watermark silently restarts
-    * from batch 0 (data loss). StreamingDriftSpec pins all three
-    * reachable injections.
+    * left half-done — see [[CountLog.recoverSwap]] (the shared
+    * machinery; this delegate keeps the drift monitor's call sites and
+    * StreamingDriftSpec's injections anchored here). Called on entry to
+    * BOTH [[driftBatch]] and [[compactCounts]], so whichever runs first
+    * after a crash heals the table before the watermark reads it.
     */
   private[streaming] def recoverSwap(
-      fs: org.apache.hadoop.fs.FileSystem, countsPath: String): Unit = {
-    val counts = new Path(countsPath)
-    val tmp = new Path(countsPath + ".compact-tmp")
-    val old = new Path(countsPath + ".compact-old")
-    if (fs.exists(counts)) {
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(old)) fs.delete(old, true)
-    } else if (fs.exists(tmp)) {
-      fs.rename(tmp, counts)
-      if (fs.exists(old)) fs.delete(old, true)
-    } else if (fs.exists(old)) {
-      fs.rename(old, counts)
-    }
-  }
+      fs: org.apache.hadoop.fs.FileSystem, countsPath: String): Unit =
+    CountLog.recoverSwap(fs, countsPath)
 
   /** One micro-batch (or one batch-mode shard) through the monitor. */
   def driftBatch(
@@ -154,24 +126,8 @@ object StreamingDrift {
     * past drift readings are immutable history.
     */
   def compactCounts(spark: org.apache.spark.sql.SparkSession,
-      countsPath: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(countsPath).getFileSystem(conf)
-    recoverSwap(fs, countsPath)
-    if (!fs.exists(new Path(countsPath))) return
-    val compacted = spark.read.parquet(countsPath)
-      .groupBy("tok")
-      .agg(sum(col("c")).as("c"), max(col("batch_id")).as("batch_id"))
-      .localCheckpoint(true) // fully materialized before the swap
-    val tmp = new Path(countsPath + ".compact-tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    compacted.write.parquet(tmp.toString)
-    val old = new Path(countsPath + ".compact-old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(new Path(countsPath), old)
-    fs.rename(tmp, new Path(countsPath))
-    fs.delete(old, true)
-  }
+      countsPath: String): Unit =
+    CountLog.compact(spark, countsPath, Seq("tok"))
 
   /** Continuous drift monitoring from a document stream. */
   def run(
