@@ -3655,7 +3655,9 @@ object TextQueries extends QueryGroup {
     // three identical banner lines (trips both line rules); both engines
     // rebuild the corruption AND replay lines, gram counts, argmax
     // masses, and the exact interval-union coverage bit-for-bit.
-    "q_text_repetition" -> QueryDef(
+    // (Named *_gopher_*: plain q_text_repetition is the older
+    // single-n dup/top-fraction query above.)
+    "q_text_gopher_repetition" -> QueryDef(
       (s, d) => {
         val t = graft.ops.TextAnalysis.tokens(col("text"))
         val p = array_join(slice(t, 1, 6), " ")

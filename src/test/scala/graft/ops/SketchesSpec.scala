@@ -323,4 +323,49 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       s"undercount bound violated: ${summ("HOT")}")
     assert(summ.size <= 4)
   }
+
+  test("Misra-Gries property sweep: over random Zipf-ish streams and " +
+    "random batch splits, the merged summary never overcounts, every " +
+    "key undercounts by <= n/(k+1), and every > n/(k+1) key survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 6) {
+      val k = 3 + rnd.nextInt(8)
+      val nKeys = 5 + rnd.nextInt(40)
+      // Zipf-ish frequencies: key j gets ~ n / (j+1) copies
+      val items = (0 until nKeys).flatMap { j =>
+        Seq.fill(1 + 200 / (j + 1))(s"t${trial}_k$j")
+      }
+      val n = items.size.toLong
+      val exact = items.groupBy(identity).map { case (s, l) =>
+        s -> l.size.toLong }
+      // random batch split into 2..5 batches, folded in order
+      val nb = 2 + rnd.nextInt(4)
+      val batches = items.zipWithIndex
+        .groupBy { case (_, i) => i % nb }.toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val first = Sketches.mgSubtract(
+        batches.head.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("i", "key").groupBy("key").agg(count(lit(1)).as("c")),
+        k)
+      val summary = batches.tail.foldLeft(first) { (prev, b) =>
+        Sketches.mgMerge(prev,
+          b.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+            .toDF("i", "key").groupBy("key").agg(count(lit(1)).as("c")),
+          k)
+      }.collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("c"))
+        .toMap
+      val bound = n / (k + 1)
+      assert(summary.size <= k, s"trial $trial: ${summary.size} > k=$k")
+      summary.foreach { case (key, c) =>
+        assert(c <= exact(key), s"trial $trial: $key overcounts")
+        assert(exact(key) - c <= bound,
+          s"trial $trial: $key undercounts past n/(k+1)=$bound")
+      }
+      exact.filter(_._2 > bound).keys.foreach { h =>
+        assert(summary.contains(h),
+          s"trial $trial: heavy $h (${exact(h)} > $bound) lost, k=$k")
+      }
+    }
+  }
 }

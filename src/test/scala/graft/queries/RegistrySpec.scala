@@ -1,34 +1,53 @@
 package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.SparkTestBase
 
-class RegistrySpec extends AnyFunSuite with SparkTestBase {
+/** Registry integrity: a duplicate query key silently DROPS a query
+  * (Scala Map literals keep the last entry; Registry.all's toMap keeps
+  * the last group) — exactly how round 7's q_text_repetition collision
+  * shadowed the original query until the battery count was audited.
+  * Scala cannot see a Map literal's duplicates after construction, so
+  * this spec counts the `"…" -> QueryDef(` key literals in each query
+  * group's SOURCE and requires the constructed map to be the same size,
+  * plus cross-group key uniqueness.
+  */
+class RegistrySpec extends AnyFunSuite {
 
-  test("no duplicate query names across groups (Map flattening would drop them)") {
-    val names = Registry.groups.flatMap(_.defs.keys)
-    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
-    assert(dups.isEmpty, s"duplicate query names: $dups")
-    assert(Registry.all.size == names.size)
-  }
+  private val srcDir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+  // a key literal mapping to a QueryDef( literal OR a named QueryDef val
+  // (PipelineQueries' corpusReport); query keys all start with q
+  private val keyRe = """"(q[A-Za-z0-9_]*)"\s*->\s*(QueryDef\(|\w+,)""".r
 
-  test("every oracle belongs to a registered query and oracle coverage is high") {
-    val oracled = Registry.all.count(_._2.oracle.isDefined)
-    assert(oracled >= 88, s"oracle coverage regressed: $oracled")
-    assert(Registry.all.size >= 89)
-    // at most ONE query may lack an oracle (the multi-digest rows-only
-    // exception) — a second one means someone forgot to write theirs
-    assert(Registry.all.size - oracled <= 1,
-      "a new query landed without a DuckDB oracle")
-    // SparkEntry contract: oracleSql keys ⊆ queries keys
-    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(graft.SparkEntry.queries.keySet))
-  }
-
-  test("every query builds a non-empty plan against sf0.001 lazily") {
-    // analysis-time sanity: every builder produces a resolvable DataFrame
-    Registry.all.foreach { case (name, q) =>
-      val df = q.build(spark, sf())
-      assert(df.schema.fields.nonEmpty, s"$name yields an empty schema")
+  test("no query group's Map literal drops a duplicated key") {
+    assume(java.nio.file.Files.isDirectory(srcDir), "source tree present")
+    val fileFor = Map[QueryGroup, String](
+      AnalyticsQueries -> "AnalyticsQueries.scala",
+      HashDbQueries -> "HashDbQueries.scala",
+      DedupQueries -> "DedupQueries.scala",
+      TextQueries -> "TextQueries.scala",
+      SimilarityQueries -> "SimilarityQueries.scala",
+      EventQueries -> "EventQueries.scala",
+      MultimodalQueries -> "MultimodalQueries.scala",
+      PipelineQueries -> "PipelineQueries.scala")
+    assert(fileFor.keySet == Registry.groups.toSet,
+      "every registry group must be covered by this audit")
+    fileFor.foreach { case (group, file) =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        srcDir.resolve(file)), java.nio.charset.StandardCharsets.UTF_8)
+      val keys = keyRe.findAllMatchIn(src).map(_.group(1)).toSeq
+      val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
+      assert(dupes.isEmpty, s"$file declares duplicate keys: $dupes")
+      assert(keys.size == group.defs.size,
+        s"$file declares ${keys.size} QueryDef keys but the map holds " +
+          s"${group.defs.size} — a duplicate key dropped a query")
     }
+  }
+
+  test("query keys are unique across groups") {
+    val perGroup = Registry.groups.map(_.defs.keySet)
+    val total = perGroup.map(_.size).sum
+    assert(total == Registry.all.size,
+      s"cross-group key collision: $total declared vs " +
+        s"${Registry.all.size} registered")
   }
 }
