@@ -289,6 +289,41 @@ object Profile {
         }.reduce(_ unionByName _).localCheckpoint(true)
         time(s"repetition-x$m")(noop(TextClean.repetitionRules(docs)))
       }
+    } else if (args.headOption.contains("--eval-scale")) {
+      // generation-eval family growth: m disjoint corpus copies through
+      // bleu / chrF / rougeL on the standard corruption fixture. The
+      // claim under test: linear wall growth — pairs score independently
+      // (gram explodes + pair-keyed joins for bleu/chrF; a pure per-row
+      // fold for rougeL).
+      import graft.ops.TextAnalysis
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("ref_toks", slice(col("toks"), 1, 40))
+          .withColumn("cand_toks",
+            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+              i => when(pmod(i, lit(9)) === 0, lit("the"))
+                .otherwise(element_at(col("toks"), i))))
+          .withColumn("cand_text", array_join(col("cand_toks"), " "))
+          .withColumn("ref_text", array_join(col("ref_toks"), " "))
+          .localCheckpoint(true)
+        time(s"bleu-x$m")(noop(TextAnalysis.bleu(
+          docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
+          "doc_id")))
+        time(s"chrf-x$m")(noop(TextAnalysis.chrF(
+          docs.select(col("doc_id"), col("cand_text"), col("ref_text")),
+          "doc_id")))
+        time(s"rougeL-x$m")(noop(TextAnalysis.rougeL(
+          docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
+          "doc_id")))
+      }
     } else if (args.headOption.contains("--epoch-scale")) {
       // range-partitioned-sort growth for epochShuffle: m disjoint
       // corpus copies; the claim under test is linear wall growth (the
