@@ -3226,6 +3226,45 @@ object TextQueries extends QueryGroup {
              |FROM u ORDER BY source""".stripMargin)
     ),
 
+    // Unicode NFC audit through the graft_nfc codegen Expression: docs
+    // get deterministic DENORMALIZED injections (combining-acute
+    // sequences every 9th doc, an fi-ligature every 11th); the JVM
+    // Normalizer (Spark side) and DuckDB's nfc_normalize implement the
+    // same Unicode standard, so lengths, change flags, and the md5 of
+    // every normalized doc match byte-for-byte — the exact-dedup
+    // canonicalization NFC exists to provide.
+    "q_text_nfc_audit" -> QueryDef(
+      (s, d) => {
+        graft.sql.GraftExtensions.register(s)
+        val aug = Tables.documents(s, d).withColumn("text", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            lit(" cafe\u0301 re\u0301sume\u0301")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(" \ufb01le"))
+            .otherwise(lit(""))))
+        aug.select(col("doc_id"),
+            length(col("text")).cast("long").as("len_raw"),
+            expr("length(graft_nfc(text))").cast("long").as("len_nfc"),
+            expr("graft_nfc(text) <> text").as("changed"),
+            md5(expr("graft_nfc(text)")).as("nfc_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 9 = 0
+             |         THEN ' cafe' || chr(769) || ' re' || chr(769)
+             |           || 'sume' || chr(769) ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0
+             |         THEN ' ' || chr(64257) || 'le' ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS len_raw,
+             |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+             |  nfc_normalize(text) <> text AS changed,
+             |  md5(nfc_normalize(text)) AS nfc_md5
+             |FROM aug ORDER BY doc_id""".stripMargin)
+    ),
+
     // Multi-phrase blocklist over the corpus: df-anchored candidate
     // generation + slice verification on the Spark side; DuckDB scans
     // every (position, phrase) pair — anchoring is an optimization, the

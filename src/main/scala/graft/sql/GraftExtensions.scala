@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.core.Hashers
-import graft.sql.expressions.{Digest, FloatVecDot}
+import graft.sql.expressions.{Digest, FloatVecDot, NfcNormalize}
 
 /** SQL-surface registration of the engine's expressions, so plain
   * `spark.sql` text can use them:
@@ -45,6 +45,22 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 2, s"$name takes exactly two arguments")
           FloatVecDot(children.head, children(1))
+        })
+    } :+ {
+      val name = "graft_nfc"
+      (FunctionIdentifier(name),
+        info(name, s"$name(text) - Unicode NFC normalization."),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly one argument")
+          NfcNormalize(children.head)
+        })
+    } :+ {
+      val name = "graft_nfkc"
+      (FunctionIdentifier(name),
+        info(name, s"$name(text) - Unicode NFKC (compatibility) normalization."),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly one argument")
+          NfcNormalize(children.head, nfkc = true)
         })
     }
 

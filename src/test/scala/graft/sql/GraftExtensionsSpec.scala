@@ -81,4 +81,34 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0))
     assert(rows.toSeq == Seq("password"))
   }
+
+  test("graft_nfc/graft_nfkc: combining sequences compose, compatibility " +
+    "forms fold, idempotent, null-safe, and inside codegen") {
+    GraftExtensions.register(spark)
+    // e + COMBINING ACUTE (2 codepoints) -> precomposed e-acute (1);
+    // LATIN SMALL LIGATURE FI (U+FB01) folds only under NFKC. Explicit
+    // escapes so nothing depends on this source file's own encoding.
+    val decomposed = "cafe\u0301 \ufb01le" // 9 codepoints
+    val nfc = "caf\u00e9 \ufb01le"          // 8
+    val nfkc = "caf\u00e9 file"             // 9
+    val r = spark.sql(
+      s"""SELECT length(s) AS raw_len,
+         |  length(graft_nfc(s)) AS nfc_len,
+         |  graft_nfc(s) = '$nfc' AS nfc_keeps_ligature,
+         |  graft_nfkc(s) = '$nfkc' AS nfkc_folds,
+         |  graft_nfc(graft_nfc(s)) = graft_nfc(s) AS idempotent,
+         |  graft_nfc(CAST(NULL AS STRING)) IS NULL AS null_safe
+         |FROM (SELECT '$decomposed' AS s)""".stripMargin).head()
+    assert(r.getAs[Int]("raw_len") == 9 && r.getAs[Int]("nfc_len") == 8)
+    assert(r.getAs[Boolean]("nfc_keeps_ligature") &&
+      r.getAs[Boolean]("nfkc_folds") && r.getAs[Boolean]("idempotent") &&
+      r.getAs[Boolean]("null_safe"))
+    // the dedup payoff: the two encodings of cafe-acute hash apart raw,
+    // together after NFC
+    val h = spark.sql(
+      s"""SELECT md5('cafe\u0301') = md5('caf\u00e9') AS raw_eq,
+         |  md5(graft_nfc('cafe\u0301')) = md5(graft_nfc('caf\u00e9'))
+         |    AS nfc_eq""".stripMargin).head()
+    assert(!h.getAs[Boolean]("raw_eq") && h.getAs[Boolean]("nfc_eq"))
+  }
 }
