@@ -101,9 +101,14 @@ object DataSelect {
     require(nShards > 0 && 4294967296L % nShards == 0,
       s"nShards must divide 2^32: $nShards")
     val width = 4294967296L / nShards
-    require(subShards > 0 && width % subShards == 0,
-      s"subShards must divide the shard width: $subShards")
-    val fineWidth = width / subShards
+    // pos is provably identical for ANY sub-shard count, so clamp rather
+    // than require: a very fine nShards (width < subShards) just uses
+    // width sub-shards of size 1 — both are powers of two, so the
+    // clamped value always divides
+    val eff = math.min(subShards.toLong, width)
+    require(eff > 0 && width % eff == 0,
+      s"subShards must divide the shard width: $subShards (width $width)")
+    val fineWidth = width / eff
     // 8 hex digits < 2^32 by construction — no reduction needed
     val key = conv(substring(md5(concat(lit(s"ep$epoch:"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")

@@ -121,8 +121,10 @@ object Retrieval {
     * rides only the anchor-matched rows); the phrase table broadcasts.
     *
     * Exact-match semantics on whitespace tokens (case as given);
-    * overlapping occurrences each count. Deterministic anchor choice:
-    * min (df, offset, token).
+    * docs tokenize on ANY whitespace run (`\s+` — tabs and newlines
+    * separate tokens too, matching the phrase-side split, so a phrase
+    * spanning a newline still matches); overlapping occurrences each
+    * count. Deterministic anchor choice: min (df, offset, token).
     *
     * In: docs (doc_id, text); phrases as plain strings.
     * Out: one row per (doc, phrase) with ≥1 hit: (doc_id, phrase,
@@ -138,8 +140,11 @@ object Retrieval {
       (s, t)
     }
     val vocab = parsed.flatMap(_._2).distinct
+    // \s+ doc split to MATCH the phrase-side split above — a single-space
+    // split would leave tabs/newlines embedded in tokens and silently
+    // miss phrases spanning them (RetrievalSpec pins the tab case)
     val toks = graft.util.Partitioning.fanOut(docs)
-      .withColumn("_t", TextAnalysis.tokens(col("text")))
+      .withColumn("_t", filter(split(col("text"), "\\s+"), t => t =!= ""))
     // df pass over the phrase vocabulary only (bounded aggregate)
     val dfs = toks
       .select(explode(col("_t")).as("_tok"))

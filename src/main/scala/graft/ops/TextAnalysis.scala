@@ -343,10 +343,11 @@ object TextAnalysis {
     *
     * Scale shape: one bigram aggregation with map-side partials (the
     * gram table is vocabulary², corpus-size-independent), two marginal
-    * aggregations over it, and equi-joins on the token key. Overflow
-    * bound: 10000 · n_ab · T must fit Int64 → n_ab · T ≲ 9.2e14; past
-    * that (web-scale corpora), lift the expression into DECIMAL(38,0) —
-    * the ranking is unchanged.
+    * aggregations over it, and equi-joins on the token key. Overflow:
+    * the score runs in DECIMAL(38,0) — exact to 10³⁸, so a trillion-
+    * bigram corpus (10⁴·n_ab·T ≈ 10²⁸) stays exact where BIGINT
+    * arithmetic would wrap at n_ab·T ≈ 9.2e14. The OUTPUT stays BIGINT:
+    * lift_e4 ≤ 10⁴·T (n_ab ≤ min(n_a, n_b)), inside Int64 to T ≈ 10¹⁴.
     */
   def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     val bi = graft.util.AutoUnpersist.persistScoped(
@@ -362,7 +363,21 @@ object TextAnalysis {
       .join(right, "b")
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("10000 * n_ab * t_bigrams div (n_a * n_b)").as("lift_e4"))
+        liftE4(col("n_ab"), col("n_a"), col("n_b"), col("t_bigrams"))
+          .as("lift_e4"))
+  }
+
+  /** `⌊10⁴·n_ab·T / (n_a·n_b)⌋` in DECIMAL(38,0) — exact past the
+    * BIGINT wrap at n_ab·T ≈ 9.2e14 (identical values below it; the
+    * spec pins both regions). Output BIGINT.
+    */
+  def liftE4(nAb: Column, nA: Column, nB: Column, t: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftShim.expression(lit(10000).cast("decimal(38,0)") * nAb * t),
+        GraftShim.expression(nA.cast("decimal(38,0)") * nB)))
+      .cast("long")
   }
 
   /** Weighted systematic sampling: pick ~`n` documents per `source`

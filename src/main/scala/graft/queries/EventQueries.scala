@@ -1452,7 +1452,17 @@ object EventQueries extends QueryGroup {
             ev.filter(col("b") === b).select("v"), col("v"),
             s"$dir/counts", s"$dir/ledger", b, 0.0, 640.0, 64)
         }
-        s.read.parquet(s"$dir/ledger").orderBy("batch_id")
+        // materialize the 4-row ledger locally, then delete the temp
+        // state dir — the bench runs this query 4× per round and the
+        // counts/ledger parquet would otherwise accumulate in /tmp
+        val ledger = s.read.parquet(s"$dir/ledger")
+        val schema = ledger.schema
+        val rows = ledger.orderBy("batch_id").collect()
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        finally walk.close()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       Some("""WITH ev AS (
              |  SELECT value AS v, event_id % 4 AS b FROM events),

@@ -2201,7 +2201,8 @@ object TextQueries extends QueryGroup {
              |rb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM big GROUP BY 1),
              |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_bigrams FROM big)
              |SELECT big.a, big.b, n_ab, n_a, n_b,
-             |  (10000 * n_ab * t_bigrams) // (n_a * n_b) AS lift_e4
+             |  CAST((10000::HUGEINT * n_ab * t_bigrams) // (n_a * n_b)
+             |    AS BIGINT) AS lift_e4
              |FROM big JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
              |WHERE n_ab >= 5
              |ORDER BY lift_e4 DESC, a, b LIMIT 50""".stripMargin)
@@ -3276,7 +3277,7 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id", "phrase"),
       Some("""WITH t AS (
              |  SELECT doc_id,
-             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
              |  FROM documents),
              |p(phrase, plen) AS (VALUES
              |  ('slow batch', 2), ('hash value table', 3),

@@ -54,9 +54,16 @@ object StreamingQuantiles {
       val running = spark.read.parquet(countsPath)
         .groupBy("bin").agg(sum(col("c")).as("cnt"))
         .localCheckpoint(true)
-      val n = running.agg(sum(col("cnt"))).collect()(0).getLong(0)
-      val est = Sketches.histogramQuantiles(running, Qs, lo, hi, bins)
-        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      // empty-history guard: a first micro-batch with no rows (routine in
+      // Structured Streaming) leaves the counts log empty — sum() is NULL
+      // and quantiles are undefined. Emit an honest n=0 ledger row with
+      // NaN quantiles instead of NPEing the streaming query.
+      val nRow = running.agg(sum(col("cnt"))).collect()(0)
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      val est: Map[Double, Double] =
+        if (n == 0L) Qs.map(_ -> Double.NaN).toMap
+        else Sketches.histogramQuantiles(running, Qs, lo, hi, bins)
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
       val d = spark.createDataFrame(java.util.List.of(
         org.apache.spark.sql.Row(batchId, n,
           est(0.5), est(0.95), est(0.99))),

@@ -239,6 +239,16 @@ class DataSelectSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(fine == p1 && coarse == p1,
       "subShards must not change the permutation")
+    // width < subShards (nShards 2^26 → width 64 < the default 256):
+    // the clamp makes it work instead of throwing, same permutation law
+    val tiny = DataSelect.epochShuffle(rows, epoch = 1, nShards = 1 << 26)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    val tinySort = DataSelect.epochShuffle(rows, epoch = 1,
+        nShards = 1 << 26, subShards = 1)
+      .orderBy("order_key", "doc_id").select("doc_id").as[Long]
+      .collect().toSeq
+    assert(tiny == tinySort,
+      "sub-256 shard widths must clamp, not throw")
   }
 
   test("stratifiedSample: stateless, so it runs unchanged under streaming " +

@@ -77,6 +77,31 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("liftE4: DECIMAL(38,0) lift agrees with BIGINT arithmetic in the " +
+    "common region and stays exact past the Int64 wrap") {
+    import spark.implicits._
+    // common region (n_ab·T well under 9.2e14) + the overflow region a
+    // trillion-bigram corpus hits (10⁴·n_ab·T ≈ 10²⁸): BIGINT wraps,
+    // DECIMAL matches BigInt ground truth
+    val cases = Seq(
+      (4L, 4L, 4L, 17L),                      // the hand-replay fixture
+      (12345L, 99999L, 88888L, 777777777L),   // common region
+      (1000000000000L, 2000000000000L, 1500000000000L, 3000000000000L),
+      (9000000000000L, 9000000000000L, 9000000000000L, 900000000000000L))
+    val out = cases.toDF("n_ab", "n_a", "n_b", "t")
+      .select(TextAnalysis.liftE4(col("n_ab"), col("n_a"), col("n_b"),
+        col("t")).as("lift"))
+      .collect().map(_.getLong(0))
+    cases.zip(out).foreach { case ((nab, na, nb, t), got) =>
+      val exp = (BigInt(10000) * nab * t / (BigInt(na) * nb)).toLong
+      assert(got == exp, s"liftE4($nab,$na,$nb,$t): got $got want $exp")
+      // in the common region the old BIGINT formula agrees; past the
+      // wrap it provably would not (documents WHY the lift exists)
+      if (BigInt(10000) * nab * t <= Long.MaxValue)
+        assert(got == 10000L * nab * t / (na * nb))
+    }
+  }
+
   test("cutRepeatedSpans: first corpus occurrence survives verbatim, " +
     "later copies lose exactly the repeated region") {
     import spark.implicits._
@@ -420,10 +445,12 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       (1L, "the cat sat on the mat near the zebra crossing"),
       (2L, "a a a b"),                 // "a a" overlaps: positions 1, 2
       (3L, "the the the"),             // stop-word phrase territory
-      (4L, "clean text with nothing flagged")
+      (4L, "clean text with nothing flagged"),
+      (5L, "bad\tphrase spans a tab\nand bad\nphrase a newline")
     ).toDF("doc_id", "text")
     val out = Retrieval.phraseBlocklist(docs,
-        Seq("the zebra", "a a", "mat", "missing phrase", "the the"))
+        Seq("the zebra", "a a", "mat", "missing phrase", "the the",
+          "bad phrase"))
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase")) ->
         (r.getAs[Long]("n_occ"), r.getAs[Long]("first_pos"))).toMap
@@ -434,6 +461,9 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(out((3L, "the the")) == (2L, 1L))
     assert(!out.keys.exists(_._2 == "missing phrase"))
     assert(!out.keys.exists(_._1 == 4L))
+    // \s+ tokenization: phrases spanning a tab or newline still match
+    assert(out((5L, "bad phrase")) == (2L, 1L),
+      "tab/newline-separated tokens must match the phrase split")
   }
 
   test("anisotropy: identical cloud at 10000, symmetric cloud at 0, " +

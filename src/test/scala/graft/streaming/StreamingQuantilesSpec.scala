@@ -96,4 +96,26 @@ class StreamingQuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(b2.n == 55L)
     assert(spark.read.parquet(ledger).count() == 3L)
   }
+
+  test("empty first micro-batch: n=0 NaN ledger row, monitor survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-squant-empty").toString
+    val (counts, ledger) = (s"$dir/counts", s"$dir/ledger")
+    // routine in Structured Streaming: the first batch carries no rows
+    val r0 = StreamingQuantiles.quantileBatch(
+      Seq.empty[Double].toDF("v"), col("v"),
+      counts, ledger, 0L, Lo, Hi, Bins)
+    assert(r0.n == 0L && r0.p50.isNaN && r0.p95.isNaN && r0.p99.isNaN)
+    assert(spark.read.parquet(ledger).count() == 1L)
+    // the stream keeps going: the next non-empty batch computes normally
+    val r1 = StreamingQuantiles.quantileBatch(
+      (1 to 40).map(_.toDouble).toDF("v"), col("v"),
+      counts, ledger, 1L, Lo, Hi, Bins)
+    assert(r1.n == 40L && !r1.p50.isNaN)
+    // and redelivery of the empty batch stays a no-op
+    val again = StreamingQuantiles.quantileBatch(
+      Seq.empty[Double].toDF("v"), col("v"),
+      counts, ledger, 0L, Lo, Hi, Bins)
+    assert(again.n == 0L && spark.read.parquet(ledger).count() == 2L)
+  }
 }
