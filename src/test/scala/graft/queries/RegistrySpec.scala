@@ -50,4 +50,22 @@ class RegistrySpec extends AnyFunSuite {
       s"cross-group key collision: $total declared vs " +
         s"${Registry.all.size} registered")
   }
+
+  test("every registered query name appears LITERALLY in SURVEY.md and " +
+    "BASELINE.md — the coverage docs can't abbreviate names out of a grep") {
+    // the generalization of the duplicate-key gate: registry ↔ docs
+    // parity stays mechanically checkable (a literal grep must find
+    // 100% of registered names — abbreviated families like
+    // "q_events_… / _sessions" once hid four queries)
+    Seq("SURVEY.md", "BASELINE.md").foreach { doc =>
+      val p = java.nio.file.Paths.get(doc)
+      assume(java.nio.file.Files.exists(p), s"$doc present")
+      val text = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val missing = Registry.all.keySet.filterNot(text.contains).toSeq.sorted
+      assert(missing.isEmpty,
+        s"$doc is missing registered query names (write them out in " +
+          s"full, not as abbreviations): $missing")
+    }
+  }
 }

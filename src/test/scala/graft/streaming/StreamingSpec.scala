@@ -168,6 +168,64 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("view-click join survives a kill between micro-batches: join state " +
+    "recovers from the checkpoint and output stays exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vc-restart").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    def start() = StreamingBuild.viewClickJoin(
+        views.toDF().toDF("view_user", "view_id", "view_ts"),
+        clicks.toDF().toDF("click_user", "click_id", "click_ts"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    // batch 1: one within-batch match, plus a view whose click arrives
+    // only AFTER the restart — the state the checkpoint must carry
+    val q1 = start()
+    try {
+      views.addData((1L, 100L, t("2024-01-01 10:00:00")),
+        (3L, 102L, t("2024-01-01 10:00:00")))
+      clicks.addData((1L, 200L, t("2024-01-01 10:05:00")))
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill
+
+    // restart from the checkpoint: the pre-kill view 102 must still match
+    views.addData((2L, 101L, t("2024-01-01 10:10:00")))
+    clicks.addData(
+      (3L, 202L, t("2024-01-01 10:06:00")), // joins the PRE-restart view
+      (2L, 203L, t("2024-01-01 10:12:00")), // normal post-restart match
+      (1L, 201L, t("2024-01-01 10:30:00"))) // past 10 min -> no match
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == out.distinct.length,
+      s"restart must not double-emit: ${out.toSeq}")
+    // exactly the batch twin over the concatenated inputs
+    val batch = StreamingBuild.viewClickJoin(
+        Seq((1L, 100L, t("2024-01-01 10:00:00")),
+          (3L, 102L, t("2024-01-01 10:00:00")),
+          (2L, 101L, t("2024-01-01 10:10:00")))
+          .toDF("view_user", "view_id", "view_ts"),
+        Seq((1L, 200L, t("2024-01-01 10:05:00")),
+          (3L, 202L, t("2024-01-01 10:06:00")),
+          (2L, 203L, t("2024-01-01 10:12:00")),
+          (1L, 201L, t("2024-01-01 10:30:00")))
+          .toDF("click_user", "click_id", "click_ts"))
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.toSet == batch && batch ==
+      Set((1L, 100L, 200L), (3L, 102L, 202L), (2L, 101L, 203L)),
+      s"stream-after-restart must equal the batch twin: ${out.toSeq}")
+  }
+
   test("batch-stream parity: file-streamed view-click join equals the batch join") {
     // two readStreams over the real events parquet — a genuine
     // stream-stream join, compared to the same function on batch frames
