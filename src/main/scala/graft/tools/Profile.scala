@@ -675,6 +675,222 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("3-candidates")(cands.count(): Unit)
       time("4-verify")(noop(Dedup.verifyJaccard(cands, sh)))
+    } else if (args.headOption.contains("--ds-scale")) {
+      // Dawid-Skene growth: m disjoint copies of the 5-rater fixture
+      // (doc_id offsets; same rater pool — confusion state stays
+      // raters×K², corpus-independent). Claim under test: per-EM-round
+      // cost is corpus-linear, model state bounded.
+      import graft.ops.ChatData
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), expr("pmod(n_chars div 50, 4)").as("_true"))
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+      mults.foreach { m =>
+        val items = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("_true"))
+        }.reduce(_ unionByName _)
+        val ratings = items
+          .withColumn("rater", explode(sequence(lit(0), lit(4))))
+          .withColumn("_v",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("rater").cast("string"))), 1, 1), 16, 10)
+              .cast("long"))
+          .withColumn("label",
+            when(col("_v") < col("rater") + 2,
+              pmod(col("_true") + 1 + pmod(col("_v"), lit(3)), lit(4)))
+              .otherwise(col("_true")))
+          .localCheckpoint(true)
+        time(s"dawid-skene-x$m")(noop(ChatData.dawidSkene(ratings,
+          "doc_id", "rater", "label", nClasses = 4, rounds = 2)))
+      }
+    } else if (args.headOption.contains("--ppr-scale")) {
+      // personalized-PageRank growth (the q_text_topic_expand shape): m
+      // disjoint copies with per-copy token suffixes — vocabulary AND
+      // edge table grow m×, seeds seeded per copy so probability mass is
+      // everywhere. Claim under test: each PPR round is ONE edge-table
+      // join — corpus-linear per round, rounds fixed.
+      import graft.ops.Graph
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _)
+        val pairs = graft.ops.TextAnalysis.ngramCounts(docs, 2)
+          .groupBy("gram").agg(sum(col("c")).as("w"))
+          .select(split(col("gram"), " ").as("uv"), col("w"))
+          .select(element_at(col("uv"), 1).as("a"),
+            element_at(col("uv"), 2).as("b"), col("w"))
+          .filter(col("a") =!= col("b"))
+        val edges = pairs
+          .select(col("a").as("u"), col("b").as("v"), col("w"))
+          .unionByName(
+            pairs.select(col("b").as("u"), col("a").as("v"), col("w")))
+          .groupBy("u", "v").agg(sum(col("w")).as("w"))
+        import spark.implicits._
+        val seeds = (0 until m)
+          .flatMap(k => Seq(s"join~c$k", s"hash~c$k")).toDF("tok")
+        time(s"ppr-x$m")(noop(
+          Graph.personalizedPageRank(edges, seeds, iters = 4)))
+      }
+    } else if (args.headOption.contains("--frames-scale")) {
+      // shot/keyframe growth: m copies of the synthesized-media fixture,
+      // per-copy alphabet permutation so frame signatures decorrelate.
+      // Claims under test: shotBoundaries is one lag window + groupBy
+      // per media (linear); keyframes adds the within-shot pair join —
+      // bounded by shot² per media, still corpus-linear across media.
+      import graft.ops.Multimodal
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 3 === 2)
+      val alphabet = ('a' to 'z').mkString
+      val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          val mult = coprimes(k % coprimes.length)
+          val perm = (0 until 26).map(i =>
+            ('a' + (i * mult + k) % 26).toChar).mkString
+          base.select((col("doc_id") + lit(k * 10000002L)).as("doc_id"),
+            translate(col("text"), alphabet, perm).as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val media = Multimodal.synthesize(docs)
+        time(s"shots-x$m")(noop(
+          Multimodal.shotBoundaries(media, everyNth = 1,
+            thresholdBits = 16)))
+        time(s"keyframes-x$m")(noop(
+          Multimodal.keyframes(media, everyNth = 1, thresholdBits = 16)))
+      }
+    } else if (args.headOption.contains("--curation-scale")) {
+      // END-TO-END curation throughput headline: normalize → quality/
+      // lang gates → exact dedup → near-dedup (MinHash LSH) → pack
+      // (epoch-shuffle shard assignment), chained over m disjoint corpus
+      // copies, with a per-stage wall split (each stage materialized via
+      // localCheckpoint so its timing is its own, not its lineage's).
+      // The pipeline-level companion to --mask-build: docs/s for the
+      // whole curation chain. Usage: --curation-scale [mults...]
+      import graft.ops.{Dedup, DataSelect, TextAnalysis, TextClean}
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(20)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("lang"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val nIn = docs.count()
+        def stage(tag: String)(df: org.apache.spark.sql.DataFrame)
+            : (org.apache.spark.sql.DataFrame, Double) = {
+          val t0 = System.nanoTime()
+          val out = df.localCheckpoint(true)
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"TIME curation-x$m/$tag $secs%.3f rows=${out.count()}")
+          (out, secs)
+        }
+        val tAll = System.nanoTime()
+        val (normed, s1) = stage("1-normalize")(docs
+          .withColumn("text", TextClean.normalize(col("text"))))
+        val (gated, s2) = stage("2-gates")(normed
+          .withColumn("quality_bp",
+            floor(TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long"))
+          .filter(col("quality_bp") >= 4000 && col("lang") === "en"))
+        val toks = split(col("text"), " ")
+        val keyed = gated.withColumn("content_key",
+          md5(concat_ws(" ", (1 to 5).map(i => element_at(toks, i)): _*)))
+        val (exact, s3) = stage("3-exact-dedup")(keyed
+          .groupBy("content_key").agg(min("doc_id").as("doc_id"))
+          .join(keyed, Seq("content_key", "doc_id")))
+        val (near, s4) = stage("4-near-dedup")(exact.join(
+          Dedup.minhashLsh(exact.select("doc_id", "text"))
+            .select(col("j").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+        val (packed, s5) = stage("5-pack")(
+          DataSelect.epochShuffle(near, epoch = 1, nShards = 32))
+        val total = (System.nanoTime() - tAll) / 1e9
+        println(f"CURATION-SCALE x$m docs_in=$nIn " +
+          f"docs_out=${packed.count()} total=$total%.1f " +
+          f"docs_per_s=${nIn / total}%.0f stages=[$s1%.1f,$s2%.1f," +
+          f"$s3%.1f,$s4%.1f,$s5%.1f]")
+        Seq(normed, gated, exact, near, packed)
+          .foreach(_.unpersist())
+      }
+    } else if (args.headOption.contains("--mask-build")) {
+      // flagship at-scale headline: a 10⁸-candidate mask (?d×8 = exactly
+      // 1e8) × 2 algos end-to-end through the standard build path —
+      // codegen expansion → distinct → hash expansion → range sort →
+      // zstd + native bloom + footer stamp. The reference's in-RAM sort
+      // (build.rs:178-208) cannot run this size; this is the number that
+      // answers "how fast does the rebuilt engine do the reference's one
+      // job". Usage: --mask-build [mask [numFiles]]
+      import graft.sources.MaskSource
+      val mask = args.lift(1).getOrElse("?d?d?d?d?d?d?d?d")
+      val nFiles = args.lift(2).map(_.toInt).getOrElse(64)
+      val n = MaskSource.cardinality(mask)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-maskbuild").toString + "/db"
+      // peak-heap sampler (driver+executors share the local[32] JVM, so
+      // this IS the job's peak memory)
+      val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val sampler = new Thread(() => {
+        try while (true) {
+          peak.getAndUpdate(p =>
+            math.max(p, mem.getHeapMemoryUsage.getUsed))
+          Thread.sleep(250)
+        } catch { case _: InterruptedException => }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      val words = MaskSource.expand(spark, mask)
+        .as[String](org.apache.spark.sql.Encoders.STRING)
+      val t0 = System.nanoTime()
+      val res = graft.pipeline.BuildJob.run(spark, words, out,
+        graft.pipeline.BuildJob.Config(Seq("md5", "sha256"),
+          sourceName = s"mask:$mask", numFiles = Some(nFiles),
+          bloomNdv = math.min(8000000L, n / nFiles * 2),
+          footerBloom = true))
+      val secs = (System.nanoTime() - t0) / 1e9
+      sampler.interrupt()
+      val parts = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      println(f"MASK-BUILD mask=$mask candidates=$n " +
+        f"records=${res.records} time=$secs%.1f " +
+        f"words_per_s=${n / secs}%.0f recs_per_s=${res.records / secs}%.0f " +
+        f"files=${parts.length} bytes=${parts.map(_.length()).sum} " +
+        f"peak_heap_mb=${peak.get() / 1048576}")
+      // layout proof: files tile the hash space (range sort held at 1e8)
+      val ranges = spark.read.parquet(out)
+        .select(input_file_name().as("f"), hex(col("hash")).as("h"))
+        .groupBy("f").agg(min("h").as("lo"), max("h").as("hi"))
+        .orderBy("lo").collect().map(r => (r.getString(1), r.getString(2)))
+      val overlaps = ranges.sliding(2).count {
+        case Array((_, hi1), (lo2, _)) => hi1 > lo2
+        case _ => false
+      }
+      println(s"MASK-BUILD layout files=${ranges.length} " +
+        s"range_overlaps=$overlaps (0 = perfect hash tiling)")
+      // and the lookup the layout exists for: warm exact probes
+      val samples = Seq("00012345", "42424242", "99999999")
+        .map(w => graft.core.Hashers.hex(
+          graft.core.Hashers("sha256").hash(w.getBytes("UTF-8"))))
+      samples.foreach { h => // cold pass primes footer blooms
+        graft.pipeline.QueryJob.run(spark, out,
+          graft.pipeline.QueryJob.Params(h)).count()
+      }
+      val tq = System.nanoTime()
+      val found = samples.map { h =>
+        graft.pipeline.QueryJob.run(spark, out,
+          graft.pipeline.QueryJob.Params(h)).count()
+      }.sum
+      println(f"MASK-BUILD exact-lookup warm avg " +
+        f"${(System.nanoTime() - tq) / 1e9 / samples.size * 1000}%.0f ms " +
+        f"(found=$found/${samples.size})")
     } else if (args.headOption.contains("--build-bench-large")) {
       // synthetic N-word build: exercises distinct + expansion + range sort
       // + write well past the corpus sizes in testdata (spill-safety check)
