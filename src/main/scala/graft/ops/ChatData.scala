@@ -146,6 +146,64 @@ object ChatData {
         "pbar_e8", "pe_e8", "kappa_bp")
   }
 
+  /** Cohen's kappa per RATER PAIR — the pairwise companion to
+    * [[fleissKappa]]: where Fleiss grades the whole pool, this surfaces
+    * WHICH annotator pairs disagree (the triage view a labeling-ops
+    * review wants: one drifting rater shows up as a low-κ row against
+    * everyone, not as a diluted pool statistic).
+    *
+    * Exact integer form over each pair's co-rated items (n items,
+    * `agree` exact matches, per-label marginals a_c / b_c):
+    *
+    *   κ = (n·agree − Σ_c a_c·b_c) / (n² − Σ_c a_c·b_c)
+    *
+    * shipped as `kappa_bp` = sign·(|num|·10⁴ div den) — truncation
+    * toward zero on BOTH engines (Spark `div` and DuckDB `//` agree on
+    * negatives, so a worse-than-chance pair replays exactly). NULL when
+    * the denominator is 0 (all mass on one label — κ undefined).
+    *
+    * Shape: one self-join on the item key (pairs per item ≤ raters², the
+    * annotation-design bound, never corpus²), one (pair,label,label)
+    * count, then label-domain marginal joins — per-pair state is
+    * labels², corpus-independent. Overflow: n²·10⁴ fits BIGINT to
+    * n ≈ 3·10⁷ co-rated items per pair.
+    *
+    * Out: per pair `(r1, r2, n_items, n_agree, pe_num, kappa_bp)` with
+    * r1 < r2; `pe_num` = Σ a_c·b_c for auditability.
+    */
+  def cohenKappa(ratings: DataFrame, itemCol: String = "item",
+      raterCol: String = "rater", labelCol: String = "label"): DataFrame = {
+    val r = ratings.select(col(itemCol).as("_it"), col(raterCol).as("_r"),
+      col(labelCol).cast("long").as("_l")).localCheckpoint(true)
+    val pairs = r.as("a").join(r.as("b"),
+        expr("a._it = b._it AND a._r < b._r"))
+      .select(col("a._r").as("r1"), col("b._r").as("r2"),
+        col("a._l").as("l1"), col("b._l").as("l2"))
+    val cells = pairs.groupBy("r1", "r2", "l1", "l2")
+      .agg(count(lit(1)).as("_c")).localCheckpoint(true)
+    val aM = cells.groupBy(col("r1"), col("r2"), col("l1").as("_lab"))
+      .agg(sum(col("_c")).as("_a"))
+    val bM = cells.groupBy(col("r1"), col("r2"), col("l2").as("_lab"))
+      .agg(sum(col("_c")).as("_b"))
+    // inner join on the label is exact (a label only one rater used
+    // contributes 0 to pe) — but the PAIR join below must be LEFT:
+    // a pair with zero shared labels has pe = 0, not no row
+    val pe = aM.join(bM, Seq("r1", "r2", "_lab"))
+      .groupBy("r1", "r2").agg(sum(expr("_a * _b")).as("pe_num"))
+    cells.groupBy("r1", "r2")
+      .agg(sum(col("_c")).as("n_items"),
+        sum(when(col("l1") === col("l2"), col("_c")).otherwise(lit(0L)))
+          .as("n_agree"))
+      .join(pe, Seq("r1", "r2"), "left")
+      .withColumn("pe_num", coalesce(col("pe_num"), lit(0L)))
+      .withColumn("kappa_bp", expr(
+        "if(n_items * n_items = pe_num, null, " +
+          "if(n_items * n_agree >= pe_num, 1L, -1L) * " +
+          "(abs(n_items * n_agree - pe_num) * 10000 " +
+          "div (n_items * n_items - pe_num)))"))
+      .select("r1", "r2", "n_items", "n_agree", "pe_num", "kappa_bp")
+  }
+
   /** Dawid–Skene annotator consensus (Dawid & Skene 1979, JRSS-C), hard-EM
     * form: item truth estimates and PER-RATER confusion matrices refined
     * jointly, so raters who track the consensus earn weight per

@@ -107,6 +107,53 @@ object DataQuality {
       .select("n_pos", "n_neg", "auc_bp")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic in exact basis points —
+    * the distribution-shift readout next to [[aucBp]] (AUC asks "does
+    * the score separate the LABELS"; KS asks "did the score's
+    * DISTRIBUTION move between two corpus slices" — snapshot vs
+    * snapshot, source vs source, the drift gate's offline twin):
+    *
+    *   D = sup_x |F_a(x) − F_b(x)|,  d_bp = ⌊10⁴·D⌋
+    *
+    * computed WITHOUT a corpus ranking: both sides collapse to the
+    * score's VALUE DOMAIN first (per-score a/b counts), one cumulative
+    * window over that bounded domain gives both empirical CDFs, and the
+    * sup is max|cum_a·n_b − cum_b·n_a| — exact integers throughout
+    * (DECIMAL(38,0) for the cross products: cum·n exits BIGINT at
+    * ~3·10⁹ docs per side). The window is unpartitioned BY DESIGN but
+    * runs over the score domain (basis-point scores: ≤ 10001 rows —
+    * the [[aucBp]] precedent), never the corpus.
+    *
+    * Either side empty → NULL d_bp (the honest undefined).
+    *
+    * Out: one row `(n_a, n_b, d_bp)`.
+    */
+  def ksTestBp(scored: DataFrame, sideA: Column,
+      scoreCol: String): DataFrame = {
+    val cells = scored
+      .select(col(scoreCol).as("_s"), when(sideA, 1L).otherwise(0L).as("_x"))
+      .groupBy("_s").agg(sum(col("_x")).as("_a"),
+        sum(expr("1 - _x")).as("_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("_ca", sum(col("_a")).over(w))
+      .withColumn("_cb", sum(col("_b")).over(w))
+      .withColumn("_na", sum(col("_a")).over(wAll))
+      .withColumn("_nb", sum(col("_b")).over(wAll))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(abs(expr("cast(_ca as decimal(38,0)) * _nb " +
+          "- cast(_cb as decimal(38,0)) * _na"))).as("_gap"))
+      .withColumn("d_bp",
+        expr("if(n_a > 0 and n_b > 0, cast(_gap * 10000 div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint), null)"))
+      .select("n_a", "n_b", "d_bp")
+  }
+
   /** Reliability (calibration) table for a basis-point score against a
     * boolean outcome — the companion readout to [[aucBp]]: AUC says the
     * ORDER is right, calibration says the VALUES mean what they claim

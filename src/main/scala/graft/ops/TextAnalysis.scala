@@ -259,6 +259,36 @@ object TextAnalysis {
         (lit(1.0) - col("sum_c2").cast("double") / (col("n") * col("n")))
           .as("diversity"))
 
+  /** Chao1 vocabulary-richness estimate (Chao 1984, bias-corrected
+    * form) — "how big is the vocabulary this corpus SAMPLES", the
+    * tokenizer-sizing / corpus-coverage readout (observed vocabulary
+    * undercounts; singletons and doubletons estimate the unseen tail):
+    *
+    *   Chao1 = V + f₁(f₁−1) / (2(f₂+1))
+    *
+    * (V observed types, f₁ once-seen, f₂ twice-seen). Shipped as
+    * `chao1_x100` = 100·V + (100·f₁(f₁−1)) div (2(f₂+1)) — exact
+    * integer arithmetic any engine replays (f₁² exits BIGINT at
+    * f₁ ≈ 3·10⁸ types — web-corpus vocabulary is ~10⁸; past that the
+    * one expression lifts to DECIMAL like collocations).
+    *
+    * Shape: one token count (map-side combinable) then one single-row
+    * aggregate — no joins, no windows; model state is one row.
+    *
+    * Out: one row `(n_tokens, vocab, f1, f2, chao1_x100)`.
+    */
+  def chao1(docs: DataFrame): DataFrame =
+    graft.util.Partitioning.fanOut(docs)
+      .withColumn("_toks", tokens(col("text")))
+      .select(explode(col("_toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_x100",
+        expr("100 * vocab + (100 * f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+
   /** TF-IDF keyword extraction: the `k` highest-scoring terms per
     * document, score = tf × (N / df) with raw inverse document frequency
     * (no log — the ranking is identical and the arithmetic stays one

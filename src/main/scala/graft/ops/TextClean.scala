@@ -28,6 +28,44 @@ object TextClean {
   private def countOf(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
+  /** Luhn checksum sum over a digit string (ISO/IEC 7812): from the
+    * RIGHT, every second digit doubles (minus 9 past 9), all sum. Pure
+    * HOF arithmetic (transform over positions + aggregate) — codegen,
+    * engine-replayable; public so fixtures can mint valid check digits
+    * (append '0', check = (10 − sum mod 10) mod 10).
+    */
+  def luhnSum(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => {
+        val d = ascii(substr(s, i, lit(1))) - lit(48)
+        val dbl = d * 2
+        when(pmod(length(s) - i, lit(2)) === 1,
+          when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+
+  def luhnValid(s: Column): Column = pmod(luhnSum(s), lit(10)) === 0
+
+  /** Digit runs that are payment-card SHAPED: text split on non-digits
+    * (the same `[^0-9]+` split both engines own — RE2 has no lookbehind,
+    * so boundary-anchored extraction can't be mirrored), runs of 13–19
+    * digits kept. Separator-embedded numbers ("4111 1111 …") appear as
+    * their 4-digit groups and are NOT candidates — deliberate: the
+    * filter targets contiguous leaked PANs with a near-zero
+    * false-positive rate, the same trade [[PhoneRe]] makes.
+    */
+  def cardCandidates(text: Column): Column =
+    filter(split(text, "[^0-9]+"),
+      t => length(t) >= 13 && length(t) <= 19)
+
+  /** Count of card-shaped digit runs that pass the Luhn check — the
+    * high-precision PAN detector for the PII gate (a 16-digit run with a
+    * valid checksum is a leaked card with probability ~10× a random
+    * run's). Pure per-row projection: no shuffle, full pushdown.
+    */
+  def countLuhnCards(text: Column): Column =
+    size(filter(cardCandidates(text), c => luhnValid(c)))
+
   /** Text with all three PII classes replaced by typed placeholders.
     * Phone first (its digit groups may contain things IP would then
     * half-match), then e-mail, then IP — fixed order so every engine

@@ -3840,6 +3840,191 @@ object TextQueries extends QueryGroup {
              |    AND dup_9gram_frac_bp <= 1100 AND dup_10gram_frac_bp <= 1000)
              |    AS pass_repetition
              |FROM fr ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Pairwise Cohen's kappa over the 5-rater fixture (the dawid_skene
+    // ratings rebuilt verbatim): per rater pair, exact-integer κ in
+    // basis points — truncation toward zero matches DuckDB // on
+    // negative κ, so worse-than-chance pairs replay too.
+    "q_text_cohen_kappa" -> QueryDef(
+      (s, d) => {
+        val ratings = Tables.documents(s, d)
+          .select(col("doc_id"), expr("pmod(n_chars div 50, 4)").as("_true"))
+          .withColumn("rater",
+            explode(sequence(lit(0L), lit(4L))))
+          .withColumn("_v",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("rater").cast("string"))), 1, 1), 16, 10)
+              .cast("long"))
+          .withColumn("label",
+            when(col("_v") < col("rater") + 2,
+              pmod(col("_true") + 1 + pmod(col("_v"), lit(3)), lit(4)))
+              .otherwise(col("_true")))
+        graft.ops.ChatData.cohenKappa(ratings, "doc_id", "rater", "label")
+          .orderBy("r1", "r2")
+      },
+      Some(s"""WITH ratings AS (
+             |  SELECT doc_id AS it, r,
+             |    CASE WHEN v < 2 + r
+             |         THEN ((n_chars // 50) % 4 + 1 + v % 3) % 4
+             |         ELSE (n_chars // 50) % 4 END AS l
+             |  FROM (
+             |    SELECT doc_id, n_chars, r,
+             |      ${hexDigitSql(
+                      "md5(doc_id::VARCHAR || ':' || r::VARCHAR)", 1)} AS v
+             |    FROM documents, range(0, 5) t(r))),
+             |pairs AS (
+             |  SELECT a.r AS r1, b.r AS r2, a.l AS l1, b.l AS l2
+             |  FROM ratings a JOIN ratings b
+             |    ON a.it = b.it AND a.r < b.r),
+             |cells AS (
+             |  SELECT r1, r2, l1, l2, count(*)::BIGINT AS c
+             |  FROM pairs GROUP BY 1, 2, 3, 4),
+             |am AS (SELECT r1, r2, l1 AS lab, CAST(sum(c) AS BIGINT) AS a
+             |       FROM cells GROUP BY 1, 2, 3),
+             |bm AS (SELECT r1, r2, l2 AS lab, CAST(sum(c) AS BIGINT) AS b
+             |       FROM cells GROUP BY 1, 2, 3),
+             |pe AS (SELECT r1, r2, CAST(sum(a * b) AS BIGINT) AS pe_num
+             |       FROM am JOIN bm USING (r1, r2, lab) GROUP BY 1, 2),
+             |top AS (
+             |  SELECT r1, r2, CAST(sum(c) AS BIGINT) AS n_items,
+             |    CAST(sum(CASE WHEN l1 = l2 THEN c ELSE 0 END) AS BIGINT)
+             |      AS n_agree
+             |  FROM cells GROUP BY 1, 2),
+             |j AS (
+             |  SELECT top.r1, top.r2, n_items, n_agree,
+             |    COALESCE(pe_num, 0) AS pe_num
+             |  FROM top LEFT JOIN pe USING (r1, r2))
+             |SELECT r1, r2, n_items, n_agree, pe_num,
+             |  CASE WHEN n_items * n_items = pe_num THEN NULL
+             |       ELSE (CASE WHEN n_items * n_agree >= pe_num
+             |                  THEN 1 ELSE -1 END) *
+             |            ((abs(n_items * n_agree - pe_num) * 10000)
+             |             // (n_items * n_items - pe_num)) END AS kappa_bp
+             |FROM j ORDER BY r1, r2""".stripMargin)
+    ),
+
+    // Luhn-validated card-number detection: every doc gets one VALID
+    // 16-digit PAN (check digit minted in-engine from the payload) and
+    // one invalid twin appended; the detector must count exactly the
+    // valid one — both engines run the same split + checksum lambda.
+    "q_text_pii_luhn" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextClean
+        val payload = lpad(
+          ((col("doc_id") * 7919L + 123L) % 1000000000000000L)
+            .cast("string"), 15, "0")
+        val check = pmod(lit(10) -
+          pmod(TextClean.luhnSum(concat(payload, lit("0"))), lit(10)),
+          lit(10))
+        val valid = concat(payload, check.cast("string"))
+        val invalid = concat(payload,
+          pmod(check + 1, lit(10)).cast("string"))
+        Tables.documents(s, d)
+          .withColumn("_t2",
+            concat_ws(" ", col("text"), valid, lit("ref"), invalid))
+          .select(col("doc_id"),
+            size(TextClean.cardCandidates(col("_t2"))).cast("long")
+              .as("n_candidates"),
+            TextClean.countLuhnCards(col("_t2")).cast("long")
+              .as("n_valid"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text,
+             |    lpad(CAST((doc_id * 7919 + 123) % 1000000000000000
+             |      AS VARCHAR), 15, '0') AS payload
+             |  FROM documents),
+             |minted AS (
+             |  SELECT doc_id, text, payload,
+             |    (10 - (${luhnSumSql("(payload || '0')")}) % 10) % 10
+             |      AS chk
+             |  FROM base),
+             |txt AS (
+             |  SELECT doc_id,
+             |    text || ' ' || payload || chk::VARCHAR || ' ref ' ||
+             |      payload || ((chk + 1) % 10)::VARCHAR AS t2
+             |  FROM minted),
+             |cand AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(t2, '[^0-9]+'),
+             |      c -> length(c) >= 13 AND length(c) <= 19) AS cs
+             |  FROM txt)
+             |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_candidates,
+             |  CAST(len(list_filter(cs, c ->
+             |    (${luhnSumSql("c")}) % 10 = 0)) AS BIGINT) AS n_valid
+             |FROM cand ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Two-sample KS drift statistic between the even- and odd-doc_id
+    // halves' quality scores — the offline distribution-shift gate; the
+    // sup runs over the score VALUE domain (≤ 10001 bp rows), never the
+    // corpus, and the cross products are DECIMAL/HUGEINT-exact.
+    "q_text_ks_drift" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("score_bp",
+            floor(graft.ops.TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long"))
+        graft.ops.DataQuality.ksTestBp(scored,
+          col("doc_id") % 2 === 0, "score_bp")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |    length(replace(text, ' ', ''))::DOUBLE AS nosp
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             |      + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+             |      + least((nosp / len(toks)) / 8.0, 1.0) * 0.3) * 10000)
+             |      AS BIGINT) AS s
+             |  FROM t),
+             |cells AS (
+             |  SELECT s,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS b
+             |  FROM sc GROUP BY 1),
+             |c AS (
+             |  SELECT s,
+             |    CAST(sum(a) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+             |      AS HUGEINT) AS ca,
+             |    CAST(sum(b) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+             |      AS HUGEINT) AS cb,
+             |    CAST(sum(a) OVER () AS HUGEINT) AS na,
+             |    CAST(sum(b) OVER () AS HUGEINT) AS nb
+             |  FROM cells)
+             |SELECT CAST(max(na) AS BIGINT) AS n_a,
+             |  CAST(max(nb) AS BIGINT) AS n_b,
+             |  CAST(CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+             |    (max(abs(ca * nb - cb * na)) * 10000)
+             |      // (max(na) * max(nb)) ELSE NULL END AS BIGINT) AS d_bp
+             |FROM c""".stripMargin)
+    ),
+
+    // Chao1 vocabulary-richness estimate: one token count + one
+    // single-row aggregate; the unseen-tail correction in exact
+    // hundredths both engines replay.
+    "q_text_chao1" -> QueryDef(
+      (s, d) => graft.ops.TextAnalysis.chao1(Tables.documents(s, d)),
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(string_split(text, ' '),
+             |    x -> x <> '')) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+             |agg AS (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    count(*)::BIGINT AS vocab,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+             |  FROM cnt)
+             |SELECT n_tokens, vocab, f1, f2,
+             |  CAST(100 * vocab + (100 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+             |    AS BIGINT) AS chao1_x100
+             |FROM agg""".stripMargin)
     )
   )
 
@@ -3995,6 +4180,19 @@ object TextQueries extends QueryGroup {
   /** Decimal value of hex digit `i` (1-based) of md5 expression `h`. */
   private def hexDigitSql(h: String, i: Int): String =
     s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+
+  /** DuckDB replay of [[graft.ops.TextClean.luhnSum]]: right-parity
+    * doubling (minus 9 past 9) summed over the digit string `s` (a SQL
+    * expression; may be an outer lambda variable — nested lambdas are
+    * DuckDB-supported).
+    */
+  private def luhnSumSql(s: String): String =
+    s"list_sum(list_transform(generate_series(1, length($s)), i -> " +
+      s"CASE WHEN (length($s) - i) % 2 = 1 THEN " +
+      s"CASE WHEN 2 * (ascii(substring($s, i, 1)) - 48) > 9 " +
+      s"THEN 2 * (ascii(substring($s, i, 1)) - 48) - 9 " +
+      s"ELSE 2 * (ascii(substring($s, i, 1)) - 48) END " +
+      s"ELSE ascii(substring($s, i, 1)) - 48 END))"
 
   /** Value of the first 4 hex digits of md5 expression `h` — DuckDB replay
     * of Spark's `conv(substring(md5(x), 1, 4), 16, 10)`.

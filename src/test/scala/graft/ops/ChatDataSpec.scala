@@ -112,6 +112,43 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
       uneven.isNullAt(uneven.fieldIndex("kappa_bp")))
   }
 
+  test("cohenKappa: perfect pair, perfect disagreement, degenerate " +
+    "single-label NULL, and co-rated-only restriction") {
+    import spark.implicits._
+    val ratings = Seq(
+      // raters 0,1: identical varied labels over items 1-4 → κ = 1
+      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 0L, 0L), (4L, 0L, 1L),
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), (4L, 1L, 1L),
+      // rater 2: always the opposite of rater 0 → κ = −1 (sign must
+      // survive the truncation-toward-zero div)
+      (1L, 2L, 1L), (2L, 2L, 0L), (3L, 2L, 1L), (4L, 2L, 0L),
+      // raters 3,4: constant label 5 → their pair's denominator is 0
+      (1L, 3L, 5L), (2L, 3L, 5L), (1L, 4L, 5L), (2L, 4L, 5L),
+      // rater 5 rates only items 1,2, matching rater 0 exactly
+      (1L, 5L, 0L), (2L, 5L, 1L)
+    ).toDF("item", "rater", "label")
+    val out = ChatData.cohenKappa(ratings).collect()
+      .map(r => (r.getAs[Long]("r1"), r.getAs[Long]("r2")) -> r).toMap
+    def bp(p: (Long, Long)) = {
+      val r = out(p)
+      if (r.isNullAt(r.fieldIndex("kappa_bp"))) None
+      else Some(r.getAs[Long]("kappa_bp"))
+    }
+    assert(bp((0L, 1L)).contains(10000L))
+    assert(bp((0L, 2L)).contains(-10000L),
+      "perfect disagreement must be exactly −1")
+    assert(bp((3L, 4L)).isEmpty,
+      "single-label pair has undefined κ → NULL")
+    // the partial rater pairs only over CO-rated items
+    assert(out((0L, 5L)).getAs[Long]("n_items") == 2L &&
+      bp((0L, 5L)).contains(10000L))
+    // disjoint-label pair: pe = 0, agreement 0 → κ = 0
+    assert(bp((0L, 3L)).contains(0L))
+    // every pair is r1 < r2 and present exactly once
+    assert(out.keys.forall { case (a, b) => a < b })
+    assert(out.size == 15, s"C(6,2) pairs expected, got ${out.size}")
+  }
+
   test("bradleyTerry: dominance chain orders correctly, strengths stay " +
     "normalized, zero-win items hit the MLE boundary") {
     import spark.implicits._

@@ -48,6 +48,27 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(oneClass.isNullAt(oneClass.fieldIndex("auc_bp")))
   }
 
+  test("ksTestBp: identical 0, disjoint 10000, hand-computed half shift, " +
+    "empty-side NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ks(rows: Seq[(Long, Boolean)]) =
+      DataQuality.ksTestBp(rows.toDF("s", "a"), col("a"), "s").collect()(0)
+    // identical distributions → D = 0
+    assert(ks(Seq((1L, true), (2L, true), (1L, false), (2L, false)))
+      .getAs[Long]("d_bp") == 0L)
+    // disjoint supports → D = 1
+    val disj = ks(Seq((1L, true), (1L, true), (5L, false), (5L, false)))
+    assert(disj.getAs[Long]("d_bp") == 10000L &&
+      disj.getAs[Long]("n_a") == 2L && disj.getAs[Long]("n_b") == 2L)
+    // a = {0,1}, b = {1,2}: CDFs at 0 → (.5, 0), at 1 → (1, .5): D = .5
+    assert(ks(Seq((0L, true), (1L, true), (1L, false), (2L, false)))
+      .getAs[Long]("d_bp") == 5000L)
+    // one side empty → undefined, NULL
+    val empty = ks(Seq((1L, true), (2L, true)))
+    assert(empty.isNullAt(empty.fieldIndex("d_bp")))
+  }
+
   test("calibrationBins: bin edges, rates, and signed gaps on a hand " +
     "fixture; overconfident scores show negative gaps") {
     import spark.implicits._

@@ -59,6 +59,54 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L)._4 == "two mails <EMAIL> and <EMAIL> plus <IP>")
   }
 
+  test("luhn: known-valid PANs pass, off-by-one fails, length gates " +
+    "candidates, minted check digits validate") {
+    import spark.implicits._
+    val df = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN
+      (1L, "pay 4111111111111111 or 4111111111111112 maybe"),
+      (2L, "short 1234 and long 12345678901234567890 are not candidates"),
+      (3L, "tab\t5500005555555559\tseparated"), // valid MC test number
+      (4L, "nothing numeric here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        size(TextClean.cardCandidates(col("text"))).as("nc"),
+        TextClean.countLuhnCards(col("text")).as("nv"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((2, 1)), "valid counted, off-by-one rejected")
+    assert(out(2L) == ((0, 0)), "13-19 digit gate")
+    assert(out(3L) == ((1, 1)), "\\s+-adjacent runs are candidates")
+    assert(out(4L) == ((0, 0)))
+    // minting: check = (10 - luhnSum(payload||'0') mod 10) mod 10 makes
+    // every payload validate — the fixture contract q_text_pii_luhn uses
+    val minted = spark.range(50)
+      .select(lpad((col("id") * 7919L + 123L).cast("string"), 15, "0")
+        .as("p"))
+      .withColumn("card", concat(col("p"),
+        pmod(lit(10) - pmod(TextClean.luhnSum(concat(col("p"), lit("0"))),
+          lit(10)), lit(10)).cast("string")))
+      .select(TextClean.luhnValid(col("card")).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(minted.forall(identity), "every minted check digit validates")
+  }
+
+  test("chao1: hand counts — singleton tail inflates, saturated corpus " +
+    "collapses to the observed vocabulary") {
+    import spark.implicits._
+    // tokens: a:2 b:1 c:1 → V=3 f1=2 f2=1 → chao1 = 3 + 2·1/(2·2) = 3.5
+    val out = TextAnalysis.chao1(
+      Seq((1L, "a a b c")).toDF("doc_id", "text")).collect()(0)
+    assert(out.getAs[Long]("n_tokens") == 4L &&
+      out.getAs[Long]("vocab") == 3L &&
+      out.getAs[Long]("f1") == 2L && out.getAs[Long]("f2") == 1L &&
+      out.getAs[Long]("chao1_x100") == 350L)
+    // saturated: every type seen ≥3 times → f1 = 0 → estimate = V
+    val sat = TextAnalysis.chao1(
+      Seq((1L, "x x x y y y")).toDF("doc_id", "text")).collect()(0)
+    assert(sat.getAs[Long]("f1") == 0L &&
+      sat.getAs[Long]("chao1_x100") == 200L)
+  }
+
   test("chunking: windows advance by size-overlap, tail kept, reconstruction") {
     import spark.implicits._
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")

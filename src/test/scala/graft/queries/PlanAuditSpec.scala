@@ -165,6 +165,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_bradley_terry", // final rank over the ITEM domain (players,
                             // not games)
     "q_text_curriculum", // cumsum over the difficulty-score bp domain
+    "q_text_ks_drift", // CDF cumsums over the score-bp VALUE domain
+                       // (≤ 10001 rows — the q_dq_auc precedent)
     "q_text_quantile_norm", // rank over the pooled score VALUE domain
     "q_text_rate_sample") // dense_rank over the source/stratum domain
 
