@@ -51,6 +51,26 @@ class RegistrySpec extends AnyFunSuite {
         s"${Registry.all.size} registered")
   }
 
+  test("SURVEY.md's generated coverage block matches the Registry — " +
+    "re-run `sbt \"runMain graft.tools.CoverageGen\"` after adding a query") {
+    // the diff half of the registry-driven §2.0 generation: the committed
+    // block must equal what CoverageGen would emit right now, so the
+    // battery listing can never drift from the code
+    import graft.tools.CoverageGen
+    val p = java.nio.file.Paths.get("SURVEY.md")
+    assume(java.nio.file.Files.exists(p), "SURVEY.md present")
+    val text = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(text.contains(CoverageGen.Begin),
+      "SURVEY.md lacks the generated coverage block markers")
+    val committed = text.substring(
+      text.indexOf(CoverageGen.Begin) + CoverageGen.Begin.length,
+      text.indexOf(CoverageGen.End)).trim
+    assert(committed == CoverageGen.block.trim,
+      "SURVEY.md's generated block is stale — run " +
+        "`sbt \"runMain graft.tools.CoverageGen\"` and commit the diff")
+  }
+
   test("every registered query name appears LITERALLY in SURVEY.md and " +
     "BASELINE.md — the coverage docs can't abbreviate names out of a grep") {
     // the generalization of the duplicate-key gate: registry ↔ docs
