@@ -204,6 +204,80 @@ object ChatData {
       .select("r1", "r2", "n_items", "n_agree", "pe_num", "kappa_bp")
   }
 
+  /** Per-item scale for [[krippendorffAlpha]]'s 1/(nᵤ−1) pair weights:
+    * lcm(1..16) — every item with ≤ 17 ratings divides it exactly, so
+    * the observed-disagreement sum is EXACT for any realistic
+    * annotation pool; beyond 17 raters per item the per-item division
+    * truncates identically in both engines (Spark `div` = DuckDB `//`
+    * on positives).
+    */
+  val KrippendorffScale: Long = 720720L
+
+  /** Krippendorff's alpha (nominal metric) — the agreement statistic
+    * that HANDLES MISSING RATINGS, which is the one thing
+    * [[fleissKappa]] cannot (it NULL-enforces constant n per item) and
+    * [[cohenKappa]] sidesteps (pairwise only): real annotation pools
+    * are ragged — raters skip items, overlap partially — and α is the
+    * standard readout for them (Krippendorff 2004, "Content Analysis").
+    *
+    * Coincidence form, integer arithmetic end to end. Per item u with
+    * nᵤ ≥ 2 ratings (singletons carry no pair information and are
+    * excluded, per the definition): disᵤ = nᵤ² − Σ_c cᵤ(c)² ordered
+    * disagreeing pairs, each weighted 1/(nᵤ−1) — scaled through
+    * [[KrippendorffScale]] S so the sum stays integer:
+    *
+    *   Dobs = Σᵤ S·disᵤ div (nᵤ−1)
+    *   α    = 1 − (n−1)·Dobs / (S·(n² − Σ_c n_c²))
+    *
+    * with n_c the label marginals over the INCLUDED items (the
+    * coincidence-matrix marginals: the 1/(nᵤ−1) weights cancel row-wise,
+    * so marginals are plain counts). `alpha_bp` = 10⁴·α with a single
+    * truncating division — negative α (worse than chance) replays
+    * because the subtraction happens after the positive-quotient
+    * truncation in both engines. NULL when no item has 2+ ratings or
+    * all mass sits on one label (expected disagreement 0 — undefined).
+    *
+    * Shape: two bounded aggregations (item-domain, label-domain) and a
+    * single-row cross join — no corpus self-join; per-item state is the
+    * label histogram. Overflow: Dobs ≤ S·n·R ≈ 7·10⁵·n·R stays BIGINT
+    * to n ≈ 10¹²/R ratings; the final (n−1)-weighted products run in
+    * DECIMAL(38,0) (DuckDB: HUGEINT), exact to n ≈ 10¹⁴.
+    *
+    * Out: one row `(n_items, n_ratings, n_categories, d_obs_scaled,
+    * alpha_bp)` — `d_obs_scaled` = Dobs for auditability.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String = "item",
+      raterCol: String = "rater", labelCol: String = "label"): DataFrame = {
+    val S = KrippendorffScale
+    val cell = ratings
+      .select(col(itemCol).as("_it"), col(labelCol).cast("string").as("_lb"))
+      .groupBy("_it", "_lb").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val perItem = cell.groupBy("_it")
+      .agg(sum(col("_c")).as("_n"), sum(expr("_c * _c")).as("_ss"))
+      .filter(col("_n") >= 2)
+    val perCat = cell.join(perItem.select("_it"), Seq("_it"))
+      .groupBy("_lb").agg(sum(col("_c")).as("_nc"))
+    val top = perItem.agg(
+      count(lit(1)).as("n_items"), sum(col("_n")).as("n_ratings"),
+      sum(expr(s"${S}L * (_n * _n - _ss) div (_n - 1)")).as("d_obs_scaled"))
+    val cats = perCat.agg(count(lit(1)).as("n_categories"),
+      sum(expr("cast(_nc as decimal(38,0)) * _nc")).as("_csq"))
+    top.crossJoin(cats) // both sides are single-row aggregates
+      .withColumn("alpha_bp", expr(
+        "if(n_ratings is null or n_ratings < 2 " +
+          "or cast(n_ratings as decimal(38,0)) * n_ratings - _csq = 0, " +
+          "null, " +
+          "10000L - cast(cast(d_obs_scaled as decimal(38,0)) " +
+          "* (n_ratings - 1) * 10000 div " +
+          s"(${S}L * (cast(n_ratings as decimal(38,0)) * n_ratings - _csq)) " +
+          "as bigint))"))
+      .select(
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+        col("n_categories"), col("d_obs_scaled"), col("alpha_bp"))
+  }
+
   /** Dawid–Skene annotator consensus (Dawid & Skene 1979, JRSS-C), hard-EM
     * form: item truth estimates and PER-RATER confusion matrices refined
     * jointly, so raters who track the consensus earn weight per

@@ -154,6 +154,88 @@ object DataQuality {
       .select("n_a", "n_b", "d_bp")
   }
 
+  /** Spearman rank correlation between two integer-quantized score
+    * columns — the "do these two quality signals agree on ORDER"
+    * readout (classifier vs heuristic, new scorer vs old) that
+    * [[aucBp]] (needs a label) and [[ksTestBp]] (distribution, not
+    * order) don't give. Average-rank tie handling via the doubled-rank
+    * trick: for value v with `c` occurrences and `C` items below,
+    * rank2 = 2·avgrank = 2C + c + 1 — integer always, so both rank
+    * maps stay exact.
+    *
+    * Pearson on the doubled ranks, quantized deterministically:
+    *
+    *   num = n·Σxy − Σx·Σy,  dx = n·Σx² − (Σx)²,  dy likewise
+    *   rho2_e8 = sign(num)·(|num|·10⁴ div dx)·(|num|·10⁴ div dy)
+    *   rho_bp  = sign·floor(√|rho2_e8|)
+    *
+    * (the quotient product is already ρ²·10⁸ by Cauchy–Schwarz — each
+    * factor is ρ·√(dy/dx)·10⁴ resp. ρ·√(dx/dy)·10⁴ — so no rescale).
+    *
+    * Two truncating divisions instead of one irrational √(dx·dy) — every
+    * digit deterministic on any engine (the [[ksTestBp]] DECIMAL
+    * discipline; |rho2_e8| ≤ 10⁸, and floor(√v) on a BIGINT ≤ 10⁸ is
+    * provably exact in IEEE double: the nearest non-square distance to
+    * an integer root is ~1/(2·10⁴) ≫ one ulp). Rank sums run in
+    * DECIMAL(38,0): Σxy ~ 4n³ exits BIGINT at n ≈ 1.3·10⁵, DECIMAL at
+    * n ≈ 10⁸ — past that, pre-aggregate to a coarser score domain.
+    * Degenerate columns (one distinct value: dx or dy = 0) → NULL.
+    *
+    * Shape: the corpus collapses to each score's VALUE domain first;
+    * the two cumulative windows run over those bounded domains (the
+    * [[aucBp]] precedent — intended for bp-like quantized scores, never
+    * raw floats), then two equi-joins map ranks back and one aggregate
+    * folds the moments.
+    *
+    * Out: one row `(n, n_distinct_a, n_distinct_b, rho2_e8, rho_bp)`.
+    */
+  def spearmanBp(scored: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankMap(c: String): DataFrame = {
+      val w = Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      scored.select(col(c).cast("long").as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as("_c"))
+        .withColumn("_rank2",
+          coalesce(sum(col("_c")).over(w), lit(0L)) * 2 + col("_c") + 1)
+        .select(col("_v"), col("_rank2"))
+    }
+    val ra = rankMap(aCol)
+    val rb = rankMap(bCol)
+    val ranked = scored
+      .select(col(aCol).cast("long").as("_va"), col(bCol).cast("long").as("_vb"))
+      .join(ra.withColumnRenamed("_v", "_va")
+        .withColumnRenamed("_rank2", "_x"), Seq("_va"))
+      .join(rb.withColumnRenamed("_v", "_vb")
+        .withColumnRenamed("_rank2", "_y"), Seq("_vb"))
+    // distinct-value counts stay LAZY single-row aggregates (a driver
+    // .count() here would run jobs at query-build time)
+    val cntA = ra.agg(count(lit(1)).as("n_distinct_a"))
+    val cntB = rb.agg(count(lit(1)).as("n_distinct_b"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(_x as decimal(38,0))")).as("_sx"),
+        sum(expr("cast(_y as decimal(38,0))")).as("_sy"),
+        sum(expr("cast(_x as decimal(38,0)) * _y")).as("_sxy"),
+        sum(expr("cast(_x as decimal(38,0)) * _x")).as("_sxx"),
+        sum(expr("cast(_y as decimal(38,0)) * _y")).as("_syy"))
+      .withColumn("_num", expr("n * _sxy - _sx * _sy"))
+      .withColumn("_dx", expr("n * _sxx - _sx * _sx"))
+      .withColumn("_dy", expr("n * _syy - _sy * _sy"))
+      .withColumn("rho2_e8", expr(
+        "if(_dx > 0 and _dy > 0, " +
+          "cast(if(_num >= 0, 1L, -1L) * " +
+          "((abs(_num) * 10000 div _dx) * (abs(_num) * 10000 div _dy)) " +
+          "as bigint), null)"))
+      .withColumn("rho_bp", expr(
+        "if(rho2_e8 is null, null, " +
+          "if(rho2_e8 >= 0, 1L, -1L) * " +
+          "cast(floor(sqrt(cast(abs(rho2_e8) as double))) as bigint))"))
+      .crossJoin(cntA).crossJoin(cntB) // single-row aggregates
+      .select(col("n"), col("n_distinct_a"), col("n_distinct_b"),
+        col("rho2_e8"), col("rho_bp"))
+  }
+
   /** Reliability (calibration) table for a basis-point score against a
     * boolean outcome — the companion readout to [[aucBp]]: AUC says the
     * ORDER is right, calibration says the VALUES mean what they claim

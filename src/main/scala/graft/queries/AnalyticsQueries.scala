@@ -861,6 +861,71 @@ object AnalyticsQueries extends QueryGroup {
            |    AS err_bp
            |FROM est, ex""".stripMargin
       }
+    ),
+
+    // Spearman rank agreement between two quality signals (token count
+    // vs distinct-token count, both capped at 500 — correlated, heavily
+    // tied): both engines build the same doubled average ranks over each
+    // score's value domain and replay the two-stage truncated rho.
+    "q_dq_spearman" -> QueryDef(
+      (s, d) => {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val scored = Tables.documents(s, d).select(
+          least(size(toks), lit(500)).cast("long").as("score_a"),
+          least(size(array_distinct(toks)), lit(500)).cast("long")
+            .as("score_b"))
+        graft.ops.DataQuality.spearmanBp(scored, "score_a", "score_b")
+      },
+      Some("""WITH s AS (
+             |  SELECT
+             |    least(len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')), 500)::BIGINT AS a,
+             |    least(len(list_distinct(list_filter(string_split(text, ' '),
+             |      x -> x <> ''))), 500)::BIGINT AS b
+             |  FROM documents),
+             |ca AS (SELECT a AS v, count(*)::BIGINT AS c FROM s GROUP BY 1),
+             |cb AS (SELECT b AS v, count(*)::BIGINT AS c FROM s GROUP BY 1),
+             |ra AS (
+             |  SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + c + 1 AS BIGINT) AS r2
+             |  FROM ca),
+             |rb AS (
+             |  SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + c + 1 AS BIGINT) AS r2
+             |  FROM cb),
+             |j AS (
+             |  SELECT ra.r2 AS x, rb.r2 AS y
+             |  FROM s JOIN ra ON s.a = ra.v JOIN rb ON s.b = rb.v),
+             |m AS (
+             |  SELECT count(*)::BIGINT AS n,
+             |    CAST(sum(x::HUGEINT) AS HUGEINT) AS sx,
+             |    CAST(sum(y::HUGEINT) AS HUGEINT) AS sy,
+             |    CAST(sum(x::HUGEINT * y) AS HUGEINT) AS sxy,
+             |    CAST(sum(x::HUGEINT * x) AS HUGEINT) AS sxx,
+             |    CAST(sum(y::HUGEINT * y) AS HUGEINT) AS syy
+             |  FROM j),
+             |dd AS (
+             |  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx,
+             |    n * syy - sy * sy AS dy
+             |  FROM m),
+             |r2 AS (
+             |  SELECT n,
+             |    CASE WHEN dx > 0 AND dy > 0 THEN
+             |      CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+             |        ((abs(num) * 10000 // dx) * (abs(num) * 10000 // dy))
+             |        AS BIGINT) END AS rho2_e8
+             |  FROM dd)
+             |SELECT n,
+             |  (SELECT count(*) FROM ca)::BIGINT AS n_distinct_a,
+             |  (SELECT count(*) FROM cb)::BIGINT AS n_distinct_b,
+             |  rho2_e8,
+             |  CASE WHEN rho2_e8 IS NULL THEN NULL
+             |       ELSE (CASE WHEN rho2_e8 >= 0 THEN 1 ELSE -1 END) *
+             |         CAST(floor(sqrt(abs(rho2_e8)::DOUBLE)) AS BIGINT) END
+             |    AS rho_bp
+             |FROM r2""".stripMargin)
     )
   )
 }

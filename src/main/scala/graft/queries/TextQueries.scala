@@ -4025,6 +4025,185 @@ object TextQueries extends QueryGroup {
              |  CAST(100 * vocab + (100 * f1 * (f1 - 1)) // (2 * (f2 + 1))
              |    AS BIGINT) AS chao1_x100
              |FROM agg""".stripMargin)
+    ),
+
+    // Krippendorff's alpha over a RAGGED rating pool — the cohen_kappa
+    // 5-rater fixture with every (doc_id + rater) % 7 == 0 rating
+    // dropped, so items carry 4 OR 5 ratings (exactly the missing-data
+    // case Fleiss NULL-refuses); both engines run the same
+    // lcm-scaled 1/(n_u-1) coincidence arithmetic.
+    "q_text_krippendorff" -> QueryDef(
+      (s, d) => {
+        val ratings = Tables.documents(s, d)
+          .select(col("doc_id"), expr("pmod(n_chars div 50, 4)").as("_true"))
+          .withColumn("rater", explode(sequence(lit(0L), lit(4L))))
+          .filter(pmod(col("doc_id") + col("rater"), lit(7)) =!= 0)
+          .withColumn("_v",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("rater").cast("string"))), 1, 1), 16, 10)
+              .cast("long"))
+          .withColumn("label",
+            when(col("_v") < col("rater") + 2,
+              pmod(col("_true") + 1 + pmod(col("_v"), lit(3)), lit(4)))
+              .otherwise(col("_true")))
+        graft.ops.ChatData.krippendorffAlpha(
+          ratings, "doc_id", "rater", "label")
+      },
+      Some(s"""WITH ratings AS (
+             |  SELECT doc_id AS it,
+             |    CASE WHEN v < 2 + r
+             |         THEN ((n_chars // 50) % 4 + 1 + v % 3) % 4
+             |         ELSE (n_chars // 50) % 4 END AS l
+             |  FROM (
+             |    SELECT doc_id, n_chars, r,
+             |      ${hexDigitSql(
+                      "md5(doc_id::VARCHAR || ':' || r::VARCHAR)", 1)} AS v
+             |    FROM documents, range(0, 5) t(r)
+             |    WHERE (doc_id + r) % 7 <> 0)),
+             |cell AS (
+             |  SELECT it, l, count(*)::BIGINT AS c FROM ratings
+             |  GROUP BY 1, 2),
+             |item AS (
+             |  SELECT it, CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(c * c) AS BIGINT) AS ss
+             |  FROM cell GROUP BY 1 HAVING sum(c) >= 2),
+             |pc AS (
+             |  SELECT l, CAST(sum(c) AS BIGINT) AS nc
+             |  FROM cell JOIN item USING (it) GROUP BY 1),
+             |top AS (
+             |  SELECT count(*)::BIGINT AS n_items,
+             |    CAST(sum(n) AS BIGINT) AS n_ratings,
+             |    CAST(sum(720720 * (n * n - ss) // (n - 1)) AS BIGINT)
+             |      AS d_obs_scaled
+             |  FROM item),
+             |cats AS (
+             |  SELECT count(*)::BIGINT AS n_categories,
+             |    CAST(sum(nc::HUGEINT * nc) AS HUGEINT) AS csq
+             |  FROM pc)
+             |SELECT coalesce(n_items, 0) AS n_items,
+             |  coalesce(n_ratings, 0) AS n_ratings, n_categories,
+             |  d_obs_scaled,
+             |  CASE WHEN n_ratings IS NULL OR n_ratings < 2
+             |         OR n_ratings::HUGEINT * n_ratings - csq = 0 THEN NULL
+             |       ELSE CAST(10000 - d_obs_scaled::HUGEINT
+             |         * (n_ratings - 1) * 10000
+             |         // (720720::HUGEINT
+             |            * (n_ratings::HUGEINT * n_ratings - csq))
+             |         AS BIGINT) END AS alpha_bp
+             |FROM top CROSS JOIN cats""".stripMargin)
+    ),
+
+    // Flesch-Kincaid grade / reading-ease per doc: both engines count
+    // the same whitespace words, [.!?]+ sentence runs, and [aeiouy]+
+    // vowel-group syllables, then replay the published coefficients in
+    // milli-point truncating arithmetic.
+    "q_text_readability" -> QueryDef(
+      (s, d) => graft.ops.TextAnalysis.readability(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+             |      AS BIGINT)) AS n_sentences,
+             |    CAST(coalesce(list_sum(list_transform(toks, w ->
+             |      greatest(1, len(regexp_extract_all(lower(w),
+             |        '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+             |  FROM t)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CASE WHEN n_words > 0
+             |    THEN 390 * n_words // n_sentences
+             |      + 11800 * n_syllables // n_words - 15590 END
+             |    AS fk_grade_x1000,
+             |  CASE WHEN n_words > 0
+             |    THEN 206835 - 1015 * n_words // n_sentences
+             |      - 84600 * n_syllables // n_words END AS fre_x1000
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ROUGE-1 and ROUGE-2 over the rouge_l corruption fixture (ref =
+    // first 40 tokens, candidate = first 36 with every 9th replaced):
+    // clipped n-gram overlap counts and bp P/R/F replayed from the same
+    // space-joined gram tables in both engines.
+    "q_text_rouge_n" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("ref_toks", slice(col("toks"), 1, 40))
+          .withColumn("cand_toks",
+            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+              i => when(pmod(i, lit(9)) === 0, lit("the"))
+                .otherwise(element_at(col("toks"), i))))
+          .select(col("doc_id"), col("cand_toks"), col("ref_toks"))
+        val r1 = graft.ops.TextAnalysis.rougeN(docs, "doc_id", 1)
+          .withColumn("n", lit(1L))
+        val r2 = graft.ops.TextAnalysis.rougeN(docs, "doc_id", 2)
+          .withColumn("n", lit(2L))
+        r1.unionByName(r2).orderBy("n", "doc_id")
+      },
+      Some("""WITH toksrc AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |prep AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, least(len(t), 36)),
+             |      i -> CASE WHEN i % 9 = 0 THEN 'the' ELSE t[i] END) AS ct,
+             |    t[1:40] AS rt
+             |  FROM toksrc),
+             |base AS (
+             |  SELECT doc_id, nn FROM prep CROSS JOIN (VALUES (1), (2)) v(nn)),
+             |sides AS (
+             |  SELECT doc_id, nn, 'c' AS side, ct AS tk FROM base
+             |    JOIN prep USING (doc_id)
+             |  UNION ALL
+             |  SELECT doc_id, nn, 'r', rt FROM base JOIN prep USING (doc_id)),
+             |grams AS (
+             |  SELECT doc_id, nn, side,
+             |    array_to_string(tk[i:i+nn-1], ' ') AS g
+             |  FROM sides,
+             |    unnest(generate_series(1, len(tk) - nn + 1)) AS u(i)),
+             |cnt AS (
+             |  SELECT doc_id, nn, side, g, count(*)::BIGINT AS c
+             |  FROM grams GROUP BY 1, 2, 3, 4),
+             |cj AS (
+             |  SELECT doc_id, nn, g, coalesce(a.c, 0) AS cc,
+             |    coalesce(b.c, 0) AS rc
+             |  FROM (SELECT doc_id, nn, g, c FROM cnt WHERE side = 'c') a
+             |  FULL OUTER JOIN
+             |    (SELECT doc_id, nn, g, c FROM cnt WHERE side = 'r') b
+             |    USING (doc_id, nn, g)),
+             |agg AS (
+             |  SELECT doc_id, nn, CAST(sum(cc) AS BIGINT) AS n_grams_cand,
+             |    CAST(sum(rc) AS BIGINT) AS n_grams_ref,
+             |    CAST(sum(least(cc, rc)) AS BIGINT) AS n_overlap
+             |  FROM cj GROUP BY 1, 2),
+             |fin AS (
+             |  SELECT base.doc_id, base.nn,
+             |    coalesce(n_grams_cand, 0) AS n_grams_cand,
+             |    coalesce(n_grams_ref, 0) AS n_grams_ref,
+             |    coalesce(n_overlap, 0) AS n_overlap
+             |  FROM base LEFT JOIN agg USING (doc_id, nn)),
+             |r AS (
+             |  SELECT doc_id, nn, n_grams_cand, n_grams_ref, n_overlap,
+             |    CASE WHEN n_grams_cand > 0
+             |      THEN n_overlap * 10000 // n_grams_cand ELSE 0 END
+             |      AS rougen_p_bp,
+             |    CASE WHEN n_grams_ref > 0
+             |      THEN n_overlap * 10000 // n_grams_ref ELSE 0 END
+             |      AS rougen_r_bp
+             |  FROM fin)
+             |SELECT doc_id, n_grams_cand, n_grams_ref, n_overlap,
+             |  rougen_p_bp, rougen_r_bp,
+             |  CAST(CASE WHEN rougen_p_bp + rougen_r_bp > 0
+             |    THEN 2 * rougen_p_bp * rougen_r_bp
+             |      // (rougen_p_bp + rougen_r_bp)
+             |    ELSE 0 END AS BIGINT) AS rougen_f_bp,
+             |  CAST(nn AS BIGINT) AS n
+             |FROM r ORDER BY n, doc_id""".stripMargin)
     )
   )
 

@@ -227,4 +227,36 @@ class ChatDataSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getAs[Long]("item") -> r.getAs[Long]("score_fp")).toMap
     assert(s1 == s2)
   }
+
+  test("krippendorffAlpha: perfect 10000, 2x2 disagreement -5000, ragged " +
+    "hand case -3333, singleton-only pool NULL") {
+    import spark.implicits._
+    def one(rows: Seq[(Long, Long, String)]) = ChatData.krippendorffAlpha(
+      rows.toDF("item", "rater", "label"), "item", "rater", "label")
+      .collect().head
+    val perfect = one(Seq((1L, 0L, "a"), (1L, 1L, "a"),
+      (2L, 0L, "b"), (2L, 1L, "b"), (2L, 2L, "b")))
+    assert(perfect.getAs[Long]("alpha_bp") == 10000L &&
+      perfect.getAs[Long]("n_items") == 2L &&
+      perfect.getAs[Long]("n_ratings") == 5L &&
+      perfect.getAs[Long]("d_obs_scaled") == 0L)
+    // two items each split a/b: Dobs = 4S, n = 4, Σn_c² = 8 →
+    // α = 1 − 3·4S/(8S) = −0.5
+    val split = one(Seq((1L, 0L, "a"), (1L, 1L, "b"),
+      (2L, 0L, "a"), (2L, 1L, "b")))
+    assert(split.getAs[Long]("alpha_bp") == -5000L)
+    // ragged: i1=[a,a,b] (dis 4, w=1/2 → 2), i2=[a,b] (dis 2 → 2),
+    // i3=[b] excluded → Dobs = 4S; n = 5, marginals a:3 b:2 →
+    // D = 25 − 13 = 12; α = 1 − 4·4S/(12S) = −1/3 → trunc −3333
+    val ragged = one(Seq((1L, 0L, "a"), (1L, 1L, "a"), (1L, 2L, "b"),
+      (2L, 0L, "a"), (2L, 1L, "b"), (3L, 0L, "b")))
+    assert(ragged.getAs[Long]("alpha_bp") == -3333L &&
+      ragged.getAs[Long]("n_items") == 2L &&
+      ragged.getAs[Long]("n_ratings") == 5L &&
+      ragged.getAs[Long]("d_obs_scaled") == 4L * ChatData.KrippendorffScale)
+    // every item singly rated: no pair information — honest NULL
+    val lone = one(Seq((1L, 0L, "a"), (2L, 1L, "b")))
+    assert(lone.getAs[Long]("n_items") == 0L &&
+      lone.isNullAt(lone.fieldIndex("alpha_bp")))
+  }
 }

@@ -177,4 +177,33 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(out("conc").getAs[Long]("gini_bp") == 7500L)
     assert(out("zero").isNullAt(out("zero").fieldIndex("gini_bp")))
   }
+
+  test("spearmanBp: monotone ±10000, hand-computed tied case, degenerate " +
+    "constant column NULL") {
+    import spark.implicits._
+    def one(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    val up = one(DataQuality.spearmanBp(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("a", "b"),
+      "a", "b"))
+    assert(up.getAs[Long]("n") == 4L && up.getAs[Long]("rho_bp") == 10000L &&
+      up.getAs[Long]("rho2_e8") == 100000000L &&
+      up.getAs[Long]("n_distinct_a") == 4L)
+    val down = one(DataQuality.spearmanBp(
+      Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("a", "b"),
+      "a", "b"))
+    assert(down.getAs[Long]("rho_bp") == -10000L)
+    // a=[1,1,2] → rank2 x=[3,3,6]; b=[1,2,2] → rank2 y=[2,5,5];
+    // num = 3·51 − 12·12 = 9, dx = dy = 18 → ρ = 0.5 exactly:
+    // (90000 div 18)² = 5000² = 25 000 000, √ = 5000
+    val tied = one(DataQuality.spearmanBp(
+      Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("a", "b"), "a", "b"))
+    assert(tied.getAs[Long]("rho2_e8") == 25000000L &&
+      tied.getAs[Long]("rho_bp") == 5000L &&
+      tied.getAs[Long]("n_distinct_a") == 2L &&
+      tied.getAs[Long]("n_distinct_b") == 2L)
+    val const = one(DataQuality.spearmanBp(
+      Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("a", "b"), "a", "b"))
+    assert(const.isNullAt(const.fieldIndex("rho_bp")) &&
+      const.isNullAt(const.fieldIndex("rho2_e8")))
+  }
 }

@@ -1055,4 +1055,67 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(mostly.getAs[String]("dominant_script") == "latin" &&
       !mostly.getAs[Boolean]("mixed_script"))
   }
+
+  test("readability: hand-counted words/sentences/syllables and the " +
+    "milli-point FK/FRE arithmetic; tokenless doc gets NULL scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It is happy."),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    // 6 words; 2 [.!?]+ runs; vowel groups: the=1 cat=1 sat.=1 it=1
+    // is=1 happy.=2 → 7 syllables
+    assert(r1.getAs[Long]("n_words") == 6L &&
+      r1.getAs[Long]("n_sentences") == 2L &&
+      r1.getAs[Long]("n_syllables") == 7L)
+    // fk = 390·6 div 2 + 11800·7 div 6 − 15590 = 1170 + 13766 − 15590
+    assert(r1.getAs[Long]("fk_grade_x1000") == -654L)
+    // fre = 206835 − 1015·6 div 2 − 84600·7 div 6 = 206835 − 3045 − 98700
+    assert(r1.getAs[Long]("fre_x1000") == 105090L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_words") == 0L &&
+      r2.getAs[Long]("n_sentences") == 1L &&
+      r2.getAs[Long]("n_syllables") == 0L &&
+      r2.isNullAt(r2.fieldIndex("fk_grade_x1000")) &&
+      r2.isNullAt(r2.fieldIndex("fre_x1000")))
+  }
+
+  test("rougeN: clipped unigram/bigram overlap hand values; empty " +
+    "candidate keeps its row with zero ratios") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Seq("the", "cat", "the", "cat", "dog"),
+        Seq("the", "cat", "sat")),
+      (2L, Seq.empty[String], Seq("a"))).toDF("pid", "cand_toks", "ref_toks")
+    val r1 = TextAnalysis.rougeN(pairs, "pid", 1).collect()
+      .map(r => r.getAs[Long]("pid") -> r).toMap
+    // unigrams: cand {the:2, cat:2, dog:1}, ref {the:1, cat:1, sat:1}
+    // → overlap min-sum = 2; p = 2·10⁴/5 = 4000, r = 6666, f = 4999
+    assert(r1(1L).getAs[Long]("n_grams_cand") == 5L &&
+      r1(1L).getAs[Long]("n_grams_ref") == 3L &&
+      r1(1L).getAs[Long]("n_overlap") == 2L &&
+      r1(1L).getAs[Long]("rougen_p_bp") == 4000L &&
+      r1(1L).getAs[Long]("rougen_r_bp") == 6666L &&
+      r1(1L).getAs[Long]("rougen_f_bp") == 4999L)
+    assert(r1(2L).getAs[Long]("n_grams_cand") == 0L &&
+      r1(2L).getAs[Long]("n_grams_ref") == 1L &&
+      r1(2L).getAs[Long]("rougen_p_bp") == 0L &&
+      r1(2L).getAs[Long]("rougen_f_bp") == 0L)
+    val r2 = TextAnalysis.rougeN(pairs, "pid", 2).collect()
+      .map(r => r.getAs[Long]("pid") -> r).toMap
+    // bigrams: cand {"the cat":2, "cat the":1, "cat dog":1}, ref
+    // {"the cat":1, "cat sat":1} → overlap 1; p = 2500, r = 5000,
+    // f = 2·2500·5000/7500 = 3333
+    assert(r2(1L).getAs[Long]("n_grams_cand") == 4L &&
+      r2(1L).getAs[Long]("n_grams_ref") == 2L &&
+      r2(1L).getAs[Long]("n_overlap") == 1L &&
+      r2(1L).getAs[Long]("rougen_p_bp") == 2500L &&
+      r2(1L).getAs[Long]("rougen_r_bp") == 5000L &&
+      r2(1L).getAs[Long]("rougen_f_bp") == 3333L)
+    // both sides shorter than n: row survives with all-zero counts
+    assert(r2(2L).getAs[Long]("n_grams_ref") == 0L &&
+      r2(2L).getAs[Long]("n_overlap") == 0L)
+  }
 }

@@ -157,6 +157,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     */
   private val unpartitionedWindowAllowed = Set(
     "q_dq_auc", // cumneg over the score-bp VALUE domain (≤ 10001 rows)
+    "q_dq_spearman", // rank maps over each score's VALUE domain
+                     // (capped token counts: ≤ 501 rows per side)
     "q_events_journey_patterns", // top-20 rank over the trigram PATTERN
                                  // domain (≤ |event_types|³ rows)
     "q_events_quantile_sketch", // rank over a ≤64-bin sketch table
