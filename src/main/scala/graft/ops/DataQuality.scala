@@ -154,6 +154,78 @@ object DataQuality {
       .select("n_a", "n_b", "d_bp")
   }
 
+  /** Paired permutation (sign-flip) significance test for a per-item
+    * metric delta — THE assumption-free "is system A actually better
+    * than system B" readout for eval suites (bootstrap CIs say how wide;
+    * this says how likely under the no-difference null). Null model:
+    * each item's delta has a random sign; the observed total is extreme
+    * if few of `reps` sign-flipped replicas reach it.
+    *
+    * Deterministic and engine-replayable: replica r flips item i's sign
+    * by the parity of md5(i:r)'s first hex digit (the md5-keyed
+    * determinism precedent — no RNG, any engine replays every replica),
+    * and the p-value uses the standard add-one form
+    *
+    *   p_bp = (|{r : |T_r| ≥ |T_obs|}| + 1)·10⁴ div (reps + 1)
+    *
+    * (the observed labeling counts as one replica, so p never reads 0).
+    *
+    * Shape: items explode ×reps then aggregate straight back to `reps`
+    * rows with map-side partial sums — corpus-linear work, reps-sized
+    * state, no corpus shuffle (the groupBy key domain IS the replica
+    * id). Overflow: |T_r| ≤ Σ|δ| ≈ 10⁴·n — BIGINT to n ≈ 10¹⁴ items.
+    *
+    * In: one row per item; `deltaCol` = metric_A − metric_B (integer).
+    * Out: one row `(n, t_obs, n_extreme, p_bp)`.
+    */
+  def pairedPermTest(pairs: DataFrame, idCol: String, deltaCol: String,
+      reps: Int = 200): DataFrame = {
+    require(reps >= 1, s"need at least one replica: $reps")
+    val obs = pairs.agg(count(lit(1)).as("n"),
+      sum(col(deltaCol)).as("t_obs"))
+    val flips = pairs
+      .select(col(idCol).cast("string").as("_id"),
+        col(deltaCol).cast("long").as("_d"))
+      .withColumn("_r", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("_sign",
+        when(pmod(conv(substring(md5(concat(col("_id"), lit(":"),
+          col("_r").cast("string"))), 1, 1), 16, 10).cast("long"),
+          lit(2)) === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy("_r").agg(sum(expr("_sign * _d")).as("_t"))
+    obs.crossJoin( // single-row × reps-row aggregate of an aggregate
+        flips.crossJoin(obs.select(abs(col("t_obs")).as("_abs_obs")))
+          .agg(sum(when(abs(col("_t")) >= col("_abs_obs"), 1L)
+            .otherwise(0L)).as("n_extreme")))
+      .withColumn("p_bp",
+        expr(s"(n_extreme + 1) * 10000 div (${reps}L + 1)"))
+      .select("n", "t_obs", "n_extreme", "p_bp")
+  }
+
+  /** McNemar's test on paired boolean outcomes — "did switching systems
+    * actually change which items pass": only the DISCORDANT cells
+    * matter (n01 = A right / B wrong, n10 = the reverse), and the
+    * statistic is exact integer arithmetic any engine replays:
+    *
+    *   chi2_x100 = (n01 − n10)²·100 div (n01 + n10)
+    *
+    * (≈3.84 ⇒ p < 0.05 under χ²₁ — the caller compares against 384).
+    * NULL when there are no discordant items (nothing changed —
+    * undefined, not significant). One map-side-combinable aggregation;
+    * for calibrated p-values on small counts use [[pairedPermTest]] on
+    * the ±1 discordance deltas instead.
+    *
+    * Out: one row `(n, n01, n10, chi2_x100)`.
+    */
+  def mcnemar(paired: DataFrame, okA: Column, okB: Column): DataFrame =
+    paired
+      .agg(count(lit(1)).as("n"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("n01"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("n10"))
+      .withColumn("chi2_x100",
+        expr("if(n01 + n10 > 0, " +
+          "(n01 - n10) * (n01 - n10) * 100 div (n01 + n10), null)"))
+      .select("n", "n01", "n10", "chi2_x100")
+
   /** Spearman rank correlation between two integer-quantized score
     * columns — the "do these two quality signals agree on ORDER"
     * readout (classifier vs heuristic, new scorer vs old) that

@@ -79,6 +79,65 @@ object TimeSeries {
       .drop("_p")
   }
 
+  /** Offline single change-point per key — the first binary-segmentation
+    * step (the retrospective companion to [[cusum]], which answers
+    * "did it drift" online; this answers "WHERE did the level shift"
+    * after the fact). For an ordered series x_1..x_T the candidate
+    * split t maximizes the scaled prefix-mean deviation
+    *
+    *   D_t = T·cum_t − t·total   (∝ t·(T−t)·(mean_pre − mean_post))
+    *
+    * — exact BIGINT (document: exits at T·total ≈ 9·10¹⁸; hourly
+    * buckets and 10¹² events leave 10² headroom), no division until
+    * the reported segment means. Split = argmax |D_t| over t < T, ties
+    * to the SMALLEST t (exact struct-max tie-break); single-bucket keys
+    * yield a NULL split (nothing to cut).
+    *
+    * Shape: one cumulative window + one unbounded total per key, then a
+    * per-key struct-max aggregation — keys stream independently, per-key
+    * work is bounded by that key's own bucket count (the cusum/resample
+    * scale law). Feed it BUCKETED series (hour/day counts), never raw
+    * events: T stays calendar-bounded while the corpus grows.
+    *
+    * Out: per key `(keyCol, n_buckets, total, split_ord, d_split,
+    * mean_pre_x100, mean_post_x100)` — split_ord is the LAST orderCol
+    * value of the pre-segment; means are exact hundredths.
+    */
+  def changepoint(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String
+  ): DataFrame = {
+    val wCum = Window.partitionBy(keyCol).orderBy("_o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df
+      .select(col(keyCol), col(orderCol).cast("long").as("_o"),
+        col(valueCol).cast("long").as("_x"))
+      .withColumn("_cum", sum(col("_x")).over(wCum))
+      .withColumn("_t", count(lit(1)).over(wCum))
+      .withColumn("_total", sum(col("_x")).over(wAll))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_d", expr("_n * _cum - _t * _total"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("_n")).as("n_buckets"), max(col("_total")).as("total"),
+        // argmax |D_t| over t < T, smallest t on ties: max by
+        // (|d|, −t, payload) over the non-final rows
+        max(when(col("_t") < col("_n"),
+          struct(abs(col("_d")).as("a"), (-col("_t")).as("nt"),
+            col("_o").as("o"), col("_d").as("d"), col("_cum").as("c"),
+            col("_t").as("t")))).as("_best"))
+      .withColumn("split_ord", col("_best.o"))
+      .withColumn("d_split", col("_best.d"))
+      .withColumn("mean_pre_x100",
+        expr("100L * _best.c div _best.t"))
+      .withColumn("mean_post_x100",
+        expr("100L * (total - _best.c) div (n_buckets - _best.t)"))
+      .select(col(keyCol), col("n_buckets"), col("total"),
+        col("split_ord"), col("d_split"), col("mean_pre_x100"),
+        col("mean_post_x100"))
+  }
+
   /** Exponentially-weighted moving average with a dyadic half-life
     * (α = 1/2) truncated at `lags` terms — the smoothing/forecast
     * primitive, kept EXACT: weights are the powers 2^(lags-1-j), the

@@ -926,6 +926,77 @@ object AnalyticsQueries extends QueryGroup {
              |         CAST(floor(sqrt(abs(rho2_e8)::DOUBLE)) AS BIGINT) END
              |    AS rho_bp
              |FROM r2""".stripMargin)
+    ),
+
+    // Paired sign-flip permutation test: is metric A (token count) really
+    // above metric B (2x distinct-token count) beyond chance? 200
+    // md5-parity sign-flip replicas, add-one p - every replica total and
+    // the p-value replay exactly in both engines.
+    "q_dq_perm_test" -> QueryDef(
+      (s, d) => {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val pairs = Tables.documents(s, d).select(col("doc_id"),
+          (least(size(toks), lit(500))
+            - lit(2) * least(size(array_distinct(toks)), lit(250)))
+            .cast("long").as("delta"))
+        graft.ops.DataQuality.pairedPermTest(pairs, "doc_id", "delta", 200)
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    least(len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')), 500)
+             |    - 2 * least(len(list_distinct(list_filter(
+             |        string_split(text, ' '), x -> x <> ''))), 250) AS dd
+             |  FROM documents),
+             |obs AS (
+             |  SELECT count(*)::BIGINT AS n, CAST(sum(dd) AS BIGINT) AS t_obs
+             |  FROM s),
+             |fl AS (
+             |  SELECT r, CAST(sum(CASE WHEN
+             |      (instr('0123456789abcdef', substring(
+             |        md5(doc_id::VARCHAR || ':' || r::VARCHAR), 1, 1)) - 1)
+             |      % 2 = 0 THEN dd ELSE -dd END) AS BIGINT) AS t
+             |  FROM s, range(0, 200) q(r) GROUP BY 1),
+             |ex AS (
+             |  SELECT CAST(sum(CASE WHEN abs(t) >=
+             |      (SELECT abs(t_obs) FROM obs) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_extreme
+             |  FROM fl)
+             |SELECT n, t_obs, n_extreme,
+             |  (n_extreme + 1) * 10000 // 201 AS p_bp
+             |FROM obs, ex""".stripMargin)
+    ),
+
+    // McNemar's discordant-pair test on two pass/fail gates (50+ words
+    // vs 30+ distinct words): exact-integer chi-square on the items the
+    // two gates disagree about.
+    "q_dq_mcnemar" -> QueryDef(
+      (s, d) => {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val gated = Tables.documents(s, d).select(
+          (size(toks) >= 50).as("ok_a"),
+          (size(array_distinct(toks)) >= 30).as("ok_b"))
+        graft.ops.DataQuality.mcnemar(gated, col("ok_a"), col("ok_b"))
+      },
+      Some("""WITH s AS (
+             |  SELECT
+             |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |      >= 50 AS ok_a,
+             |    len(list_distinct(list_filter(string_split(text, ' '),
+             |      x -> x <> ''))) >= 30 AS ok_b
+             |  FROM documents),
+             |m AS (
+             |  SELECT count(*)::BIGINT AS n,
+             |    CAST(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(sum(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10
+             |  FROM s)
+             |SELECT n, n01, n10,
+             |  CASE WHEN n01 + n10 > 0
+             |    THEN (n01 - n10) * (n01 - n10) * 100 // (n01 + n10)
+             |  END AS chi2_x100
+             |FROM m""".stripMargin)
     )
   )
 }

@@ -863,6 +863,57 @@ object EventQueries extends QueryGroup {
              |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
     ),
 
+    // Offline single change-point per event type over its hourly count
+    // series (the retrospective "WHERE did the level shift" companion
+    // to the online CUSUM): both engines maximize the same exact-BIGINT
+    // scaled prefix-mean deviation T*cum_t - t*total with the
+    // smallest-t tie-break, and replay the split hour and exact
+    // hundredth segment means.
+    "q_events_changepoint" -> QueryDef(
+      (s, d) => {
+        val hours = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 3600000000000").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        graft.ops.TimeSeries.changepoint(hours, "event_type", "h", "c")
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             |    count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT event_type, h, c,
+             |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY h)
+             |      AS BIGINT) AS cum,
+             |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY h)
+             |      AS BIGINT) AS t,
+             |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS total,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS n
+             |  FROM b),
+             |d AS (
+             |  SELECT event_type, h, cum, t, total, n,
+             |    n * cum - t * total AS dd
+             |  FROM w),
+             |best AS (
+             |  SELECT event_type, h, dd, cum, t
+             |  FROM d WHERE t < n
+             |  QUALIFY row_number() OVER (PARTITION BY event_type
+             |    ORDER BY abs(dd) DESC, t ASC) = 1),
+             |uni AS (
+             |  SELECT event_type, max(n) AS n_buckets, max(total) AS total
+             |  FROM d GROUP BY 1)
+             |SELECT uni.event_type, uni.n_buckets, uni.total,
+             |  best.h AS split_ord, best.dd AS d_split,
+             |  100 * best.cum // best.t AS mean_pre_x100,
+             |  100 * (uni.total - best.cum) // (uni.n_buckets - best.t)
+             |    AS mean_post_x100
+             |FROM uni LEFT JOIN best USING (event_type)
+             |ORDER BY event_type""".stripMargin)
+    ),
+
     // Truncated-exact EWMA smoothing + pre-observation burst test: the
     // dyadic (α=1/2) exponential moving average as 16 windowed lag
     // terms — weights are powers of two, the mass below the truncation

@@ -206,4 +206,39 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(const.isNullAt(const.fieldIndex("rho_bp")) &&
       const.isNullAt(const.fieldIndex("rho2_e8")))
   }
+
+  test("pairedPermTest: null-effect deltas give p = 10000; a uniform " +
+    "one-sided effect leaves zero extreme replicas (add-one p)") {
+    import spark.implicits._
+    def one(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    // all-zero deltas: every replica total equals |t_obs| = 0 → every
+    // replica is "extreme" → p = (200+1)·10⁴ div 201 = 10000
+    val nil = one(DataQuality.pairedPermTest(
+      (1L to 30L).map(i => (i, 0L)).toDF("id", "d"), "id", "d", 200))
+    assert(nil.getAs[Long]("t_obs") == 0L &&
+      nil.getAs[Long]("n_extreme") == 200L &&
+      nil.getAs[Long]("p_bp") == 10000L)
+    // forty +1 deltas: a replica reaches |40| only if all 40 md5
+    // parities agree — no replica does, so p = 1·10⁴ div 201 = 49
+    val strong = one(DataQuality.pairedPermTest(
+      (1L to 40L).map(i => (i, 1L)).toDF("id", "d"), "id", "d", 200))
+    assert(strong.getAs[Long]("t_obs") == 40L &&
+      strong.getAs[Long]("n_extreme") == 0L &&
+      strong.getAs[Long]("p_bp") == 49L)
+  }
+
+  test("mcnemar: discordant-cell chi2 hand value; all-concordant NULL") {
+    import spark.implicits._
+    def one(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    val m = one(DataQuality.mcnemar(
+      Seq((true, true), (true, false), (true, false), (false, true),
+        (false, false)).toDF("a", "b"), col("a"), col("b")))
+    // n01 = 2, n10 = 1 → (2−1)²·100 div 3 = 33
+    assert(m.getAs[Long]("n") == 5L && m.getAs[Long]("n01") == 2L &&
+      m.getAs[Long]("n10") == 1L && m.getAs[Long]("chi2_x100") == 33L)
+    val agree = one(DataQuality.mcnemar(
+      Seq((true, true), (false, false)).toDF("a", "b"),
+      col("a"), col("b")))
+    assert(agree.isNullAt(agree.fieldIndex("chi2_x100")))
+  }
 }

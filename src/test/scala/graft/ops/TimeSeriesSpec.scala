@@ -149,4 +149,35 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(b.isNullAt(b.fieldIndex("cv2_bp")) &&
       !b.getAs[Boolean]("flag_bot"))
   }
+
+  test("changepoint: finds the level shift, breaks flat-series ties to " +
+    "the smallest t, NULLs a single-bucket key") {
+    import spark.implicits._
+    val rows =
+      Seq(1L, 2L, 3L, 4L, 5L).map(h => ("step", h,
+        if (h <= 3) 0L else 10L)) ++
+      Seq(1L, 2L, 3L).map(h => ("flat", h, 5L)) ++
+      Seq(("lone", 1L, 7L))
+    val out = TimeSeries.changepoint(
+        rows.toDF("k", "h", "c"), "k", "h", "c")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    // [0,0,0,10,10]: D_t = 5·cum − 20·t = −20,−40,−60,−30 → split t=3
+    val st = out("step")
+    assert(st.getAs[Long]("n_buckets") == 5L &&
+      st.getAs[Long]("split_ord") == 3L &&
+      st.getAs[Long]("d_split") == -60L &&
+      st.getAs[Long]("mean_pre_x100") == 0L &&
+      st.getAs[Long]("mean_post_x100") == 1000L)
+    // constant series: every D_t = 0 → smallest t wins the tie
+    val fl = out("flat")
+    assert(fl.getAs[Long]("split_ord") == 1L &&
+      fl.getAs[Long]("d_split") == 0L &&
+      fl.getAs[Long]("mean_pre_x100") == 500L &&
+      fl.getAs[Long]("mean_post_x100") == 500L)
+    // one bucket: nothing to cut
+    val lo = out("lone")
+    assert(lo.getAs[Long]("n_buckets") == 1L &&
+      lo.isNullAt(lo.fieldIndex("split_ord")) &&
+      lo.isNullAt(lo.fieldIndex("mean_post_x100")))
+  }
 }

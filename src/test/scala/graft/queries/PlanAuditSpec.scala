@@ -48,8 +48,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_analytics_join_size", // crossJoin of two 1-row estimate/exact aggs
     "q_text_lm_kneser_ney", // 1-row bigram-type-count aggregate × stream
     "q_text_ccnet_buckets", // inherits lmScore's 1-row vocab aggregate
-    "q_events_heavy_hitters") // four 1-row MG reduction values × ≤k+batch
+    "q_events_heavy_hitters", // four 1-row MG reduction values × ≤k+batch
                               // counter tables
+    "q_dq_spearman",    // crossJoin of 1-row moment aggregates (n, Σd²)
+    "q_text_krippendorff", // 1-row observed/expected disagreement
+                           // aggregates × coincidence cells
+    "q_dq_perm_test")   // 1-row observed-total aggregate × 200-row
+                        // replica totals (reps-bounded, never corpus)
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
