@@ -4204,6 +4204,118 @@ object TextQueries extends QueryGroup {
              |    ELSE 0 END AS BIGINT) AS rougen_f_bp,
              |  CAST(nn AS BIGINT) AS n
              |FROM r ORDER BY n, doc_id""".stripMargin)
+    ),
+
+    // Heaps'-law vocabulary growth: cumulative distinct-token count over
+    // 10 id-range prefixes, decomposed through each token's FIRST bucket
+    // so the curve is one corpus aggregation + bucket-domain windows —
+    // never a per-prefix distinct rescan.
+    "q_text_vocab_growth" -> QueryDef(
+      (s, d) => graft.ops.CorpusStats.vocabGrowth(
+        Tables.documents(s, d), "doc_id", "text", 10),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |mx AS (SELECT max(doc_id) AS m FROM toks),
+             |b AS (
+             |  SELECT least(9, doc_id * 10 // (m + 1)) AS bkt, t
+             |  FROM toks, mx),
+             |mass AS (
+             |  SELECT bkt, count(*)::BIGINT AS docs,
+             |    CAST(sum(len(t)) AS BIGINT) AS tk
+             |  FROM b GROUP BY 1),
+             |firsts AS (
+             |  SELECT w, min(bkt) AS fb FROM (
+             |    SELECT bkt, unnest(t) AS w FROM b) GROUP BY 1),
+             |nv AS (SELECT fb AS bkt, count(*)::BIGINT AS nw
+             |  FROM firsts GROUP BY 1),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT)
+             |    AS bucket),
+             |cur AS (
+             |  SELECT bucket,
+             |    CAST(sum(coalesce(mass.docs, 0)) OVER (ORDER BY bucket)
+             |      AS BIGINT) AS docs_cum,
+             |    CAST(sum(coalesce(mass.tk, 0)) OVER (ORDER BY bucket)
+             |      AS BIGINT) AS tokens_cum,
+             |    CAST(sum(coalesce(nv.nw, 0)) OVER (ORDER BY bucket)
+             |      AS BIGINT) AS vocab_cum
+             |  FROM spine LEFT JOIN mass ON mass.bkt = bucket
+             |    LEFT JOIN nv ON nv.bkt = bucket)
+             |SELECT bucket, docs_cum, tokens_cum, vocab_cum,
+             |  CASE WHEN tokens_cum > 0
+             |    THEN vocab_cum * 10000 // tokens_cum END AS ttr_bp
+             |FROM cur ORDER BY bucket""".stripMargin)
+    ),
+
+    // Gries' deviation of proportions for the top-50 terms over 8
+    // id-mod parts: the dispersion readout frequency alone hides — both
+    // engines run the exact common-denominator HUGEINT/DECIMAL form with
+    // the algebraic absent-part correction.
+    "q_text_burstiness" -> QueryDef(
+      (s, d) => graft.ops.CorpusStats.burstiness(
+        Tables.documents(s, d), "doc_id", "text", 8, 50),
+      Some("""WITH tp AS (
+             |  SELECT w AS token, doc_id % 8 AS p, count(*)::BIGINT AS c
+             |  FROM (
+             |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) AS w
+             |    FROM documents) GROUP BY 1, 2),
+             |pt AS (SELECT p, CAST(sum(c) AS BIGINT) AS tok
+             |  FROM tp GROUP BY 1),
+             |g AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM pt),
+             |top AS (
+             |  SELECT token, CAST(sum(c) AS BIGINT) AS cnt
+             |  FROM tp GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50),
+             |j AS (
+             |  SELECT tp.token, top.cnt, g.tt,
+             |    sum(abs(tp.c::HUGEINT * g.tt
+             |      - top.cnt::HUGEINT * pt.tok)) AS dev,
+             |    CAST(sum(pt.tok) AS BIGINT) AS present
+             |  FROM tp JOIN top USING (token) JOIN pt USING (p), g
+             |  GROUP BY 1, 2, 3)
+             |SELECT token, cnt,
+             |  CAST((dev + cnt::HUGEINT * (tt - present)) * 10000
+             |    // (2 * cnt::HUGEINT * tt) AS BIGINT) AS dp_bp
+             |FROM j ORDER BY cnt DESC, token""".stripMargin)
+    ),
+
+    // Trigram novelty of the odd-id half of the corpus against the
+    // even-id half: per-doc fraction of distinct trigrams unseen in the
+    // reference, collapsed to an 11-row decile histogram. The
+    // memorization/novelty readout for generated or newly-crawled data.
+    "q_text_novelty" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.CorpusStats.ngramNovelty(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", 3)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |gr AS (
+             |  SELECT DISTINCT doc_id,
+             |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+             |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+             |  WHERE len(t) >= 3),
+             |ref AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 2 = 0),
+             |tst AS (SELECT doc_id, gram FROM gr WHERE doc_id % 2 = 1),
+             |per AS (
+             |  SELECT tst.doc_id, count(*)::BIGINT AS g,
+             |    CAST(sum(CASE WHEN ref.gram IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS h
+             |  FROM tst LEFT JOIN ref ON ref.gram = tst.gram
+             |  GROUP BY 1),
+             |nv AS (SELECT doc_id, g, h, (g - h) * 10000 // g AS nov
+             |  FROM per)
+             |SELECT nov // 1000 AS decile, count(*)::BIGINT AS docs,
+             |  CAST(sum(g) AS BIGINT) AS grams,
+             |  CAST(sum(g - h) AS BIGINT) AS novel_grams
+             |FROM nv GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

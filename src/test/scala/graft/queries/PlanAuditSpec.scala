@@ -53,8 +53,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_dq_spearman",    // crossJoin of 1-row moment aggregates (n, Σd²)
     "q_text_krippendorff", // 1-row observed/expected disagreement
                            // aggregates × coincidence cells
-    "q_dq_perm_test")   // 1-row observed-total aggregate × 200-row
+    "q_dq_perm_test",   // 1-row observed-total aggregate × 200-row
                         // replica totals (reps-bounded, never corpus)
+    "q_text_vocab_growth", // 1-row max-id aggregate × corpus (bucket
+                           // assignment) and × 10-row spine
+    "q_text_burstiness") // 1-row grand-total aggregate × top-k counts
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
@@ -175,7 +178,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_ks_drift", // CDF cumsums over the score-bp VALUE domain
                        // (≤ 10001 rows — the q_dq_auc precedent)
     "q_text_quantile_norm", // rank over the pooled score VALUE domain
-    "q_text_rate_sample") // dense_rank over the source/stratum domain
+    "q_text_rate_sample", // dense_rank over the source/stratum domain
+    "q_text_vocab_growth") // cumsums over the 10-row bucket spine
 
   test("unpartitioned windows only over bounded-domain tables (allowlist)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
