@@ -1210,4 +1210,42 @@ object Similarity {
         col("mean_dir_sq_micro2"), col("avg_sq_norm_micro2"),
         col("aniso_bp")): _*)
   }
+
+  /** Matryoshka truncation audit: does top-k retrieval under only the
+    * FIRST `dTrunc` embedding dimensions agree with full-dimension
+    * retrieval? The go/no-go readout before running a 100 TB ANN
+    * prefilter at reduced dimensionality (matryoshka-trained embeddings
+    * promise the prefix dims carry the ranking; this measures whether
+    * THESE embeddings deliver on that for THIS corpus). Per query:
+    *
+    *   overlap_bp = 10⁴·|topk_full ∩ topk_trunc| div k,  top1_kept ∈ {0,1}
+    *
+    * Both rankings come from [[bruteForceTopK]] (broadcast queries ×
+    * streamed corpus, one codegen dot per pair, per-query top-k window
+    * — exact, |Q|-bounded output) with the same (cos_bp desc, cand_id)
+    * tie-break, so the audit is deterministic and engine-replayable.
+    * At corpus scale the query set stays k/|Q|-bounded; the corpus is
+    * streamed twice (full + truncated sweep), never materialized.
+    *
+    * Out: `(query_id, overlap, overlap_bp, top1_kept)`, one row/query.
+    */
+  def matryoshkaAgreement(
+      queries: DataFrame, candidates: DataFrame, k: Int, dTrunc: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1 && dTrunc >= 1, s"k=$k dTrunc=$dTrunc")
+    def cut(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, dTrunc).as(vecCol))
+    val full = bruteForceTopK(queries, candidates, k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    val trunc = bruteForceTopK(cut(queries), cut(candidates), k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("_hit"))
+    full.join(trunc, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("overlap"),
+        max(when(col("rank") === 1 && col("_hit").isNotNull, 1L)
+          .otherwise(0L)).as("top1_kept"))
+      .withColumn("overlap_bp", expr(s"overlap * 10000 div ${k}L"))
+      .select("query_id", "overlap", "overlap_bp", "top1_kept")
+  }
 }

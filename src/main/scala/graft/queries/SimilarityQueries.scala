@@ -193,6 +193,18 @@ object SimilarityQueries extends QueryGroup {
       |   * sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)),
       |        x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)))""".stripMargin
 
+  /** [[cosineSql]] over only the first `n` dimensions — the DuckDB
+    * replay of a matryoshka `slice(embedding, 1, n)` truncation (same
+    * sequential DOUBLE fold order as FloatVecDot on the sliced array).
+    */
+  private def cosineSqlDims(n: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $n),
+       |      x -> q.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)
+       |  / (sqrt(list_reduce(list_transform(generate_series(1, $n),
+       |        x -> q.embedding[x]::DOUBLE * q.embedding[x]::DOUBLE), (s, v) -> s + v))
+       |   * sqrt(list_reduce(list_transform(generate_series(1, $n),
+       |        x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE), (s, v) -> s + v)))""".stripMargin
+
   /** Unrolled MMR greedy rounds (DuckDB replay of
     * [[graft.ops.Similarity.mmrRerank]]): expects CTEs `cand`
     * (query_id, cand_id, cos_bp) and `sims` (query_id, i, j, sim_bp)
@@ -432,6 +444,51 @@ object SimilarityQueries extends QueryGroup {
               |SELECT query_id, cand_id, cos_bp,
               |  CAST(rank_raw AS INTEGER) AS rank FROM ranked
               |WHERE rank_raw <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // Matryoshka truncation audit: top-5 agreement between full 64-dim
+    // and first-16-dim cosine retrieval for 20 queries — overlap@5 and
+    // top-1 retention per query. Both rankings replay exactly (same
+    // fold-order DOUBLE cosine, same floor-bp + cand_id tie-break).
+    "q_sim_matryoshka" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.matryoshkaAgreement(
+            e.filter(col("vec_id") < 20), e, k = 5, dTrunc = 16)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH fulls AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    CAST(floor(($cosineSql) * 10000) AS BIGINT) AS cos_bp
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 20),
+              |ft AS (
+              |  SELECT query_id, cand_id, r FROM (
+              |    SELECT query_id, cand_id,
+              |      row_number() OVER (PARTITION BY query_id
+              |                         ORDER BY cos_bp DESC, cand_id) AS r
+              |    FROM fulls) WHERE r <= 5),
+              |truncs AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    CAST(floor((${cosineSqlDims(16)}) * 10000) AS BIGINT)
+              |      AS cos_bp
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 20),
+              |tt AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT query_id, cand_id,
+              |      row_number() OVER (PARTITION BY query_id
+              |                         ORDER BY cos_bp DESC, cand_id) AS r
+              |    FROM truncs) WHERE r <= 5)
+              |SELECT ft.query_id,
+              |  CAST(count(tt.cand_id) AS BIGINT) AS overlap,
+              |  CAST(count(tt.cand_id) AS BIGINT) * 10000 // 5
+              |    AS overlap_bp,
+              |  CAST(max(CASE WHEN ft.r = 1 AND tt.cand_id IS NOT NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS top1_kept
+              |FROM ft LEFT JOIN tt ON tt.query_id = ft.query_id
+              |  AND tt.cand_id = ft.cand_id
+              |GROUP BY 1 ORDER BY ft.query_id""".stripMargin)
     ),
 
     // IR evaluation harness: brute-force cosine top-10 as the run,

@@ -324,6 +324,50 @@ object Profile {
           docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
           "doc_id")))
       }
+    } else if (args.headOption.contains("--corpusstats-scale")) {
+      // round-8 family growth: m disjoint corpus copies (tokens suffixed
+      // per copy → vocab honestly m×) through vocabGrowth / burstiness /
+      // ngramNovelty / pairedPermTest, and m event copies (types suffixed)
+      // through changepoint. Claims under test: all corpus-linear — each
+      // collapses to bounded-domain state (buckets / top-k / deciles /
+      // reps / per-key hour counts).
+      import graft.ops.{CorpusStats, DataQuality, TextAnalysis, TimeSeries}
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val ev = graft.util.Tables.events(spark, sfDir)
+        .select("event_type", "ts_ns")
+      val mults =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+      mults.foreach { m =>
+        val docs = (0 until m).map { k =>
+          base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1~c$k").as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        time(s"vocab-growth-x$m")(noop(
+          CorpusStats.vocabGrowth(docs, "doc_id", "text", 10)))
+        time(s"burstiness-x$m")(noop(
+          CorpusStats.burstiness(docs, "doc_id", "text", 8, 50)))
+        time(s"novelty-x$m")(noop(CorpusStats.ngramNovelty(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", 3)))
+        val pairs = docs.select(col("doc_id"),
+          (least(size(TextAnalysis.tokens(col("text"))), lit(500)) -
+            lit(2) * least(size(array_distinct(
+              TextAnalysis.tokens(col("text")))), lit(250)))
+            .cast("long").as("delta"))
+        time(s"perm-test-x$m")(noop(
+          DataQuality.pairedPermTest(pairs, "doc_id", "delta", 200)))
+        val evm = (0 until m).map { k =>
+          ev.select(concat(col("event_type"), lit(s"~c$k")).as("event_type"),
+            col("ts_ns"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val hours = evm.select(col("event_type"),
+            expr("ts_ns div 3600000000000").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        time(s"changepoint-x$m")(noop(
+          TimeSeries.changepoint(hours, "event_type", "h", "c")))
+      }
     } else if (args.headOption.contains("--epoch-scale")) {
       // range-partitioned-sort growth for epochShuffle: m disjoint
       // corpus copies; the claim under test is linear wall growth (the

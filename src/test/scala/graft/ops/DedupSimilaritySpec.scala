@@ -709,4 +709,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val perQ = pq.groupBy(_._1).map(_._2.size)
     assert(perQ.forall(_ == 10))
   }
+
+  test("matryoshkaAgreement: prefix-encoded neighbors keep full overlap; " +
+    "tail-encoded neighbors lose the truncated ranking entirely") {
+    import spark.implicits._
+    // 8-dim embeddings, truncation at 4 dims. Query 0 sits in the
+    // PREFIX plane (dims 0-1): its true neighbors (ids 1, 2) survive
+    // truncation. Query 10 differs from its true neighbors (11, 12)
+    // only in TAIL dims (4-7): truncation collapses them onto the
+    // decoys (13, 14), which tie and win on the id tie-break.
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0.1, 0, 0, 0, 0, 0, 0)),
+      (1L, v(1, 0.11, 0, 0, 0, 0, 0, 0)),  // near 0 in prefix dims
+      (2L, v(1, 0.12, 0, 0, 0, 0, 0, 0)),
+      (10L, v(0.01, 0, 0, 0, 1, 0.1, 0, 0)),
+      (11L, v(0, 0.01, 0, 0, 1, 0.11, 0, 0)), // near 10 via tail dims;
+      (12L, v(0, 0.01, 0, 0, 1, 0.12, 0, 0)), // prefix ⊥ to 10's
+      (13L, v(0.5, 0.5, 0.5, 0.5, 0, 0, 0, 0)), // prefix decoys: beat
+      (14L, v(0.5, 0.5, 0.5, 0.5, 0, 0, 0, 0))  // 11/12 once truncated
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaAgreement(
+        emb.filter(col("vec_id").isin(0L, 10L)), emb, k = 2, dTrunc = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 10000L, 1L))) // full agreement, top-1 kept
+    // query 10 truncated = (0.01,0,0,0): its true neighbors are
+    // orthogonal in the prefix (cos 0) while the decoys score 0.5 —
+    // the truncated ranking flips to {13,14}: zero overlap, top-1 lost
+    assert(out(10L) == ((0L, 0L, 0L)))
+  }
 }
