@@ -201,6 +201,94 @@ object DataQuality {
       .select("n", "t_obs", "n_extreme", "p_bp")
   }
 
+  /** Benford first-digit probabilities in basis points:
+    * floor(10⁴·log₁₀(1 + 1/d)) for d = 1..9 — computed ONCE driver-side
+    * (the nDCG integer-literal precedent) so no engine evaluates a log.
+    */
+  val benfordBp: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong).toMap
+
+  /** Benford first-digit audit — the classic "are these numbers
+    * organic" screen for synthetic, fabricated, or truncated numeric
+    * columns (naturally-occurring multi-magnitude amounts follow
+    * log-uniform first digits; generated or clipped data usually
+    * doesn't). Values < 1 are excluded (no stable first digit in this
+    * integer formulation); the first digit comes from the decimal
+    * string of floor(v) — pure per-row projection, no log calls.
+    *
+    * Output is densified over the full 1..9 digit spine (an absent
+    * digit is the loudest signal), with expected shares from
+    * [[benfordBp]] and the per-digit deviation:
+    *
+    *   dev_bp = |obs·10⁴ div n − exp_bp|
+    *
+    * Shape: one filtered projection + a 9-key groupBy + a 1-row total
+    * aggregate broadcast over the 9-row spine. Bounded output forever.
+    *
+    * Out: `(digit, obs, n, obs_bp, exp_bp, dev_bp)`, 9 rows.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val obs = df
+      .select(floor(col(valueCol)).cast("long").as("_v"))
+      .filter(col("_v") >= 1)
+      .select(substring(col("_v").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val total = obs.agg(sum(col("obs")).as("n"))
+    val expCase = (1 to 9).map(d => s"WHEN digit = $d THEN ${benfordBp(d)}L")
+      .mkString("CASE ", " ", " END")
+    df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(total)
+      .withColumn("obs_bp", expr("obs * 10000 div n"))
+      .withColumn("exp_bp", expr(expCase))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .select("digit", "obs", "n", "obs_bp", "exp_bp", "dev_bp")
+      .orderBy("digit")
+  }
+
+  /** Wilson score interval per group for a boolean pass rate — the
+    * honest error bar on "94% of this source passes the quality gate"
+    * when some groups have 40 docs and others 40 million (a plain ±z·se
+    * bar lies at small n and at p near 0/1; Wilson doesn't). Quantized
+    * integer form with z² fixed at `z2X1e4`/10⁴ (default 38416 → 95%):
+    *
+    *   bound_bp = 10⁴·(2·10⁴·k + A ± 2·S) div (2·(10⁴·n + A)),
+    *   S = floor(sqrt(A·((10⁴·k·(n−k)) div n) + A² div 4)),  A = z2X1e4
+    *
+    * The sqrt runs on an IEEE double both engines evaluate identically;
+    * its argument stays inside double-exact range (< 2⁵³) to
+    * n ≈ 5·10⁶ per group — past that the bound can drift by 1 bp
+    * (the rate itself, never the ordering). Bounds clamp to [0, 10⁴].
+    *
+    * Shape: one map-side-combinable aggregation per group; output is
+    * group-domain-sized.
+    *
+    * Out: `(groupCol, n, k, p_bp, lo_bp, hi_bp)`.
+    */
+  def wilsonCi(df: DataFrame, groupCol: String, ok: Column,
+      z2X1e4: Long = 38416L): DataFrame = {
+    require(z2X1e4 > 0, s"z2X1e4 must be positive: $z2X1e4")
+    val a = z2X1e4
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(ok, 1L).otherwise(0L)).as("k"))
+      .withColumn("p_bp", expr("k * 10000 div n"))
+      .withColumn("_s", expr(
+        s"cast(floor(sqrt(cast(${a}L * ((10000 * k * (n - k)) div n) " +
+          s"+ (${a}L * ${a}L) div 4 as double))) as bigint)"))
+      .withColumn("lo_bp", greatest(lit(0L), expr(
+        s"10000 * (2 * 10000 * k + ${a}L - 2 * _s) " +
+          s"div (2 * (10000 * n + ${a}L))")))
+      .withColumn("hi_bp", least(lit(10000L), expr(
+        s"10000 * (2 * 10000 * k + ${a}L + 2 * _s) " +
+          s"div (2 * (10000 * n + ${a}L))")))
+      .select(col(groupCol), col("n"), col("k"), col("p_bp"),
+        col("lo_bp"), col("hi_bp"))
+  }
+
   /** McNemar's test on paired boolean outcomes — "did switching systems
     * actually change which items pass": only the DISCORDANT cells
     * matter (n01 = A right / B wrong, n10 = the reverse), and the

@@ -138,6 +138,114 @@ object TimeSeries {
         col("mean_post_x100"))
   }
 
+  /** Lead-lag cross-correlation between every pair of keys' bucketed
+    * series — "does type A's volume move BEFORE type B's" (lag < 0 =
+    * A leads). For each (a, b, lag) the Pearson correlation of a's
+    * series against b's shifted by `lag` buckets, over their
+    * OVERLAPPING buckets only (feed densified series if absent buckets
+    * must count as zero), reported as the signed squared correlation
+    * in e8 — the exact staged-division rho2 form ([[DataQuality
+    * .spearmanBp]] precedent), so both engines replay it bit-for-bit:
+    *
+    *   corr2_e8 = sign(cov)·(|cov|·10⁴ div varx)·(|cov|·10⁴ div vary)
+    *
+    * with cov = n·Σxy − Σx·Σy etc. in DECIMAL(38,0); NULL when either
+    * side is constant over the overlap (undefined, not zero).
+    *
+    * Shape: the bucket-keyed equi-self-join (each bucket meets its
+    * ±maxLag neighbours — keys² pairs per bucket, key domains are
+    * bounded) then a (keys²·(2·maxLag+1))-row aggregation. Feed
+    * BUCKETED series (the changepoint/cusum scale law): buckets stay
+    * calendar-bounded while the corpus grows. Overflow: |cov| ≤
+    * n·Σxy — hourly counts ≤ 10⁶ over ≤ 10⁵ buckets keep the staged
+    * products inside DECIMAL(38,0); pre-scale coarser buckets past
+    * that.
+    *
+    * Out: `(key_a, key_b, lag, n, corr2_e8)` for a ≠ b, ordered.
+    */
+  def leadLag(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      maxLag: Int = 2
+  ): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive: $maxLag")
+    val s = df.select(col(keyCol).as("_k"), col(orderCol).cast("long").as("_o"),
+      col(valueCol).cast("long").as("_x"))
+    // b's bucket _o observed at a's bucket _o − lag: shift then equi-join
+    val b = s.toDF("_kb", "_ob", "_y")
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("_o", col("_ob") - col("lag"))
+      .select("_kb", "_o", "lag", "_y")
+    s.join(b, Seq("_o"))
+      .filter(col("_k") =!= col("_kb"))
+      .groupBy(col("_k").as("key_a"), col("_kb").as("key_b"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(_x as decimal(38,0))")).as("_sx"),
+        sum(expr("cast(_y as decimal(38,0))")).as("_sy"),
+        sum(expr("cast(_x as decimal(38,0)) * _y")).as("_sxy"),
+        sum(expr("cast(_x as decimal(38,0)) * _x")).as("_sxx"),
+        sum(expr("cast(_y as decimal(38,0)) * _y")).as("_syy"))
+      .withColumn("_num", expr("n * _sxy - _sx * _sy"))
+      .withColumn("_dx", expr("n * _sxx - _sx * _sx"))
+      .withColumn("_dy", expr("n * _syy - _sy * _sy"))
+      .withColumn("corr2_e8", expr(
+        "if(_dx > 0 and _dy > 0, " +
+          "cast(if(_num >= 0, 1L, -1L) * " +
+          "((abs(_num) * 10000 div _dx) * (abs(_num) * 10000 div _dy)) " +
+          "as bigint), null)"))
+      .select(col("key_a"), col("key_b"), col("lag").cast("int").as("lag"),
+        col("n"), col("corr2_e8"))
+      .orderBy("key_a", "key_b", "lag")
+  }
+
+  /** Per-key autocorrelation function at lags 1..maxLag over a bucketed
+    * series — the seasonality/persistence readout ([[leadLag]]'s
+    * self-paired sibling, and [[cusum]]/[[changepoint]]'s diagnostic
+    * companion: a spike at lag 24 on hourly buckets = daily rhythm;
+    * slow decay = trending, not noise). Same exact staged-division
+    * signed-squared-Pearson as [[leadLag]], same overlap-bucket
+    * semantics (densify upstream if absent buckets must count as
+    * zero), same DECIMAL(38,0) overflow fence.
+    *
+    * Shape: unlike the cross-key version this join is equi on
+    * (key, bucket) — fully hash-partitioned, keys stream independently,
+    * per-key work bounded by its own bucket count × maxLag. Output is
+    * (keys × maxLag)-sized.
+    *
+    * Out: `(keyCol, lag, n, corr2_e8)` ordered; corr2_e8 NULL when
+    * either slice of the overlap is constant.
+    */
+  def acf(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      maxLag: Int = 24
+  ): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive: $maxLag")
+    val s = df.select(col(keyCol).as("_k"), col(orderCol).cast("long").as("_o"),
+      col(valueCol).cast("long").as("_x"))
+    val b = s.toDF("_k", "_ob", "_y")
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("_o", col("_ob") - col("lag"))
+      .select("_k", "_o", "lag", "_y")
+    s.join(b, Seq("_k", "_o"))
+      .groupBy(col("_k").as(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(_x as decimal(38,0))")).as("_sx"),
+        sum(expr("cast(_y as decimal(38,0))")).as("_sy"),
+        sum(expr("cast(_x as decimal(38,0)) * _y")).as("_sxy"),
+        sum(expr("cast(_x as decimal(38,0)) * _x")).as("_sxx"),
+        sum(expr("cast(_y as decimal(38,0)) * _y")).as("_syy"))
+      .withColumn("_num", expr("n * _sxy - _sx * _sy"))
+      .withColumn("_dx", expr("n * _sxx - _sx * _sx"))
+      .withColumn("_dy", expr("n * _syy - _sy * _sy"))
+      .withColumn("corr2_e8", expr(
+        "if(_dx > 0 and _dy > 0, " +
+          "cast(if(_num >= 0, 1L, -1L) * " +
+          "((abs(_num) * 10000 div _dx) * (abs(_num) * 10000 div _dy)) " +
+          "as bigint), null)"))
+      .select(col(keyCol), col("lag").cast("int").as("lag"),
+        col("n"), col("corr2_e8"))
+      .orderBy(keyCol, "lag")
+  }
+
   /** Exponentially-weighted moving average with a dyadic half-life
     * (α = 1/2) truncated at `lags` terms — the smoothing/forecast
     * primitive, kept EXACT: weights are the powers 2^(lags-1-j), the

@@ -997,6 +997,74 @@ object AnalyticsQueries extends QueryGroup {
              |    THEN (n01 - n10) * (n01 - n10) * 100 // (n01 + n10)
              |  END AS chi2_x100
              |FROM m""".stripMargin)
+    ),
+
+    // Benford first-digit audit on order totals: observed vs expected
+    // digit shares in bp over the densified 1..9 spine. The expected
+    // shares are driver-computed integer literals (the nDCG precedent)
+    // embedded in BOTH plans, so neither engine evaluates a log.
+    "q_analytics_benford" -> QueryDef(
+      (s, d) => graft.ops.DataQuality.benford(
+        Tables.orders(s, d), "o_totalprice"),
+      Some {
+        val expCase = (1 to 9).map(dd =>
+          s"WHEN spine.digit = $dd THEN ${graft.ops.DataQuality.benfordBp(dd)}")
+          .mkString("CASE ", " ", " END")
+        s"""WITH v AS (
+           |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM orders WHERE floor(o_totalprice) >= 1),
+           |obs AS (SELECT digit, count(*)::BIGINT AS obs FROM v GROUP BY 1),
+           |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+           |spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER)
+           |  AS digit),
+           |r AS (
+           |  SELECT spine.digit,
+           |    CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, tot.n,
+           |    CAST(coalesce(obs.obs, 0) AS BIGINT) * 10000 // tot.n
+           |      AS obs_bp,
+           |    CAST($expCase AS BIGINT) AS exp_bp
+           |  FROM spine LEFT JOIN obs USING (digit), tot)
+           |SELECT digit, obs, n, obs_bp, exp_bp,
+           |  abs(obs_bp - exp_bp) AS dev_bp
+           |FROM r ORDER BY digit""".stripMargin
+      }
+    ),
+
+    // Wilson 95% score interval on the per-source pass rate of the
+    // 50-token gate: the honest error bar across sources of very
+    // different sizes — exact quantized arithmetic except one IEEE
+    // double sqrt both engines evaluate identically.
+    "q_dq_wilson" -> QueryDef(
+      (s, d) => {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        graft.ops.DataQuality.wilsonCi(
+          Tables.documents(s, d).select(col("source"),
+            (size(toks) >= 50).as("ok")),
+          "source", col("ok")).orderBy("source")
+      },
+      Some("""WITH s AS (
+             |  SELECT source,
+             |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |      >= 50 AS ok
+             |  FROM documents),
+             |g AS (
+             |  SELECT source, count(*)::BIGINT AS n,
+             |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS k
+             |  FROM s GROUP BY 1),
+             |w AS (
+             |  SELECT source, n, k, k * 10000 // n AS p_bp,
+             |    CAST(floor(sqrt(CAST(38416::BIGINT
+             |      * ((10000 * k * (n - k)) // n)
+             |      + (38416::BIGINT * 38416) // 4 AS DOUBLE))) AS BIGINT)
+             |      AS s2
+             |  FROM g)
+             |SELECT source, n, k, p_bp,
+             |  greatest(0, 10000 * (2 * 10000 * k + 38416 - 2 * s2)
+             |    // (2 * (10000 * n + 38416))) AS lo_bp,
+             |  least(10000, 10000 * (2 * 10000 * k + 38416 + 2 * s2)
+             |    // (2 * (10000 * n + 38416))) AS hi_bp
+             |FROM w ORDER BY source""".stripMargin)
     )
   )
 }

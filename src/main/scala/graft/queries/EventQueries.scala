@@ -914,6 +914,86 @@ object EventQueries extends QueryGroup {
              |ORDER BY event_type""".stripMargin)
     ),
 
+    // Lead-lag cross-correlation between event types' hourly series at
+    // lags -2..2: does one type's volume move before another's. Signed
+    // squared Pearson in e8 via the exact staged-division rho2 form;
+    // overlap-bucket join, (types² × 5)-row output.
+    "q_events_leadlag" -> QueryDef(
+      (s, d) => {
+        val hours = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 3600000000000").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        graft.ops.TimeSeries.leadLag(hours, "event_type", "h", "c", 2)
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type AS k, epoch_ns(ts) // 3600000000000 AS o,
+             |    count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT h.k AS kb, h.o - l AS o, l AS lag, h.x AS y
+             |  FROM h, unnest(generate_series(-2, 2)) AS g(l)),
+             |j AS (
+             |  SELECT a.k AS key_a, b.kb AS key_b, b.lag,
+             |    count(*)::BIGINT AS n,
+             |    sum(a.x::HUGEINT) AS sx, sum(b.y::HUGEINT) AS sy,
+             |    sum(a.x::HUGEINT * b.y) AS sxy,
+             |    sum(a.x::HUGEINT * a.x) AS sxx,
+             |    sum(b.y::HUGEINT * b.y) AS syy
+             |  FROM h a JOIN b ON a.o = b.o AND a.k <> b.kb
+             |  GROUP BY 1, 2, 3),
+             |dd AS (
+             |  SELECT key_a, key_b, lag, n,
+             |    n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+             |  FROM j)
+             |SELECT key_a, key_b, CAST(lag AS INTEGER) AS lag, n,
+             |  CASE WHEN dx > 0 AND dy > 0 THEN
+             |    CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+             |      ((abs(num) * 10000 // dx) * (abs(num) * 10000 // dy))
+             |      AS BIGINT) END AS corr2_e8
+             |FROM dd ORDER BY key_a, key_b, lag""".stripMargin)
+    ),
+
+    // Per-type autocorrelation of the hourly count series at lags
+    // 1..24: the daily-rhythm/persistence readout. Equi-join on
+    // (type, hour) — fully partitioned; output is types × 24 rows.
+    "q_events_acf" -> QueryDef(
+      (s, d) => {
+        val hours = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 3600000000000").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        graft.ops.TimeSeries.acf(hours, "event_type", "h", "c", 24)
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type AS k, epoch_ns(ts) // 3600000000000 AS o,
+             |    count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT h.k, h.o - l AS o, l AS lag, h.x AS y
+             |  FROM h, unnest(generate_series(1, 24)) AS g(l)),
+             |j AS (
+             |  SELECT a.k, b.lag, count(*)::BIGINT AS n,
+             |    sum(a.x::HUGEINT) AS sx, sum(b.y::HUGEINT) AS sy,
+             |    sum(a.x::HUGEINT * b.y) AS sxy,
+             |    sum(a.x::HUGEINT * a.x) AS sxx,
+             |    sum(b.y::HUGEINT * b.y) AS syy
+             |  FROM h a JOIN b ON a.k = b.k AND a.o = b.o
+             |  GROUP BY 1, 2),
+             |dd AS (
+             |  SELECT k, lag, n,
+             |    n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+             |  FROM j)
+             |SELECT k AS event_type, CAST(lag AS INTEGER) AS lag, n,
+             |  CASE WHEN dx > 0 AND dy > 0 THEN
+             |    CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+             |      ((abs(num) * 10000 // dx) * (abs(num) * 10000 // dy))
+             |      AS BIGINT) END AS corr2_e8
+             |FROM dd ORDER BY event_type, lag""".stripMargin)
+    ),
+
     // Truncated-exact EWMA smoothing + pre-observation burst test: the
     // dyadic (α=1/2) exponential moving average as 16 windowed lag
     // terms — weights are powers of two, the mass below the truncation

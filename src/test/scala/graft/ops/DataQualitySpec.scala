@@ -227,6 +227,46 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
       strong.getAs[Long]("p_bp") == 49L)
   }
 
+  test("benford: digit extraction, spine densification, literal shares") {
+    import spark.implicits._
+    // 100..199 (digit 1) ×2, 20..29 (digit 2) ×1, one 0.4 dropped
+    val vals = ((100 to 199) ++ (100 to 199) ++ (20 to 29))
+      .map(_.toDouble) :+ 0.4
+    val out = DataQuality.benford(vals.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 9) // densified spine
+    assert(out(1) == ((200L, 210L, 200L * 10000 / 210, 3010L)))
+    assert(out(2)._1 == 10L && out(2)._4 == 1760L)
+    assert(out(3) == ((0L, 210L, 0L, 1249L))) // absent digit, obs 0
+    // shares sum to ~1: nine floors lose at most 9 bp in total
+    assert(DataQuality.benfordBp.values.sum >= 9991L &&
+      DataQuality.benfordBp.values.sum <= 10000L)
+  }
+
+  test("wilsonCi: hand values at p=1 and p=1/2; bounds clamp and " +
+    "bracket p_bp; tiny groups get wide intervals") {
+    import spark.implicits._
+    val df = (
+      (1 to 16).map(i => ("half", i % 2 == 0)) ++ // k=8, n=16
+      (1 to 4).map(_ => ("all", true))            // k=n=4
+    ).toDF("g", "ok")
+    val out = DataQuality.wilsonCi(df, "g", col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // p̂=1, n=4: upper clamps to 10⁴; lower = n/(n+z²) = 4/7.8416 ≈ 0.51
+    val all = out("all")
+    assert(all._3 == 10000L && all._5 == 10000L)
+    assert(all._4 >= 5000L && all._4 <= 5200L) // textbook ≈ 0.5101
+    // p̂=1/2, n=16: symmetric-ish interval ≈ [0.28, 0.72]
+    val half = out("half")
+    assert(half._3 == 5000L)
+    assert(half._4 >= 2700L && half._4 <= 3000L &&
+      half._5 >= 7000L && half._5 <= 7300L)
+    assert(half._4 < half._3 && half._3 < half._5)
+  }
+
   test("mcnemar: discordant-cell chi2 hand value; all-concordant NULL") {
     import spark.implicits._
     def one(df: org.apache.spark.sql.DataFrame) = df.collect().head

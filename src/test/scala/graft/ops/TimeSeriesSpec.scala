@@ -150,6 +150,51 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       !b.getAs[Boolean]("flag_bot"))
   }
 
+  test("leadLag: a shifted copy correlates perfectly at its lag, " +
+    "anti-correlates when mirrored; constant series → NULL") {
+    import spark.implicits._
+    // b = a shifted forward by 1 bucket (b at t+1 equals a at t):
+    // pair (a, b) at lag +1 sees y_t = b_{t+1} = a_t = x_t → corr 1
+    val a = Seq(1L, 5L, 2L, 8L, 3L, 9L, 4L)
+    val rows =
+      a.zipWithIndex.map { case (v, t) => ("a", t.toLong, v) } ++
+      a.zipWithIndex.map { case (v, t) => ("b", t + 1L, v) } ++
+      (0L to 7L).map(t => ("c", t, 5L)) // constant
+    val out = TimeSeries.leadLag(rows.toDF("k", "h", "v"), "k", "h", "v",
+        maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    // perfect correlation at the true lag: (1e4)² = 1e8 exactly
+    assert(out(("a", "b", 1)) == ((7L, Some(100000000L))))
+    // and symmetric the other way
+    assert(out(("b", "a", -1)) == ((7L, Some(100000000L))))
+    // at the WRONG lag the same series is far from perfect
+    assert(out(("a", "b", 0))._2.exists(_ < 50000000L))
+    // constant partner → zero variance → NULL, not zero
+    assert(out(("a", "c", 0))._2.isEmpty)
+  }
+
+  test("acf: an alternating series anti-correlates perfectly at lag 1 " +
+    "and correlates perfectly at lag 2; constant series → NULL") {
+    import spark.implicits._
+    val rows =
+      (0L to 9L).map(t => ("alt", t, if (t % 2 == 0) 1L else 9L)) ++
+      (0L to 5L).map(t => ("flat", t, 4L))
+    val out = TimeSeries.acf(rows.toDF("k", "h", "v"), "k", "h", "v",
+        maxLag = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out(("alt", 1)) == ((9L, Some(-100000000L))))
+    assert(out(("alt", 2)) == ((8L, Some(100000000L))))
+    assert(out(("flat", 1))._2.isEmpty)
+    // lags past the window still report their overlap count
+    assert(out(("alt", 3))._1 == 7L)
+  }
+
   test("changepoint: finds the level shift, breaks flat-series ties to " +
     "the smallest t, NULLs a single-bucket key") {
     import spark.implicits._

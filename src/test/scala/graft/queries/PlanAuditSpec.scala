@@ -58,8 +58,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "q_text_vocab_growth", // 1-row max-id aggregate × corpus (bucket
                            // assignment) and × 10-row spine
     "q_text_burstiness", // 1-row grand-total aggregate × top-k counts
-    "q_sim_matryoshka") // two brute-force sweeps (broadcast 20 queries
+    "q_sim_matryoshka", // two brute-force sweeps (broadcast 20 queries
                         // × corpus) — the measured ANN-agreement oracle
+    "q_analytics_benford") // 1-row total aggregate × 9-row digit spine
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
