@@ -259,6 +259,97 @@ object Multimodal {
           expr(s"substring('0123456789abcdef', d$p + 1, 1)")): _*))
   }
 
+  /** Quantized DCT-II basis: cq(x, u) = floor(cos(π(2x+1)u/64)·10⁶),
+    * x ∈ 0..31, u ∈ 0..7 — computed ONCE driver-side (the Benford /
+    * nDCG integer-literal precedent) so both engines run pure BIGINT
+    * sums; no trig call reaches a plan.
+    */
+  val dctBasisQ: Seq[(Int, Int, Long)] =
+    for (x <- 0 until 32; u <- 0 until 8) yield (x, u,
+      math.floor(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 1e6).toLong)
+
+  /** DCT perceptual hash (pHash proper) — the frequency-domain sibling
+    * of [[aHashWide]]: where the average hash votes on raw segment
+    * brightness (fooled by any global level change in STRUCTURE), the
+    * DCT hash votes on the low-frequency SHAPE of the signal, the
+    * standard robust image fingerprint. Fully exact integer pipeline:
+    *
+    *   1. 32×32 gray matrix from payload bytes, g(x,y) = byte at
+    *      (32x+y) mod n (the decode stub — a real decoder lands its
+    *      luma plane in the same (x, y, g) shape);
+    *   2. separable 2-D DCT-II through the [[dctBasisQ]] quantized
+    *      basis: row stage Σ_x g·cq(x,u), column stage Σ_y r·cq(y,v) —
+    *      BIGINT throughout (|C| ≤ 255·10¹²·1024 ≈ 2.7·10¹⁷);
+    *   3. threshold each of the 64 coefficients against the MEDIAN of
+    *      the 63 AC coefficients (rank 32 under the deterministic
+    *      (c, u, v) order — exact, no averaging), DC included in the
+    *      vote so the hash stays 64-bit;
+    *   4. render 16 hex nibbles in (u, v) order.
+    *
+    * Invariances the spec pins: exact payload duplication (the mod-n
+    * wrap makes g identical) and uniform brightness shift (+k moves
+    * only the DC coefficient — at most 1 of 64 bits flips).
+    *
+    * Shape: a PURE PER-ROW PROJECTION (the rougeL precedent) — the gray
+    * matrix, both DCT stages, the sorted-median threshold, and the hex
+    * render are bounded array folds over literal-array basis lookups
+    * inside one whole-stage-codegen projection. ZERO shuffle, zero
+    * joins, no window: corpus-linear and embarrassingly parallel at any
+    * scale. (Every intermediate array is materialized with `withColumn`
+    * before the fold that reads it — the documented HOF re-evaluation
+    * trap.)
+    *
+    * Out: `(media_id, dct_hash)` — compose with the shared Hamming pair
+    * ops via doc_id = media_id exactly like [[aHashWide]].
+    */
+  def dctHashWide(media: DataFrame): DataFrame = {
+    // basis as a flat literal array indexed (x*8 + u), 1-based lookup
+    val cqArr = array(dctBasisQ.sortBy { case (x, u, _) => x * 8 + u }
+      .map { case (_, _, c) => lit(c) }: _*)
+    media
+      .select(col("media_id"),
+        expr(s"substring(media, ${HeaderLen + 1}, length(media))")
+          .as("_pay"))
+      .filter(length(col("_pay")) > 0)
+      .withColumn("_s", decode(col("_pay"), "UTF-8"))
+      .withColumn("_n", length(col("_s")).cast("long"))
+      .withColumn("_cq", cqArr)
+      // 32×32 gray matrix, flat (32x + y), g = byte at (pos mod n)
+      .withColumn("_g", expr(
+        "transform(sequence(0, 1023), p -> " +
+          "CAST(ascii(substring(_s, CAST(p % _n AS INT) + 1, 1)) AS BIGINT))"))
+      // row stage: r(u*32 + y) = Σ_x g(32x+y)·cq(x*8+u). The size guard
+      // doubles as the anti-inlining reference: an alias consumed ONCE
+      // collapses into its consumer (SPARK-36718's cost rule), and an
+      // inlined _g would REBUILD the 1024-cell matrix per fold step —
+      // the measured 100× blowup, not a theoretical one.
+      .withColumn("_r", expr(
+        "if(size(_g) = 1024, " +
+          "transform(sequence(0, 255), i -> aggregate(sequence(0, 31), 0L, " +
+          "(acc, x) -> acc + element_at(_g, x * 32 + i % 32 + 1) * " +
+          "element_at(_cq, x * 8 + CAST(i div 32 AS INT) + 1))), null)"))
+      // column stage: c(u*8 + v) = Σ_y r(u*32+y)·cq(y*8+v); same guard
+      .withColumn("_c", expr(
+        "if(size(_r) = 256, " +
+          "transform(sequence(0, 63), i -> aggregate(sequence(0, 31), 0L, " +
+          "(acc, y) -> acc + element_at(_r, CAST(i div 8 AS INT) * 32 + y + 1) * " +
+          "element_at(_cq, y * 8 + i % 8 + 1))), null)"))
+      // exact rank-32 median of the 63 AC coefficients (value sort —
+      // ties can't move the 32nd VALUE, so no tie-break is needed)
+      .withColumn("_m", expr(
+        "element_at(array_sort(slice(_c, 2, 63)), 32)"))
+      .withColumn("_d", expr(
+        "transform(sequence(0, 15), p -> " +
+          "(CASE WHEN element_at(_c, p * 4 + 1) > _m THEN 8 ELSE 0 END) + " +
+          "(CASE WHEN element_at(_c, p * 4 + 2) > _m THEN 4 ELSE 0 END) + " +
+          "(CASE WHEN element_at(_c, p * 4 + 3) > _m THEN 2 ELSE 0 END) + " +
+          "(CASE WHEN element_at(_c, p * 4 + 4) > _m THEN 1 ELSE 0 END))"))
+      .withColumn("dct_hash", expr(
+        "array_join(transform(_d, d -> " +
+          "substring('0123456789abcdef', CAST(d AS INT) + 1, 1)), '')"))
+      .select(col("media_id"), col("dct_hash"))
+  }
+
   /** Per-FRAME perceptual average-hash: every sampled frame of every
     * video gets its own 64-bit aHash, keyed `doc_id = media_id·1000 +
     * frame_idx` so the shared Hamming pair ops (`Dedup.

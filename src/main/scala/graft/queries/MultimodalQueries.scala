@@ -65,6 +65,57 @@ object MultimodalQueries extends QueryGroup {
               |FROM dig GROUP BY media_id ORDER BY media_id""".stripMargin)
     ),
 
+    // DCT perceptual hash (pHash proper): 32×32 gray matrix from the
+    // payload, exact-integer separable 2-D DCT through the quantized
+    // driver-side basis, 64 bits voted against the exact rank-32 AC
+    // median. Both engines run identical BIGINT sums — the hash replays
+    // bit-for-bit, no trig call in either plan.
+    "q_multimodal_dct_hash" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.synthesize(
+          Tables.documents(s, d).filter(col("doc_id") < 200))
+        Multimodal.dctHashWide(media).orderBy("media_id")
+      },
+      Some {
+        val basisRows = Multimodal.dctBasisQ
+          .map { case (x, u, c) => s"($x,$u,$c)" }.mkString(",")
+        s"""WITH pay AS (
+           |  SELECT doc_id AS media_id, text AS s,
+           |    length(text)::BIGINT AS n
+           |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+           |basis(bx, bu, cq) AS (VALUES $basisRows),
+           |cells AS (
+           |  SELECT media_id, (p - 1) // 32 AS x, (p - 1) % 32 AS y,
+           |    ascii(substring(s, CAST((p - 1) % n AS INTEGER) + 1, 1))
+           |      ::BIGINT AS g
+           |  FROM pay, unnest(generate_series(1, 1024)) AS q(p)),
+           |r1 AS (
+           |  SELECT media_id, bu AS u, y, sum(g * cq) AS r
+           |  FROM cells JOIN basis ON bx = x GROUP BY 1, 2, 3),
+           |coef AS (
+           |  SELECT media_id, u, b2.bu AS v,
+           |    CAST(sum(r * b2.cq) AS BIGINT) AS c
+           |  FROM r1 JOIN basis b2 ON b2.bx = r1.y GROUP BY 1, 2, 3),
+           |med AS (
+           |  SELECT media_id, c AS m FROM (
+           |    SELECT media_id, c, row_number() OVER (
+           |      PARTITION BY media_id ORDER BY c, u, v) AS rk
+           |    FROM coef WHERE NOT (u = 0 AND v = 0)) WHERE rk = 32),
+           |bits AS (
+           |  SELECT coef.media_id, u * 8 + v AS idx, (c > m) AS bit
+           |  FROM coef JOIN med USING (media_id)),
+           |dig AS (
+           |  SELECT media_id, idx // 4 AS p,
+           |    sum(CASE WHEN bit THEN 1 << CAST(3 - idx % 4 AS INTEGER)
+           |        ELSE 0 END) AS d
+           |  FROM bits GROUP BY 1, 2)
+           |SELECT media_id,
+           |  string_agg(substring('0123456789abcdef',
+           |    CAST(d AS INTEGER) + 1, 1), '' ORDER BY p) AS dct_hash
+           |FROM dig GROUP BY media_id ORDER BY media_id""".stripMargin
+      }
+    ),
+
     // Video near-dup detection at FRAME granularity: originals + a
     // "re-upload" variant set (same frame count; the payload edit
     // REPLACES the last char, so length — and therefore every tile

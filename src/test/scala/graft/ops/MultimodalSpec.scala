@@ -374,4 +374,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // a cap above the hub's share keeps everything (boundary is <=)
     assert(Multimodal.dropHubTokens(fps, maxDfBp = 8500).count() == 59L)
   }
+
+  test("dctHash: exact-duplication invariance, brightness shifts flip " +
+    "at most the DC bit, distinct structures differ") {
+    import spark.implicits._
+    def hash(rows: Seq[(Long, String)]): Map[Long, String] =
+      Multimodal.dctHashWide(Multimodal.synthesize(
+          rows.toDF("doc_id", "text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^
+          Integer.parseInt(y.toString, 16))
+      }.sum
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with structure that varies across the line"
+    val h = hash(Seq(
+      (1L, base),
+      (2L, base + " " + base + " "),     // NOT an exact wrap — differs
+      (3L, base.map(c => (c + 1).toChar)), // uniform +1 brightness
+      (4L, base.reverse)))
+    // exact duplication: g(x,y) reads (32x+y) mod n — doubling the
+    // payload EXACTLY reproduces the matrix. (media payload is the raw
+    // text, so duplication must be exact: text*2, no separator)
+    val hDup = hash(Seq((9L, base + base)))
+    assert(h(1L) == hDup(9L), "mod-n wrap must make text*2 identical")
+    // +1 on every byte moves only the DC coefficient: ≤ 1 bit flips
+    assert(hamming(h(1L), h(3L)) <= 1,
+      s"brightness shift flipped ${hamming(h(1L), h(3L))} bits")
+    // genuinely different structure lands far away
+    assert(hamming(h(1L), h(4L)) >= 8)
+    assert(h(1L) != h(2L)) // near-copy with a seam is not bit-identical
+  }
 }
