@@ -358,6 +358,8 @@ object Profile {
             .cast("long").as("delta"))
         time(s"perm-test-x$m")(noop(
           DataQuality.pairedPermTest(pairs, "doc_id", "delta", 200)))
+        time(s"dct-hash-x$m")(noop(graft.ops.Multimodal.dctHashWide(
+          graft.ops.Multimodal.synthesize(docs))))
         val evm = (0 until m).map { k =>
           ev.select(concat(col("event_type"), lit(s"~c$k")).as("event_type"),
             col("ts_ns"))
