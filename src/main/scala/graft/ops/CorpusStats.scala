@@ -48,9 +48,14 @@ object CorpusStats {
     // id range → bucket; max from a 1-row aggregate (the allowlisted
     // 1-row-broadcast pattern, never corpus-sided)
     val maxId = toks.agg(max(col("_id")).as("_max"))
+    // clamp below 0: a NEGATIVE id would otherwise bucket below the
+    // 0..nBuckets−1 spine and its doc/token/vocab mass silently drop
+    // off the spine join (curve undercounts). `_id * nBuckets` also
+    // overflows for ids near Long.MaxValue/nBuckets — callers with
+    // synthetic 63-bit ids must pre-scale (documented limit).
     val bucketed = toks.crossJoin(maxId)
-      .withColumn("_b", least(lit(nBuckets - 1),
-        expr(s"_id * $nBuckets div (_max + 1)")).cast("long"))
+      .withColumn("_b", greatest(lit(0L), least(lit(nBuckets - 1),
+        expr(s"_id * $nBuckets div (_max + 1)"))).cast("long"))
     // per-bucket doc/token mass
     val mass = bucketed.groupBy("_b")
       .agg(count(lit(1)).as("_docs"), sum(size(col("_t"))).as("_toks"))

@@ -276,8 +276,14 @@ object DataQuality {
       .agg(count(lit(1)).as("n"),
         sum(when(ok, 1L).otherwise(0L)).as("k"))
       .withColumn("p_bp", expr("k * 10000 div n"))
+      // the 10000·k·(n−k) product is staged in DECIMAL(38,0): as BIGINT
+      // it silently exceeds 2⁶³ for groups beyond ~6·10⁷ rows (ANSI:
+      // query failure; legacy: a negative operand and NaN sqrt). The
+      // decimal floor-quotient equals the BIGINT `div` wherever the
+      // BIGINT form was valid, so small-group results are bit-identical.
       .withColumn("_s", expr(
-        s"cast(floor(sqrt(cast(${a}L * ((10000 * k * (n - k)) div n) " +
+        s"cast(floor(sqrt(cast(${a}L * " +
+          "floor((cast(10000 as decimal(38,0)) * k * (n - k)) / n) " +
           s"+ (${a}L * ${a}L) div 4 as double))) as bigint)"))
       .withColumn("lo_bp", greatest(lit(0L), expr(
         s"10000 * (2 * 10000 * k + ${a}L - 2 * _s) " +

@@ -314,10 +314,17 @@ object Multimodal {
       .withColumn("_s", decode(col("_pay"), "UTF-8"))
       .withColumn("_n", length(col("_s")).cast("long"))
       .withColumn("_cq", cqArr)
-      // 32×32 gray matrix, flat (32x + y), g = byte at (pos mod n)
+      // 32×32 gray matrix, flat (32x + y), g = codepoint at (pos mod n)
+      // clamped to 0..255 (`pmod(..., 256)`): the payload is UTF-8
+      // DECODED and read per character, so a non-ASCII codepoint (up
+      // to 0x10FFFF) would otherwise void the BIGINT headroom bound
+      // (|C| ≤ 255·10¹²·1024) the two DCT stages rely on; for the
+      // ASCII decode stub the clamp is the identity, and a real
+      // decoder lands 0..255 luma in the same (x, y, g) contract
       .withColumn("_g", expr(
         "transform(sequence(0, 1023), p -> " +
-          "CAST(ascii(substring(_s, CAST(p % _n AS INT) + 1, 1)) AS BIGINT))"))
+          "pmod(CAST(ascii(substring(_s, CAST(p % _n AS INT) + 1, 1)) " +
+          "AS BIGINT), 256))"))
       // row stage: r(u*32 + y) = Σ_x g(32x+y)·cq(x*8+u). The size guard
       // doubles as the anti-inlining reference: an alias consumed ONCE
       // collapses into its consumer (SPARK-36718's cost rule), and an

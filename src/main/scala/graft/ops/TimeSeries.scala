@@ -139,8 +139,11 @@ object TimeSeries {
   }
 
   /** Lead-lag cross-correlation between every pair of keys' bucketed
-    * series — "does type A's volume move BEFORE type B's" (lag < 0 =
-    * A leads). For each (a, b, lag) the Pearson correlation of a's
+    * series — "does type A's volume move BEFORE type B's" (lag > 0 =
+    * A leads: the pairing is x = a(t), y = b(t + lag), so when b is a
+    * delayed copy of a the correlation peaks at POSITIVE lag — pinned
+    * by TimeSeriesSpec's corr-1-at-lag-+1 fixture).
+    * For each (a, b, lag) the Pearson correlation of a's
     * series against b's shifted by `lag` buckets, over their
     * OVERLAPPING buckets only (feed densified series if absent buckets
     * must count as zero), reported as the signed squared correlation

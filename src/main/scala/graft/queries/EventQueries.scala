@@ -915,9 +915,10 @@ object EventQueries extends QueryGroup {
     ),
 
     // Lead-lag cross-correlation between event types' hourly series at
-    // lags -2..2: does one type's volume move before another's. Signed
-    // squared Pearson in e8 via the exact staged-division rho2 form;
-    // overlap-bucket join, (types² × 5)-row output.
+    // lags -2..2: does one type's volume move before another's
+    // (lag > 0 = key_a leads — x = a(t) pairs with y = b(t + lag)).
+    // Signed squared Pearson in e8 via the exact staged-division rho2
+    // form; overlap-bucket join, (types² × 5)-row output.
     "q_events_leadlag" -> QueryDef(
       (s, d) => {
         val hours = Tables.events(s, d)

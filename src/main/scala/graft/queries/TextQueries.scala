@@ -1616,9 +1616,15 @@ object TextQueries extends QueryGroup {
           .withColumn("toks", tokens(col("text")))
           .withColumn("ref_toks", slice(col("toks"), 1, 40))
           .withColumn("cand_toks",
-            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
-              i => when(pmod(i, lit(9)) === 0, lit("the"))
-                .otherwise(element_at(col("toks"), i))))
+            // zero-token guard: sequence(1, 0) descends to [1, 0] and
+            // the phantom element_at(toks, 1) errors under ANSI — an
+            // all-whitespace doc must yield an EMPTY candidate list
+            // (the oracle's list_transform over [] does the same)
+            when(size(col("toks")) >= 1,
+              transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+                i => when(pmod(i, lit(9)) === 0, lit("the"))
+                  .otherwise(element_at(col("toks"), i))))
+              .otherwise(array().cast("array<string>")))
         graft.ops.TextAnalysis.bleu(
             docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
             "doc_id")
@@ -3401,9 +3407,15 @@ object TextQueries extends QueryGroup {
           .withColumn("toks", tokens(col("text")))
           .withColumn("ref_toks", slice(col("toks"), 1, 40))
           .withColumn("cand_toks",
-            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
-              i => when(pmod(i, lit(9)) === 0, lit("the"))
-                .otherwise(element_at(col("toks"), i))))
+            // zero-token guard: sequence(1, 0) descends to [1, 0] and
+            // the phantom element_at(toks, 1) errors under ANSI — an
+            // all-whitespace doc must yield an EMPTY candidate list
+            // (the oracle's list_transform over [] does the same)
+            when(size(col("toks")) >= 1,
+              transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+                i => when(pmod(i, lit(9)) === 0, lit("the"))
+                  .otherwise(element_at(col("toks"), i))))
+              .otherwise(array().cast("array<string>")))
         graft.ops.TextAnalysis.rougeL(
             docs.select(col("doc_id"), col("cand_toks"), col("ref_toks")),
             "doc_id")
@@ -3622,9 +3634,12 @@ object TextQueries extends QueryGroup {
           .withColumn("toks", tokens(col("text")))
           .withColumn("ref_text", array_join(slice(col("toks"), 1, 40), " "))
           .withColumn("cand_text", array_join(
-            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
-              i => when(pmod(i, lit(9)) === 0, lit("the"))
-                .otherwise(element_at(col("toks"), i))), " "))
+            // zero-token guard — same reasoning as q_text_bleu's
+            when(size(col("toks")) >= 1,
+              transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+                i => when(pmod(i, lit(9)) === 0, lit("the"))
+                  .otherwise(element_at(col("toks"), i))))
+              .otherwise(array().cast("array<string>")), " "))
         graft.ops.TextAnalysis.chrF(
             docs.select(col("doc_id"), col("cand_text"), col("ref_text")),
             "doc_id")
@@ -4134,9 +4149,15 @@ object TextQueries extends QueryGroup {
           .withColumn("toks", tokens(col("text")))
           .withColumn("ref_toks", slice(col("toks"), 1, 40))
           .withColumn("cand_toks",
-            transform(sequence(lit(1), least(size(col("toks")), lit(36))),
-              i => when(pmod(i, lit(9)) === 0, lit("the"))
-                .otherwise(element_at(col("toks"), i))))
+            // zero-token guard: sequence(1, 0) descends to [1, 0] and
+            // the phantom element_at(toks, 1) errors under ANSI — an
+            // all-whitespace doc must yield an EMPTY candidate list
+            // (the oracle's list_transform over [] does the same)
+            when(size(col("toks")) >= 1,
+              transform(sequence(lit(1), least(size(col("toks")), lit(36))),
+                i => when(pmod(i, lit(9)) === 0, lit("the"))
+                  .otherwise(element_at(col("toks"), i))))
+              .otherwise(array().cast("array<string>")))
           .select(col("doc_id"), col("cand_toks"), col("ref_toks"))
         val r1 = graft.ops.TextAnalysis.rougeN(docs, "doc_id", 1)
           .withColumn("n", lit(1L))
