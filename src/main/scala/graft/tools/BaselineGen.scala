@@ -1,0 +1,80 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Generator + reader for `BASELINE_QUERIES.json` — the machine-readable
+  * per-query quiet-baseline table the bench's baseline-aware retry reads
+  * (see [[graft.Bench]]): one row per registered query with its quiet
+  * median wall seconds (and process-CPU seconds when the source record
+  * carries them), plus provenance.
+  *
+  * Usage: `runMain graft.tools.BaselineGen [benchRecord.json]` — default
+  * source is the committed `BENCH.json` (which [[graft.Bench]] only
+  * promotes on full-battery sf0.1 runs). Generate it FROM A QUIET RUN:
+  * the whole point is that the committed number is the machine-noise-free
+  * reference; check the source record's `loadavg` map before promoting.
+  * BaselineSpec gates parity (every registered query has a row, no
+  * orphans), so regenerate after adding queries.
+  */
+object BaselineGen {
+  val Path = "BASELINE_QUERIES.json"
+
+  /** query → quiet median wall sec; empty map when `path` is absent or
+    * unparsable (the bench then simply runs without baseline retries).
+    */
+  def read(path: String): Map[String, Double] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Map.empty
+    try {
+      val root = new ObjectMapper().readTree(Files.readString(p))
+      val qs = root.get("queries")
+      if (qs == null) return Map.empty
+      val it = qs.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        val sec = e.getValue.get("sec")
+        if (sec != null) b += e.getKey -> sec.asDouble()
+      }
+      b.result()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[baseline] unreadable $path: ${e.getMessage}")
+        Map.empty
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("BENCH.json")
+    val root = new ObjectMapper().readTree(Files.readString(Paths.get(src)))
+    val qs = root.get("queries")
+    require(qs != null && qs.size() > 0, s"no queries map in $src")
+    val cpu = Option(root.get("cpu_sec"))
+    val names = {
+      val it = qs.fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result().sorted
+    }
+    val date = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    val sf = Option(root.get("sf")).map(_.asText()).getOrElse("?")
+    val rows = names.map { n =>
+      val sec = qs.get(n).asDouble()
+      val c = cpu.flatMap(m => Option(m.get(n))).map(_.asDouble())
+      val cpuPart = c.map(v => f""","cpu_sec":$v%.3f""").getOrElse("")
+      f"""    "$n": {"sec":$sec%.3f$cpuPart}"""
+    }
+    val json =
+      s"""{
+         |  "_meta": {"src": "$src", "generated": "$date", "sf": "$sf",
+         |    "stat": "median", "n_queries": ${names.size}},
+         |  "queries": {
+         |${rows.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    Files.writeString(Paths.get(Path), json)
+    println(s"[baseline] wrote $Path (${names.size} queries from $src)")
+  }
+}
