@@ -487,23 +487,37 @@ object Dedup {
       .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
     var iter = 0
     var converged = false
-    def propagate(l: DataFrame): DataFrame = edges
-      .join(l.withColumnRenamed("doc_id", "b"), "b")
-      .groupBy(col("a").as("doc_id"))
-      .agg(min(col("cluster_id")).as("nbr_min"))
-      .join(l, "doc_id")
-      .select(col("doc_id"),
-        least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
+    // `keepPrev` carries the INPUT label alongside the output one, so
+    // the convergence check below is a plain filter over the
+    // checkpointed round — it used to be a labels×labels shuffle join
+    // per cycle (r9 optimization: one fewer shuffle join + job per
+    // cycle, at every scale)
+    def propagate(l: DataFrame, keepPrev: Boolean = false): DataFrame = {
+      val joined = edges
+        .join(l.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .join(l.select("doc_id", "cluster_id"), "doc_id")
+      val outCols = Seq(col("doc_id"),
+        least(col("nbr_min"), col("cluster_id")).as("cluster_id")) ++
+        (if (keepPrev) Seq(col("cluster_id").as("_prev")) else Nil)
+      joined.select(outCols: _*)
+    }
     // pointer doubling: labels satisfy label(v) ≤ v and only decrease,
     // so label(label(v)) is a same-component id no larger than label(v)
     // — safe to adopt, and it squares the reachability map. Left join:
     // every label value is a node that appears in `labels` (labels cover
     // all edge endpoints), but coalesce keeps the op total regardless.
-    def shortcut(l: DataFrame): DataFrame = l
-      .join(l.select(col("doc_id").as("cluster_id"),
-        col("cluster_id").as("_gp")), Seq("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("_gp"), col("cluster_id")).as("cluster_id"))
+    // Extra columns (the convergence check's `_prev`) pass through.
+    def shortcut(l: DataFrame): DataFrame = {
+      val extra = l.columns.filter(c => c != "doc_id" && c != "cluster_id")
+        .map(col)
+      l.join(l.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("_gp")), Seq("cluster_id"), "left")
+        .select(Seq(col("doc_id"),
+          coalesce(col("_gp"), col("cluster_id")).as("cluster_id")) ++
+          extra: _*)
+    }
     while (iter < maxIter && !converged) {
       // two propagation rounds per convergence check: dedup clusters are
       // near-cliques (diameter ≤ 2 is the norm), so checking every round
@@ -521,12 +535,21 @@ object Dedup {
       // parity on the clusters-derived battery queries) — while
       // chain-shaped components still get the O(log diameter) law from
       // cycle 3 on (reach 2, 4, then r → 2(r+2) per cycle).
-      val stepped = propagate(propagate(labels))
+      // convergence = the OUTER propagate (and the shortcut) changed
+      // nothing. That is a fixed point of propagate: label(a) ≤
+      // label(b) for every edge (a,b) in BOTH directions (edges are
+      // undirected), hence labels are constant per component — fully
+      // converged, the same final labels the old start-of-cycle
+      // comparison reached (possibly one cycle sooner when the last
+      // movement happens in the INNER round). `_prev` rides inside the
+      // checkpointed frame, so the check is a filter over materialized
+      // blocks — no join, no shuffle.
+      val stepped = propagate(propagate(labels), keepPrev = true)
       val next = (if (iter >= 4) shortcut(stepped) else stepped)
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("_prev"))
+        .limit(1).count()
+      labels = next.drop("_prev")
       converged = changed == 0
       iter += 2
     }
@@ -738,6 +761,22 @@ object Dedup {
   def prefixFilterJaccardOn(
       sh: DataFrame, thresholdBp: Long,
       side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+  ): DataFrame =
+    verifyJaccard(prefixFilterCandidates(sh, thresholdBp, side), sh, side)
+      .select(col("i"), col("j"),
+        floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+
+  /** The CANDIDATE stage of [[prefixFilterJaccardOn]] — distinct (i, j)
+    * pairs colliding on a prefix shingle, exact-recall at `thresholdBp`
+    * by the pigeonhole bound. Exposed separately so audits that verify
+    * SEVERAL candidate generators against one shingle frame (the LSH
+    * recall audit) can union candidate sets and run the exact-Jaccard
+    * verify ONCE instead of once per generator.
+    */
+  def prefixFilterCandidates(
+      sh: DataFrame, thresholdBp: Long,
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
   ): DataFrame = {
     require(thresholdBp > 0 && thresholdBp <= 10000, s"bad t: $thresholdBp")
     // df table ≈ vocabulary, sizes ≈ docs: both corpus-scaled —
@@ -752,13 +791,9 @@ object Dedup {
         .filter(col("_rnk") <=
           col("n") - expr(s"($thresholdBp * n + 9999) div 10000") + 1)
         .select("doc_id", "w"))
-    val cands = pref.select(col("doc_id").as("i"), col("w"))
+    pref.select(col("doc_id").as("i"), col("w"))
       .join(side(pref.select(col("doc_id").as("j"), col("w"))), "w")
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    verifyJaccard(cands, sh, side)
-      .select(col("i"), col("j"),
-        floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
-      .filter(col("jaccard_bp") >= thresholdBp)
   }
 }

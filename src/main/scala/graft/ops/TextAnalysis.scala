@@ -366,20 +366,33 @@ object TextAnalysis {
         transform(sequence(lit(1), size(c) - (n - 1)),
           i => array_join(slice(c, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
-    def sideCounts(side: String): DataFrame =
-      pairs
-        .select(col(idCol).as("_id"),
-          explode_outer(grams(col(side + "_toks"))).as("_g"))
-        .groupBy("_id", "_g").agg(count(when(col("_g").isNotNull, 1)).as("_c"))
-    val cand = sideCounts("cand")
-    val ref = sideCounts("ref")
-    cand.as("c").join(ref.as("r"), Seq("_id", "_g"), "full_outer")
+    // r9 restructure (the [[bleu]] melt): one (pair, side, gram) stream
+    // + one aggregation with conditional per-side sums replaces the two
+    // per-side aggregations + full-outer join. explode_outer keeps
+    // zero-gram docs as a null-gram row per side; groupBy merges the
+    // two sides' null rows into one group whose guarded sums are 0 —
+    // the same zeros the old full outer (where null keys never match)
+    // fed the final rollup. (In the OLD form the null-gram rows of the
+    // two sides stayed as two separate rows with the other side's
+    // count null→0 — same contribution.)
+    val occ = pairs.select(col(idCol).as("_id"), explode(array(
+        struct(lit(1L).as("_s"), col("cand_toks").as("_t")),
+        struct(lit(0L).as("_s"), col("ref_toks").as("_t")))).as("_x"))
+      // _t materialized as a plain column BEFORE the gram HOF reads it
+      // (the documented lambda-closure re-evaluation trap)
+      .select(col("_id"), col("_x._s").as("_s"), col("_x._t").as("_t"))
+      .select(col("_id"), col("_s"),
+        explode_outer(grams(col("_t"))).as("_g"))
+    occ.groupBy("_id", "_g")
+      .agg(
+        sum(when(col("_g").isNotNull, col("_s")).otherwise(0L)).as("_cc"),
+        sum(when(col("_g").isNotNull, lit(1L) - col("_s")).otherwise(0L))
+          .as("_rc"))
       .groupBy(col("_id"))
       .agg(
-        sum(coalesce(col("c._c"), lit(0L))).as("n_grams_cand"),
-        sum(coalesce(col("r._c"), lit(0L))).as("n_grams_ref"),
-        sum(least(coalesce(col("c._c"), lit(0L)),
-          coalesce(col("r._c"), lit(0L)))).as("n_overlap"))
+        sum(col("_cc")).as("n_grams_cand"),
+        sum(col("_rc")).as("n_grams_ref"),
+        sum(least(col("_cc"), col("_rc"))).as("n_overlap"))
       .withColumn("rougen_p_bp",
         expr("if(n_grams_cand > 0, n_overlap * 10000 div n_grams_cand, 0L)"))
       .withColumn("rougen_r_bp",
@@ -927,20 +940,31 @@ object TextAnalysis {
         col(candCol).as("_ct"), col(refCol).as("_rt"))
         .withColumn("_clen", size(col("_ct")).cast("long"))
         .withColumn("_rlen", size(col("_rt")).cast("long")))
-    def gramsOf(tc: String, n: Int): Column =
-      when(size(col(tc)) >= n,
-        transform(sequence(lit(1), size(col(tc)) - (n - 1)),
-          i => array_join(slice(col(tc), i, lit(n)), " ")))
+    // r9 restructure: both sides melt into ONE (pair, side, n, gram)
+    // stream and ONE (pair, n, gram) aggregation with conditional
+    // per-side sums — the old form aggregated each side separately and
+    // equi-joined the two counted frames (2 aggregation shuffles + a
+    // join + 2·maxN scans of the pair frame → 1 shuffle + 2 scans;
+    // a gram's cand/ref counts live in the same group row, so the
+    // "clip" is a projection, not a join). filter(_cc > 0) replicates
+    // the old LEFT join (cand-present grams only) exactly.
+    val sides = toks.select(col("_id"), explode(array(
+        struct(lit(1L).as("_s"), col("_ct").as("_t")),
+        struct(lit(0L).as("_s"), col("_rt").as("_t")))).as("_x"))
+      .select(col("_id"), col("_x._s").as("_s"), col("_x._t").as("_t"))
+    def gramsOfN(n: Int): Column =
+      when(size(col("_t")) >= n,
+        transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => array_join(slice(col("_t"), i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
-    def gramCounts(tc: String, out: String): DataFrame =
-      (1 to maxN).map { n =>
-        toks.select(col("_id"), lit(n).as("_n"),
-          explode(gramsOf(tc, n)).as("_g"))
-      }.reduce(_ unionAll _)
-        .groupBy("_id", "_n", "_g").agg(count(lit(1)).as(out))
-    val stats = gramCounts("_ct", "_cc")
-      .join(gramCounts("_rt", "_rc"), Seq("_id", "_n", "_g"), "left")
-      .withColumn("_m", least(col("_cc"), coalesce(col("_rc"), lit(0L))))
+    val occ = (1 to maxN).map { n =>
+      sides.select(col("_id"), col("_s"), lit(n).as("_n"),
+        explode(gramsOfN(n)).as("_g"))
+    }.reduce(_ unionAll _)
+    val stats = occ.groupBy("_id", "_n", "_g")
+      .agg(sum(col("_s")).as("_cc"), sum(lit(1L) - col("_s")).as("_rc"))
+      .filter(col("_cc") > 0)
+      .withColumn("_m", least(col("_cc"), col("_rc")))
       .groupBy("_id", "_n")
       .agg(sum("_m").as("_clip"), sum("_cc").as("_tot"))
     val logged = withPseudoLog2(withPseudoLog2(
@@ -1051,25 +1075,31 @@ object TextAnalysis {
         regexp_replace(col(refCol), "\\s", "").as("_rs"))
         .withColumn("_clen", length(col("_cs")).cast("long"))
         .withColumn("_rlen", length(col("_rs")).cast("long")))
-    def gramsOf(sc: String, n: Int): Column =
-      when(length(col(sc)) >= n,
-        transform(sequence(lit(1), length(col(sc)) - (n - 1)),
-          i => col(sc).substr(i, lit(n))))
+    // r9 restructure (the [[bleu]] melt): one (pair, side, n, gram)
+    // stream, one aggregation with conditional per-side sums — replaces
+    // two per-side aggregations + a FULL OUTER join (a gram on either
+    // side keeps its group row with the other side's count at 0, which
+    // is exactly what the full outer produced after coalesce).
+    val sides = strs.select(col("_id"), explode(array(
+        struct(lit(1L).as("_s"), col("_cs").as("_str")),
+        struct(lit(0L).as("_s"), col("_rs").as("_str")))).as("_x"))
+      .select(col("_id"), col("_x._s").as("_s"), col("_x._str").as("_str"))
+    def gramsOfN(n: Int): Column =
+      when(length(col("_str")) >= n,
+        transform(sequence(lit(1), length(col("_str")) - (n - 1)),
+          i => col("_str").substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))
-    def gramCounts(sc: String, out: String): DataFrame =
-      (1 to maxN).map { n =>
-        strs.select(col("_id"), lit(n).as("_n"),
-          explode(gramsOf(sc, n)).as("_g"))
-      }.reduce(_ unionAll _)
-        .groupBy("_id", "_n", "_g").agg(count(lit(1)).as(out))
-    val orders = gramCounts("_cs", "_cc")
-      .join(gramCounts("_rs", "_rc"), Seq("_id", "_n", "_g"), "full_outer")
-      .withColumn("_m", least(coalesce(col("_cc"), lit(0L)),
-        coalesce(col("_rc"), lit(0L))))
+    val occ = (1 to maxN).map { n =>
+      sides.select(col("_id"), col("_s"), lit(n).as("_n"),
+        explode(gramsOfN(n)).as("_g"))
+    }.reduce(_ unionAll _)
+    val orders = occ.groupBy("_id", "_n", "_g")
+      .agg(sum(col("_s")).as("_cc"), sum(lit(1L) - col("_s")).as("_rc"))
+      .withColumn("_m", least(col("_cc"), col("_rc")))
       .groupBy("_id", "_n")
       .agg(sum("_m").as("_mm"),
-        sum(coalesce(col("_cc"), lit(0L))).as("_tc"),
-        sum(coalesce(col("_rc"), lit(0L))).as("_tr"))
+        sum(col("_cc")).as("_tc"),
+        sum(col("_rc")).as("_tr"))
       .filter(col("_tc") > 0 && col("_tr") > 0)
       .withColumn("_p", expr("_mm * 10000 div _tc"))
       .withColumn("_rr", expr("_mm * 10000 div _tr"))
@@ -1202,16 +1232,17 @@ object TextAnalysis {
       slice(col(refCol), 1, maxLen).as("_rt"))
       .withColumn("_cl", size(col("_ct")).cast("long"))
       .withColumn("_rl", size(col("_rt")).cast("long"))
-    val dp = aggregate(col("_ct"),
-      array_repeat(lit(0L), (col("_rl") + 1).cast("int")),
-      (prev, c) => aggregate(col("_rt"), array(lit(0L)),
-        (acc, r) => concat(acc, array(greatest(
-          element_at(prev, size(acc) + 1),
-          element_at(acc, size(acc)),
-          element_at(prev, size(acc))
-            + when(c === r, 1L).otherwise(0L))))))
+    // r9: the DP runs as a native codegen kernel (graft_lcs_length) —
+    // the previous nested-`aggregate` HOF form evaluated interpreted
+    // AND copied the accumulator array once per cell (LcsSpec pins
+    // bit-equality of the two formulations on adversarial and random
+    // inputs; the bench delta is recorded in OPTIMIZATION_r09.md)
+    val dp = org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.sql.expressions.LcsLength(
+        org.apache.spark.sql.graftshim.GraftShim.expression(col("_ct")),
+        org.apache.spark.sql.graftshim.GraftShim.expression(col("_rt"))))
     cut
-      .withColumn("lcs", element_at(dp, -1))
+      .withColumn("lcs", dp)
       .withColumn("rouge_p_bp",
         expr("if(_cl > 0, lcs * 10000 div _cl, 0L)"))
       .withColumn("rouge_r_bp",

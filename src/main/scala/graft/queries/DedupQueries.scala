@@ -1095,27 +1095,47 @@ object DedupQueries extends QueryGroup {
     // hash-mismatch rather than pass silently.
     "q_dedup_lsh_recall" -> QueryDef(
       (s, d) => {
+        // r9 restructure: both candidate generators feed ONE union
+        // (tagged with provenance flags) and the exact-Jaccard verify
+        // runs ONCE over it, instead of once per generator + a
+        // full-outer join of the two verified sets — the candidate
+        // sets overlap almost entirely (banding recalls a subset of
+        // the exact-recall prefix pairs), so the old plan verified the
+        // same pairs twice. Per-pair jaccard is the same computed
+        // value either way, and each branch's ORIGINAL threshold form
+        // is kept (truth: floor(j·10⁴) ≥ 8000; LSH: j ≥ 0.8), so the
+        // audit counts are bit-identical (oracle-verified at all SFs).
         val docs = Tables.documents(s, d)
         val side = graft.util.Partitioning.indexSideFor(docs)
         val sh = graft.util.AutoUnpersist.persistScoped(
           Dedup.shingles(docs, 3))
-        val truth = Dedup.prefixFilterJaccardOn(sh, 8000, side)
-          .select(col("i"), col("j"), lit(1L).as("_t"))
-        val lsh = Dedup.verifyJaccard(
-            Dedup.lshCandidates(
-              Dedup.minhashSignaturesWith(sh, 8, portable = true, side),
-              8, 2, 5000, side),
-            sh, side)
-          .filter(col("jaccard") >= 0.8)
-          .select(col("i"), col("j"), lit(1L).as("_l"))
-        truth.join(lsh, Seq("i", "j"), "full_outer")
-          .agg(
-            sum(coalesce(col("_t"), lit(0L))).as("n_truth"),
-            sum(coalesce(col("_l"), lit(0L))).as("n_lsh"),
-            sum(when(col("_t").isNotNull && col("_l").isNotNull, 1L)
-              .otherwise(0L)).as("n_both"),
-            sum(when(col("_l").isNotNull && col("_t").isNull, 1L)
-              .otherwise(0L)).as("n_lsh_only"))
+        val pcands = Dedup.prefixFilterCandidates(sh, 8000, side)
+          .select(col("i"), col("j"), lit(1L).as("_t"), lit(0L).as("_l"))
+        val lcands = Dedup.lshCandidates(
+            Dedup.minhashSignaturesWith(sh, 8, portable = true, side),
+            8, 2, 5000, side)
+          .select(col("i"), col("j"), lit(0L).as("_t"), lit(1L).as("_l"))
+        val cands = pcands.unionByName(lcands)
+          .groupBy("i", "j").agg(max("_t").as("_t"), max("_l").as("_l"))
+        // inline verify (the verifyJaccard shape, carrying the flags)
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val scored = cands
+          .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
+          .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("c"), max("_t").as("_t"), max("_l").as("_l"))
+          .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
+          .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+        val inT = col("_t") === 1L &&
+          floor(col("jaccard") * 10000).cast("long") >= 8000L
+        val inL = col("_l") === 1L && col("jaccard") >= 0.8
+        scored.agg(
+            sum(when(inT, 1L).otherwise(0L)).as("n_truth"),
+            sum(when(inL, 1L).otherwise(0L)).as("n_lsh"),
+            sum(when(inT && inL, 1L).otherwise(0L)).as("n_both"),
+            sum(when(inL && !inT, 1L).otherwise(0L)).as("n_lsh_only"))
           .withColumn("recall_bp",
             when(col("n_truth") > 0, expr("n_both * 10000 div n_truth")))
       },

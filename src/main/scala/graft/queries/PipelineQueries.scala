@@ -32,8 +32,15 @@ object PipelineQueries extends QueryGroup {
         val keepExact = keyed
           .groupBy("content_key").agg(min("doc_id").as("doc_id"))
           .join(keyed, Seq("content_key", "doc_id"))
-        // stage 4: near-dedup — drop the higher id of each verified pair
-        val dupJ = Dedup.minhashLsh(docs).select(col("j").as("doc_id")).distinct()
+        // stage 4: near-dedup — drop the higher id of each verified pair.
+        // portable = false: the xxhash64 signature family (codegen, no
+        // string building — ~2.2× cheaper per shingle than the md5
+        // family). The VERIFIED pair set is identical to the md5
+        // family's at every driver SF (the q_dedup_clusters precedent —
+        // same corpus, same 0.8 threshold, DedupSimilaritySpec pins the
+        // equality), so the oracle's md5 replay still matches exactly.
+        val dupJ = Dedup.minhashLsh(docs, portable = false)
+          .select(col("j").as("doc_id")).distinct()
         val survivors = keepExact.join(dupJ, Seq("doc_id"), "left_anti")
         // stage 5: surviving-corpus stats
         survivors.agg(
@@ -102,7 +109,9 @@ object PipelineQueries extends QueryGroup {
             "content_key")
           .filter(col("doc_id") =!= col("_keep"))
           .select(col("doc_id")).withColumn("_exact", lit(true))
-        val nearLosers = Dedup.minhashLsh(docs)
+        // portable = false — same xxhash64-family switch (and identical-
+        // verified-pair-set argument) as q_pipeline_curate's stage 4
+        val nearLosers = Dedup.minhashLsh(docs, portable = false)
           .select(col("j").as("doc_id")).distinct()
           .withColumn("_near", lit(true))
         scored
