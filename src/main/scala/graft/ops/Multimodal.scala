@@ -262,11 +262,12 @@ object Multimodal {
   /** Quantized DCT-II basis: cq(x, u) = floor(cos(π(2x+1)u/64)·10⁶),
     * x ∈ 0..31, u ∈ 0..7 — computed ONCE driver-side (the Benford /
     * nDCG integer-literal precedent) so both engines run pure BIGINT
-    * sums; no trig call reaches a plan.
+    * sums; no trig call reaches a plan. Re-exported from the codegen
+    * kernel's companion (the single definition) so the DuckDB oracle
+    * literals and the kernel can never drift.
     */
   val dctBasisQ: Seq[(Int, Int, Long)] =
-    for (x <- 0 until 32; u <- 0 until 8) yield (x, u,
-      math.floor(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 1e6).toLong)
+    graft.sql.expressions.DctHash64.basisQ
 
   /** DCT perceptual hash (pHash proper) — the frequency-domain sibling
     * of [[aHashWide]]: where the average hash votes on raw segment
@@ -290,70 +291,32 @@ object Multimodal {
     * wrap makes g identical) and uniform brightness shift (+k moves
     * only the DC coefficient — at most 1 of 64 bits flips).
     *
-    * Shape: a PURE PER-ROW PROJECTION (the rougeL precedent) — the gray
-    * matrix, both DCT stages, the sorted-median threshold, and the hex
-    * render are bounded array folds over literal-array basis lookups
-    * inside one whole-stage-codegen projection. ZERO shuffle, zero
-    * joins, no window: corpus-linear and embarrassingly parallel at any
-    * scale. (Every intermediate array is materialized with `withColumn`
-    * before the fold that reads it — the documented HOF re-evaluation
-    * trap.)
+    * Shape: a PURE PER-ROW PROJECTION (the rougeL precedent). r9: the
+    * whole fold — gray matrix, both DCT stages, the rank-32 median
+    * threshold, the non-ASCII `mod 256` clamp, and the hex render —
+    * runs as ONE native codegen kernel
+    * ([[graft.sql.expressions.DctHash64]], `graft_dct_hash64`),
+    * replacing four chained interpreted `transform`/`aggregate` HOFs
+    * over a 256-literal basis array whose analysis + interpreted eval
+    * cost a FLAT ~2.8 s per run even on a 200-row input (measured at
+    * sf0.001 and sf0.1 alike; DctHashSpec pins per-element equality of
+    * kernel and reference fold). ZERO shuffle, zero joins, no window:
+    * corpus-linear and embarrassingly parallel at any scale.
     *
     * Out: `(media_id, dct_hash)` — compose with the shared Hamming pair
     * ops via doc_id = media_id exactly like [[aHashWide]].
     */
   def dctHashWide(media: DataFrame): DataFrame = {
-    // basis as a flat literal array indexed (x*8 + u), 1-based lookup
-    val cqArr = array(dctBasisQ.sortBy { case (x, u, _) => x * 8 + u }
-      .map { case (_, _, c) => lit(c) }: _*)
+    import org.apache.spark.sql.graftshim.GraftShim
     media
       .select(col("media_id"),
         expr(s"substring(media, ${HeaderLen + 1}, length(media))")
           .as("_pay"))
       .filter(length(col("_pay")) > 0)
       .withColumn("_s", decode(col("_pay"), "UTF-8"))
-      .withColumn("_n", length(col("_s")).cast("long"))
-      .withColumn("_cq", cqArr)
-      // 32×32 gray matrix, flat (32x + y), g = codepoint at (pos mod n)
-      // clamped to 0..255 (`pmod(..., 256)`): the payload is UTF-8
-      // DECODED and read per character, so a non-ASCII codepoint (up
-      // to 0x10FFFF) would otherwise void the BIGINT headroom bound
-      // (|C| ≤ 255·10¹²·1024) the two DCT stages rely on; for the
-      // ASCII decode stub the clamp is the identity, and a real
-      // decoder lands 0..255 luma in the same (x, y, g) contract
-      .withColumn("_g", expr(
-        "transform(sequence(0, 1023), p -> " +
-          "pmod(CAST(ascii(substring(_s, CAST(p % _n AS INT) + 1, 1)) " +
-          "AS BIGINT), 256))"))
-      // row stage: r(u*32 + y) = Σ_x g(32x+y)·cq(x*8+u). The size guard
-      // doubles as the anti-inlining reference: an alias consumed ONCE
-      // collapses into its consumer (SPARK-36718's cost rule), and an
-      // inlined _g would REBUILD the 1024-cell matrix per fold step —
-      // the measured 100× blowup, not a theoretical one.
-      .withColumn("_r", expr(
-        "if(size(_g) = 1024, " +
-          "transform(sequence(0, 255), i -> aggregate(sequence(0, 31), 0L, " +
-          "(acc, x) -> acc + element_at(_g, x * 32 + i % 32 + 1) * " +
-          "element_at(_cq, x * 8 + CAST(i div 32 AS INT) + 1))), null)"))
-      // column stage: c(u*8 + v) = Σ_y r(u*32+y)·cq(y*8+v); same guard
-      .withColumn("_c", expr(
-        "if(size(_r) = 256, " +
-          "transform(sequence(0, 63), i -> aggregate(sequence(0, 31), 0L, " +
-          "(acc, y) -> acc + element_at(_r, CAST(i div 8 AS INT) * 32 + y + 1) * " +
-          "element_at(_cq, y * 8 + i % 8 + 1))), null)"))
-      // exact rank-32 median of the 63 AC coefficients (value sort —
-      // ties can't move the 32nd VALUE, so no tie-break is needed)
-      .withColumn("_m", expr(
-        "element_at(array_sort(slice(_c, 2, 63)), 32)"))
-      .withColumn("_d", expr(
-        "transform(sequence(0, 15), p -> " +
-          "(CASE WHEN element_at(_c, p * 4 + 1) > _m THEN 8 ELSE 0 END) + " +
-          "(CASE WHEN element_at(_c, p * 4 + 2) > _m THEN 4 ELSE 0 END) + " +
-          "(CASE WHEN element_at(_c, p * 4 + 3) > _m THEN 2 ELSE 0 END) + " +
-          "(CASE WHEN element_at(_c, p * 4 + 4) > _m THEN 1 ELSE 0 END))"))
-      .withColumn("dct_hash", expr(
-        "array_join(transform(_d, d -> " +
-          "substring('0123456789abcdef', CAST(d AS INT) + 1, 1)), '')"))
+      .withColumn("dct_hash", GraftShim.column(
+        graft.sql.expressions.DctHash64(
+          GraftShim.expression(col("_s")))))
       .select(col("media_id"), col("dct_hash"))
   }
 
