@@ -145,32 +145,53 @@ object EntityResolution {
     * with a single distinct value cannot disagree; its disagree weight
     * is the −2⁸ bit sentinel (never fires on real pairs).
     *
-    * Scale shape: one value-count aggregate per field collapsing to a
-    * single driver row (the only materialization); candidates are one
-    * equi-shuffle on the block key (hot-block caps/salting as in
-    * [[blockedMatches]]); scoring adds no join. Bound: Σc² ≤ N² < 2⁴³
-    * → N ≤ 2.9·10⁶ records per linkage domain; past that, estimate u
-    * on an md5-keyed record sample (the same escape the kappa op
-    * documents).
+    * Scale shape: ONE value-count aggregate for ALL fields (each field's
+    * values tagged and unioned via a per-row explode — r9: this was one
+    * aggregate job PER field plus a count() job, each recomputing the
+    * caller's derived frame; now a single job over |fields|·N tagged
+    * rows returns every Σc² AND N together, and the input is cached for
+    * the stats pass + both join sides); candidates are one equi-shuffle
+    * on the block key (hot-block caps/salting as in [[blockedMatches]]);
+    * scoring adds no join. Bound: Σc² ≤ N² < 2⁴³ → N ≤ 2.9·10⁶ records
+    * per linkage domain; past that, estimate u on an md5-keyed record
+    * sample (the same escape the kappa op documents). Within-field
+    * value identity is preserved by the string tagging: strings ride
+    * verbatim and integral types render injectively, so each field's
+    * c_v multiset — hence u — is EXACTLY the per-field groupBy's.
     *
     * Out: (id1, id2, n_agree, score_fp, verdict).
     */
   def fellegiSunter(
-      recs: DataFrame, idCol: String, blockCol: String,
+      recs0: DataFrame, idCol: String, blockCol: String,
       fields: Seq[String], mBp: Long = 9500L,
       upperFp: Long = 3L << 16, lowerFp: Long = 0L
   ): DataFrame = {
     require(fields.nonEmpty && mBp > 0 && mBp < 10000)
     val pl2 = TextAnalysis.pseudoLog2Long(_: Long)
-    val n = recs.count()
+    // bounded by the N ≤ 2.9e6 require below — safe to cache; spares
+    // the derived input frame 4 recomputations (stats job + count job
+    // under the old shape, and the two self-join sides). Deferred
+    // registration: the stats collect below populates the cache, and
+    // only the returned plan's first consumer releases it.
+    val recs = graft.util.AutoUnpersist.persistDeferred(recs0)
+    val stats = recs
+      .select(explode(array(fields.map(f =>
+        struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+        .as("_fv"))
+      .groupBy(col("_fv.f").as("_f"), col("_fv.v").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("_f")
+      .agg(sum(expr("_c * _c")).as("_s2"), sum(col("_c")).as("_n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n = stats.valuesIterator.map(_._2).nextOption().getOrElse(0L)
     require(n > 0 && n <= 2900000L,
       s"frequency-based u needs N^2 < 2^43: N=$n — sample first")
     val uDen = n * n
     val lBase = pl2(mBp) - pl2(10000L) + 2 * pl2(n)
     val lBaseD = pl2(10000L - mBp) - pl2(10000L) + 2 * pl2(n)
     val weights = fields.map { f =>
-      val uNum = recs.groupBy(f).agg(count(lit(1)).as("_c"))
-        .agg(sum(expr("_c * _c"))).collect()(0).getLong(0)
+      val uNum = stats(f)._1
       val wa = lBase - pl2(uNum)
       val wd =
         if (uNum == uDen) -(1L << 24)
@@ -182,7 +203,7 @@ object EntityResolution {
     val b = recs.select(col(blockCol).as("_bk") +: col(idCol).as("id2") +:
       fields.map(f => col(f).as(s"_b_$f")): _*)
     val agree = fields.map(f => (f, col(s"_a_$f") === col(s"_b_$f")))
-    a.join(b, Seq("_bk"))
+    val out = a.join(b, Seq("_bk"))
       .filter(col("id1") < col("id2"))
       .withColumn("n_agree",
         agree.map { case (_, eq) => when(eq, 1L).otherwise(0L) }
@@ -197,5 +218,7 @@ object EntityResolution {
           .when(col("score_fp") >= lowerFp, lit("possible"))
           .otherwise(lit("nonmatch")))
       .select("id1", "id2", "n_agree", "score_fp", "verdict")
+    graft.util.AutoUnpersist.register(recs)
+    out
   }
 }

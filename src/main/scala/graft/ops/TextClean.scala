@@ -611,10 +611,12 @@ object TextClean {
     * 2/3/4-gram 20/18/16%, dup 5..10-gram 15..10%.
     *
     * Distributed shape: one token-array materialization, one 9-way
-    * gram explode (n = 2..10 — the volume the filter inherently reads),
-    * one (doc, n, gram) map-side-combinable count; everything after is
-    * doc-keyed — per-doc windows and equi-joins, so work scales with
-    * corpus gram volume and NOTHING is all-pairs or corpus-global. The
+    * gram explode (n = 2..10 — the volume the filter inherently reads);
+    * the 2..4 stream takes a (doc, n, gram) map-side-combinable count,
+    * the 5..10 stream a (doc, n, gram) window count (one exchange for
+    * the corpus-gram-sized stream, no join); everything after is
+    * doc-keyed, so work scales with corpus gram volume and NOTHING is
+    * all-pairs or corpus-global. The
     * count/argmax route (not per-row HOF scans) keeps per-doc cost
     * linear in doc length where a transform-over-filter count is
     * quadratic — the Gopher 100k-word doc bound matters.
@@ -653,19 +655,24 @@ object TextClean {
           i => struct((i - 1).cast("long").as("pos"),
             array_join(slice(col("_t"), i, lit(n)), " ").as("g"))))
         .otherwise(array().cast("array<struct<pos:long,g:string>>"))
-    // NOT persisted: the gram frame is corpus-gram-sized (caching it
-    // spills and went superlinear at x40 in Profile --repetition-scale);
-    // its two consumers share one plan, so the explode recomputes from
-    // the cached base (cheap codegen) and the count shuffle is reused
-    // via ReusedExchange.
-    val occ =
-      (2 to 10).map(n => base.select(col("_id"), lit(n).as("_n"),
+    // NOT persisted: the gram frames are corpus-gram-sized (caching
+    // them spills and went superlinear at x40 in Profile
+    // --repetition-scale); the explodes recompute from the cached base
+    // (cheap codegen).
+    def occOf(ns: Range) =
+      ns.map(n => base.select(col("_id"), lit(n).as("_n"),
           explode(gramsOf(n)).as("_o"))
         .select(col("_id"), col("_n"), col("_o.pos").as("_pos"),
           col("_o.g").as("_g"))).reduce(_ unionAll _)
-    val cnt = occ.groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_c"))
-    // top-gram mass, n = 2..4: deterministic argmax via injective min
-    val top = cnt.filter(col("_n") <= 4)
+    // top-gram mass, n = 2..4: deterministic argmax via injective min.
+    // The count aggregate reads ONLY the 2..4-gram stream — the 5..10
+    // coverage family stopped needing per-gram counts when its
+    // occurrence×count join became a window count (below), so 6 of the
+    // 9 gram families (the LONG grams, the bulk of the bytes) no
+    // longer pass through this shuffle at all (r9; guide §2.2).
+    val cnt = occOf(2 to 4)
+      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_c"))
+    val top = cnt
       .groupBy("_id", "_n")
       .agg(min(struct((-col("_c")).as("nc"), col("_g").as("g"))).as("_b"))
       .select(col("_id"), col("_n"),
@@ -673,11 +680,20 @@ object TextClean {
       .groupBy("_id").pivot("_n", Seq(2, 3, 4)).agg(first(col("_tm")))
       .select(col("_id"), col("2").as("_tm2"), col("3").as("_tm3"),
         col("4").as("_tm4"))
-    // duplicated-gram token coverage, n = 5..10: exact interval union
+    // duplicated-gram token coverage, n = 5..10: exact interval union.
+    // Occurrence counts come from a window count over the SAME
+    // (doc, n, gram) partitioning the old groupBy+equi-join pair used —
+    // identical _c per occurrence row, but the corpus-gram-sized stream
+    // now crosses ONE exchange (the window sort) instead of two (the
+    // count aggregate, whose partial agg barely combines since most
+    // grams are unique, plus the join probe), and the join operator
+    // disappears; only the ≥2-occurrence survivors (a corruption-rate
+    // sliver) reach the second, interval-union window (r9; guide §2.2).
+    val wCnt = Window.partitionBy("_id", "_n", "_g")
     val wNext = Window.partitionBy("_id", "_n").orderBy("_pos")
-    val cov = occ.filter(col("_n") >= 5)
-      .join(cnt.filter(col("_c") >= 2 && col("_n") >= 5),
-        Seq("_id", "_n", "_g"))
+    val cov = occOf(5 to 10)
+      .withColumn("_c", count(lit(1)).over(wCnt))
+      .filter(col("_c") >= 2)
       .withColumn("_nx", lead("_pos", 1).over(wNext))
       .groupBy("_id", "_n")
       .agg(sum(when(col("_nx").isNotNull,

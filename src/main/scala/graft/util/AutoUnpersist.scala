@@ -58,9 +58,22 @@ object AutoUnpersist {
     */
   def persistScoped(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit}
-    val tagged = df.observe(s"graft_scope_${nextScope.incrementAndGet()}",
+    register(persistDeferred(df))
+  }
+
+  /** Persist `df` (MEMORY_AND_DISK, uniquely observe-tagged like
+    * [[persistScoped]]) WITHOUT arming auto-release — for ops that
+    * populate the cache with their own bounded stats action before the
+    * returned plan consumes it (release-on-first-consumer would evict
+    * right after that stats action). Call [[register]] on the result
+    * once the returned plan is built, so the first consumption of the
+    * RETURNED plan releases the cache as usual.
+    */
+  def persistDeferred(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    df.observe(s"graft_scope_${nextScope.incrementAndGet()}",
       count(lit(1)).as("rows"))
-    register(tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Release the already-persisted `df` after the first query that
