@@ -215,9 +215,9 @@ object Multimodal {
     *
     * Every comparison is cross-multiplied BIGINT (`segSum·totalLen >
     * totalSum·segLen`) — no doubles, so a SQL engine replays the hash
-    * bit-for-bit. One posexplode (payload-linear) + two bounded
-    * aggregations (≤64 segment rows per media); no shuffle wider than
-    * the (media, segment) key.
+    * bit-for-bit. Shape (r9): ONE per-row codegen kernel call
+    * (`graft_ahash64`), zero shuffle — payload-linear and
+    * embarrassingly parallel.
     *
     * Out: `doc_id, d1..d16, phash` (the [[graft.ops.Dedup.simhashWide]]
     * wide-nibble layout, media_id AS doc_id for the shared pair ops).
@@ -231,29 +231,25 @@ object Multimodal {
     * per-frame slices. Zero-byte payloads are dropped (no segments to
     * vote; the SQL replay's empty generate_series drops them the same
     * way).
+    *
+    * r9: the hash runs as a native codegen kernel
+    * ([[graft.sql.expressions.AHash64]], `graft_ahash64`) — the
+    * previous explode→aggregate form paid a per-CHARACTER posexplode,
+    * two aggregation exchanges and a join PER HASH; the kernel is a
+    * pure per-row projection (zero shuffle), bit-identical per segment
+    * (AHashSpec pins it against the original formulation), and d1..d16
+    * / phash fall out of the returned long with shift/mask projections.
     */
   private def aHashBits(pays: DataFrame): DataFrame = {
-    val chars = pays
+    import org.apache.spark.sql.graftshim.GraftShim
+    val hashed = pays
       .filter(length(col("_pay")) > 0)
-      .select(col("doc_id"), decode(col("_pay"), "UTF-8").as("_s"))
-      .withColumn("_n", length(col("_s")).cast("long"))
-      .select(col("doc_id"), col("_n"),
-        posexplode(split(col("_s"), "")).as(Seq("pos", "c")))
-      .withColumn("seg", expr("CAST(pos AS BIGINT) * 64 DIV _n"))
-      .withColumn("v", ascii(col("c")).cast("long"))
-    val segs = chars.groupBy("doc_id", "seg")
-      .agg(sum(col("v")).as("ssum"), count(lit(1)).as("slen"))
-    val tot = segs.groupBy("doc_id")
-      .agg(sum(col("ssum")).as("tsum"), sum(col("slen")).as("tlen"))
-    val bits = segs.join(tot, "doc_id")
-      .withColumn("bit",
-        col("ssum") * col("tlen") > col("tsum") * col("slen"))
-    val digitAggs = (1 to 16).map { p =>
-      sum(when(col("seg") >= (p - 1) * 4 && col("seg") < p * 4 && col("bit"),
-        expr("1 << (3 - CAST(seg % 4 AS INT))")).otherwise(0))
-        .cast("int").as(s"d$p")
-    }
-    bits.groupBy("doc_id").agg(digitAggs.head, digitAggs.tail: _*)
+      .select(col("doc_id"), GraftShim.column(
+        graft.sql.expressions.AHash64(GraftShim.expression(
+          decode(col("_pay"), "UTF-8")))).as("_h"))
+    hashed.select(col("doc_id") +: (1 to 16).map(p =>
+        shiftrightunsigned(col("_h"), 4 * (16 - p)).bitwiseAND(15L)
+          .cast("int").as(s"d$p")): _*)
       .withColumn("phash",
         concat((1 to 16).map(p =>
           expr(s"substring('0123456789abcdef', d$p + 1, 1)")): _*))

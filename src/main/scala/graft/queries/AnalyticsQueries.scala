@@ -821,7 +821,14 @@ object AnalyticsQueries extends QueryGroup {
         val est = Sketches.cmsJoinSize(
           Sketches.countMinSketch(la, col("k"), depth = 4, width = 65536),
           Sketches.countMinSketch(ob, col("k"), depth = 4, width = 65536))
-        val exact = la.join(ob, "k").agg(count(lit(1)).as("join_size_exact"))
+        // exact twin joins on the RAW integer key: the string cast is
+        // injective (and null-free both ways), so the match count is
+        // bit-identical while the shuffle carries 8-byte longs instead
+        // of decimal strings (r9; guide §2.3 — only the md5 sketch
+        // input is oracle-pinned to the string form)
+        val exact = Tables.lineitem(s, d).select(col("l_orderkey").as("kk"))
+          .join(Tables.orders(s, d).select(col("o_orderkey").as("kk")), "kk")
+          .agg(count(lit(1)).as("join_size_exact"))
         est.crossJoin(exact) // both single-row
           .withColumn("err_bp",
             expr("(join_size_est - join_size_exact) * 10000 " +

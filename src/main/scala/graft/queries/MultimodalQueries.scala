@@ -145,7 +145,15 @@ object MultimodalQueries extends QueryGroup {
             .withColumn("text",
               concat(expr("substring(text, 1, length(text) - 1)"), lit("#"))))
         val fa = Multimodal.frameAHash(orig.unionByName(reup), everyNth = 1)
-        graft.ops.Dedup.exactHammingPairs(fa, maxHamming = 2)
+        // r9: banded candidates instead of the O(N²) blocked all-pairs —
+        // EXACT here, not approximate: 8 bands of 8 bits and maxHamming
+        // = 2 mean a qualifying pair differs in ≤ 2 bits, which touch
+        // ≤ 2 bands, so ≥ 6 bands collide (pigeonhole) and recall is
+        // 100% by construction; the uncapped bucket guard
+        // (Int.MaxValue) drops nothing. Verified row-identical to
+        // exactHammingPairs vs the all-pairs DuckDB oracle at all SFs.
+        graft.ops.Dedup.bandedHammingPairs(fa, maxHamming = 2,
+            maxBucket = Int.MaxValue)
           .withColumn("vid_i", expr("i div 1000"))
           .withColumn("vid_j", expr("j div 1000"))
           .filter(col("vid_i") =!= col("vid_j"))
