@@ -205,9 +205,10 @@ object Substring {
     * cannot do. The classic backup/dedup rule (Muhlestein's rsync
     * rolling window; FastCDC's mask test) expressed relationally.
     *
-    * One positions HOF inside a projection (no explode until the final
-    * per-chunk rows), then a single posexplode — corpus-linear, zero
-    * shuffle, embarrassingly parallel per document. The mask test uses
+    * One native codegen boundary scan per row (r9 — the scan used to be
+    * an explode + collect_list exchange + join-back), then a single
+    * posexplode — corpus-linear, ZERO shuffle, embarrassingly parallel
+    * per document. The mask test uses
     * md5 of each trailing window (O(len·w) hashing instead of a true
     * O(len) rolling update — the price of staying inside codegen'd
     * engine-replayable expressions; w is small and the constant is the
@@ -227,30 +228,23 @@ object Substring {
     require(w >= 4, s"window too small for a stable mask rule: w=$w")
     val t = col(textCol)
     // 1-in-64 mask on the hex digest of the trailing w chars: mean
-    // chunk ≈ 64 chars (the mask rule the explode filter below applies)
-    // Boundary scan as a codegen explode, NOT a higher-order transform:
-    // HOF lambda bodies evaluate interpreted, and an interpreted
-    // md5-per-character-position dominated the downstream dedup query
-    // (measured 9.2 s → 3.3 s at sf0.1 from this change alone). The
-    // explode is a pure projection (no shuffle); only the ~1/64 boundary
-    // rows reach the collect_list aggregation. Same boundary rule,
-    // bit-identical output.
-    val bnds = graft.util.Partitioning.fanOut(
-        docs.select(col(idCol).as("_bid"), t.as("_bt")))
-      .filter(length(col("_bt")) >= w)
-      .select(col("_bid"),
-        explode(sequence(lit(w), length(col("_bt")))).as("_i"),
-        col("_bt"))
-      .filter {
-        val h = md5(col("_bt").substr(col("_i") - (w - 1), lit(w)))
-        h.substr(lit(1), lit(1)) === "0" &&
-          h.substr(lit(2), lit(1)).isin("0", "1", "2", "3")
-      }
-      .groupBy("_bid").agg(sort_array(collect_list(col("_i"))).as("_bpos"))
-    val withChunks = docs
-      .join(graft.util.Partitioning.indexSideFor(docs)(bnds),
-        col(idCol) === col("_bid"), "left")
-      .drop("_bid")
+    // chunk ≈ 64 chars. r9: the boundary scan runs as a native codegen
+    // kernel (graft_cdc_boundaries) emitting the boundary-position
+    // array as a pure per-row projection — the previous shape (codegen
+    // explode of one row per character position → mask filter →
+    // collect_list aggregation → boundaries⋈docs join-back, itself the
+    // r7 fix for an interpreted HOF that measured 9.2 → 3.3 s) paid an
+    // exchange and a join purely to reassemble per-doc position lists
+    // the kernel now returns in place. Same mask rule on the same
+    // md5-of-trailing-window, bit-identical positions (CdcSpec pins
+    // kernel vs the explode formulation). fanOut stays: a one-file
+    // fixture must still spread across slots before the O(len·w)
+    // hashing.
+    val withChunks = graft.util.Partitioning.fanOut(docs)
+      .withColumn("_bpos",
+        org.apache.spark.sql.graftshim.GraftShim.column(
+          graft.sql.expressions.CdcBoundaries(
+            org.apache.spark.sql.graftshim.GraftShim.expression(t), w)))
       .withColumn("_bpos",
         coalesce(col("_bpos"), array().cast("array<int>")))
       .withColumn("_starts",
