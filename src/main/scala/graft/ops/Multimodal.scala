@@ -502,70 +502,42 @@ object Multimodal {
     *      the published constellation index.
     *
     * Everything is integer arithmetic over codepoints, so a SQL engine
-    * replays the fingerprint bit-for-bit. Scale shape: the payload
-    * explodes at FRAME granularity (`window`× fewer rows than a
-    * per-sample explode), and each frame row computes its band energies
-    * and argmax landmark as UNROLLED scalar expressions — plain codegen
-    * arithmetic, no aggregation shuffle and no higher-order functions.
-    * (Both alternatives were built and measured at 10× corpus: the
-    * sample-level explode pays a corpus-samples aggregation plus two
-    * window sorts; a per-row array-HOF formulation avoids the shuffle
-    * but evaluates interpreted, boxing lambdas — ~4× slower per sample
-    * at scale than this codegen form.) Token pairing is one `lead()`
-    * window over contiguous frame indices — the only shuffle, keyed by
-    * media. At 100 TB the token domain comes from real FFT bins (≈2²⁰
-    * values) and over-common tokens are dropped by document frequency
-    * before indexing (stop-token removal) — both swaps leave this plan
-    * untouched.
+    * replays the fingerprint bit-for-bit. Scale shape (r9): ONE native
+    * codegen kernel call per media row emitting the full (w, token)
+    * landmark set, then one explode — ZERO shuffle (every frame of a
+    * media lives in its single payload row, so the former per-media
+    * `lead()` window exchange moved no data that wasn't already
+    * co-located; the kernel also subsumes the earlier regex frame
+    * split, frame posexplode and unrolled energy/argmax chain, which
+    * were themselves measured wins over sample-level explode and
+    * interpreted-HOF formulations at 10× corpus). At 100 TB the token
+    * domain comes from real FFT bins (≈2²⁰ values) and over-common
+    * tokens are dropped by document frequency before indexing
+    * (stop-token removal) — the frontend swaps at the kernel seam, the
+    * plan is untouched.
     *
     * Out: `media_id, w (frame index), token`.
     */
   def audioFingerprints(samples: DataFrame, window: Int = 16, bands: Int = 8,
       deltas: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    require(deltas.nonEmpty && deltas.forall(d => d >= 1 && d < 4),
-      s"delta codes are packed into 2 bits: $deltas")
-    require(window % bands == 0,
-      s"band comb must tile the frame: window=$window bands=$bands")
-    val reps = window / bands
-    // \G-anchored lookbehind chunks the stream into window-sized frames
-    // in one split — no per-sample rows, no position bookkeeping
-    val frames = samples.select(col("media_id"),
-        posexplode(split(col("s"), s"(?<=\\G.{$window})")).as(Seq("w", "frame")))
-      // Spark's split keeps trailing empties (limit −1): an exact-multiple
-      // payload yields a phantom "" frame past the end — drop it (but an
-      // EMPTY payload's single "" frame at w=0 is the stream itself)
-      .filter(col("frame") =!= "" || col("w") === 0)
-    // band b's energy: the comb positions b, b+bands, … within the frame
-    // (window % bands == 0 keeps band phase frame-independent);
-    // ascii('') = 0 covers the short last frame exactly like the
-    // absent-sample sum
-    val es = (0 until bands).map { b =>
-      (0 until reps).map(r =>
-        ascii(substring(col("frame"), b + r * bands + 1, 1)).cast("long"))
-        .reduce(_ + _).as(s"_e$b")
-    }
-    // first-max argmax: band b wins iff it ties-or-beats every LATER
-    // band (earlier bands already failed their own suffix check), which
-    // is exactly the (energy desc, band asc) ordering — as a codegen
-    // CASE chain, no window, no array
-    val peakCol = (0 until bands - 1).foldRight(lit(bands - 1)) { (b, els) =>
-      val beatsRest = (b + 1 until bands)
-        .map(j => col(s"_e$b") >= col(s"_e$j")).reduce(_ && _)
-      when(beatsRest, lit(b)).otherwise(els)
-    }
-    val peaks = frames
-      .select(col("media_id") +: col("w").cast("long").as("w") +: es: _*)
-      .withColumn("peak", peakCol)
-      .select("media_id", "w", "peak")
-    val ahead = Window.partitionBy("media_id").orderBy("w")
-    val tokenCols = deltas.map { d =>
-      (col("peak") * (bands * 4) + lead("peak", d).over(ahead) * 4 + d)
-        .as(s"_t$d")
-    }
-    peaks.select(col("media_id") +: col("w") +: tokenCols: _*)
-      .select(col("media_id"), col("w"),
-        explode(array(deltas.map(d => col(s"_t$d")): _*)).as("token"))
-      .filter(col("token").isNotNull)
+    import org.apache.spark.sql.graftshim.GraftShim
+    // r9: the whole fold — framing, comb-band energies, first-max
+    // landmark argmax, and Δ-token pairing — runs as one native codegen
+    // kernel (graft_audio_tokens; requires and edge rules live there),
+    // replacing a regex frame split + posexplode + window-wide unrolled
+    // energy/argmax chain + the per-media `lead()` WINDOW EXCHANGE (the
+    // plan's only shuffle) + 3-way token explode. All frames of a media
+    // live in its one payload row, so token pairing never needed data
+    // movement at all; fingerprinting is now a pure zero-shuffle
+    // projection at any scale (AudioTokensSpec pins row-set equality
+    // with the old formulation).
+    samples
+      .select(col("media_id"), GraftShim.column(
+        graft.sql.expressions.AudioTokens(
+          GraftShim.expression(col("s")), window, bands, deltas)).as("_wt"))
+      .select(col("media_id"), explode(col("_wt")).as("_t"))
+      .select(col("media_id"), col("_t.w").as("w"),
+        col("_t.token").as("token"))
   }
 
   /** Query-by-snippet matching over constellation fingerprints: probe
