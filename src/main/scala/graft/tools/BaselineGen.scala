@@ -47,27 +47,51 @@ object BaselineGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("BENCH.json")
-    val root = new ObjectMapper().readTree(Files.readString(Paths.get(src)))
-    val qs = root.get("queries")
-    require(qs != null && qs.size() > 0, s"no queries map in $src")
-    val cpu = Option(root.get("cpu_sec"))
+    // --replace: overwrite rows even when the existing baseline is
+    // LOWER. Default is a MIN-MERGE with the committed table: every
+    // known noise source (co-tenants, host throttling, page-cache
+    // misses) INFLATES a measurement and none deflates it, so the
+    // best-known quiet median per query is the min over quiet runs —
+    // a single battery under a degraded host must not raise the bar
+    // the retry trigger compares against. Use --replace only when a
+    // query's plan deliberately changed to something slower.
+    val replace = args.contains("--replace")
+    val srcs = args.filterNot(_ == "--replace").toSeq match {
+      case Seq() => Seq("BENCH.json")
+      case s => s
+    }
+    val roots = srcs.map(s =>
+      s -> new ObjectMapper().readTree(Files.readString(Paths.get(s))))
+    roots.foreach { case (s, r) =>
+      require(r.get("queries") != null && r.get("queries").size() > 0,
+        s"no queries map in $s")
+    }
+    val qsAll = roots.map(_._2.get("queries"))
+    val cpu = Option(roots.head._2.get("cpu_sec"))
     val names = {
-      val it = qs.fieldNames(); val b = Seq.newBuilder[String]
+      val it = qsAll.head.fieldNames(); val b = Seq.newBuilder[String]
       while (it.hasNext) b += it.next()
       b.result().sorted
     }
+    // several source records (e.g. two same-day full batteries) min-
+    // merge per query: a baseline must be REPRODUCIBLE on a normal
+    // quiet box, and min over same-condition runs rejects per-run
+    // noise without enshrining a one-off turbo-host reading
+    val prior = if (replace) Map.empty[String, Double] else read(Path)
     val date = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
-    val sf = Option(root.get("sf")).map(_.asText()).getOrElse("?")
+    val sf = Option(roots.head._2.get("sf")).map(_.asText()).getOrElse("?")
     val rows = names.map { n =>
-      val sec = qs.get(n).asDouble()
+      val fromSrcs = qsAll.flatMap(qs => Option(qs.get(n)))
+        .map(_.asDouble())
+      require(fromSrcs.nonEmpty, s"query $n missing from a source record")
+      val sec = (fromSrcs ++ prior.get(n)).min
       val c = cpu.flatMap(m => Option(m.get(n))).map(_.asDouble())
       val cpuPart = c.map(v => f""","cpu_sec":$v%.3f""").getOrElse("")
       f"""    "$n": {"sec":$sec%.3f$cpuPart}"""
     }
     val json =
       s"""{
-         |  "_meta": {"src": "$src", "generated": "$date", "sf": "$sf",
+         |  "_meta": {"src": "${srcs.mkString(",")}", "generated": "$date", "sf": "$sf",
          |    "stat": "median", "n_queries": ${names.size}},
          |  "queries": {
          |${rows.mkString(",\n")}
@@ -75,6 +99,6 @@ object BaselineGen {
          |}
          |""".stripMargin
     Files.writeString(Paths.get(Path), json)
-    println(s"[baseline] wrote $Path (${names.size} queries from $src)")
+    println(s"[baseline] wrote $Path (${names.size} queries from ${srcs.mkString(",")})")
   }
 }
