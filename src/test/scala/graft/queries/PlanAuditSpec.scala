@@ -202,6 +202,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"unpartitioned WindowExec outside the allowlist: $offenders")
   }
 
+  test("kernelized per-row operators stay shuffle-free (r9 gate)") {
+    // The r9 native kernels turned four operator families into pure
+    // per-row projections. Pin the shape: the kernel must be in the
+    // plan, and NO keyed exchange / window / aggregation / join may
+    // creep back in (the documented round-robin fanOut repartition of
+    // a one-file fixture is the only exchange allowed, cdcChunks only).
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sf())
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def assertProjectionOnly(tag: String, plan: String, kernel: String,
+        fanOutOk: Boolean = false): Unit = {
+      assert(plan.contains(kernel), s"$tag: kernel $kernel not in plan")
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"$tag: keyed exchange crept back into a per-row operator")
+      if (!fanOutOk)
+        assert(!plan.contains("Exchange "), s"$tag: unexpected exchange")
+      assert(!plan.contains("Window"), s"$tag: unexpected window")
+      assert(!plan.contains("HashAggregate") &&
+        !plan.contains("SortAggregate") &&
+        !plan.contains("ObjectHashAggregate"), s"$tag: unexpected aggregate")
+      assert(!plan.contains("Join"), s"$tag: unexpected join")
+    }
+    val media = graft.ops.Multimodal.synthesize(docs)
+    assertProjectionOnly("dctHashWide",
+      planOf(graft.ops.Multimodal.dctHashWide(media)), "graft_dct_hash64")
+    assertProjectionOnly("aHashWide",
+      planOf(graft.ops.Multimodal.aHashWide(media)), "graft_ahash64")
+    assertProjectionOnly("audioFingerprints",
+      planOf(graft.ops.Multimodal.audioFingerprints(
+        media.select(col("media_id"), col("media").cast("string").as("s")))),
+      "graft_audio_tokens")
+    assertProjectionOnly("cdcChunks",
+      planOf(graft.ops.Substring.cdcChunks(docs)), "graft_cdc_boundaries",
+      fanOutOk = true)
+    // rougeL's LCS kernel: per-row projection over a file-backed pair
+    // frame (a literal local relation constant-folds the kernel away)
+    val pairs = docs.select(col("doc_id").as("pair_id"),
+      split(col("text"), " ").as("cand_toks"),
+      split(col("text"), " ").as("ref_toks"))
+    val rl = planOf(graft.ops.TextAnalysis.rougeL(pairs))
+    assert(rl.contains("graft_lcs_length"), rl)
+  }
+
   test("JSON extraction and tf-idf keep column pruning intact") {
     def readSchema(name: String): String = {
       val plan = Registry.all(name).build(spark, sf())
