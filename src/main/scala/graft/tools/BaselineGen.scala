@@ -46,6 +46,18 @@ object BaselineGen {
     }
   }
 
+  /** Core count the table was measured at (absent in older tables →
+    * None; the bench treats that as "arm at any count").
+    */
+  def cpusOf(path: String): Option[Int] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return None
+    try {
+      val meta = new ObjectMapper().readTree(Files.readString(p)).get("_meta")
+      Option(meta).flatMap(m => Option(m.get("cpus"))).map(_.asInt())
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     // --replace: overwrite rows even when the existing baseline is
     // LOWER. Default is a MIN-MERGE with the committed table: every
@@ -89,10 +101,15 @@ object BaselineGen {
       val cpuPart = c.map(v => f""","cpu_sec":$v%.3f""").getOrElse("")
       f"""    "$n": {"sec":$sec%.3f$cpuPart}"""
     }
+    // cpus recorded so the bench arms baseline retries ONLY at the
+    // measurement shape: at a lower driver core count every query
+    // legitimately exceeds a 32-core baseline, and mass retries would
+    // pollute the scaling run
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val json =
       s"""{
          |  "_meta": {"src": "${srcs.mkString(",")}", "generated": "$date", "sf": "$sf",
-         |    "stat": "median", "n_queries": ${names.size}},
+         |    "cpus": $cpus, "stat": "median", "n_queries": ${names.size}},
          |  "queries": {
          |${rows.mkString(",\n")}
          |  }
