@@ -79,6 +79,29 @@ object Dedup {
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
     minhashSignaturesWith(sh, k, portable = true)
 
+  /** [[minhashSignatures]] computed straight from doc text by the
+    * graft_word_minhash codegen kernel — one pass per doc, ZERO
+    * shuffles on the signature side (the gram explode, vocabulary
+    * distinct() exchange, vocabulary join-back and k-min aggregation
+    * exchange all disappear), bit-identical md5 lanes
+    * (WordMinhashSpec pins the kernel against the original
+    * formulation; min over occurrences ≡ min over the distinct gram
+    * set). Docs with fewer than n tokens produce no signature row,
+    * exactly as the original `filter(size >= n)` drops them before
+    * the groupBy.
+    */
+  def minhashSignaturesKernel(docs: DataFrame, k: Int,
+      shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    graft.util.Partitioning.fanOut(docs)
+      .select(col("doc_id"), GraftShim.column(
+        graft.sql.expressions.WordMinhash(
+          GraftShim.expression(col("text")), shingleSize, k)).as("_ms"))
+      .filter(size(col("_ms")) === k)
+      .select(col("doc_id") +:
+        (0 until k).map(s => col("_ms").getItem(s).as(s"m$s")): _*)
+  }
+
   /** `portable = true` → md5-derived hash family (any engine replays it —
     * what the DuckDB oracle checks). `portable = false` → xxhash64 with
     * seed = permutation index: whole-stage-codegen, no string building,
@@ -174,7 +197,8 @@ object Dedup {
     * checkpoints its phases) can pre-filter `sh` themselves.
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame,
-      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide,
+      pruneBp: Long = 0L
   ): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // every sh/counts side is corpus-scaled and explode-descended, so
@@ -183,15 +207,45 @@ object Dedup {
     // the measured broadcast-OOM hazard); ops that hold the corpus
     // anchor pass Partitioning.indexSideFor(docs), which keeps
     // Catalyst's (broadcast-friendly) choices at provably-small scale
-    val common = cands
-      .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
-      .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    common
-      .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
-      .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
-      .select(col("i"), col("j"),
-        (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
+    if (pruneBp > 0L) {
+      // r10 LENGTH PREFILTER (Arasu et al.'s size filter — the exact
+      // necessary condition of the set-similarity literature): c ≤
+      // min(ni,nj) and |A∪B| ≥ max(ni,nj), so jaccard ≤ min/max — any
+      // pair a caller will cut at `pruneBp` basis points whose sizes
+      // differ by more than that ratio can be dropped BEFORE the
+      // gram expansion (the verify's dominant cost: candidates × grams
+      // rows — measured 44,801 → 15,461 pairs on the char-minhash zh
+      // corpus, −66% of the expansion). The counts joins move AHEAD of
+      // the expansion — same joins, reordered. One basis point of
+      // slack (pruneBp − 1) makes the prune safe against callers that
+      // cut on the DOUBLE jaccard (j ≥ t) and callers that cut on
+      // floor(j·10⁴) ≥ bp alike: either cut implies true jaccard
+      // > (pruneBp−1)/10⁴, hence min·10⁴ ≥ (pruneBp−1)·max. Dropped
+      // pairs can never appear in the caller's output, so results are
+      // bit-identical (oracle-verified at all SFs).
+      val sized = cands
+        .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
+        .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
+        .filter(least(col("ni"), col("nj")) * 10000L >=
+          lit(pruneBp - 1L) * greatest(col("ni"), col("nj")))
+      sized
+        .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
+        .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
+        .groupBy("i", "j", "ni", "nj").agg(count(lit(1)).as("c"))
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+            .as("jaccard"))
+    } else {
+      val common = cands
+        .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
+        .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      common
+        .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
+        .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
+    }
   }
 
   /** Containment detection: C(A→B) = |A∩B| / |A| — the asymmetric
@@ -237,11 +291,19 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline. */
+  /** `pruneBp`: length-prefilter basis points for the verify (see
+    * [[verifyJaccard]]) — defaults to the op's own `threshold` cut;
+    * callers that apply a LOWER op threshold but cut the result at a
+    * known bp downstream (the bp-exact queries pass threshold = 0 and
+    * filter floor(j·10⁴) ≥ 8000 outside) pass their outer cut here.
+    */
   def minhashLsh(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      portable: Boolean = true, maxBucket: Int = 5000
+      portable: Boolean = true, maxBucket: Int = 5000,
+      pruneBp: Long = -1L
   ): DataFrame = {
+    val prune = if (pruneBp >= 0L) pruneBp else (threshold * 10000).toLong
     // the shingle set feeds signatures AND the verify joins (4 consumers);
     // persist it instead of re-exploding the corpus each time (released
     // after the consuming action — see AutoUnpersist)
@@ -258,9 +320,18 @@ object Dedup {
     // The cached sh is simply cheap to re-read; callers that already hold
     // materialized candidates (incrementalMinhash) still pre-filter.
     val side = graft.util.Partitioning.indexSideFor(docs)
-    val cands = lshCandidates(minhashSignaturesWith(sh, k, portable, side),
-      k, rowsPerBand, maxBucket, side)
-    verifyJaccard(cands, sh, side).filter(col("jaccard") >= threshold)
+    // r10: the portable (md5) signature path runs as the
+    // graft_word_minhash kernel straight off the doc text — the cached
+    // gram frame now serves only the verify (the kernel's one extra
+    // corpus scan is far cheaper than the vocab distinct + join +
+    // groupBy exchanges it removes); the xxhash64 family keeps its
+    // zero-join aggregate form
+    val sigs =
+      if (portable) minhashSignaturesKernel(docs, k, shingleSize)
+      else minhashSignaturesWith(sh, k, portable = false, side)
+    val cands = lshCandidates(sigs, k, rowsPerBand, maxBucket, side)
+    verifyJaccard(cands, sh, side, prune)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Incremental near-dedup: a NEW shard against a stored signature index
@@ -300,8 +371,10 @@ object Dedup {
     // eagerly checkpoint the tiny (docs × bands)-row band table once and
     // fan out from the materialized copy.
     val melted =
-      bandMelt(minhashSignaturesWith(shNew, k, portable,
-        graft.util.Partitioning.indexSideFor(newDocs)), k, rowsPerBand)
+      bandMelt(
+        if (portable) minhashSignaturesKernel(newDocs, k, shingleSize)
+        else minhashSignaturesWith(shNew, k, portable = false,
+          graft.util.Partitioning.indexSideFor(newDocs)), k, rowsPerBand)
         .withColumn("_new", lit(true))
         .unionByName(bandMelt(historySigs, k, rowsPerBand)
           .withColumn("_new", lit(false)))
@@ -333,7 +406,8 @@ object Dedup {
     // the i/j joins) — same multi-branch race as above, so materialize it
     // once too; only shard + candidate-history shingles, not the corpus
     val shAll = shNew.unionByName(shHist).localCheckpoint(true)
-    verifyJaccard(cands, shAll, side).filter(col("jaccard") >= threshold)
+    verifyJaccard(cands, shAll, side, (threshold * 10000).toLong)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** doc_id, d1..d16 (digit ints) + the 16-hex-char signature.
@@ -700,26 +774,40 @@ object Dedup {
   def minhashLshChars(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.8, n: Int = 5,
-      portable: Boolean = true, maxBucket: Int = 5000
+      portable: Boolean = true, maxBucket: Int = 5000,
+      pruneBp: Long = -1L
   ): DataFrame = {
+    val prune = if (pruneBp >= 0L) pruneBp else (threshold * 10000).toLong
     val side = graft.util.Partitioning.indexSideFor(docs)
     val sh = graft.util.AutoUnpersist.persistScoped(charShingles(docs, n))
     // char grams are nearly all unique (occurrences ≈ vocabulary), so
     // the word path's vocabulary-distinct + join-back md5 amortization
-    // only COSTS here — hash every (already per-doc-distinct) row
-    // directly into ONE map-side-combined groupBy. Same md5 family,
-    // bit-identical signatures; measured 8.3 s → 5.9 s at sf0.1 (the
-    // remainder is the gram distinct + the k·grams md5 stream itself —
-    // the xxhash64 family is the production lever beyond that).
+    // only COSTS here (r8 finding). r10: the per-gram md5 fold runs as
+    // the graft_char_minhash codegen kernel — one pass over the
+    // stripped text per DOC computes every lane min (min over
+    // occurrences ≡ min over the distinct gram set), so the signature
+    // side sheds the gram explode, the distinct() exchange, the k-min
+    // aggregation exchange, and all per-gram hex-string building. Same
+    // md5 family, bit-identical signatures (CharMinhashSpec pins the
+    // kernel against the explode→distinct→groupBy formulation); the
+    // gram frame `sh` survives only for the exact-Jaccard verify.
     val sigs =
       if (portable) {
-        def fam(s: Int) = md5(concat(lit(s.toString), lit("|"), col("w")))
-        sh.groupBy("doc_id").agg(
-          min(fam(0)).as("m0"),
-          (1 until k).map(s => min(fam(s)).as(s"m$s")): _*)
+        import org.apache.spark.sql.graftshim.GraftShim
+        val ct = col("_ct")
+        graft.util.Partitioning.fanOut(docs)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), WhitespaceClass, "").as("_ct"))
+          .filter(length(ct) >= n)
+          .select(col("doc_id"), GraftShim.column(
+            graft.sql.expressions.CharMinhash(
+              GraftShim.expression(ct), n, k)).as("_ms"))
+          .select(col("doc_id") +:
+            (0 until k).map(s => col("_ms").getItem(s).as(s"m$s")): _*)
       } else minhashSignaturesWith(sh, k, portable = false, side)
     val cands = lshCandidates(sigs, k, rowsPerBand, maxBucket, side)
-    verifyJaccard(cands, sh, side).filter(col("jaccard") >= threshold)
+    verifyJaccard(cands, sh, side, prune)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact set-similarity join with a COMPLETENESS guarantee via prefix
@@ -762,7 +850,8 @@ object Dedup {
       sh: DataFrame, thresholdBp: Long,
       side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
   ): DataFrame =
-    verifyJaccard(prefixFilterCandidates(sh, thresholdBp, side), sh, side)
+    verifyJaccard(prefixFilterCandidates(sh, thresholdBp, side), sh, side,
+        thresholdBp)
       .select(col("i"), col("j"),
         floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
       .filter(col("jaccard_bp") >= thresholdBp)
@@ -776,13 +865,19 @@ object Dedup {
     */
   def prefixFilterCandidates(
       sh: DataFrame, thresholdBp: Long,
-      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide
+      side: DataFrame => DataFrame = graft.util.Partitioning.indexSide,
+      docSizes: Option[DataFrame] = None
   ): DataFrame = {
     require(thresholdBp > 0 && thresholdBp <= 10000, s"bad t: $thresholdBp")
     // df table ≈ vocabulary, sizes ≈ docs: both corpus-scaled —
-    // partitioned joins unless the corpus anchor proves them small
+    // partitioned joins unless the corpus anchor proves them small.
+    // `docSizes` lets callers that ALSO aggregate per-doc gram counts
+    // (the verify stage does) hand in one shared persisted (doc_id, n)
+    // frame instead of re-aggregating the gram stream here (r10, the
+    // lsh_recall audit: one fewer corpus-gram exchange).
     val dfc = sh.groupBy("w").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = docSizes.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val wnd = Window.partitionBy("doc_id").orderBy("df", "w")
     val pref = graft.util.AutoUnpersist.persistScoped(
       sh.join(side(dfc), "w")

@@ -967,18 +967,29 @@ object TextAnalysis {
       .withColumn("_m", least(col("_cc"), col("_rc")))
       .groupBy("_id", "_n")
       .agg(sum("_m").as("_clip"), sum("_cc").as("_tot"))
-    val logged = withPseudoLog2(withPseudoLog2(
-        stats.filter(col("_clip") > 0), "_clip", "_lc"), "_tot", "_lt")
-      .groupBy("_id")
-      .agg(count(lit(1)).as("_npos"),
-        sum(col("_lc") - col("_lt")).as("_slp"))
+    // r10: ONE pair-keyed aggregation computes the per-order bp columns
+    // AND the log-space composite together — `stats` previously fed two
+    // separate aggregates (perOrder + logged) from two plan branches, so
+    // the whole corpus-gram pipeline above ran TWICE per action (the
+    // battery's bleu cpu_sec ran ~2× chrF's, whose melt has one chain).
+    // The pseudo-log2 recursion now runs over every (pair, order) row
+    // including _clip = 0 ones (the old form filtered first); its
+    // bit recursion is total on 0 (bin(0) → _e = 0, _m = 0 → _lc = 0)
+    // and the when(_clip > 0) guards mask exactly the rows the old
+    // filter dropped: _npos = count over _clip > 0 rows, _slp = the
+    // same guarded sum, NULL (not 0) when no order matched — matching
+    // the old left-join-miss semantics bit for bit.
+    val en = withPseudoLog2(withPseudoLog2(stats, "_clip", "_lc"), "_tot", "_lt")
     val pCols = (1 to maxN).map(n =>
       max(when(col("_n") === n, expr("_clip * 10000 div _tot")))
         .as(s"p${n}_bp"))
-    val perOrder = stats.groupBy("_id").agg(pCols.head, pCols.tail: _*)
+    val perId = en.groupBy("_id").agg(
+      pCols.head,
+      pCols.tail ++ Seq(
+        sum(when(col("_clip") > 0, lit(1L))).as("_npos"),
+        sum(when(col("_clip") > 0, col("_lc") - col("_lt"))).as("_slp")): _*)
     toks.select("_id", "_clen", "_rlen")
-      .join(perOrder, Seq("_id"), "left")
-      .join(logged, Seq("_id"), "left")
+      .join(perId, Seq("_id"), "left")
       .withColumn("bp_log2_fp",
         expr(s"if(_clen >= _rlen or _clen = 0, 0L, " +
           s"-(((_rlen - _clen) * $Lg2E) div _clen))"))

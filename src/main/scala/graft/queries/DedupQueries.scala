@@ -336,7 +336,10 @@ object DedupQueries extends QueryGroup {
     // MinHash(k=8) + LSH(4 bands × 2 rows) candidates, exact-Jaccard verify.
     "q_dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
-        Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.0)
+        // pruneBp = the outer bp cut — exact length prefilter upstream
+        // of the verify's gram expansion (Dedup.verifyJaccard)
+        Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.0,
+            pruneBp = 8000L)
           .select(col("i"), col("j"),
             floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
           .filter(col("jaccard_bp") >= 8000) // same bp cut both engines
@@ -591,16 +594,18 @@ object DedupQueries extends QueryGroup {
     ),
 
     // Near-dup pairs → connected components → survivor per cluster.
-    // Spark runs iterative min-label propagation on the fast xxhash64
-    // minhash family; the oracle recomputes pairs with the portable md5
-    // family and resolves components with a recursive transitive-closure
-    // CTE. The two hash families yield identical VERIFIED pair sets (the
-    // exact-Jaccard gate filters candidates; equality is asserted by
-    // DedupSimilaritySpec and holds at every driver SF), so the cluster
-    // outputs agree bit-for-bit.
+    // Spark runs iterative min-label propagation; the oracle resolves
+    // components with a recursive transitive-closure CTE over the same
+    // pairs. r10: back on the PORTABLE md5 family — the exact family
+    // the oracle replays — via the zero-shuffle graft_word_minhash
+    // kernel, which closed the hash-cost gap that had motivated r8's
+    // xxhash64 switch (measured ≈ equal). The r9-flagged family
+    // coupling (banding recall is family-dependent; a generative spec
+    // PROVED the verified pair sets can split on light-edit twins) is
+    // eliminated outright: Spark now computes the oracle's own family.
     "q_dedup_clusters" -> QueryDef(
       (s, d) => {
-        val pairs = Dedup.minhashLsh(Tables.documents(s, d), portable = false)
+        val pairs = Dedup.minhashLsh(Tables.documents(s, d))
           .select("i", "j")
         Dedup.survivors(pairs).orderBy("cluster_id")
       },
@@ -625,7 +630,8 @@ object DedupQueries extends QueryGroup {
     "q_dedup_survivors_quality" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.minhashLsh(docs, portable = false).select("i", "j")
+        // md5 family (the oracle's) — see q_dedup_clusters' r10 note
+        val pairs = Dedup.minhashLsh(docs).select("i", "j")
         val scored = docs.select(col("doc_id"),
           floor(graft.ops.TextAnalysis.qualityScore(col("text")) * 10000)
             .cast("long").as("quality_bp"))
@@ -948,7 +954,11 @@ object DedupQueries extends QueryGroup {
           .select("doc_id", "text")
         val respaced = zh.select((col("doc_id") + 1000000000L).as("doc_id"),
           regexp_replace(col("text"), " ", "\t").as("text"))
-        Dedup.minhashLshChars(zh.unionByName(respaced), threshold = 0.0)
+        // pruneBp = the query's own outer bp cut below — the verify's
+        // exact length prefilter (see Dedup.verifyJaccard) drops pairs
+        // that provably cannot reach 8000 bp before the gram expansion
+        Dedup.minhashLshChars(zh.unionByName(respaced), threshold = 0.0,
+            pruneBp = 8000L)
           .select(col("i"), col("j"),
             floor(col("jaccard") * 10000).cast("long").as("jaccard_bp"))
           .filter(col("jaccard_bp") >= 8000)
@@ -1042,7 +1052,8 @@ object DedupQueries extends QueryGroup {
     "q_dedup_soft_weights" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.minhashLsh(docs, portable = false).select("i", "j")
+        // md5 family (the oracle's) — see q_dedup_clusters' r10 note
+        val pairs = Dedup.minhashLsh(docs).select("i", "j")
         val clusters = Dedup.duplicateClusters(pairs)
         val lab = docs.select("doc_id")
           .join(clusters, Seq("doc_id"), "left")
@@ -1105,27 +1116,46 @@ object DedupQueries extends QueryGroup {
         // value either way, and each branch's ORIGINAL threshold form
         // is kept (truth: floor(j·10⁴) ≥ 8000; LSH: j ≥ 0.8), so the
         // audit counts are bit-identical (oracle-verified at all SFs).
+        // r10 restructure on top: (a) the LSH generator's signatures
+        // come from the graft_word_minhash kernel (zero-shuffle, bit-
+        // identical lanes) instead of the vocab-distinct + join +
+        // groupBy pipeline over sh; (b) the per-doc gram-count
+        // aggregate is computed ONCE (persisted) and shared between
+        // the prefix filter's size column and the verify's ni/nj
+        // joins — the audit previously aggregated the gram stream by
+        // doc_id twice. Same counts, same pairs, same audit row.
         val docs = Tables.documents(s, d)
         val side = graft.util.Partitioning.indexSideFor(docs)
         val sh = graft.util.AutoUnpersist.persistScoped(
           Dedup.shingles(docs, 3))
-        val pcands = Dedup.prefixFilterCandidates(sh, 8000, side)
+        val counts = graft.util.AutoUnpersist.persistScoped(
+          sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+        val pcands = Dedup.prefixFilterCandidates(sh, 8000, side,
+            Some(counts))
           .select(col("i"), col("j"), lit(1L).as("_t"), lit(0L).as("_l"))
         val lcands = Dedup.lshCandidates(
-            Dedup.minhashSignaturesWith(sh, 8, portable = true, side),
+            Dedup.minhashSignaturesKernel(docs, 8, 3),
             8, 2, 5000, side)
           .select(col("i"), col("j"), lit(0L).as("_t"), lit(1L).as("_l"))
         val cands = pcands.unionByName(lcands)
           .groupBy("i", "j").agg(max("_t").as("_t"), max("_l").as("_l"))
-        // inline verify (the verifyJaccard shape, carrying the flags)
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val scored = cands
-          .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
-          .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
-          .groupBy("i", "j")
-          .agg(count(lit(1)).as("c"), max("_t").as("_t"), max("_l").as("_l"))
+        // inline verify (the verifyJaccard shape, carrying the flags),
+        // with the r10 length prefilter ahead of the gram expansion:
+        // every audit sum requires jaccard ≥ 0.8 in one of its two cut
+        // forms (floor(j·10⁴) ≥ 8000 / j ≥ 0.8), and jaccard ≤
+        // min(ni,nj)/max(ni,nj), so pairs failing the 7999-bp size
+        // ratio contribute 0 to every sum — dropping them before the
+        // candidates × grams expansion changes no output value
+        val sized = cands
           .join(side(counts.select(col("doc_id").as("i"), col("n").as("ni"))), "i")
           .join(side(counts.select(col("doc_id").as("j"), col("n").as("nj"))), "j")
+          .filter(least(col("ni"), col("nj")) * 10000L >=
+            lit(7999L) * greatest(col("ni"), col("nj")))
+        val scored = sized
+          .join(side(sh.select(col("doc_id").as("i"), col("w"))), "i")
+          .join(side(sh.select(col("doc_id").as("j"), col("w"))), Seq("j", "w"))
+          .groupBy("i", "j", "ni", "nj")
+          .agg(count(lit(1)).as("c"), max("_t").as("_t"), max("_l").as("_l"))
           .withColumn("jaccard",
             col("c").cast("double") / (col("ni") + col("nj") - col("c")))
         val inT = col("_t") === 1L &&

@@ -33,13 +33,14 @@ object PipelineQueries extends QueryGroup {
           .groupBy("content_key").agg(min("doc_id").as("doc_id"))
           .join(keyed, Seq("content_key", "doc_id"))
         // stage 4: near-dedup — drop the higher id of each verified pair.
-        // portable = false: the xxhash64 signature family (codegen, no
-        // string building — ~2.2× cheaper per shingle than the md5
-        // family). The VERIFIED pair set is identical to the md5
-        // family's at every driver SF (the q_dedup_clusters precedent —
-        // same corpus, same 0.8 threshold, DedupSimilaritySpec pins the
-        // equality), so the oracle's md5 replay still matches exactly.
-        val dupJ = Dedup.minhashLsh(docs, portable = false)
+        // r10: back on the PORTABLE md5 family — the exact family the
+        // oracle replays — via the zero-shuffle graft_word_minhash
+        // kernel, which closed the hash-cost gap behind r9's xxhash64
+        // switch (measured ≈ equal). The family coupling the r9 verdict
+        // flagged (a generative spec PROVED the verified pair sets can
+        // split on light-edit twins under different banding recall) is
+        // eliminated: Spark computes the oracle's own family.
+        val dupJ = Dedup.minhashLsh(docs)
           .select(col("j").as("doc_id")).distinct()
         val survivors = keepExact.join(dupJ, Seq("doc_id"), "left_anti")
         // stage 5: surviving-corpus stats
@@ -109,9 +110,9 @@ object PipelineQueries extends QueryGroup {
             "content_key")
           .filter(col("doc_id") =!= col("_keep"))
           .select(col("doc_id")).withColumn("_exact", lit(true))
-        // portable = false — same xxhash64-family switch (and identical-
-        // verified-pair-set argument) as q_pipeline_curate's stage 4
-        val nearLosers = Dedup.minhashLsh(docs, portable = false)
+        // md5 family (the oracle's) — same r10 de-coupling as
+        // q_pipeline_curate's stage 4
+        val nearLosers = Dedup.minhashLsh(docs)
           .select(col("j").as("doc_id")).distinct()
           .withColumn("_near", lit(true))
         scored

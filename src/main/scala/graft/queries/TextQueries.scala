@@ -2306,7 +2306,9 @@ object TextQueries extends QueryGroup {
     "q_text_split_leakage_safe" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = graft.ops.Dedup.minhashLsh(docs, portable = false)
+        // md5 family (the oracle's) — the r10 family de-coupling, see
+        // q_dedup_clusters
+        val pairs = graft.ops.Dedup.minhashLsh(docs)
           .select("i", "j").localCheckpoint(true)
         // ONE assignment frame carrying BOTH policies (safe = cluster-id
         // hash, naive = doc-id hash), checkpointed eagerly: the count agg

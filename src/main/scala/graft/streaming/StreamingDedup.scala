@@ -55,7 +55,7 @@ object StreamingDedup {
     val bootstrapped = fs.exists(new Path(corpusPath))
     val emptyDocs = fresh.filter(lit(false))
     val emptySigs =
-      Dedup.minhashSignatures(Dedup.shingles(emptyDocs, shingleSize), k)
+      Dedup.minhashSignaturesKernel(emptyDocs, k, shingleSize)
     val hist = if (bootstrapped) spark.read.parquet(corpusPath) else emptyDocs
     val storedSigs =
       if (bootstrapped && fs.exists(new Path(indexPath)))
@@ -76,7 +76,7 @@ object StreamingDedup {
       if (orphans.isEmpty) storedSigs
       else {
         val healed =
-          Dedup.minhashSignatures(Dedup.shingles(orphans, shingleSize), k)
+          Dedup.minhashSignaturesKernel(orphans, k, shingleSize)
             .localCheckpoint(true)
         healed.write.mode(SaveMode.Append).parquet(indexPath)
         storedSigs.union(healed)
@@ -108,7 +108,7 @@ object StreamingDedup {
       // backfill re-signs any doc a crash strands between the two
       // appends — the two-file state is self-healing in both orders
       admitted.write.mode(SaveMode.Append).parquet(corpusPath)
-      Dedup.minhashSignatures(Dedup.shingles(admitted, shingleSize), k)
+      Dedup.minhashSignaturesKernel(admitted, k, shingleSize)
         .write.mode(SaveMode.Append).parquet(indexPath)
     }
     BatchResult(nAdmitted, fresh.count() - nAdmitted)

@@ -73,11 +73,10 @@ object Tables {
     histSigCache.getOrElseUpdate((s, d), {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val hist = documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      // the signature builder reads the shingles twice (vocab distinct +
-      // the join back) — persist for the build, then checkpoint the tiny
-      // (docs × k)-row result so the cached frame owns its own blocks
-      graft.ops.Dedup.minhashSignatures(
-          AutoUnpersist.persistScoped(graft.ops.Dedup.shingles(hist)), 8)
+      // r10: the kernel signature build is a zero-shuffle projection
+      // (no shingle explode/distinct/join to persist); checkpoint the
+      // tiny (docs × k)-row result so the cached frame owns its blocks
+      graft.ops.Dedup.minhashSignaturesKernel(hist, 8)
         .localCheckpoint(true)
     })
 
@@ -95,8 +94,7 @@ object Tables {
       val hist = graft.streaming.StreamingCurate.gate(documents(s, d))
         .filter(pmod(col("doc_id"), lit(5)) =!= 0)
         .select("doc_id", "text")
-      graft.ops.Dedup.minhashSignatures(
-          AutoUnpersist.persistScoped(graft.ops.Dedup.shingles(hist)), 8)
+      graft.ops.Dedup.minhashSignaturesKernel(hist, 8)
         .localCheckpoint(true)
     })
 }

@@ -247,6 +247,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(rl.contains("graft_lcs_length"), rl)
   }
 
+  test("kernelized minhash signature paths stay shuffle-free (r10 gate)") {
+    // The r10 minhash kernels turned both portable signature builders
+    // into per-row projections. Pin the shape: the signature frame must
+    // carry the kernel and no keyed exchange / aggregate / join (the
+    // one-file fixture's round-robin fanOut is the only exchange
+    // allowed), and the full queries must still plan through them.
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sf())
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val wp = planOf(graft.ops.Dedup.minhashSignaturesKernel(docs, 8))
+    assert(wp.contains("graft_word_minhash"), wp)
+    assert(!wp.contains("Exchange hashpartitioning") &&
+      !wp.contains("Exchange rangepartitioning"),
+      "word signature builder: keyed exchange crept back")
+    assert(!wp.contains("HashAggregate") && !wp.contains("SortAggregate") &&
+      !wp.contains("ObjectHashAggregate") && !wp.contains("Join"),
+      "word signature builder: aggregate/join crept back")
+    val mc = planOf(Registry.all("q_dedup_minhash_char").build(spark, sf()))
+    assert(mc.contains("graft_char_minhash"),
+      "char kernel missing from q_dedup_minhash_char")
+    val ml = planOf(Registry.all("q_dedup_minhash_lsh").build(spark, sf()))
+    assert(ml.contains("graft_word_minhash"),
+      "word kernel missing from q_dedup_minhash_lsh")
+    val lr = planOf(Registry.all("q_dedup_lsh_recall").build(spark, sf()))
+    assert(lr.contains("graft_word_minhash"),
+      "word kernel missing from q_dedup_lsh_recall")
+  }
+
   test("JSON extraction and tf-idf keep column pruning intact") {
     def readSchema(name: String): String = {
       val plan = Registry.all(name).build(spark, sf())
