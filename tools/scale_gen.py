@@ -105,9 +105,20 @@ def replicate(name: str, keys: dict, text_col: str = None,
             t = t.set_column(idx, "embedding",
                              pa.array(out_vecs, t.schema.field(idx).type))
         out.append(t)
-    merged = pa.concat_tables(out)
-    pq.write_table(merged, f"{OUT}/{name}.parquet")
-    print(f"{name}: {src.num_rows} -> {merged.num_rows}")
+    # one file per replica inside a directory-table: a 10x single-file
+    # table would scan as ONE split (maxPartitionBytes) and serialize
+    # every non-fanned-out explode into a single task — a layout
+    # artifact, not a scaling property; real tables at this volume are
+    # many files (guide SS6), and per-replica files are the natural
+    # "independent shards" physical shape
+    import os
+    d = f"{OUT}/{name}.parquet"
+    os.makedirs(d, exist_ok=True)
+    total = 0
+    for r, t in enumerate(out):
+        pq.write_table(t, f"{d}/part-{r:02d}.parquet")
+        total += t.num_rows
+    print(f"{name}: {src.num_rows} -> {total} ({len(out)} files)")
 
 
 def main() -> None:
